@@ -1,0 +1,79 @@
+"""Tumbling-window counts -- Spark analogue of reference Main.java:136-167.
+
+Reference: two ``windowAll(TumblingProcessingTimeWindows.of(1 min))``
+AllWindowFunctions counting addresses by state / by country into a
+``Map<String,Integer>`` per window.  ``windowAll`` forces parallelism 1;
+the Spark version groups by (window, dimension) which is semantically
+identical per window but fully parallel (SURVEY.md SS2.4) -- this is the
+shape that survives a 1000-executor scale-up.
+
+The per-window Map<k,int> is represented relationally as one
+(window_start, key, count) row per entry -- exactly what the reference's
+sink converters flatten it into anyway
+(``Converter/CountStateByUser.java:13-21``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def explode_addresses(user_address: DataFrame) -> DataFrame:
+    """Flatten UserAddress.addresses to one row per address occurrence.
+
+    Mirrors the reference window functions' inner loop over
+    ``element.getAddresses()`` (Main.java:141-145, 158-162).
+    """
+    return user_address.withColumn("addr", F.explode("addresses"))
+
+
+def tumbling_window_count(
+    df: DataFrame,
+    time_col: str,
+    dimension: str | Column,
+    window_duration: str = "1 minute",
+    count_alias: str = "count",
+) -> DataFrame:
+    """(window, dimension) count over tumbling windows.
+
+    Epoch-aligned, non-overlapping -- same alignment as Flink's
+    TumblingProcessingTimeWindows.  Empty windows emit nothing (Flink
+    fires only non-empty windows; Spark produces no row for empty
+    groups -- SURVEY.md SS2.4 note b).  Works on batch and streaming
+    inputs; streaming callers add a watermark first if they want
+    append-mode finalized windows.
+    """
+    dim = F.col(dimension) if isinstance(dimension, str) else dimension
+    return (
+        df.groupBy(F.window(F.col(time_col), window_duration).alias("win"), dim)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .withColumn("window_start", F.col("win.start"))
+        .withColumn("window_end", F.col("win.end"))
+        .drop("win")
+    )
+
+
+def count_by_dimension(
+    user_address: DataFrame, dimension: str, count_alias: str = "count"
+) -> DataFrame:
+    """Global (non-windowed) address count by a dimension column.
+
+    The batch analogue of W1/W2 when the whole input is one window:
+    explode the address list, count by ``addr.state`` / ``addr.country``.
+    """
+    return (
+        explode_addresses(user_address)
+        .groupBy(F.col(f"addr.{dimension}").alias(dimension))
+        .agg(F.count(F.lit(1)).alias(count_alias))
+    )
+
+
+def flatten_count_map(df: DataFrame, map_col: str, key_alias: str, count_alias: str = "count") -> DataFrame:
+    """Map<k,int> -> one (k, count) row per entry.
+
+    Reference W3 (``Converter/CountStateByUser.java:13-21``).  Only needed
+    when an upstream chose MapType output; the engine's window counts are
+    already relational.
+    """
+    return df.select(F.explode(F.col(map_col)).alias(key_alias, count_alias))

@@ -1,0 +1,38 @@
+"""Loaders for the driver's TPC-H-ish parquet tables (TESTDATA.md).
+
+``events.parquet`` stores nanosecond timestamps, which Spark's parquet
+reader rejects by default (PARQUET_TYPE_ILLEGAL).  The loader flips the
+legacy nanosAsLong read conf (runtime-settable) and converts ns -> the
+engine's microsecond TimestampType -- the same floor-to-microsecond
+DuckDB applies when reading ns parquet, so oracles agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
