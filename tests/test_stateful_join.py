@@ -1,0 +1,138 @@
+"""Emission-trace tests for the stateful user/address join.
+
+FIXTURES.md SS5 pins the exact per-event emissions of the reference
+KeyedCoProcessFunction (Main.java:104-132).  These drive the real
+streaming operator (file source -> applyInPandasWithState -> memory sink)
+and assert the trace, including multi-batch state persistence.
+"""
+
+import json
+import os
+import sys
+import uuid
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import types as T
+
+from data_stream_flink_user_address_spark.schemas import ADDRESS_SCHEMA, USER_SCHEMA
+from data_stream_flink_user_address_spark.streaming.stateful_join import (
+    stateful_user_address_join,
+)
+
+USER_SEQ_SCHEMA = T.StructType(USER_SCHEMA.fields + [T.StructField("seq", T.LongType())])
+ADDR_SEQ_SCHEMA = T.StructType(ADDRESS_SCHEMA.fields + [T.StructField("seq", T.LongType())])
+
+
+def _user(key, seq, name="N"):
+    return {"id": key, "name": name, "email": f"{name}@x.com", "genre": "F",
+            "registerDate": None, "seq": seq}
+
+
+def _addr(key, seq, state="S1", country="C1"):
+    return {"userId": key, "address": f"a{seq}", "city": "c", "state": state,
+            "zipCode": "z", "country": country, "seq": seq}
+
+
+class JoinHarness:
+    """File-source streaming harness: append events, process, read emissions."""
+
+    def __init__(self, spark, tmpdir):
+        self.spark = spark
+        self.udir = os.path.join(tmpdir, "users")
+        self.adir = os.path.join(tmpdir, "addresses")
+        os.makedirs(self.udir)
+        os.makedirs(self.adir)
+        self.qname = "join_out_" + uuid.uuid4().hex[:8]
+        users = spark.readStream.schema(USER_SEQ_SCHEMA).json(self.udir)
+        addresses = spark.readStream.schema(ADDR_SEQ_SCHEMA).json(self.adir)
+        out = stateful_user_address_join(users, addresses)
+        self.query = (
+            out.writeStream.format("memory")
+            .queryName(self.qname)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .start()
+        )
+
+    def feed(self, users=(), addresses=()):
+        for rows, d in ((users, self.udir), (addresses, self.adir)):
+            if rows:
+                fn = os.path.join(d, f"{uuid.uuid4().hex}.json")
+                with open(fn, "w") as f:
+                    for r in rows:
+                        f.write(json.dumps(r) + "\n")
+        self.query.processAllAvailable()
+
+    def emissions(self, key=None):
+        df = self.spark.sql(f"SELECT * FROM {self.qname}")
+        rows = [r.asDict(recursive=True) for r in df.collect()]
+        if key is not None:
+            rows = [r for r in rows if r["userId"] == key]
+        return sorted(rows, key=lambda r: (r["seq"] is None, r["seq"]))
+
+    def stop(self):
+        self.query.stop()
+
+
+@pytest.fixture
+def harness(spark, tmp_path):
+    h = JoinHarness(spark, str(tmp_path))
+    yield h
+    h.stop()
+
+
+def _addr_lists(emissions):
+    return [[a["address"] for a in e["addresses"]] for e in emissions]
+
+
+def test_all_traces_single_batch(harness):
+    # Five FIXTURES.md SS5 traces, distinct keys, one micro-batch.
+    harness.feed(
+        users=[_user("uf", 1), _user("af", 13), _user("uu", 20, "V1"),
+               _user("uu", 22, "V2"), _user("da", 30)],
+        addresses=[
+            _addr("uf", 2), _addr("uf", 3), _addr("uf", 4),          # user-first
+            _addr("af", 11), _addr("af", 12),                         # address-first
+            _addr("uu", 21),                                          # user-update
+            _addr("da", 31), _addr("da", 31),                         # duplicate-address
+            _addr("orphan", 40),                                      # orphan-address
+        ],
+    )
+    # user-first: U,A1,A2,A3 -> 4 growing snapshots
+    e = harness.emissions("uf")
+    assert _addr_lists(e) == [[], ["a2"], ["a2", "a3"], ["a2", "a3", "a4"]]
+    # address-first: A1,A2,U -> single emission with both addresses
+    e = harness.emissions("af")
+    assert _addr_lists(e) == [["a11", "a12"]]
+    # user-update: U,A1,U' -> ([],[a21],[a21]) and the update overwrites name
+    e = harness.emissions("uu")
+    assert _addr_lists(e) == [[], ["a21"], ["a21"]]
+    assert [x["userName"] for x in e] == ["V1", "V1", "V2"]
+    # duplicate-address kept (Main.java:124)
+    e = harness.emissions("da")
+    assert _addr_lists(e) == [[], ["a31"], ["a31", "a31"]]
+    # orphan address: no emission
+    assert harness.emissions("orphan") == []
+
+
+def test_state_persists_across_batches(harness):
+    # batch 1: orphan address buffered silently
+    harness.feed(addresses=[_addr("k1", 1)])
+    assert harness.emissions("k1") == []
+    # batch 2: user arrives -> emits with the buffered address
+    harness.feed(users=[_user("k1", 2)])
+    assert _addr_lists(harness.emissions("k1")) == [["a1"]]
+    # batch 3: another address appends to persisted list
+    harness.feed(addresses=[_addr("k1", 3)])
+    assert _addr_lists(harness.emissions("k1")) == [["a1"], ["a1", "a3"]]
+
+
+def test_address_struct_fields(harness):
+    harness.feed(users=[_user("k2", 1)], addresses=[_addr("k2", 2, state="Illinois", country="Brazil")])
+    e = harness.emissions("k2")
+    assert e[-1]["addresses"][0] == {
+        "address": "a2", "city": "c", "state": "Illinois", "zipCode": "z", "country": "Brazil",
+    }
