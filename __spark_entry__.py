@@ -5,29 +5,81 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-Table mapping onto the engine's domain model (FIXTURES.md SS6): ``customer``
-plays user, ``orders``/``lineitem`` play address (N rows per key) for
-join/explode/count shapes, ``events`` plays the Kafka stream for windowed
-counts, ``documents``/``embeddings`` back the LLM-pipeline operators.
+Query inventory (SURVEY.md SS2 + BASELINE.json north-star extensions):
+
+Reference parity (operators of the Flink job, FIXTURES.md SS6 mapping --
+customer plays user, orders plays address, events plays the Kafka stream):
+  user_address_counts, count_by_state, count_by_country,
+  windowed_count_by_type, windowed_value_sum, stateful_join_trace
+
+Relational breadth (standard OLAP surface on the same engine):
+  q1_pricing_summary, q3_shipping_priority, q5_local_supplier_volume,
+  q6_forecast_revenue, top_parts_per_brand, customers_without_orders,
+  high_discount_orders, rollup_returns, events_json_extract,
+  sessionization
+
+LLM-data-pipeline extensions:
+  text_stats, lang_id_pred, quality_scores, dedup_exact,
+  minhash_lsh_pairs, ngram_jaccard_pairs, simhash_docs,
+  embedding_near_dup, similarity_topk, similarity_lsh_topk,
+  multimodal_meta
 
 Column-name discipline: every computed column is aliased identically in
-the Spark code and the oracle SQL.  Doubles are rounded in BOTH so the
-value-hash is stable across engines.  Timestamps are emitted as formatted
-strings for the same reason.
+the Spark code and the oracle SQL.  Doubles are rounded in BOTH engines;
+timestamps are emitted as formatted strings; md5-derived hashes use the
+same 15-hex-digit -> bigint construction on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_stream_flink_user_address_spark.functions.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    embedding_near_dup_pairs,
+)
+from data_stream_flink_user_address_spark.functions.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+    make_planes,
+)
+from data_stream_flink_user_address_spark.functions.multimodal import (
+    attach_binary_payload,
+    extract_media_meta,
+)
+from data_stream_flink_user_address_spark.functions.text import (
+    STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    punct_count,
+    quality_score,
+    token_count,
+    tokens,
+)
 from data_stream_flink_user_address_spark.operators.join import user_address_snapshot
 from data_stream_flink_user_address_spark.operators.windows import tumbling_window_count
 from data_stream_flink_user_address_spark.sources.tables import load_table as _t_load
+from data_stream_flink_user_address_spark.streaming.stateful_join import (
+    batch_emission_trace,
+)
 
 SF0001 = "/root/testdata/sf0.001"
+
+# LSH config shared by engine call and oracle SQL
+_MINHASH_K = 16
+_LSH_BANDS = 4
+_LSH_ROWS = 4
+_SIMHASH_BITS = 32
+_ANN_PLANES = 6
+_EMB_DIM = 64
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -76,9 +128,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return user_address_snapshot(users, addresses)
 
 
-# --------------------------------------------------------------------------
-# queries(): each callable is (spark, sf_dir) -> DataFrame
-# --------------------------------------------------------------------------
+# ===========================================================================
+# Reference-parity queries
+# ===========================================================================
 
 
 def _q_user_address_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,15 +199,351 @@ def _q_windowed_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stateful_join_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The centerpiece stateful join's EMISSION TRACE, batch-verifiable.
+
+    Exact per-event semantics of reference Main.java:104-132 driven over
+    customer (seq=0) + orders (seq=o_orderkey): user emission with 0
+    addresses, then the i-th address emission carries i addresses."""
+    users = _customer_as_users(spark, sf_dir).withColumn("seq", F.lit(0).cast("long"))
+    addresses = (
+        _orders_as_addresses(spark, sf_dir)
+        .withColumn("seq", F.col("address").cast("long"))
+    )
+    trace = batch_emission_trace(users, addresses)
+    return trace.select(
+        F.col("userId").cast("bigint").alias("user_key"),
+        F.col("seq"),
+        F.size("addresses").cast("bigint").alias("n_addresses"),
+    )
+
+
+# ===========================================================================
+# Relational breadth
+# ===========================================================================
+
+
+def _q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def _q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    cutoff = "1996-03-15"
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def _q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+def _q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def _q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+    return (
+        p.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"), F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def _q_high_discount_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def _q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON decode parity with the reference deserializers (S3/S4):
+    extract props.k, bucket it, aggregate."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k_bucket", k % 10)
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def _q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1h) per user over the event stream."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    brk = F.when(gap_us.isNull() | (gap_us > 3_600_000_000), 1).otherwise(0)
+    return (
+        events.withColumn("brk", brk)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("brk").cast("bigint").alias("n_sessions"))
+    )
+
+
+# ===========================================================================
+# LLM-pipeline extensions
+# ===========================================================================
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        punct_count("text").alias("n_punct"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def _q_lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    return d.select("doc_id", language_id("text").alias("lang_pred"))
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles(d, n=5)
+    sigs = minhash_signatures(sh, num_hashes=_MINHASH_K)
+    return lsh_candidate_pairs(sigs, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+
+
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=5, threshold=0.25)
+
+
+def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _queries_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, _queries_frame(spark, sf_dir), k=10)
+
+
+def _q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(
+        e, _queries_frame(spark, sf_dir), k=5, n_planes=_ANN_PLANES, dim=_EMB_DIM, seed=42
+    )
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return extract_media_meta(media)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # reference parity
     "user_address_counts": _q_user_address_counts,
     "count_by_state": _q_count_by_state,
     "count_by_country": _q_count_by_country,
     "windowed_count_by_type": _q_windowed_count_by_type,
     "windowed_value_sum": _q_windowed_value_sum,
+    "stateful_join_trace": _q_stateful_join_trace,
+    # relational breadth
+    "q1_pricing_summary": _q_q1_pricing_summary,
+    "q3_shipping_priority": _q_q3_shipping_priority,
+    "q5_local_supplier_volume": _q_q5_local_supplier_volume,
+    "q6_forecast_revenue": _q_q6_forecast_revenue,
+    "top_parts_per_brand": _q_top_parts_per_brand,
+    "customers_without_orders": _q_customers_without_orders,
+    "high_discount_orders": _q_high_discount_orders,
+    "rollup_returns": _q_rollup_returns,
+    "events_json_extract": _q_events_json_extract,
+    "sessionization": _q_sessionization,
+    # LLM-pipeline extensions
+    "text_stats": _q_text_stats,
+    "lang_id_pred": _q_lang_id_pred,
+    "quality_scores": _q_quality_scores,
+    "dedup_exact": _q_dedup_exact,
+    "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+    "simhash_docs": _q_simhash_docs,
+    "embedding_near_dup": _q_embedding_near_dup,
+    "similarity_topk": _q_similarity_topk,
+    "similarity_lsh_topk": _q_similarity_lsh_topk,
+    "multimodal_meta": _q_multimodal_meta,
 }
 
+
+# ===========================================================================
+# Oracle SQL builders (DuckDB dialect = ANSI + list lambdas)
+# ===========================================================================
+
+
+def _sql_norm(col: str = "text") -> str:
+    return f"regexp_replace(trim({col}), '\\s+', ' ', 'g')"
+
+
+def _sql_tokens(col: str = "text") -> str:
+    return (
+        f"CASE WHEN trim({col}) = '' THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array(trim({col}), '\\s+') END"
+    )
+
+
+def _sql_hits(toks_expr: str, words: list[str]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks_expr}, t -> t IN ({in_list})))"
+
+
+def _sql_lang_case() -> str:
+    langs = list(STOPWORDS)
+    hits = {lang: f"h_{lang}" for lang in langs}
+    g = "greatest(" + ", ".join(hits.values()) + ")"
+    branches = "\n".join(
+        f"WHEN {hits[lang]} = {g} THEN '{lang}'" for lang in langs
+    )
+    return f"CASE WHEN {g} = 0 THEN 'und' {branches} END"
+
+
+def _sql_md5_long(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def _sql_shingles(n: int = 5, src: str = "documents") -> str:
+    """CTE body producing (doc_id, shingle) distinct rows."""
+    return f"""
+norm AS (SELECT doc_id, {_sql_norm()} AS t FROM {src}),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i, {n}) AS shingle
+  FROM norm, unnest(range(1, greatest(length(t) - {n - 1}, 1) + 1)) AS u(i)
+  WHERE length(substr(t, i, {n})) = {n}
+)"""
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Sequential double-math dot product (matches Spark F.aggregate order)."""
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+
+
+def _sql_sqnorm(a: str) -> str:
+    return f"list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))"
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_sqnorm(a)}) * sqrt({_sql_sqnorm(b)})))"
+
+
+def _sql_plane_bucket(vec: str, planes: list[list[float]]) -> str:
+    bits = []
+    for p in planes:
+        arr = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        bits.append(f"CASE WHEN {_sql_dot(vec, arr)} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+_ALL_STOP = sorted({w for ws in STOPWORDS.values() for w in ws})
+_STOP_IN = ", ".join(f"'{w}'" for w in _ALL_STOP)
+_PLANES = make_planes(_EMB_DIM, _ANN_PLANES, seed=42)
+
+from data_stream_flink_user_address_spark.functions.dedup import (  # noqa: E402
+    MINHASH_PRIME as _MINHASH_P,
+    minhash_mix_params,
+)
+
+_MINHASH_PARAMS = minhash_mix_params(_MINHASH_K)
+
 ORACLE_SQL: dict[str, str] = {
+    # ---------------- reference parity ----------------
     "user_address_counts": """
         SELECT c.c_custkey AS user_key,
                c.c_name    AS user_name,
@@ -184,6 +572,257 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(value), 2) AS total_value,
                count(*) AS cnt
         FROM events GROUP BY 1, 2
+    """,
+    "stateful_join_trace": """
+        SELECT c_custkey AS user_key, 0::BIGINT AS seq, 0::BIGINT AS n_addresses
+        FROM customer
+        UNION ALL
+        SELECT o_custkey AS user_key,
+               o_orderkey AS seq,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS n_addresses
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer)
+    """,
+    # ---------------- relational breadth ----------------
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l.l_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o.o_orderpriority,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+          AND l.l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+    "q6_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "top_parts_per_brand": """
+        SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price,
+               rnk::BIGINT AS rnk
+        FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+          FROM part
+        ) WHERE rnk <= 3
+    """,
+    "customers_without_orders": """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "high_discount_orders": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+        GROUP BY o_orderpriority
+    """,
+    "rollup_returns": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "events_json_extract": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+               count(*) AS cnt,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1
+    """,
+    "sessionization": """
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+          FROM events
+        )
+        SELECT user_id, count(*) AS n_events,
+               sum(CASE WHEN prev IS NULL
+                         OR date_diff('microsecond', prev, ts) > 3600000000
+                        THEN 1 ELSE 0 END)::BIGINT AS n_sessions
+        FROM o GROUP BY user_id
+    """,
+    # ---------------- LLM-pipeline extensions ----------------
+    "text_stats": f"""
+        SELECT doc_id,
+               len({_sql_tokens()})::BIGINT AS n_tokens,
+               (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS n_punct,
+               md5({_sql_norm()}) AS fingerprint
+        FROM documents
+    """,
+    "lang_id_pred": f"""
+        WITH t AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+        h AS (
+          SELECT doc_id,
+                 {", ".join(f"{_sql_hits('toks', STOPWORDS[lang])} AS h_{lang}" for lang in STOPWORDS)}
+          FROM t
+        )
+        SELECT doc_id, {_sql_lang_case()} AS lang_pred FROM h
+    """,
+    "quality_scores": f"""
+        WITH t AS (
+          SELECT doc_id, text, {_sql_tokens()} AS toks FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 len(toks)::DOUBLE AS n_tok,
+                 length(text)::DOUBLE AS n_chars,
+                 CASE WHEN len(toks) > 0
+                      THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                      ELSE 0.0 END AS mean_tok_len,
+                 CASE WHEN length(text) > 0
+                      THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)
+                      ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, t -> t IN ({_STOP_IN})))::DOUBLE / len(toks)
+                      ELSE 0.0 END AS stop_ratio
+          FROM t
+        )
+        SELECT doc_id,
+               round(0.25 * least(1.0, n_tok / 64.0)
+                   + 0.25 * least(1.0, mean_tok_len / 8.0)
+                   + 0.25 * (1.0 - least(1.0, punct_ratio * 10.0))
+                   + 0.25 * least(1.0, stop_ratio * 4.0), 4) AS quality
+        FROM m
+    """,
+    "dedup_exact": f"""
+        SELECT md5({_sql_norm()}) AS fingerprint,
+               min(doc_id) AS doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "minhash_lsh_pairs": f"""
+        WITH {_sql_shingles(5)},
+        hashed AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h0
+          FROM sh
+        ),
+        sig AS (
+          SELECT doc_id,
+                 [{", ".join(f"min(({a} * h0 + {b}) % {_MINHASH_P})" for a, b in _MINHASH_PARAMS)}] AS signature
+          FROM hashed GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id,
+                 md5(b.i::VARCHAR || ',' ||
+                     array_to_string(signature[b.i * {_LSH_ROWS} + 1 : b.i * {_LSH_ROWS} + {_LSH_ROWS}], ',')) AS band_key
+          FROM sig CROSS JOIN range({_LSH_BANDS}) b(i)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH {_sql_shingles(5)},
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.doc_a = sa.doc_id
+        JOIN sizes sb ON inter.doc_b = sb.doc_id
+        WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.25
+    """,
+    "simhash_docs": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split({_sql_norm()}, ' ')) AS tok FROM documents
+        ),
+        h AS (SELECT doc_id, {_sql_md5_long("tok")} AS h FROM toks),
+        perbit AS (
+          SELECT doc_id, b.bit AS bit,
+                 sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h CROSS JOIN range({_SIMHASH_BITS}) b(bit)
+          GROUP BY doc_id, b.bit
+        )
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+        FROM perbit GROUP BY doc_id
+    """,
+    "embedding_near_dup": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_sql_cosine("a.embedding", "b.embedding")}, 6) AS cosine
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND round({_sql_cosine("a.embedding", "b.embedding")}, 6) >= 0.4
+    """,
+    "similarity_topk": f"""
+        SELECT query_id, vec_id, cosine, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 round({_sql_cosine("c.embedding", "q.embedding")}, 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_sql_cosine("c.embedding", "q.embedding")}, 6) DESC,
+                            c.vec_id ASC) AS rank
+          FROM embeddings c, embeddings q WHERE q.vec_id < 10
+        ) WHERE rank <= 10
+    """,
+    "similarity_lsh_topk": f"""
+        WITH bucketed AS (
+          SELECT vec_id, embedding, {_sql_plane_bucket("embedding", _PLANES)} AS bucket
+          FROM embeddings
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 round({_sql_cosine("c.embedding", "q.embedding")}, 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_sql_cosine("c.embedding", "q.embedding")}, 6) DESC,
+                            c.vec_id ASC) AS rank
+          FROM bucketed c JOIN bucketed q ON c.bucket = q.bucket
+          WHERE q.vec_id < 10
+        ) WHERE rank <= 5
+    """,
+    "multimodal_meta": """
+        SELECT doc_id AS media_id,
+               'image' AS kind,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               sha256(text) AS sha256,
+               (64 + ('0x' || substr(sha256(text), 1, 2))::INT)::INT AS width,
+               (64 + ('0x' || substr(sha256(text), 3, 2))::INT)::INT AS height,
+               NULL::BIGINT AS duration_ms
+        FROM documents
     """,
 }
 

@@ -1,0 +1,93 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query executes via ``df.write.format("noop")`` so the full plan runs
+(scan -> shuffle -> agg) without driver-side collection overhead
+distorting the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from data_stream_flink_user_address_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative, scale-safe headline set.  ngram_jaccard_pairs is
+# excluded: its candidate space is quadratic in hot shingles on the
+# synthetic word-salad corpus (documented in functions/dedup.py); it runs
+# in the correctness gate at sf0.01.
+HEADLINE = [
+    "user_address_counts",
+    "count_by_state",
+    "count_by_country",
+    "windowed_count_by_type",
+    "windowed_value_sum",
+    "stateful_join_trace",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "top_parts_per_brand",
+    "customers_without_orders",
+    "high_discount_orders",
+    "rollup_returns",
+    "events_json_extract",
+    "sessionization",
+    "text_stats",
+    "lang_id_pred",
+    "quality_scores",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "embedding_near_dup",
+    "similarity_topk",
+    "similarity_lsh_topk",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    # untimed warmup: JVM/codegen/parquet-footer caches
+    entrymod.queries()["count_by_state"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

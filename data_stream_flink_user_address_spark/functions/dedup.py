@@ -1,0 +1,327 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Engine extension beyond the reference surface (BASELINE.json north star).
+Design rule: every step is a DataFrame op that shuffles by a derived key
+(hash / band / bucket) -- no driver-side pair enumeration, no O(n^2)
+cross join on the scale path.  Hash functions are md5-derived so the
+DuckDB oracle can reproduce them bit-for-bit.
+
+Scale shape per operator (n docs, s shingles/doc):
+- exact:    1 shuffle on the content hash.
+- minhash:  O(n*s) explode -> k mins per doc (single agg) -> b band keys
+            -> self-join per band bucket (only colliding docs meet).
+- simhash:  O(n*tokens) explode -> 64-bit signature per doc -> bucket on
+            signature prefix bands for near-match candidates.
+- ngram:    shingle explode + per-shingle join, pruned by doc-frequency
+            cap (stop-shingle removal) to avoid quadratic hot shingles.
+- embedding: random-hyperplane LSH bucket join (scale) or bounded
+            brute-force (oracle path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _md5_long(col: Column) -> Column:
+    """First 15 hex chars of md5 -> non-negative bigint (60 bits).
+
+    15 chars keeps the value inside a signed 64-bit range in both Spark
+    and DuckDB (`conv` / `from_hex` equivalents), so oracle SQL matches.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per normalized content hash.
+
+    One hash-shuffle; at 100 TB this is the cheapest possible exact dedup
+    (the alternative, dropDuplicates on the full text, shuffles the text
+    bytes themselves -- hashing first moves 32 bytes per row instead).
+    """
+    fp = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return (
+        df.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# character n-gram shingles (shared by minhash + jaccard)
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
+    """Distinct character n-gram shingles: (id, shingle) rows.
+
+    Normalizes whitespace first.  Distinct per doc -- set semantics, as
+    MinHash/Jaccard require.
+    """
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    d = df.select(F.col(id_col), norm.alias("__norm"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length("__norm") - (n - 1), F.lit(1)))
+    return (
+        d.select(id_col, F.explode(F.transform(idx, lambda i: F.substr(F.col("__norm"), i, F.lit(n)))).alias("shingle"))
+        .filter(F.length("shingle") == n)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+
+
+def minhash_mix_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the universal-hash family
+    h_i(x) = (a_i * x + b_i) mod MINHASH_PRIME.  LCG-derived, odd a."""
+    params = []
+    for i in range(num_hashes):
+        a = ((1103515245 * (i + 1) + 12345) % (1 << 20)) | 1
+        b = (2654435761 * (i + 1)) % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """(id, [min_1..min_k]) MinHash signature from a shingle frame.
+
+    The shingle is md5-hashed ONCE to a 28-bit base value; the k hash
+    functions are cheap integer mixes (a_i*h0 + b_i mod p) of that base --
+    so the expensive digest runs once per shingle, not once per
+    (shingle, seed).  All k mins are computed in a single grouped
+    aggregation (one shuffle, k min-agg columns, no explode).
+    """
+    h0 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("bigint")
+    base = sh.select(id_col, h0.alias("h0"))
+    params = minhash_mix_params(num_hashes)
+    mins = [
+        F.min((F.lit(a) * F.col("h0") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        base.groupBy(id_col)
+        .agg(*mins)
+        .select(id_col, F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("signature"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing >=1 identical band.
+
+    Band key = md5(band_idx || band slice of the signature); docs meet
+    only inside their bucket -- the join is per-bucket, never all-pairs.
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+    """
+    b = signatures.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        ",",
+                        i.cast("string"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("signature", i * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_key"),
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(right, on="band_key")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over n-gram shingle sets for candidate pairs.
+
+    Candidates come from sharing any shingle; ``max_shingle_freq`` drops
+    shingles appearing in more than that many docs (stop-shingles) --
+    the standard pruning that keeps the per-shingle join from going
+    quadratic on hot shingles at scale.  Jaccard itself uses the TRUE
+    per-doc set sizes (computed before pruning), so the score is exact
+    for every surviving pair.
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    joinable = sh
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        joinable = sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle").select(id_col, "shingle")
+    a = joinable.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = joinable.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens (md5-derived bit hashes).
+
+    bit_j(token) = j-th bit of md5_long(token); signature bit j is 1 when
+    sum over tokens of (2*bit_j - 1) > 0.  Computed as one explode +
+    grouped agg per (doc, bit) -- no UDF, SQL-expressible for the oracle.
+    Near-dup candidates = equal signatures on prefix bands (hamming-adjacent
+    docs collide on at least one band with high probability).
+    """
+    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    t = df.select(id_col, F.explode(toks).alias("tok")).withColumn("h", _md5_long(F.col("tok")))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    per_bit = (
+        t.select(id_col, "h", bit)
+        .withColumn("v", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1))
+        .groupBy(id_col, "bit")
+        .agg(F.sum("v").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+    )
+    return per_bit.groupBy(id_col).agg(
+        F.sum(F.col("bitval") * F.pow(F.lit(2.0), F.col("bit")).cast("bigint")).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All pairs with cosine >= threshold, via blocked matrix multiply.
+
+    The classic scalable shape for exact all-pairs similarity: vectors
+    are assigned to ``n_blocks`` blocks; every unordered block pair
+    (B*(B+1)/2 tasks) receives its two blocks (each vector replicated at
+    most B times -- linear, never quadratic, data movement) and computes
+    a dense float64 matmul in numpy, emitting only the thresholded
+    pairs.  Compute runs at BLAS speed; the quadratic term never
+    materializes as rows.
+
+    At 100 TB scale, pick ``n_blocks`` so one block fits executor memory;
+    for corpora where even that is too quadratic, pre-partition by an LSH
+    bucket (similarity.lsh_bucket) and run this per bucket.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(emb.sparkSession)
+
+    spark = emb.sparkSession
+    blkpairs = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)], "ba int, bb int"
+    )
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "blk", (F.col("id") % n_blocks).cast("int")
+    )
+    left = e.join(F.broadcast(blkpairs), e.blk == blkpairs.ba).select(
+        "ba", "bb", F.lit("L").alias("side"), "id", "v"
+    )
+    right = e.join(F.broadcast(blkpairs), e.blk == blkpairs.bb).select(
+        "ba", "bb", F.lit("R").alias("side"), "id", "v"
+    )
+    tagged = left.unionByName(right)
+
+    def per_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        l = pdf[pdf["side"] == "L"]
+        r = pdf[pdf["side"] == "R"]
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        li = l["id"].to_numpy()
+        ri = r["id"].to_numpy()
+        lm = np.stack(l["v"].to_numpy()).astype(np.float64)
+        rm = np.stack(r["v"].to_numpy()).astype(np.float64)
+        ln = np.linalg.norm(lm, axis=1)
+        rn = np.linalg.norm(rm, axis=1)
+        cos = np.round((lm @ rm.T) / np.outer(ln, rn), 6)
+        ii, jj = np.where(cos >= threshold)
+        ida, idb = li[ii], ri[jj]
+        if pdf["ba"].iloc[0] == pdf["bb"].iloc[0]:
+            # diagonal block: both orderings present -> dedupe by <
+            keep = ida < idb
+            ida, idb, vals = ida[keep], idb[keep], cos[ii, jj][keep]
+        else:
+            # off-diagonal: each unordered pair appears once -> normalize order
+            vals = cos[ii, jj]
+            keep = ida != idb
+            ida, idb, vals = ida[keep], idb[keep], vals[keep]
+            lo = np.minimum(ida, idb)
+            hi = np.maximum(ida, idb)
+            ida, idb = lo, hi
+        return pd.DataFrame({"vec_a": ida, "vec_b": idb, "cosine": vals})
+
+    return tagged.groupBy("ba", "bb").applyInPandas(
+        per_block_pair, schema="vec_a long, vec_b long, cosine double"
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+Engine extension beyond the reference surface (BASELINE.json north star):
+language-ID (stopword-hit heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace split), document
+fingerprinting (md5 content hash + positional sampling).
+
+Everything here is built from ``pyspark.sql.functions`` expressions --
+JVM-side, whole-stage-codegen'd, no Python in the hot path -- and each has
+an exact ANSI-SQL equivalent so the DuckDB oracle can verify it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic stopword sets for the language-ID heuristic.  Scoring is
+# hits-per-language with a fixed priority order for ties.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "ist"],
+    "zh": ["de", "shi", "bu", "le", "zai", "ren", "you", "wo"],
+}
+
+_QUALITY_PUNCT = ".,!?;:"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter(__toks, t -> t IN ({in_list})))")
+
+
+def language_id(text: Column | str, alias_tokens: str = "__toks") -> Column:
+    """Argmax of stopword hits across STOPWORDS; 'und' (undetermined) when
+    zero hits everywhere.  Ties resolve in dict order (en > es > ...) via
+    strictly-greater comparison -- deterministic, SQL-expressible.
+
+    Use via ``df.withColumn("__toks", tokens("text")).withColumn("lang_pred",
+    language_id("text"))``; the helper reads the pre-computed ``__toks``
+    column so the tokenization is done once.
+    """
+    langs = list(STOPWORDS)
+    hit_cols = {lang: _hits(F.col(alias_tokens), STOPWORDS[lang]) for lang in langs}
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in langs:  # first language with strictly more hits wins
+        h = hit_cols[lang]
+        take = h > best_hits
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_hits = F.when(take, h).otherwise(best_hits)
+    return best
+
+
+def punct_count(text: Column | str) -> Column:
+    """Occurrences of the fixed punctuation set ``.,!?;:`` (identical
+    character class on the SQL side)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))).cast("bigint")
+
+
+def quality_score(text: Column | str, alias_tokens: str = "__toks") -> Column:
+    """Deterministic [0,1] quality heuristic:
+
+      0.25 * min(1, n_tokens/64)            (enough content)
+    + 0.25 * min(1, mean_token_len/8)       (not degenerate tokens)
+    + 0.25 * (1 - min(1, punct_ratio*10))   (not punctuation soup)
+    + 0.25 * min(1, stopword_ratio*4)       (natural-language-like)
+
+    rounded to 4 decimals so engine/oracle hashes agree.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.col(alias_tokens)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(c).cast("double")
+    tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    mean_tok_len = F.when(n_tok > 0, tok_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct_count(c).cast("double") / n_chars).otherwise(F.lit(0.0))
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    in_list = ", ".join(f"'{w}'" for w in all_stop)
+    stop_hits = F.expr(f"size(filter({alias_tokens}, t -> t IN ({in_list})))").cast("double")
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    score = (
+        0.25 * F.least(F.lit(1.0), n_tok / 64.0)
+        + 0.25 * F.least(F.lit(1.0), mean_tok_len / 8.0)
+        + 0.25 * (1.0 - F.least(F.lit(1.0), punct_ratio * 10.0))
+        + 0.25 * F.least(F.lit(1.0), stop_ratio * 4.0)
+    )
+    return F.round(score, 4)
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized text.
+
+    Collision-safe enough for dedup keys at trillions of docs; identical
+    function exists in DuckDB so the oracle matches byte-for-byte.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.trim(c), r"\s+", " "))

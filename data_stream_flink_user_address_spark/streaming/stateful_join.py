@@ -123,56 +123,121 @@ def union_with_discriminator(users: DataFrame, addresses: DataFrame, seq_col: st
     return u.unionByName(a)
 
 
+class _KeyJoinState:
+    """Per-key join state + the processElement1/2 logic of Main.java:104-132.
+
+    Shared by the streaming operator (applyInPandasWithState) and the
+    batch emission trace (mapInPandas over sorted runs) so both execute
+    literally the same state machine.
+    """
+
+    __slots__ = ("key", "has_user", "name", "email", "genre", "register_date", "addrs")
+
+    def __init__(self, key: str):
+        self.key = key
+        self.has_user = False
+        self.name = self.email = self.genre = None
+        self.register_date = None
+        self.addrs: list[list] = [[], [], [], [], []]
+
+    @classmethod
+    def from_tuple(cls, key: str, t: tuple) -> "_KeyJoinState":
+        s = cls(key)
+        (s.has_user, s.name, s.email, s.genre, s.register_date, *arrays) = t
+        s.addrs = [list(a or []) for a in arrays]
+        return s
+
+    def to_tuple(self) -> tuple:
+        return (self.has_user, self.name, self.email, self.genre, self.register_date, *self.addrs)
+
+    def _emission(self, seq) -> dict[str, Any]:
+        return {
+            "userId": self.key,
+            "userName": self.name,
+            "userEmail": self.email,
+            "genre": self.genre,
+            "registerDate": self.register_date,
+            "addresses": [
+                {"address": a, "city": c, "state": s, "zipCode": z, "country": co}
+                for a, c, s, z, co in zip(*self.addrs)
+            ],
+            "seq": None if seq is None or pd.isna(seq) else int(seq),
+        }
+
+    def on_row(self, row) -> dict[str, Any] | None:
+        """Process one event; return the emission (or None for a buffered
+        address -- Main.java:128-131)."""
+        if row.side == "U":
+            # store/overwrite user, ALWAYS emit current snapshot
+            self.has_user = True
+            self.name, self.email, self.genre = row.name, row.email, row.genre
+            self.register_date = None if pd.isna(row.registerDate) else row.registerDate
+            return self._emission(row.seq)
+        # append address (dupes kept); emit only if user present
+        self.addrs[0].append(row.address)
+        self.addrs[1].append(row.city)
+        self.addrs[2].append(row.state)
+        self.addrs[3].append(row.zipCode)
+        self.addrs[4].append(row.country)
+        return self._emission(row.seq) if self.has_user else None
+
+
 def _join_state_machine(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    """Per-key state machine -- the processElement1/2 logic of Main.java:104-132."""
-    if state.exists:
-        (has_user, name, email, genre, register_date, a_addr, a_city, a_state, a_zip, a_country) = state.get
-        addrs = [list(a_addr or []), list(a_city or []), list(a_state or []), list(a_zip or []), list(a_country or [])]
-    else:
-        has_user, name, email, genre, register_date = False, None, None, None, None
-        addrs = [[], [], [], [], []]
-
+    """applyInPandasWithState adapter around _KeyJoinState."""
+    s = _KeyJoinState.from_tuple(key[0], state.get) if state.exists else _KeyJoinState(key[0])
     out_rows: list[dict[str, Any]] = []
-
-    def emit(seq) -> None:
-        out_rows.append(
-            {
-                "userId": key[0],
-                "userName": name,
-                "userEmail": email,
-                "genre": genre,
-                "registerDate": register_date,
-                "addresses": [
-                    {"address": a, "city": c, "state": s, "zipCode": z, "country": co}
-                    for a, c, s, z, co in zip(*addrs)
-                ],
-                "seq": None if seq is None or pd.isna(seq) else int(seq),
-            }
-        )
-
     for pdf in pdf_iter:
         if "seq" in pdf.columns and pdf["seq"].notna().any():
             pdf = pdf.sort_values("seq", kind="stable")
         for row in pdf.itertuples(index=False):
-            if row.side == "U":
-                # store/overwrite user, always emit current snapshot
-                has_user = True
-                name, email, genre = row.name, row.email, row.genre
-                register_date = None if pd.isna(row.registerDate) else row.registerDate
-                emit(row.seq)
-            else:
-                # append address (dupes kept); emit only if user present
-                addrs[0].append(row.address)
-                addrs[1].append(row.city)
-                addrs[2].append(row.state)
-                addrs[3].append(row.zipCode)
-                addrs[4].append(row.country)
-                if has_user:
-                    emit(row.seq)
-
-    state.update((has_user, name, email, genre, register_date, addrs[0], addrs[1], addrs[2], addrs[3], addrs[4]))
+            emission = s.on_row(row)
+            if emission is not None:
+                out_rows.append(emission)
+    state.update(s.to_tuple())
     if out_rows:
         yield pd.DataFrame(out_rows)
+
+
+def batch_emission_trace(users: DataFrame, addresses: DataFrame, seq_col: str = "seq") -> DataFrame:
+    """Run the SAME per-key state machine over a bounded input and return
+    the full emission trace (one row per emission, ordered by ``seq``
+    within each key).
+
+    This is the batch-verifiable face of the stateful join: the driver's
+    SQL oracle can reproduce the trace exactly (user emission with 0
+    addresses, then the i-th address emission with i), while the operator
+    shares ``_KeyJoinState`` with the streaming version.
+
+    Execution shape: repartition by key + sort within partitions by
+    (key, seq), then ONE ``mapInPandas`` pass per partition -- keys are
+    contiguous in the sorted run, so state is a single live
+    ``_KeyJoinState`` that resets at key boundaries.  One Python call per
+    Arrow batch (not per key), which is what keeps this cheap at
+    millions of keys.
+    """
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(users.sparkSession)
+    unioned = union_with_discriminator(users, addresses, seq_col)
+    arranged = unioned.repartition("key").sortWithinPartitions("key", "seq")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: _KeyJoinState | None = None  # carries across Arrow batches
+        out: list[dict[str, Any]] = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if state is None or row.key != state.key:
+                    state = _KeyJoinState(row.key)
+                emission = state.on_row(row)
+                if emission is not None:
+                    out.append(emission)
+            if len(out) >= 50_000:
+                yield pd.DataFrame(out)
+                out = []
+        if out:
+            yield pd.DataFrame(out)
+
+    return arranged.mapInPandas(run, schema=OUTPUT_SCHEMA)
 
 
 def stateful_user_address_join(
