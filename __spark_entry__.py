@@ -86,6 +86,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _t_load(spark, sf_dir, name)
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across cores: the table arrives as ONE small
+    parquet split, and every consumer below it is compute-bound
+    (shingling / hashing / token math) -- without the respread the whole
+    pipeline runs single-core (sources/tables.py:load_table)."""
+    return _t_load(spark, sf_dir, "documents", spread=True)
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, spread across cores (same single-split rationale)."""
+    return _t_load(spark, sf_dir, "embeddings", spread=True)
+
+
 def _utc(spark: SparkSession) -> None:
     """Pin session TZ for timestamp->string rendering.
 
@@ -364,7 +377,7 @@ def _q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -374,36 +387,36 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    d = _docs(spark, sf_dir).withColumn("__toks", tokens("text"))
     return d.select("doc_id", language_id("text").alias("lang_pred"))
 
 
 def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    d = _docs(spark, sf_dir).withColumn("__toks", tokens("text"))
     return d.select("doc_id", quality_score("text").alias("quality"))
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup(_t(spark, sf_dir, "documents"))
+    return exact_dedup(_docs(spark, sf_dir))
 
 
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    sh = shingles(d, n=5)
+    d = _docs(spark, sf_dir)
+    sh = shingles(d, n=5, distinct=False)  # min-agg is dup-insensitive
     sigs = minhash_signatures(sh, num_hashes=_MINHASH_K)
     return lsh_candidate_pairs(sigs, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
 
 
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=5, threshold=0.25)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, threshold=0.25)
 
 
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(_t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+    return simhash(_docs(spark, sf_dir), bits=_SIMHASH_BITS)
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
 def _queries_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,19 +427,19 @@ def _queries_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _embs(spark, sf_dir)
     return brute_force_topk(e, _queries_frame(spark, sf_dir), k=10)
 
 
 def _q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _embs(spark, sf_dir)
     return lsh_bucketed_topk(
         e, _queries_frame(spark, sf_dir), k=5, n_planes=_ANN_PLANES, dim=_EMB_DIM, seed=42
     )
 
 
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    media = attach_binary_payload(_docs(spark, sf_dir))
     return extract_media_meta(media)
 
 

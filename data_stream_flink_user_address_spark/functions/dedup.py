@@ -59,20 +59,29 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
-    """Distinct character n-gram shingles: (id, shingle) rows.
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    distinct: bool = True,
+) -> DataFrame:
+    """Character n-gram shingles: (id, shingle) rows.
 
-    Normalizes whitespace first.  Distinct per doc -- set semantics, as
-    MinHash/Jaccard require.
+    Normalizes whitespace first.  ``distinct=True`` gives set semantics
+    (required for Jaccard set sizes); pass ``distinct=False`` for
+    consumers that are duplicate-insensitive -- MinHash min-aggregation
+    gives identical results on the multiset and skipping the distinct
+    saves a full shuffle of the shingle rows.
     """
     norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     d = df.select(F.col(id_col), norm.alias("__norm"))
     idx = F.sequence(F.lit(1), F.greatest(F.length("__norm") - (n - 1), F.lit(1)))
-    return (
+    out = (
         d.select(id_col, F.explode(F.transform(idx, lambda i: F.substr(F.col("__norm"), i, F.lit(n)))).alias("shingle"))
         .filter(F.length("shingle") == n)
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------------

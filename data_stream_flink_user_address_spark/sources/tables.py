@@ -26,10 +26,27 @@ TABLE_NAMES = [
 ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read one driver table.
+
+    ``spread=True`` round-robins the scan output across
+    ``defaultParallelism`` partitions.  Use it for compute-heavy
+    derivations (shingling, hashing, vector math) over SMALL single-file
+    inputs: a 1-2 MB parquet arrives as ONE input split, so without the
+    respread the whole downstream pipeline runs on one core.  The shuffle
+    moves only the tiny source bytes.  On a real multi-file / 100 TB
+    table the scan already yields thousands of splits -- leave spread
+    off and let file splitting drive parallelism.
+    """
     if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = load_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -210,11 +210,16 @@ def batch_emission_trace(users: DataFrame, addresses: DataFrame, seq_col: str = 
 
     Execution shape: repartition by key + sort within partitions by
     (key, seq), then ONE ``mapInPandas`` pass per partition -- keys are
-    contiguous in the sorted run, so state is a single live
-    ``_KeyJoinState`` that resets at key boundaries.  One Python call per
-    Arrow batch (not per key), which is what keeps this cheap at
-    millions of keys.
+    contiguous in the sorted run, so the whole state machine collapses to
+    vectorized prefix arithmetic: within-key cumulative address counts
+    give each emission's list length, within-key forward-fill gives the
+    driving user fields, and each emission's address list is a prefix
+    slice of the key's address run.  Per-address structs are built ONCE
+    (not once per emission), so total work is O(rows + emitted list
+    cells) with no per-row Python dispatch.
     """
+    import numpy as np
+
     from ..shipping import ensure_package_on_workers
 
     ensure_package_on_workers(users.sparkSession)
@@ -222,20 +227,75 @@ def batch_emission_trace(users: DataFrame, addresses: DataFrame, seq_col: str = 
     arranged = unioned.repartition("key").sortWithinPartitions("key", "seq")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        state: _KeyJoinState | None = None  # carries across Arrow batches
-        out: list[dict[str, Any]] = []
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                if state is None or row.key != state.key:
-                    state = _KeyJoinState(row.key)
-                emission = state.on_row(row)
-                if emission is not None:
-                    out.append(emission)
-            if len(out) >= 50_000:
-                yield pd.DataFrame(out)
-                out = []
-        if out:
-            yield pd.DataFrame(out)
+        chunks = list(batches)  # keys may span Arrow batches; partition fits memory
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        n = len(pdf)
+        if n == 0:
+            return
+        key = pdf["key"].to_numpy()
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = key[1:] != key[:-1]
+        gid = np.cumsum(new_key) - 1  # 0-based group index, rows sorted by key
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.append(starts, n))
+
+        is_user = (pdf["side"] == "U").to_numpy()
+        is_addr = ~is_user
+        cum_addr = np.cumsum(is_addr)
+        cum_user = np.cumsum(is_user)
+        # within-key cumulatives (inclusive of the current row)
+        base_addr = cum_addr[starts] - is_addr[starts]
+        base_user = cum_user[starts] - is_user[starts]
+        addr_cnt = cum_addr - np.repeat(base_addr, counts)
+        user_cnt = cum_user - np.repeat(base_user, counts)
+
+        # Main.java:104-132 — user rows always emit; address rows emit
+        # only if a user row already arrived for the key (user_cnt counts
+        # only user rows, so inclusive == exclusive on address rows).
+        emit = is_user | (user_cnt > 0)
+
+        # driving user fields: latest user row at-or-before each row
+        filled = {}
+        user_mask = pd.Series(is_user, index=pdf.index)
+        for colname in ("name", "email", "genre", "registerDate"):
+            filled[colname] = pdf[colname].where(user_mask).groupby(gid).ffill()
+
+        # one struct dict per ADDRESS ROW (built once, shared by slices)
+        a_rows = pdf.loc[is_addr]
+        addr_structs = np.empty(len(a_rows), dtype=object)
+        addr_structs[:] = [
+            {"address": a, "city": c, "state": s, "zipCode": z, "country": co}
+            for a, c, s, z, co in zip(
+                a_rows["address"].to_numpy(),
+                a_rows["city"].to_numpy(),
+                a_rows["state"].to_numpy(),
+                a_rows["zipCode"].to_numpy(),
+                a_rows["country"].to_numpy(),
+            )
+        ]
+        e_gid = gid[emit]
+        e_cnt = addr_cnt[emit]
+        # key g's address run starts at base_addr[g] inside addr_structs
+        e_off = base_addr[e_gid]
+        seqs = pdf["seq"].to_numpy()[emit]
+        out = pd.DataFrame(
+            {
+                "userId": key[emit],
+                "userName": filled["name"].to_numpy()[emit],
+                "userEmail": filled["email"].to_numpy()[emit],
+                "genre": filled["genre"].to_numpy()[emit],
+                "registerDate": filled["registerDate"][emit],
+                "addresses": [
+                    addr_structs[o : o + c].tolist() for o, c in zip(e_off, e_cnt)
+                ],
+                "seq": [None if pd.isna(s) else int(s) for s in seqs],
+            }
+        )
+        for lo in range(0, len(out), 50_000):
+            yield out.iloc[lo : lo + 50_000]
 
     return arranged.mapInPandas(run, schema=OUTPUT_SCHEMA)
 
