@@ -56,13 +56,16 @@ from data_stream_flink_user_address_spark.functions.multimodal import (
     extract_media_meta,
 )
 from data_stream_flink_user_address_spark.functions.text import (
+    BPE_SPLIT_PATTERN,
     STOPWORDS,
+    bpe_token_count,
     doc_fingerprint,
     language_id,
     punct_count,
     quality_score,
     token_count,
     tokens,
+    winnow_fingerprint,
 )
 from data_stream_flink_user_address_spark.operators.join import user_address_snapshot
 from data_stream_flink_user_address_spark.operators.windows import tumbling_window_count
@@ -396,6 +399,22 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score("text").alias("quality"))
 
 
+def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under both the whitespace and the BPE-ish
+    pre-tokenizer splits."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS scheme) per document."""
+    return winnow_fingerprint(_docs(spark, sf_dir), k=7, w=4)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -466,6 +485,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": _q_text_stats,
     "lang_id_pred": _q_lang_id_pred,
     "quality_scores": _q_quality_scores,
+    "bpe_token_counts": _q_bpe_token_counts,
+    "winnow_fingerprints": _q_winnow_fingerprints,
     "dedup_exact": _q_dedup_exact,
     "minhash_lsh_pairs": _q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -733,6 +754,33 @@ ORACLE_SQL: dict[str, str] = {
                    + 0.25 * (1.0 - least(1.0, punct_ratio * 10.0))
                    + 0.25 * least(1.0, stop_ratio * 4.0), 4) AS quality
         FROM m
+    """,
+    "bpe_token_counts": f"""
+        SELECT doc_id,
+               len({_sql_tokens()})::BIGINT AS n_ws_tokens,
+               len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}'))::BIGINT AS n_bpe_tokens
+        FROM documents
+    """,
+    "winnow_fingerprints": f"""
+        WITH norm AS (SELECT doc_id, {_sql_norm()} AS t FROM documents),
+        g AS (
+          SELECT doc_id, i AS pos, substr(t, i, 7) AS gram
+          FROM norm, unnest(range(1, greatest(length(t) - 6, 1) + 1)) AS u(i)
+          WHERE length(substr(t, i, 7)) = 7
+        ),
+        h AS (SELECT doc_id, pos, {_sql_md5_long("gram")} AS hv FROM g),
+        wm AS (
+          SELECT doc_id,
+                 min(hv)  OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n_in
+          FROM h
+        ),
+        sel AS (SELECT DISTINCT doc_id, sel FROM wm WHERE n_in = 4)
+        SELECT doc_id, count(*) AS n_fp,
+               md5(array_to_string(list_sort(list(sel)), ',')) AS fingerprint
+        FROM sel GROUP BY doc_id
     """,
     "dedup_exact": f"""
         SELECT md5({_sql_norm()}) AS fingerprint,

@@ -48,6 +48,8 @@ HEADLINE = [
     "text_stats",
     "lang_id_pred",
     "quality_scores",
+    "bpe_token_counts",
+    "winnow_fingerprints",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_docs",

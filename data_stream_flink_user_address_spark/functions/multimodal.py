@@ -99,6 +99,36 @@ def extract_media_meta(media: DataFrame, use_real_decode: bool = False) -> DataF
     return media.mapInPandas(op, schema=DECODED_META_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image-resize plumbing: binary in -> binary out, same Arrow-batched
+    mapInPandas shape a real resize uses.  The pixel work is the stubbed
+    decode (no image libs in this container); the deterministic fake
+    "resize" truncates/pads the payload to width*height bytes so output
+    sizes, schema, and batch flow are all real and testable."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            resized = [
+                (p or b"").ljust(target, b"\0")[:target] for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": resized,
+                }
+            )
+
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(media.sparkSession)
+    return media.mapInPandas(
+        op, schema="media_id long, width int, height int, payload binary"
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits (media_id,
     frame_idx, ts_ms) rows; the actual frame extraction is the stubbed

@@ -12,7 +12,7 @@ an exact ANSI-SQL equivalent so the DuckDB oracle can verify it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Deterministic stopword sets for the language-ID heuristic.  Scoring is
@@ -102,6 +102,69 @@ def quality_score(text: Column | str, alias_tokens: str = "__toks") -> Column:
         + 0.25 * F.least(F.lit(1.0), stop_ratio * 4.0)
     )
     return F.round(score, 4)
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, symbol runs -- the
+# split a byte-pair-encoding tokenizer applies before merging.  ASCII
+# classes only so the Java-regex (Spark) and RE2 (DuckDB) engines agree.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Token count under the BPE-ish pre-tokenizer split (vs the
+    whitespace count of :func:`token_count`): 'don't stop!!' is 2
+    whitespace tokens but 5 BPE-ish tokens (don / ' / t / stop / !!)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_SPLIT_PATTERN)).cast("bigint")
+
+
+def winnow_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    character k-gram (rolling window), then keep the minimum hash of each
+    w-long window of consecutive k-grams.  Near-identical documents share
+    most selected hashes, and the selection is position-robust -- the
+    standard rolling-hash fingerprint for plagiarism/near-dup detection.
+
+    Output: one row per doc -- ``n_fp`` distinct selected hashes and
+    ``fingerprint`` = md5 of the sorted hash list (a stable digest of the
+    selection set).  Docs shorter than ``k + w - 1`` chars produce no row.
+
+    Scale shape: explode k-grams (no distinct -- positions matter), one
+    shuffle on doc_id for the ordered window min, one grouped agg.  All
+    expression-level; md5-derived hashes keep it DuckDB-reproducible.
+    """
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    d = df.select(F.col(id_col), norm.alias("__norm"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length("__norm") - (k - 1), F.lit(1)))
+    grams = d.select(
+        id_col,
+        F.posexplode(
+            F.transform(idx, lambda i: F.substr(F.col("__norm"), i, F.lit(k)))
+        ).alias("pos", "gram"),
+    ).filter(F.length("gram") == k)
+    hv = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("bigint")
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    windowed = grams.select(
+        id_col,
+        F.min(hv).over(win).alias("sel"),
+        F.count(F.lit(1)).over(win).alias("n_in"),
+    )
+    selected = windowed.filter(F.col("n_in") == w).select(id_col, "sel").distinct()
+    return selected.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(F.array_sort(F.collect_list("sel")), lambda x: x.cast("string")),
+            )
+        ).alias("fingerprint"),
+    )
 
 
 def doc_fingerprint(text: Column | str) -> Column:
