@@ -40,9 +40,8 @@ from pyspark.sql import functions as F
 from data_stream_flink_user_address_spark.functions.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_signatures_text,
     ngram_jaccard_pairs,
-    shingles,
     simhash,
     embedding_near_dup_pairs,
 )
@@ -361,6 +360,24 @@ def _q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase partial/final under AQE)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status x priority (grouping-sets surface, like rollup)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 def _q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (1h) per user over the event stream."""
     events = _t(spark, sf_dir, "events")
@@ -421,8 +438,7 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    sh = shingles(d, n=5, distinct=False)  # min-agg is dup-insensitive
-    sigs = minhash_signatures(sh, num_hashes=_MINHASH_K)
+    sigs = minhash_signatures_text(d, n=5, num_hashes=_MINHASH_K)
     return lsh_candidate_pairs(sigs, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
 
 
@@ -480,6 +496,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "high_discount_orders": _q_high_discount_orders,
     "rollup_returns": _q_rollup_returns,
     "events_json_extract": _q_events_json_extract,
+    "events_distinct_users": _q_events_distinct_users,
+    "cube_order_stats": _q_cube_order_stats,
     "sessionization": _q_sessionization,
     # LLM-pipeline extensions
     "text_stats": _q_text_stats,
@@ -700,6 +718,19 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS cnt,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY 1
+    """,
+    "events_distinct_users": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "cube_order_stats": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     "sessionization": """
         WITH o AS (

@@ -44,6 +44,8 @@ HEADLINE = [
     "high_discount_orders",
     "rollup_returns",
     "events_json_extract",
+    "events_distinct_users",
+    "cube_order_stats",
     "sessionization",
     "text_stats",
     "lang_id_pred",

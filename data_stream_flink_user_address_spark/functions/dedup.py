@@ -128,6 +128,46 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-row MinHash: (id, [min_1..min_k]) computed with ZERO shuffle.
+
+    A document's signature depends only on its own shingles, so the
+    whole computation -- shingle array, base md5 hash per shingle, k
+    integer mixes, k array minima -- is one projection.  Identical
+    output to :func:`minhash_signatures` over :func:`shingles` (min is
+    duplicate-insensitive, so set vs multiset doesn't matter), but the
+    explode + groupBy shuffle of n_docs x n_shingles rows is gone; at
+    100 TB this is the difference between a map-only stage and a
+    corpus-wide shuffle.
+    """
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    d = df.select(F.col(id_col), norm.alias("__norm")).filter(
+        F.length("__norm") >= n
+    )
+    idx = F.sequence(F.lit(1), F.length("__norm") - (n - 1))
+    h0_arr = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.substr(F.col("__norm"), i, F.lit(n))), 1, 7), 16, 10
+        ).cast("bigint"),
+    )
+    d = d.select(id_col, h0_arr.alias("__h0"))
+    def _mix(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
+
+    params = minhash_mix_params(num_hashes)
+    mins = [
+        F.array_min(F.transform(F.col("__h0"), _mix(a, b))) for a, b in params
+    ]
+    return d.select(id_col, F.array(*mins).alias("signature"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

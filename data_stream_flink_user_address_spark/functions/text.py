@@ -135,34 +135,34 @@ def winnow_fingerprint(
     ``fingerprint`` = md5 of the sorted hash list (a stable digest of the
     selection set).  Docs shorter than ``k + w - 1`` chars produce no row.
 
-    Scale shape: explode k-grams (no distinct -- positions matter), one
-    shuffle on doc_id for the ordered window min, one grouped agg.  All
-    expression-level; md5-derived hashes keep it DuckDB-reproducible.
+    Scale shape: winnowing is per-document, so it runs as pure per-row
+    array expressions -- gram hashes, window minima, distinct+sort, and
+    the digest all happen inside one projection.  ZERO shuffle at any
+    scale (an earlier version exploded grams and ran an ordered window
+    function: one doc_id shuffle + sort of n_docs x n_grams rows for a
+    computation that never needed cross-row data).  md5-derived hashes
+    keep it DuckDB-reproducible.
     """
     norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     d = df.select(F.col(id_col), norm.alias("__norm"))
-    idx = F.sequence(F.lit(1), F.greatest(F.length("__norm") - (k - 1), F.lit(1)))
-    grams = d.select(
-        id_col,
-        F.posexplode(
-            F.transform(idx, lambda i: F.substr(F.col("__norm"), i, F.lit(k)))
-        ).alias("pos", "gram"),
-    ).filter(F.length("gram") == k)
-    hv = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("bigint")
-    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    windowed = grams.select(
-        id_col,
-        F.min(hv).over(win).alias("sel"),
-        F.count(F.lit(1)).over(win).alias("n_in"),
+    # need at least one full window of w consecutive k-grams
+    d = d.filter(F.length("__norm") >= k + w - 1)
+    gram_idx = F.sequence(F.lit(1), F.length("__norm") - (k - 1))
+    hv_arr = F.transform(
+        gram_idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.substr(F.col("__norm"), i, F.lit(k))), 1, 15), 16, 10
+        ).cast("bigint"),
     )
-    selected = windowed.filter(F.col("n_in") == w).select(id_col, "sel").distinct()
-    return selected.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_fp"),
+    d = d.select(id_col, hv_arr.alias("__hv"))
+    win_idx = F.sequence(F.lit(1), F.size("__hv") - (w - 1))
+    sels = F.transform(win_idx, lambda j: F.array_min(F.slice("__hv", j, w)))
+    sel_arr = F.array_sort(F.array_distinct(sels))
+    return d.select(
+        F.col(id_col),
+        F.size(sel_arr).cast("bigint").alias("n_fp"),
         F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(F.array_sort(F.collect_list("sel")), lambda x: x.cast("string")),
-            )
+            F.concat_ws(",", F.transform(sel_arr, lambda x: x.cast("string")))
         ).alias("fingerprint"),
     )
 

@@ -43,7 +43,7 @@ def generate_users(spark: SparkSession, n: int = 10, seed: int = 42) -> DataFram
     return (
         base.withColumn("genre", _pick(["M", "F", "O"], F.col("k")))
         .withColumn("first", first)
-        .withColumn("last", _pick(_LAST, F.col("k") // 3))
+        .withColumn("last", _pick(_LAST, F.floor(F.col("k") / 3)))
         .select(
             F.md5(F.concat(F.lit("user-"), F.col("id").cast("string"), F.lit(f"-{seed}"))).alias("id"),
             F.concat_ws(" ", "first", "last").alias("name"),
@@ -70,14 +70,14 @@ def generate_addresses(
     """
     base = (
         spark.range(n_users * addresses_per_user)
-        .withColumn("user_ord", F.col("id") // addresses_per_user)
+        .withColumn("user_ord", F.floor(F.col("id") / addresses_per_user))
         .withColumn("k", (F.col("id") * 40503 + seed) % 2147483647)
     )
     return base.select(
         F.md5(F.concat(F.lit("user-"), F.col("user_ord").cast("string"), F.lit(f"-{seed}"))).alias("userId"),
         F.concat((F.col("k") % 9000 + 100).cast("string"), F.lit(" Main St")).alias("address"),
         _pick(_CITIES, F.col("k")).alias("city"),
-        _pick(_STATES, F.col("k") // 7).alias("state"),
+        _pick(_STATES, F.floor(F.col("k") / 7)).alias("state"),
         F.lpad((F.col("k") % 100000).cast("string"), 5, "0").alias("zipCode"),
-        _pick(_COUNTRIES, F.col("k") // 11).alias("country"),
+        _pick(_COUNTRIES, F.floor(F.col("k") / 11)).alias("country"),
     )

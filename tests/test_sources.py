@@ -1,0 +1,92 @@
+"""Source-layer tests: JSON wire decode, file readers, generator.
+
+Pins the Jackson-parity behaviors of SURVEY.md SS1.2-1.3: explicit
+StructType (no inference), missing JSON fields -> null, malformed record
+-> null row, and the producer's exact timestamp wire format
+(%Y-%m-%dT%H:%M:%S.%f%z -- user-generator.py:22).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_stream_flink_user_address_spark.schemas import USER_SCHEMA
+from data_stream_flink_user_address_spark.sources.files import read_csv, read_json, read_parquet
+from data_stream_flink_user_address_spark.sources.generator import (
+    generate_addresses,
+    generate_users,
+)
+from data_stream_flink_user_address_spark.sources.json_decode import decode_user_json
+
+
+def test_decode_user_wire_timestamp(spark):
+    """The producer writes ISO-8601 with microseconds and offset."""
+    raw = spark.createDataFrame(
+        [
+            ('{"id":"u1","name":"N","email":"n@x.com","genre":"F",'
+             '"registerDate":"2024-03-05T10:11:12.123456+0000"}',),
+        ],
+        "value string",
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    row = decode_user_json(raw).collect()[0]
+    assert row["id"] == "u1"
+    assert row["registerDate"] is not None
+    assert row["registerDate"].strftime("%Y-%m-%d %H:%M:%S.%f") == "2024-03-05 10:11:12.123456"
+
+
+def test_decode_missing_field_is_null_and_malformed_is_null_row(spark):
+    raw = spark.createDataFrame(
+        [
+            ('{"id":"u1","name":"OnlyName"}',),   # missing fields -> nulls
+            ("this is not json at all",),          # malformed -> null row
+        ],
+        "value string",
+    )
+    rows = decode_user_json(raw).collect()
+    assert rows[0]["id"] == "u1" and rows[0]["email"] is None
+    assert all(rows[1][f] is None for f in ("id", "name", "email", "genre"))
+
+
+def test_read_json_and_csv_with_explicit_schema(spark, tmp_path):
+    jdir = str(tmp_path / "j")
+    os.makedirs(jdir)
+    with open(os.path.join(jdir, "d.json"), "w") as f:
+        f.write('{"id":"a","name":"A","email":"a@x","genre":"F","registerDate":null}\n')
+    got = read_json(spark, jdir, USER_SCHEMA).collect()
+    assert len(got) == 1 and got[0]["id"] == "a"
+
+    cdir = str(tmp_path / "c")
+    os.makedirs(cdir)
+    with open(os.path.join(cdir, "d.csv"), "w") as f:
+        f.write("id,name,email,genre,registerDate\nb,B,b@x,M,\n")
+    got = read_csv(spark, cdir, USER_SCHEMA).collect()
+    assert len(got) == 1 and got[0]["id"] == "b" and got[0]["registerDate"] is None
+
+
+def test_read_parquet_prunes_columns(spark, tmp_path):
+    p = str(tmp_path / "p")
+    spark.range(10).withColumn("x", F.lit("v")).withColumn("y", F.lit(1)).write.parquet(p)
+    df = read_parquet(spark, p, columns=["id", "y"])
+    assert df.columns == ["id", "y"]
+    # pruning must reach the scan, not just the output projection
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "ReadSchema: struct<id:bigint,y:int>" in buf.getvalue()
+
+
+def test_generator_is_deterministic_with_fk_integrity(spark):
+    u1 = generate_users(spark, n=10).collect()
+    u2 = generate_users(spark, n=10).collect()
+    assert sorted(map(str, u1)) == sorted(map(str, u2))
+    users = {r["id"] for r in u1}
+    addrs = generate_addresses(spark, n_users=10, addresses_per_user=3).collect()
+    assert len(addrs) == 30
+    assert {a["userId"] for a in addrs} == users  # every address joins a user
