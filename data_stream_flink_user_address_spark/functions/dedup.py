@@ -273,24 +273,31 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """Per-doc SimHash over whitespace tokens (md5-derived bit hashes).
 
     bit_j(token) = j-th bit of md5_long(token); signature bit j is 1 when
-    sum over tokens of (2*bit_j - 1) > 0.  Computed as one explode +
-    grouped agg per (doc, bit) -- no UDF, SQL-expressible for the oracle.
-    Near-dup candidates = equal signatures on prefix bands (hamming-adjacent
-    docs collide on at least one band with high probability).
+    sum over tokens of (2*bit_j - 1) > 0 -- equivalently, when more than
+    half the tokens have bit j set.  SimHash is per-document, so the
+    whole signature is ONE projection: token-hash array, then per bit a
+    filtered count -- zero shuffle at any scale (an earlier version
+    exploded (doc, token, bit) rows through two grouped aggregations).
+    Near-dup candidates = equal signatures on prefix bands
+    (hamming-adjacent docs collide on at least one band with high
+    probability).
     """
     toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
-    t = df.select(id_col, F.explode(toks).alias("tok")).withColumn("h", _md5_long(F.col("tok")))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    per_bit = (
-        t.select(id_col, "h", bit)
-        .withColumn("v", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1))
-        .groupBy(id_col, "bit")
-        .agg(F.sum("v").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-    )
-    return per_bit.groupBy(id_col).agg(
-        F.sum(F.col("bitval") * F.pow(F.lit(2.0), F.col("bit")).cast("bigint")).alias("simhash")
-    )
+    d = df.select(F.col(id_col), toks.alias("__toks"))
+    harr = F.transform(F.col("__toks"), lambda t: _md5_long(t))
+    d = d.select(id_col, harr.alias("__h"), F.size("__toks").alias("__n"))
+
+    def _ones(j: int):
+        return F.size(
+            F.filter(F.col("__h"), lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1)
+        )
+
+    sig = F.lit(0).cast("bigint")
+    for j in range(bits):
+        sig = sig + F.when(2 * _ones(j) > F.col("__n"), F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return d.select(id_col, sig.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

@@ -54,6 +54,79 @@ def tumbling_window_count(
     )
 
 
+def watermarked_window_count(
+    df: DataFrame,
+    time_col: str,
+    dimension: str | Column,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "10 seconds",
+    count_alias: str = "count",
+) -> DataFrame:
+    """Event-time tumbling count with a watermark -- the idiomatic upgrade
+    path the reference never takes (it is pure processing-time,
+    ``WatermarkStrategy.noWatermarks()`` -- Main.java:70-71).
+
+    On a stream this supports append output mode: a window emits exactly
+    once, when the watermark passes its end, and events later than
+    ``watermark_delay`` are dropped -- bounded state, finalized results.
+    """
+    dim = F.col(dimension) if isinstance(dimension, str) else dimension
+    return (
+        df.withWatermark(time_col, watermark_delay)
+        .groupBy(F.window(F.col(time_col), window_duration).alias("win"), dim)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            dim,
+            count_alias,
+        )
+    )
+
+
+def sliding_window_count(
+    df: DataFrame,
+    time_col: str,
+    dimension: str | Column,
+    window_duration: str = "1 minute",
+    slide_duration: str = "30 seconds",
+    count_alias: str = "count",
+) -> DataFrame:
+    """Sliding (hopping) window count: each event lands in
+    duration/slide overlapping windows.  Beyond the reference surface
+    (SURVEY.md SS2.6); same fully-parallel (window x dim) shape."""
+    dim = F.col(dimension) if isinstance(dimension, str) else dimension
+    return (
+        df.groupBy(
+            F.window(F.col(time_col), window_duration, slide_duration).alias("win"), dim
+        )
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .withColumn("window_start", F.col("win.start"))
+        .withColumn("window_end", F.col("win.end"))
+        .drop("win")
+    )
+
+
+def session_window_count(
+    df: DataFrame,
+    time_col: str,
+    key: str | Column,
+    gap: str = "5 minutes",
+    count_alias: str = "count",
+) -> DataFrame:
+    """Gap-based session windows per key (``F.session_window``).  Beyond
+    the reference surface; on streams combine with ``withWatermark`` for
+    state cleanup."""
+    k = F.col(key) if isinstance(key, str) else key
+    return (
+        df.groupBy(F.session_window(F.col(time_col), gap).alias("win"), k)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .withColumn("session_start", F.col("win.start"))
+        .withColumn("session_end", F.col("win.end"))
+        .drop("win")
+    )
+
+
 def count_by_dimension(
     user_address: DataFrame, dimension: str, count_alias: str = "count"
 ) -> DataFrame:
