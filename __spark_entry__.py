@@ -66,6 +66,7 @@ from data_stream_flink_user_address_spark.functions.text import (
     tokens,
     winnow_fingerprint,
 )
+from data_stream_flink_user_address_spark.operators.asof import asof_join
 from data_stream_flink_user_address_spark.operators.join import user_address_snapshot
 from data_stream_flink_user_address_spark.operators.windows import tumbling_window_count
 from data_stream_flink_user_address_spark.sources.tables import load_table as _t_load
@@ -360,6 +361,28 @@ def _q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase event matched to the user's most
+    recent view event at-or-before it (operators/asof.py union trick;
+    oracle uses DuckDB's native ASOF JOIN)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("uid"), "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("uid"), "ts", "value"
+    )
+    joined = asof_join(purchases, views, on="uid", how="inner", right_prefix="v_")
+    return joined.select(
+        "event_id",
+        F.col("uid").alias("user_id"),
+        F.unix_micros("ts").alias("p_ts_us"),
+        F.round("value", 2).alias("p_value"),
+        F.unix_micros("v_ts").alias("v_ts_us"),
+        F.round("v_value", 2).alias("v_value"),
+    )
+
+
 def _q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation (two-phase partial/final under AQE)."""
     events = _t(spark, sf_dir, "events")
@@ -496,6 +519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "high_discount_orders": _q_high_discount_orders,
     "rollup_returns": _q_rollup_returns,
     "events_json_extract": _q_events_json_extract,
+    "asof_purchase_view": _q_asof_purchase_view,
     "events_distinct_users": _q_events_distinct_users,
     "cube_order_stats": _q_cube_order_stats,
     "sessionization": _q_sessionization,
@@ -718,6 +742,17 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS cnt,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY 1
+    """,
+    "asof_purchase_view": """
+        SELECT l.event_id,
+               l.user_id,
+               epoch_us(l.ts) AS p_ts_us,
+               round(l.value, 2) AS p_value,
+               epoch_us(r.ts) AS v_ts_us,
+               round(r.value, 2) AS v_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
     "events_distinct_users": """
         SELECT event_type,

@@ -44,6 +44,7 @@ HEADLINE = [
     "high_discount_orders",
     "rollup_returns",
     "events_json_extract",
+    "asof_purchase_view",
     "events_distinct_users",
     "cube_order_stats",
     "sessionization",

@@ -52,4 +52,6 @@ def load_table(
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer division: ts/1000 via double loses 1-us precision at
+    # epoch-microsecond magnitudes (2^52 < 1.7e15 * 1000)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
