@@ -67,6 +67,7 @@ from data_stream_flink_user_address_spark.functions.text import (
     winnow_fingerprint,
 )
 from data_stream_flink_user_address_spark.operators.asof import asof_join
+from data_stream_flink_user_address_spark.operators.interval import interval_join
 from data_stream_flink_user_address_spark.operators.join import user_address_snapshot
 from data_stream_flink_user_address_spark.operators.windows import tumbling_window_count
 from data_stream_flink_user_address_spark.sources.tables import load_table as _t_load
@@ -383,6 +384,26 @@ def _q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: (view, purchase) pairs per user with the purchase
+    0..1h after the view (operators/interval.py keyed path: equi-join on
+    user + residual time-range filter)."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    joined = interval_join(views, purchases, "ts", "ts", 0.0, 3600.0, on="user_id")
+    return joined.select(
+        "view_id",
+        F.col("r_purchase_id").alias("purchase_id"),
+        "user_id",
+        ((F.unix_micros("r_ts") - F.unix_micros("ts")) / 1_000_000).cast("bigint").alias("lag_s"),
+    )
+
+
 def _q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation (two-phase partial/final under AQE)."""
     events = _t(spark, sf_dir, "events")
@@ -520,6 +541,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_returns": _q_rollup_returns,
     "events_json_extract": _q_events_json_extract,
     "asof_purchase_view": _q_asof_purchase_view,
+    "interval_view_purchase": _q_interval_view_purchase,
     "events_distinct_users": _q_events_distinct_users,
     "cube_order_stats": _q_cube_order_stats,
     "sessionization": _q_sessionization,
@@ -753,6 +775,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
           ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "interval_view_purchase": """
+        SELECT v.event_id AS view_id,
+               p.event_id AS purchase_id,
+               v.user_id,
+               CAST(floor(date_diff('microsecond', v.ts, p.ts) / 1000000) AS BIGINT) AS lag_s
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 1 HOUR
     """,
     "events_distinct_users": """
         SELECT event_type,

@@ -45,6 +45,7 @@ HEADLINE = [
     "rollup_returns",
     "events_json_extract",
     "asof_purchase_view",
+    "interval_view_purchase",
     "events_distinct_users",
     "cube_order_stats",
     "sessionization",

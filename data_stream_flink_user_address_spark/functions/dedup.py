@@ -54,6 +54,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    watermark_col: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Dedup on a stream.
+
+    Without a watermark, ``dropDuplicates`` keeps EVERY seen key in state
+    forever -- correct but unbounded, like the reference's join state.
+    With ``watermark_col``, uses ``dropDuplicatesWithinWatermark``: state
+    for a key is dropped once the watermark passes it, so duplicates
+    within ``delay`` of each other collapse and state stays bounded --
+    the right shape for a continuously-ingesting 100 TB dedup.
+    Also works on batch frames (plain dropDuplicates).
+    """
+    if watermark_col is not None and df.isStreaming:
+        return df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
 # ---------------------------------------------------------------------------
 # character n-gram shingles (shared by minhash + jaccard)
 # ---------------------------------------------------------------------------

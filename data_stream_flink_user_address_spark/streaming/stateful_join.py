@@ -182,20 +182,37 @@ class _KeyJoinState:
         return self._emission(row.seq) if self.has_user else None
 
 
-def _join_state_machine(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    """applyInPandasWithState adapter around _KeyJoinState."""
-    s = _KeyJoinState.from_tuple(key[0], state.get) if state.exists else _KeyJoinState(key[0])
-    out_rows: list[dict[str, Any]] = []
-    for pdf in pdf_iter:
-        if "seq" in pdf.columns and pdf["seq"].notna().any():
-            pdf = pdf.sort_values("seq", kind="stable")
-        for row in pdf.itertuples(index=False):
-            emission = s.on_row(row)
-            if emission is not None:
-                out_rows.append(emission)
-    state.update(s.to_tuple())
-    if out_rows:
-        yield pd.DataFrame(out_rows)
+def _make_join_state_machine(ttl_ms: int | None = None):
+    """Build the applyInPandasWithState adapter around _KeyJoinState.
+
+    ``ttl_ms`` arms a processing-time timeout after each batch touching
+    the key; on expiry the key's state is dropped (the scale knob the
+    reference lacks -- its MapState grows forever, SURVEY.md SS2.3).
+    """
+
+    def machine(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        s = _KeyJoinState.from_tuple(key[0], state.get) if state.exists else _KeyJoinState(key[0])
+        out_rows: list[dict[str, Any]] = []
+        for pdf in pdf_iter:
+            if "seq" in pdf.columns and pdf["seq"].notna().any():
+                pdf = pdf.sort_values("seq", kind="stable")
+            for row in pdf.itertuples(index=False):
+                emission = s.on_row(row)
+                if emission is not None:
+                    out_rows.append(emission)
+        state.update(s.to_tuple())
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return machine
+
+
+_join_state_machine = _make_join_state_machine(None)
 
 
 def batch_emission_trace(users: DataFrame, addresses: DataFrame, seq_col: str = "seq") -> DataFrame:
@@ -304,22 +321,29 @@ def stateful_user_address_join(
     users: DataFrame,
     addresses: DataFrame,
     seq_col: str | None = "seq",
-    timeout: str = GroupStateTimeout.NoTimeout,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming emit-per-event join; returns the emission stream.
 
-    ``timeout=GroupStateTimeout.NoTimeout`` matches the reference's
-    never-expiring state; pass ``ProcessingTimeTimeout`` and manage TTL in
-    a custom fn for bounded state at scale.
+    Default (``state_ttl_ms=None``) matches the reference's
+    never-expiring state (GroupStateTimeout.NoTimeout).  Passing a TTL
+    arms a per-key processing-time timeout: a key idle for that long has
+    its state dropped -- bounded state at scale, at the cost of a user
+    re-arriving after expiry restarting with an empty address list.
     """
     from ..shipping import ensure_package_on_workers
 
     ensure_package_on_workers(users.sparkSession)
     unioned = union_with_discriminator(users, addresses, seq_col)
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         unioned.groupBy("key")
         .applyInPandasWithState(
-            _join_state_machine,
+            _make_join_state_machine(state_ttl_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

@@ -1,0 +1,105 @@
+"""Interval join (keyed and bucketed paths agree) + streaming dedup."""
+
+import json
+import os
+import sys
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_stream_flink_user_address_spark.functions.dedup import streaming_dedup
+from data_stream_flink_user_address_spark.operators.interval import interval_join
+
+
+def _events(spark, n, seed):
+    return (
+        spark.range(n)
+        .withColumn("k", (F.col("id") * seed % 5).cast("string"))
+        .withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + (F.col("id") * seed * 7_000_000) % 600_000_000
+            ),
+        )
+        .select(F.col("id").alias("eid"), "k", "ts")
+    )
+
+
+def test_interval_join_bucketed_matches_naive(spark):
+    left = _events(spark, 40, 3)
+    right = _events(spark, 40, 11).select(
+        F.col("eid").alias("rid"), F.col("k").alias("rk"), F.col("ts").alias("rts")
+    )
+    lo, hi = 5.0, 65.0
+    naive = (
+        left.crossJoin(right)
+        .filter(
+            (F.col("rts") >= F.col("ts") + F.make_interval(secs=F.lit(lo)))
+            & (F.col("rts") <= F.col("ts") + F.make_interval(secs=F.lit(hi)))
+        )
+        .select("eid", "rid")
+    )
+    bucketed = interval_join(left, right, "ts", "rts", lo, hi, on=None).select(
+        "eid", F.col("r_rid").alias("rid")
+    )
+    expected = sorted((r["eid"], r["rid"]) for r in naive.collect())
+    got = sorted((r["eid"], r["rid"]) for r in bucketed.collect())
+    assert got == expected and len(got) > 0
+
+
+def test_interval_join_keyed(spark):
+    left = _events(spark, 40, 3)
+    right = _events(spark, 40, 11)
+    lo, hi = 0.0, 120.0
+    naive = (
+        left.crossJoin(
+            right.select(F.col("eid").alias("rid"), F.col("k").alias("rk"), F.col("ts").alias("rts"))
+        )
+        .filter(
+            (F.col("k") == F.col("rk"))
+            & (F.col("rts") >= F.col("ts"))
+            & (F.col("rts") <= F.col("ts") + F.make_interval(secs=F.lit(hi)))
+        )
+        .select("eid", "rid")
+    )
+    keyed = interval_join(left, right, "ts", "ts", lo, hi, on="k").select(
+        "eid", F.col("r_eid").alias("rid")
+    )
+    assert sorted((r["eid"], r["rid"]) for r in keyed.collect()) == sorted(
+        (r["eid"], r["rid"]) for r in naive.collect()
+    )
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(json.dumps({"k": "a", "ts": "2024-01-01 00:00:00"}) + "\n")
+        f.write(json.dumps({"k": "a", "ts": "2024-01-01 00:00:05"}) + "\n")  # dup
+        f.write(json.dumps({"k": "b", "ts": "2024-01-01 00:00:10"}) + "\n")
+    stream = spark.readStream.schema(schema).json(src)
+    deduped = streaming_dedup(stream, ["k"], watermark_col="ts", delay="10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(os.path.join(src, "b2.json"), "w") as f:
+            f.write(json.dumps({"k": "a", "ts": "2024-01-01 00:01:00"}) + "\n")  # dup
+            f.write(json.dumps({"k": "c", "ts": "2024-01-01 00:01:00"}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT k FROM {name}").collect()
+    assert sorted(r["k"] for r in rows) == ["a", "b", "c"]
