@@ -130,6 +130,86 @@ def test_state_persists_across_batches(harness):
     assert _addr_lists(harness.emissions("k1")) == [["a1"], ["a1", "a3"]]
 
 
+class _FakeGroupState:
+    """Minimal GroupState double for driving the state machine directly.
+
+    A live-stream TTL test is not deterministic: with a processing-time
+    timeout armed, ``processAllAvailable`` never quiesces (the engine
+    keeps scheduling timeout-check batches), so the timeout path is
+    pinned here at the adapter level instead.
+    """
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self.removed = True
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def _machine_rows(rows):
+    import pandas as pd
+
+    cols = ["key", "side", "seq", "name", "email", "genre", "registerDate",
+            "address", "city", "state", "zipCode", "country"]
+    return iter([pd.DataFrame([{c: r.get(c) for c in cols} for r in rows])])
+
+
+def test_ttl_machine_arms_timeout_and_drops_state():
+    from data_stream_flink_user_address_spark.streaming.stateful_join import (
+        _make_join_state_machine,
+    )
+
+    machine = _make_join_state_machine(500)
+    # user event: emission produced, state stored, TTL armed
+    st = _FakeGroupState()
+    out = list(machine(("k1",), _machine_rows([
+        {"key": "k1", "side": "U", "seq": 1, "name": "N", "email": "e", "genre": "F"},
+    ]), st))
+    assert len(out) == 1 and st.exists and st.timeout_set == 500
+    # timeout fires: state dropped, nothing emitted
+    st.hasTimedOut = True
+    out = list(machine(("k1",), iter([]), st))
+    assert out == [] and st.removed and not st.exists
+    # address after expiry: fresh state -> buffered silently (no user)
+    st2 = _FakeGroupState()
+    out = list(machine(("k1",), _machine_rows([
+        {"key": "k1", "side": "A", "seq": 2, "address": "a", "city": "c",
+         "state": "s", "zipCode": "z", "country": "x"},
+    ]), st2))
+    assert out == [] and st2.exists and st2.timeout_set == 500
+
+
+def test_no_ttl_machine_never_arms_timeout():
+    from data_stream_flink_user_address_spark.streaming.stateful_join import (
+        _make_join_state_machine,
+    )
+
+    machine = _make_join_state_machine(None)
+    st = _FakeGroupState()
+    out = list(machine(("k1",), _machine_rows([
+        {"key": "k1", "side": "U", "seq": 1, "name": "N", "email": "e", "genre": "F"},
+    ]), st))
+    assert len(out) == 1 and st.timeout_set is None
+
+
 def test_address_struct_fields(harness):
     harness.feed(users=[_user("k2", 1)], addresses=[_addr("k2", 2, state="Illinois", country="Brazil")])
     e = harness.emissions("k2")
