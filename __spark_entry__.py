@@ -422,6 +422,33 @@ def _q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority (rows) x status (columns)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type (Spark
+    ``percentile`` = DuckDB ``quantile_cont``)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
 def _q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (1h) per user over the event stream."""
     events = _t(spark, sf_dir, "events")
@@ -544,6 +571,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_view_purchase": _q_interval_view_purchase,
     "events_distinct_users": _q_events_distinct_users,
     "cube_order_stats": _q_cube_order_stats,
+    "pivot_priority_status": _q_pivot_priority_status,
+    "value_percentiles": _q_value_percentiles,
     "sessionization": _q_sessionization,
     # LLM-pipeline extensions
     "text_stats": _q_text_stats,
@@ -799,6 +828,20 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(o_totalprice), 2) AS total_price
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "pivot_priority_status": """
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "value_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99,
+        FROM events GROUP BY event_type
     """,
     "sessionization": """
         WITH o AS (

@@ -48,6 +48,8 @@ HEADLINE = [
     "interval_view_purchase",
     "events_distinct_users",
     "cube_order_stats",
+    "pivot_priority_status",
+    "value_percentiles",
     "sessionization",
     "text_stats",
     "lang_id_pred",
