@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_stream_flink_user_address_spark.functions.dedup import (
+    dedup_clusters,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures_text,
@@ -164,27 +165,35 @@ def _q_user_address_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _count_by_dim(spark: SparkSession, sf_dir: str, dim: str, alias: str) -> DataFrame:
+    """W1/W2 analog: count address occurrences by a dimension over the
+    joined stream (Main.java:136-150).
+
+    Hand-applied logical rewrite: the pipeline shape is
+    snapshot (collect_list per user) -> explode -> count, but
+    explode(collect_list(x)) == x row-for-row, so the plan collapses to
+    addresses INNER JOIN users -> count(dim) -- identical output (the
+    snapshot join is user-driving/left-outer, and address rows with no
+    user never reach the emission stream), one less shuffle, and no
+    array materialization.  Catalyst cannot see this equivalence through
+    the aggregate; the engine applies it at plan-construction time.
+    The un-rewritten shape remains exercised by user_address_counts and
+    the streaming pipeline (plans/pipeline.py)."""
+    users = _customer_as_users(spark, sf_dir).select("id")
+    addresses = _orders_as_addresses(spark, sf_dir)
+    return (
+        addresses.join(users.hint("broadcast"), addresses.userId == users.id, "left_semi")
+        .groupBy(F.col(dim).alias(alias))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def _q_count_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 analog: count address occurrences by state dimension
-    (o_orderpriority) over the joined/exploded stream (Main.java:136-150)."""
-    snap = user_address_snapshot(
-        _customer_as_users(spark, sf_dir), _orders_as_addresses(spark, sf_dir)
-    )
-    exploded = snap.select(F.explode("addresses").alias("addr"))
-    return exploded.groupBy(F.col("addr.state").alias("state")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    return _count_by_dim(spark, sf_dir, "state", "state")
 
 
 def _q_count_by_country(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2 analog: count by country dimension (o_orderstatus)."""
-    snap = user_address_snapshot(
-        _customer_as_users(spark, sf_dir), _orders_as_addresses(spark, sf_dir)
-    )
-    exploded = snap.select(F.explode("addresses").alias("addr"))
-    return exploded.groupBy(F.col("addr.country").alias("country")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    return _count_by_dim(spark, sf_dir, "country", "country")
 
 
 def _q_windowed_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,6 +512,32 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprint(_docs(spark, sf_dir), k=7, w=4)
 
 
+def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: top 50 whitespace tokens.  Two-phase
+    hash agg (map-side partials) then a global top-k -- the vocabulary-
+    stats primitive of a tokenizer-training pipeline."""
+    d = _docs(spark, sf_dir).withColumn("__toks", tokens("text"))
+    counted = (
+        d.select(F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+def _q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length distribution in 100-char buckets."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.floor(F.length("text") / 100).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -511,6 +546,15 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     sigs = minhash_signatures_text(d, n=5, num_hashes=_MINHASH_K)
     return lsh_candidate_pairs(sigs, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup clustering: connected components (min-label
+    propagation) over the MinHash-LSH candidate pairs."""
+    d = _docs(spark, sf_dir)
+    sigs = minhash_signatures_text(d, n=5, num_hashes=_MINHASH_K)
+    pairs = lsh_candidate_pairs(sigs, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+    return dedup_clusters(pairs)
 
 
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,8 +624,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": _q_quality_scores,
     "bpe_token_counts": _q_bpe_token_counts,
     "winnow_fingerprints": _q_winnow_fingerprints,
+    "top_tokens": _q_top_tokens,
+    "doc_length_histogram": _q_doc_length_histogram,
     "dedup_exact": _q_dedup_exact,
     "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+    "dedup_clusters": _q_dedup_clusters,
     "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
     "simhash_docs": _q_simhash_docs,
     "embedding_near_dup": _q_embedding_near_dup,
@@ -668,6 +715,32 @@ from data_stream_flink_user_address_spark.functions.dedup import (  # noqa: E402
 )
 
 _MINHASH_PARAMS = minhash_mix_params(_MINHASH_K)
+
+# shared CTE chain ending in ``pairs`` (the LSH candidate pairs) -- used
+# by the minhash_lsh_pairs oracle and, under WITH RECURSIVE, by the
+# dedup_clusters connected-components oracle
+_MINHASH_PAIR_CTES = f"""{_sql_shingles(5)},
+        hashed AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h0
+          FROM sh
+        ),
+        sig AS (
+          SELECT doc_id,
+                 [{", ".join(f"min(({a} * h0 + {b}) % {_MINHASH_P})" for a, b in _MINHASH_PARAMS)}] AS signature
+          FROM hashed GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT doc_id,
+                 md5(b.i::VARCHAR || ',' ||
+                     array_to_string(signature[b.i * {_LSH_ROWS} + 1 : b.i * {_LSH_ROWS} + {_LSH_ROWS}], ',')) AS band_key
+          FROM sig CROSS JOIN range({_LSH_BANDS}) b(i)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b USING (band_key)
+          WHERE a.doc_id < b.doc_id
+        )"""
 
 ORACLE_SQL: dict[str, str] = {
     # ---------------- reference parity ----------------
@@ -924,6 +997,18 @@ ORACLE_SQL: dict[str, str] = {
                md5(array_to_string(list_sort(list(sel)), ',')) AS fingerprint
         FROM sel GROUP BY doc_id
     """,
+    "top_tokens": f"""
+        SELECT tok AS token, count(*) AS cnt
+        FROM (SELECT unnest({_sql_tokens()}) AS tok FROM documents)
+        GROUP BY tok
+        ORDER BY cnt DESC, token ASC
+        LIMIT 50
+    """,
+    "doc_length_histogram": """
+        SELECT CAST(floor(length(text) / 100) AS BIGINT) AS bucket,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
     "dedup_exact": f"""
         SELECT md5({_sql_norm()}) AS fingerprint,
                min(doc_id) AS doc_id,
@@ -931,26 +1016,22 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents GROUP BY 1
     """,
     "minhash_lsh_pairs": f"""
-        WITH {_sql_shingles(5)},
-        hashed AS (
-          SELECT doc_id,
-                 ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h0
-          FROM sh
+        WITH {_MINHASH_PAIR_CTES}
+        SELECT doc_a, doc_b FROM pairs
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_MINHASH_PAIR_CTES},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
         ),
-        sig AS (
-          SELECT doc_id,
-                 [{", ".join(f"min(({a} * h0 + {b}) % {_MINHASH_P})" for a, b in _MINHASH_PARAMS)}] AS signature
-          FROM hashed GROUP BY doc_id
-        ),
-        bands AS (
-          SELECT doc_id,
-                 md5(b.i::VARCHAR || ',' ||
-                     array_to_string(signature[b.i * {_LSH_ROWS} + 1 : b.i * {_LSH_ROWS} + {_LSH_ROWS}], ',')) AS band_key
-          FROM sig CROSS JOIN range({_LSH_BANDS}) b(i)
+        comp(doc_id, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, c.lab FROM edges e JOIN comp c ON c.doc_id = e.dst
         )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b USING (band_key)
-        WHERE a.doc_id < b.doc_id
+        SELECT doc_id, min(lab) AS cluster_id FROM comp GROUP BY doc_id
     """,
     "ngram_jaccard_pairs": f"""
         WITH {_sql_shingles(5)},

@@ -56,8 +56,11 @@ HEADLINE = [
     "quality_scores",
     "bpe_token_counts",
     "winnow_fingerprints",
+    "top_tokens",
+    "doc_length_histogram",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "dedup_clusters",
     "simhash_docs",
     "embedding_near_dup",
     "similarity_topk",

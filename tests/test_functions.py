@@ -78,3 +78,23 @@ def test_sample_frames_emits_one_row_per_interval(spark):
     assert all(r["media_id"] == 1 for r in rows)
     assert [r["frame_idx"] for r in rows] == list(range(len(rows)))
     assert all(r["ts_ms"] == i * 1000 for i, r in enumerate(rows))
+
+
+def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
+    from data_stream_flink_user_address_spark.functions.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        # two components: {1,2,3,9} (chain) and {5,7}
+        [(1, 2), (2, 3), (3, 9), (5, 7)],
+        "doc_a long, doc_b long",
+    )
+    expected = {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+    via_driver = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    via_loop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, driver_threshold=0).collect()
+    }
+    assert via_driver == expected
+    assert via_loop == expected
