@@ -72,10 +72,11 @@ HEADLINE = [
 def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
-    # untimed warmup: JVM/codegen/parquet-footer caches
-    entrymod.queries()["count_by_state"](spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # untimed warmup: JVM/codegen/parquet-footer caches via a pure-JVM
+    # query, plus one pandas-operator query to absorb the one-time
+    # Python-worker pool startup and package shipping
+    for wq in ("count_by_state", "multimodal_meta"):
+        qs[wq](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

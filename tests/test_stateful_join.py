@@ -130,6 +130,59 @@ def test_state_persists_across_batches(harness):
     assert _addr_lists(harness.emissions("k1")) == [["a1"], ["a1", "a3"]]
 
 
+def test_state_recovers_from_checkpoint_restart(spark, tmp_path):
+    """Stop the streaming query and start a NEW one on the same
+    checkpoint: per-key join state must survive the restart (the
+    fault-tolerance property the reference lacks entirely -- it never
+    enables checkpointing, SURVEY.md SS4)."""
+    tmpdir = str(tmp_path)
+    udir, adir = os.path.join(tmpdir, "users"), os.path.join(tmpdir, "addresses")
+    os.makedirs(udir)
+    os.makedirs(adir)
+    ckpt = os.path.join(tmpdir, "ckpt")
+    outdir = os.path.join(tmpdir, "out")
+
+    def start():
+        # file sink (not memory): the memory sink refuses checkpoint
+        # recovery; parquet append is the fault-tolerant shape
+        users = spark.readStream.schema(USER_SEQ_SCHEMA).json(udir)
+        addresses = spark.readStream.schema(ADDR_SEQ_SCHEMA).json(adir)
+        out = stateful_user_address_join(users, addresses)
+        return (
+            out.writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def feed(d, rows, q):
+        with open(os.path.join(d, f"{uuid.uuid4().hex}.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        q.processAllAvailable()
+
+    q1 = start()
+    try:
+        feed(udir, [_user("r1", 1)], q1)
+        feed(adir, [_addr("r1", 2)], q1)
+    finally:
+        q1.stop()
+
+    q2 = start()
+    try:
+        # address arriving AFTER restart must append to the recovered
+        # list, proving user + prior address survived in the state store
+        feed(adir, [_addr("r1", 3)], q2)
+    finally:
+        q2.stop()
+    rows = [r.asDict(recursive=True) for r in spark.read.parquet(outdir).collect()]
+    emits = [r for r in rows if r["userId"] == "r1" and r["seq"] == 3]
+    assert len(emits) == 1
+    assert [a["address"] for a in emits[0]["addresses"]] == ["a2", "a3"]
+    assert emits[0]["userName"] == "N"
+
+
 class _FakeGroupState:
     """Minimal GroupState double for driving the state machine directly.
 
