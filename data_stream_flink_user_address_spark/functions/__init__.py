@@ -1,35 +1,68 @@
+"""Column-function library: text analysis, dedup, similarity, multimodal."""
+
 from .text import (
+    BPE_SPLIT_PATTERN,
     STOPWORDS,
+    bpe_token_count,
     doc_fingerprint,
     language_id,
+    punct_count,
     quality_score,
     token_count,
     tokens,
+    winnow_fingerprint,
 )
 from .dedup import (
+    dedup_clusters,
     exact_dedup,
-    minhash_signatures,
-    lsh_candidate_pairs,
-    ngram_jaccard_pairs,
-    simhash,
     embedding_near_dup_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    minhash_signatures_text,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    streaming_dedup,
 )
-from .similarity import brute_force_topk, cosine_sim_col, lsh_bucketed_topk
+from .similarity import brute_force_topk, cosine_sim_col, lsh_bucketed_topk, make_planes
+from .multimodal import (
+    attach_binary_payload,
+    extract_media_meta,
+    resize_images,
+    sample_frames,
+)
 
 __all__ = [
+    # text
+    "BPE_SPLIT_PATTERN",
     "STOPWORDS",
-    "tokens",
-    "token_count",
-    "language_id",
-    "quality_score",
+    "bpe_token_count",
     "doc_fingerprint",
+    "language_id",
+    "punct_count",
+    "quality_score",
+    "token_count",
+    "tokens",
+    "winnow_fingerprint",
+    # dedup
+    "dedup_clusters",
     "exact_dedup",
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
-    "simhash",
     "embedding_near_dup_pairs",
-    "cosine_sim_col",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "minhash_signatures_text",
+    "ngram_jaccard_pairs",
+    "shingles",
+    "simhash",
+    "streaming_dedup",
+    # similarity
     "brute_force_topk",
+    "cosine_sim_col",
     "lsh_bucketed_topk",
+    "make_planes",
+    # multimodal
+    "attach_binary_payload",
+    "extract_media_meta",
+    "resize_images",
+    "sample_frames",
 ]

@@ -1,7 +1,12 @@
-from .stateful_join import stateful_user_address_join, union_with_discriminator
+from .stateful_join import (
+    batch_emission_trace,
+    stateful_user_address_join,
+    union_with_discriminator,
+)
 from .sinks import KeyedUpsertSink, console_sink, upsert_foreach_batch
 
 __all__ = [
+    "batch_emission_trace",
     "stateful_user_address_join",
     "union_with_discriminator",
     "KeyedUpsertSink",
