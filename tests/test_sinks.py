@@ -86,3 +86,42 @@ def test_full_pipeline_end_to_end(spark, tmp_path):
     assert st == {"S0": 30, "S1": 20, "S2": 10}
     co = spark.read.parquet(os.path.join(out, "userCountByCountry")).collect()
     assert sum(r["count"] for r in co) == 60 and {r["country"] for r in co} == {"C0", "C1"}
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """A batch must rewrite only the hash buckets its keys land in --
+    files in untouched bucket directories stay byte-identical."""
+    path = str(tmp_path / "kv")
+    sink = KeyedUpsertSink(spark, path, key="k", order_col="v", n_buckets=8)
+    sink.apply(
+        spark.createDataFrame([(f"key{i}", i) for i in range(40)], "k string, v int")
+    )
+
+    def bucket_files():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("__bucket="):
+                full = os.path.join(path, d)
+                out[d] = {
+                    f: os.path.getmtime(os.path.join(full, f))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = bucket_files()
+    # single-key batch touches exactly one bucket
+    sink.apply(spark.createDataFrame([("key0", 999)], "k string, v int"))
+    after = bucket_files()
+
+    from pyspark.sql import functions as F
+    touched = f"__bucket={spark.range(1).select(F.pmod(F.xxhash64(F.lit('key0')), F.lit(8))).first()[0]}"
+    assert before.keys() == after.keys()
+    for b in before:
+        if b == touched:
+            assert before[b] != after[b]  # rewritten
+        else:
+            assert before[b] == after[b]  # untouched
+
+    got = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert got["key0"] == 999 and len(got) == 40
