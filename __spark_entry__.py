@@ -512,6 +512,27 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprint(_docs(spark, sf_dir), k=7, w=4)
 
 
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: language-ID -> quality
+    threshold -> exact dedup, composed from the engine's column
+    functions in one declarative plan (single pass over the corpus +
+    one dedup shuffle).  Output: the surviving documents."""
+    d = _docs(spark, sf_dir).withColumn("__toks", tokens("text"))
+    scored = d.select(
+        "doc_id",
+        language_id("text").alias("lang"),
+        quality_score("text").alias("quality"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+    kept = scored.filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
+    return (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "quality")
+    )
+
+
 def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide heavy hitters: top 50 whitespace tokens.  Two-phase
     hash agg (map-side partials) then a global top-k -- the vocabulary-
@@ -624,6 +645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": _q_quality_scores,
     "bpe_token_counts": _q_bpe_token_counts,
     "winnow_fingerprints": _q_winnow_fingerprints,
+    "corpus_curation": _q_corpus_curation,
     "top_tokens": _q_top_tokens,
     "doc_length_histogram": _q_doc_length_histogram,
     "dedup_exact": _q_dedup_exact,
@@ -996,6 +1018,45 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, count(*) AS n_fp,
                md5(array_to_string(list_sort(list(sel)), ',')) AS fingerprint
         FROM sel GROUP BY doc_id
+    """,
+    "corpus_curation": f"""
+        WITH t AS (
+          SELECT doc_id, text, {_sql_tokens()} AS toks FROM documents
+        ), h AS (
+          SELECT doc_id, text, toks,
+                 {", ".join(f"{_sql_hits('toks', STOPWORDS[lang])} AS h_{lang}" for lang in STOPWORDS)}
+          FROM t
+        ), m AS (
+          SELECT doc_id, text,
+                 {_sql_lang_case()} AS lang,
+                 len(toks)::DOUBLE AS n_tok,
+                 length(text)::DOUBLE AS n_chars,
+                 CASE WHEN len(toks) > 0
+                      THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                      ELSE 0.0 END AS mean_tok_len,
+                 CASE WHEN length(text) > 0
+                      THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)
+                      ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, t -> t IN ({_STOP_IN})))::DOUBLE / len(toks)
+                      ELSE 0.0 END AS stop_ratio
+          FROM h
+        ), q AS (
+          SELECT doc_id, text, lang,
+                 round(0.25 * least(1.0, n_tok / 64.0)
+                     + 0.25 * least(1.0, mean_tok_len / 8.0)
+                     + 0.25 * (1.0 - least(1.0, punct_ratio * 10.0))
+                     + 0.25 * least(1.0, stop_ratio * 4.0), 4) AS quality
+          FROM m
+        ), kept AS (
+          SELECT doc_id, quality, md5({_sql_norm()}) AS fingerprint
+          FROM q WHERE lang = 'en' AND quality >= 0.5
+        )
+        SELECT doc_id, quality FROM (
+          SELECT doc_id, quality,
+                 row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
+          FROM kept
+        ) WHERE rn = 1
     """,
     "top_tokens": f"""
         SELECT tok AS token, count(*) AS cnt

@@ -56,6 +56,7 @@ HEADLINE = [
     "quality_scores",
     "bpe_token_counts",
     "winnow_fingerprints",
+    "corpus_curation",
     "top_tokens",
     "doc_length_histogram",
     "dedup_exact",
