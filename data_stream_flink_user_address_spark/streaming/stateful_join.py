@@ -317,6 +317,126 @@ def batch_emission_trace(users: DataFrame, addresses: DataFrame, seq_col: str = 
     return arranged.mapInPandas(run, schema=OUTPUT_SCHEMA)
 
 
+def stateful_user_address_join_v2(
+    users: DataFrame,
+    addresses: DataFrame,
+    seq_col: str | None = "seq",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Same emit-per-event join on Spark 4's ``transformWithStateInPandas``.
+
+    Semantics are identical to :func:`stateful_user_address_join`; the
+    difference is the state encoding.  The v1 operator keeps the whole
+    address array in one state row, so every event rewrites the full
+    accumulated list; here the user is a ``ValueState`` and the
+    addresses a ``ListState`` appended incrementally -- with the RocksDB
+    state store an address event writes one list entry instead of
+    rewriting a possibly-thousands-long array.  That is the right state
+    shape when per-key lists grow large.  TTL (when given) is the state
+    store's native per-state TTL rather than a hand-managed timer.
+
+    Requires the RocksDB state store provider (set by this function on
+    the session; transformWithState does not support the default HDFS
+    provider) and the ``google.protobuf`` package (Spark's
+    transformWithState Python runner speaks protobuf to the state
+    server).  Environments without protobuf should use
+    :func:`stateful_user_address_join` -- identical semantics.
+    """
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "stateful_user_address_join_v2 requires google.protobuf "
+            "(transformWithState state-server protocol); use "
+            "stateful_user_address_join instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(users.sparkSession)
+    users.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    ttl = state_ttl_ms
+
+    class _UserAddressProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._user = handle.getValueState(
+                "user",
+                "name string, email string, genre string, registerDate timestamp",
+                ttl,
+            )
+            self._addrs = handle.getListState(
+                "addresses",
+                "address string, city string, state string, zipCode string, country string",
+                ttl,
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            if len(pdf) == 0:
+                return
+            if "seq" in pdf.columns and pdf["seq"].notna().any():
+                pdf = pdf.sort_values("seq", kind="stable")
+            user = self._user.get() if self._user.exists() else None
+            addrs = [tuple(t) for t in self._addrs.get()] if self._addrs.exists() else []
+            out = []
+
+            def emission(seq):
+                return {
+                    "userId": key[0],
+                    "userName": user[0],
+                    "userEmail": user[1],
+                    "genre": user[2],
+                    "registerDate": user[3],
+                    "addresses": [
+                        {"address": a, "city": c, "state": s, "zipCode": z, "country": co}
+                        for a, c, s, z, co in addrs
+                    ],
+                    "seq": None if seq is None or pd.isna(seq) else int(seq),
+                }
+
+            new_addrs = []
+            for row in pdf.itertuples(index=False):
+                if row.side == "U":
+                    user = (
+                        row.name,
+                        row.email,
+                        row.genre,
+                        None if pd.isna(row.registerDate) else row.registerDate,
+                    )
+                    self._user.update(user)
+                    out.append(emission(row.seq))
+                else:
+                    entry = (row.address, row.city, row.state, row.zipCode, row.country)
+                    addrs.append(entry)
+                    new_addrs.append(entry)
+                    if user is not None:
+                        out.append(emission(row.seq))
+            if new_addrs:
+                # incremental append -- the whole point of ListState
+                self._addrs.appendList(new_addrs)
+            if out:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    unioned = union_with_discriminator(users, addresses, seq_col)
+    return unioned.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=_UserAddressProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none" if ttl is None else "processingTime",
+    )
+
+
 def stateful_user_address_join(
     users: DataFrame,
     addresses: DataFrame,

@@ -269,3 +269,59 @@ def test_address_struct_fields(harness):
     assert e[-1]["addresses"][0] == {
         "address": "a2", "city": "c", "state": "Illinois", "zipCode": "z", "country": "Brazil",
     }
+
+
+def test_v2_transform_with_state_matches_traces(spark, tmp_path):
+    """The transformWithStateInPandas implementation must reproduce the
+    same emission traces as v1 (user-first growth, address-first
+    buffering, cross-batch persistence).
+
+    Skipped where ``google.protobuf`` is unavailable: Spark's
+    transformWithState Python runner needs it for its state-server
+    protocol, and this container does not ship it (the operator itself
+    is environment-gated the same way).
+    """
+    pytest.importorskip("google.protobuf")
+    from data_stream_flink_user_address_spark.streaming.stateful_join import (
+        stateful_user_address_join_v2,
+    )
+
+    tmpdir = str(tmp_path)
+    udir, adir = os.path.join(tmpdir, "users"), os.path.join(tmpdir, "addresses")
+    os.makedirs(udir)
+    os.makedirs(adir)
+    qname = "v2_out_" + uuid.uuid4().hex[:8]
+    users = spark.readStream.schema(USER_SEQ_SCHEMA).json(udir)
+    addresses = spark.readStream.schema(ADDR_SEQ_SCHEMA).json(adir)
+    out = stateful_user_address_join_v2(users, addresses)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .start()
+    )
+
+    def feed(d, rows):
+        with open(os.path.join(d, f"{uuid.uuid4().hex}.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        q.processAllAvailable()
+
+    try:
+        # batch 1: user-first trace + buffered orphan address
+        feed(udir, [_user("v1", 1)])
+        feed(adir, [_addr("v1", 2), _addr("v1", 3), _addr("x9", 50)])
+        # batch 2: cross-batch append + late-arriving user for the orphan
+        feed(adir, [_addr("v1", 4)])
+        feed(udir, [_user("x9", 51)])
+        rows = [r.asDict(recursive=True) for r in spark.sql(f"SELECT * FROM {qname}").collect()]
+    finally:
+        q.stop()
+
+    def trace(key):
+        es = sorted((r for r in rows if r["userId"] == key), key=lambda r: r["seq"])
+        return [[a["address"] for a in e["addresses"]] for e in es]
+
+    assert trace("v1") == [[], ["a2"], ["a2", "a3"], ["a2", "a3", "a4"]]
+    assert trace("x9") == [["a50"]]  # buffered address released on user arrival
