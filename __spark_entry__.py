@@ -431,6 +431,30 @@ def _q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function library breadth (string/date/math/array/map) --
+    the surface the reference entirely lacks (SURVEY.md SS2.6).  One
+    deterministic row per nation with string ops, date arithmetic, math,
+    array construction/ops, and map access, all JVM expressions."""
+    n = _t(spark, sf_dir, "nation")
+    arr = F.array_sort(F.split(F.col("n_name"), ""))
+    return n.select(
+        "n_nationkey",
+        F.concat(F.upper(F.substring("n_name", 1, 3)), F.lit("-"), F.lower("n_name")).alias("tag"),
+        F.length(F.trim(F.concat(F.lit("  "), F.col("n_name"), F.lit("  ")))).cast("bigint").alias("trimmed_len"),
+        F.translate(F.col("n_name"), "AEIOU", "aeiou").alias("demoted"),
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1992-01-01")), F.col("n_nationkey").cast("int") * 7), "yyyy-MM-dd"
+        ).alias("week_offset_date"),
+        F.round(F.sqrt(F.col("n_nationkey") + 1) * F.log(F.col("n_nationkey") + 2.0), 6).alias("mathy"),
+        F.size(arr).cast("bigint").alias("n_chars"),
+        F.element_at(arr, 1).alias("first_char_sorted"),
+        F.element_at(
+            F.create_map(F.lit("k"), F.col("n_regionkey").cast("string")), "k"
+        ).alias("region_via_map"),
+    )
+
+
 def _q_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts by priority (rows) x status (columns)."""
     o = _t(spark, sf_dir, "orders")
@@ -636,6 +660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_view_purchase": _q_interval_view_purchase,
     "events_distinct_users": _q_events_distinct_users,
     "cube_order_stats": _q_cube_order_stats,
+    "scalar_function_showcase": _q_scalar_function_showcase,
     "pivot_priority_status": _q_pivot_priority_status,
     "value_percentiles": _q_value_percentiles,
     "sessionization": _q_sessionization,
@@ -923,6 +948,18 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(o_totalprice), 2) AS total_price
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "scalar_function_showcase": """
+        SELECT n_nationkey,
+               upper(substr(n_name, 1, 3)) || '-' || lower(n_name) AS tag,
+               length(trim('  ' || n_name || '  '))::BIGINT AS trimmed_len,
+               translate(n_name, 'AEIOU', 'aeiou') AS demoted,
+               strftime(DATE '1992-01-01' + INTERVAL (n_nationkey * 7) DAY, '%Y-%m-%d') AS week_offset_date,
+               round(sqrt(n_nationkey + 1) * ln(n_nationkey + 2.0), 6) AS mathy,
+               len(list_sort(string_split(n_name, '')))::BIGINT AS n_chars,
+               list_sort(string_split(n_name, ''))[1] AS first_char_sorted,
+               map(['k'], [n_regionkey::VARCHAR])['k'][1] AS region_via_map
+        FROM nation
     """,
     "pivot_priority_status": """
         SELECT o_orderpriority,
