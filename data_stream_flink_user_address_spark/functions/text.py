@@ -48,23 +48,28 @@ def _hits(toks: Column, words: list[str]) -> Column:
 
 def language_id(text: Column | str, alias_tokens: str = "__toks") -> Column:
     """Argmax of stopword hits across STOPWORDS; 'und' (undetermined) when
-    zero hits everywhere.  Ties resolve in dict order (en > es > ...) via
-    strictly-greater comparison -- deterministic, SQL-expressible.
+    zero hits everywhere.  Ties resolve in dict order (en > es > ...):
+    the first language whose hit count equals the maximum wins --
+    deterministic, SQL-expressible (same ``greatest`` + first-match CASE
+    the oracle uses).
 
     Use via ``df.withColumn("__toks", tokens("text")).withColumn("lang_pred",
     language_id("text"))``; the helper reads the pre-computed ``__toks``
     column so the tokenization is done once.
+
+    Structure note: an earlier version chained strictly-greater ``when``
+    updates, which nests each hit-count expression inside every later
+    branch -- exponential duplication of the (interpreted, higher-order)
+    filter calls.  The greatest-based CASE keeps each hit count to a
+    constant number of appearances.
     """
     langs = list(STOPWORDS)
     hit_cols = {lang: _hits(F.col(alias_tokens), STOPWORDS[lang]) for lang in langs}
-    best = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in langs:  # first language with strictly more hits wins
-        h = hit_cols[lang]
-        take = h > best_hits
-        best = F.when(take, F.lit(lang)).otherwise(best)
-        best_hits = F.when(take, h).otherwise(best_hits)
-    return best
+    g = F.greatest(*[hit_cols[lang] for lang in langs])
+    case = F.when(g == 0, F.lit("und"))
+    for lang in langs:  # first language reaching the max wins
+        case = case.when(hit_cols[lang] == g, F.lit(lang))
+    return case
 
 
 def punct_count(text: Column | str) -> Column:
