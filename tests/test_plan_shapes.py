@@ -1,0 +1,63 @@
+"""Physical-plan shape regressions.
+
+Locks in the plan properties the engine's 100 TB posture depends on
+(README "Operator scale characteristics"): pushdown reaching scans,
+dims broadcast, and the zero-shuffle structure of the per-document
+signature operators.  A change that silently turns one of these into a
+worse plan fails here, not in a profiler three rounds later.
+"""
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = entrymod.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    # column pruning: the scan must not read l_orderkey
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+
+
+def test_q3_q5_broadcast_dimensions(spark):
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_signature_operators_have_no_joins_or_windows(spark):
+    # per-document computations: no join, no window function, no sort
+    for name in ("winnow_fingerprints", "simhash_docs"):
+        plan = _plan(spark, name)
+        assert "Join" not in plan, name
+        assert "Window" not in plan, name
+        assert "Sort " not in plan, name
+
+
+def test_count_by_dim_rewrite_has_no_aggregate_list(spark):
+    # the explode(collect_list(x)) == x rewrite: no array building
+    plan = _plan(spark, "count_by_state")
+    assert "collect_list" not in plan
+    assert "Generate" not in plan  # no explode either
+
+
+def test_interval_keyed_join_is_equi_with_residual_range(spark):
+    plan = _plan(spark, "interval_view_purchase")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
