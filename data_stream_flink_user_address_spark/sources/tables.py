@@ -49,6 +49,19 @@ def load_table(
     return df
 
 
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> list[str]:
+    """Register every driver table as a temp view (``region``,
+    ``nation``, ... [+ suffix]) so the full surface is queryable through
+    plain ``spark.sql`` -- the SQL front door the reference only ever
+    declared dependencies for (flink-table-planner in pom.xml, zero call
+    sites)."""
+    names = []
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"{name}{suffix}")
+        names.append(f"{name}{suffix}")
+    return names
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")

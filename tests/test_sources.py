@@ -90,3 +90,17 @@ def test_generator_is_deterministic_with_fk_integrity(spark):
     addrs = generate_addresses(spark, n_users=10, addresses_per_user=3).collect()
     assert len(addrs) == 30
     assert {a["userId"] for a in addrs} == users  # every address joins a user
+
+
+def test_register_views_enables_sql(spark):
+    from data_stream_flink_user_address_spark.sources.tables import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001", suffix="_t")
+    assert "lineitem_t" in names and "events_t" in names
+    row = spark.sql(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem_t "
+        "GROUP BY l_returnflag ORDER BY n DESC LIMIT 1"
+    ).first()
+    assert row["n"] > 0
+    # events view must carry the ns->us timestamp conversion
+    assert dict(spark.sql("SELECT * FROM events_t").dtypes)["ts"] == "timestamp"
