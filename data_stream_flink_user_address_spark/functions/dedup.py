@@ -472,7 +472,10 @@ def embedding_near_dup_pairs(
         [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)], "ba int, bb int"
     )
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
-        "blk", (F.col("id") % n_blocks).cast("int")
+        # hash-based block assignment: works for any id type and spreads
+        # evenly even when ids are clustered (block choice never affects
+        # the result set, only load balance)
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
     )
     left = e.join(F.broadcast(blkpairs), e.blk == blkpairs.ba).select(
         "ba", "bb", F.lit("L").alias("side"), "id", "v"
