@@ -431,6 +431,23 @@ def _q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern: orders priced >1.5x their own
+    customer's average order price.  Expressed as the decorrelated
+    window-aggregate plan Catalyst would produce for the subquery."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
 def _q_scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function library breadth (string/date/math/array/map) --
     the surface the reference entirely lacks (SURVEY.md SS2.6).  One
@@ -660,6 +677,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_view_purchase": _q_interval_view_purchase,
     "events_distinct_users": _q_events_distinct_users,
     "cube_order_stats": _q_cube_order_stats,
+    "orders_above_customer_avg": _q_orders_above_customer_avg,
     "scalar_function_showcase": _q_scalar_function_showcase,
     "pivot_priority_status": _q_pivot_priority_status,
     "value_percentiles": _q_value_percentiles,
@@ -948,6 +966,17 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(o_totalprice), 2) AS total_price
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "orders_above_customer_avg": """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (
+            SELECT avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        GROUP BY o_orderpriority
     """,
     "scalar_function_showcase": """
         SELECT n_nationkey,

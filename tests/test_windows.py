@@ -104,3 +104,13 @@ def test_session_window_gap_splits(spark):
         by_user.setdefault(r["user"], []).append(r["count"])
     assert sorted(by_user["u1"]) == [1, 2]
     assert by_user["u2"] == [1]
+
+
+def test_flatten_count_map(spark):
+    from data_stream_flink_user_address_spark.operators.windows import flatten_count_map
+
+    df = spark.createDataFrame(
+        [({"Illinois": 3, "Texas": 1},)], "m map<string,int>"
+    )
+    got = {r["state"]: r["count"] for r in flatten_count_map(df, "m", "state").collect()}
+    assert got == {"Illinois": 3, "Texas": 1}
