@@ -431,6 +431,24 @@ def _q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT) over customer key sets:
+    1996-buyers who never placed an urgent order, and the intersection
+    of 1996-buyers with urgent-order customers, labeled and unioned."""
+    o = _t(spark, sf_dir, "orders")
+    buyers_96 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    both = buyers_96.intersect(urgent).withColumn("grp", F.lit("both"))
+    only_96 = buyers_96.subtract(urgent).withColumn("grp", F.lit("no_urgent"))
+    return (
+        both.unionByName(only_96)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 def _q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery pattern: orders priced >1.5x their own
     customer's average order price.  Expressed as the decorrelated
@@ -677,6 +695,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_view_purchase": _q_interval_view_purchase,
     "events_distinct_users": _q_events_distinct_users,
     "cube_order_stats": _q_cube_order_stats,
+    "set_ops_customers": _q_set_ops_customers,
     "orders_above_customer_avg": _q_orders_above_customer_avg,
     "scalar_function_showcase": _q_scalar_function_showcase,
     "pivot_priority_status": _q_pivot_priority_status,
@@ -966,6 +985,24 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(o_totalprice), 2) AS total_price
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "set_ops_customers": """
+        WITH buyers_96 AS (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        ),
+        urgent AS (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ),
+        labeled AS (
+          SELECT o_custkey, 'both' AS grp
+          FROM (SELECT o_custkey FROM buyers_96 INTERSECT SELECT o_custkey FROM urgent)
+          UNION ALL
+          SELECT o_custkey, 'no_urgent' AS grp
+          FROM (SELECT DISTINCT o_custkey FROM buyers_96 EXCEPT SELECT o_custkey FROM urgent)
+        )
+        SELECT grp, count(*) AS n_customers FROM labeled GROUP BY grp
     """,
     "orders_above_customer_avg": """
         SELECT o_orderpriority,
