@@ -431,6 +431,22 @@ def _q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frame spec: per-customer running revenue total
+    (ROWS UNBOUNDED PRECEDING..CURRENT ROW, deterministic tie-break)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
 def _q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (INTERSECT / EXCEPT) over customer key sets:
     1996-buyers who never placed an urgent order, and the intersection
@@ -695,6 +711,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_view_purchase": _q_interval_view_purchase,
     "events_distinct_users": _q_events_distinct_users,
     "cube_order_stats": _q_cube_order_stats,
+    "running_customer_revenue": _q_running_customer_revenue,
     "set_ops_customers": _q_set_ops_customers,
     "orders_above_customer_avg": _q_orders_above_customer_avg,
     "scalar_function_showcase": _q_scalar_function_showcase,
@@ -985,6 +1002,14 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(o_totalprice), 2) AS total_price
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "running_customer_revenue": """
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        FROM orders
     """,
     "set_ops_customers": """
         WITH buyers_96 AS (

@@ -48,6 +48,7 @@ HEADLINE = [
     "interval_view_purchase",
     "events_distinct_users",
     "cube_order_stats",
+    "running_customer_revenue",
     "set_ops_customers",
     "orders_above_customer_avg",
     "scalar_function_showcase",
