@@ -12,7 +12,7 @@ an exact ANSI-SQL equivalent so the DuckDB oracle can verify it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Deterministic stopword sets for the language-ID heuristic.  Scoring is
