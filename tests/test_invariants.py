@@ -119,3 +119,47 @@ def test_asof_join_invariant_to_partitioning(spark):
         return sorted((r["lid"], r["r_rid"]) for r in j.collect())
 
     assert run(1, 1) == run(17, 3)
+
+
+@st.composite
+def _asof_inputs(draw):
+    n_keys = draw(st.integers(min_value=1, max_value=3))
+    left = draw(
+        st.lists(
+            st.tuples(st.integers(0, n_keys - 1), st.integers(0, 50)),
+            min_size=1, max_size=15, unique=True,
+        )
+    )
+    right = draw(
+        st.lists(
+            st.tuples(st.integers(0, n_keys - 1), st.integers(0, 50)),
+            min_size=0, max_size=15, unique=True,
+        )
+    )
+    return left, right
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_asof_inputs())
+def test_asof_join_matches_python_reference(spark, inputs):
+    left_rows, right_rows = inputs
+    left = spark.createDataFrame(
+        [(f"k{k}", t, i) for i, (k, t) in enumerate(left_rows)], "k string, t long, lid long"
+    ).select("k", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [(f"k{k}", t, i) for i, (k, t) in enumerate(right_rows)] or [],
+        "k string, t long, rid long",
+    ).select("k", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"), "rid")
+
+    got = sorted(
+        (r["lid"], r["r_rid"]) for r in asof_join(left, right, on="k").collect()
+    )
+    expected = []
+    for i, (lk, lt) in enumerate(left_rows):
+        candidates = [
+            (rt, j) for j, (rk, rt) in enumerate(right_rows) if rk == lk and rt <= lt
+        ]
+        if candidates:
+            # latest at-or-before; ties impossible (unique (k, t) pairs)
+            expected.append((i, max(candidates)[1]))
+    assert got == sorted(expected)

@@ -104,3 +104,17 @@ def test_register_views_enables_sql(spark):
     assert row["n"] > 0
     # events view must carry the ns->us timestamp conversion
     assert dict(spark.sql("SELECT * FROM events_t").dtypes)["ts"] == "timestamp"
+
+
+def test_kafka_source_fails_cleanly_without_connector(spark):
+    """The kafka-sql connector jar is a deploy-time dependency; without
+    it the source must fail with Spark's missing-data-source error (not
+    an obscure crash), documenting what to add to spark-submit."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from data_stream_flink_user_address_spark.schemas import USER_SCHEMA
+    from data_stream_flink_user_address_spark.sources.kafka import kafka_json_stream
+
+    with pytest.raises(AnalysisException, match="[Kk]afka"):
+        kafka_json_stream(spark, "user", USER_SCHEMA)
