@@ -61,3 +61,11 @@ def test_count_by_dim_rewrite_has_no_aggregate_list(spark):
 def test_interval_keyed_join_is_equi_with_residual_range(spark):
     plan = _plan(spark, "interval_view_purchase")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_queries_use_window_group_limit(spark):
+    # rank<=k after row_number must become a partial top-k before the
+    # shuffle (WindowGroupLimit), not a full sort of all candidates
+    for name in ("similarity_topk", "top_parts_per_brand"):
+        plan = _plan(spark, name)
+        assert "WindowGroupLimit" in plan, name
