@@ -98,3 +98,31 @@ def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
     }
     assert via_driver == expected
     assert via_loop == expected
+
+
+def test_minhash_text_variant_equals_explode_variant(spark):
+    """The zero-shuffle per-row MinHash must produce bit-identical
+    signatures to the original shingle-explode + grouped-min path."""
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        minhash_signatures,
+        minhash_signatures_text,
+        shingles,
+    )
+
+    d = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content with other words"),
+        (4, "tiny"),   # shorter than n=5 after norm -> still >= n
+        (5, "ab"),     # shorter than n -> no signature row
+    ])
+    via_explode = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures(shingles(d, n=5), num_hashes=8).collect()
+    }
+    via_text = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures_text(d, n=5, num_hashes=8).collect()
+    }
+    assert via_text == via_explode
+    assert 5 not in via_text and 1 in via_text
