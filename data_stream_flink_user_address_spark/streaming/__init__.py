@@ -4,6 +4,7 @@ from .stateful_join import (
     union_with_discriminator,
 )
 from .sinks import KeyedUpsertSink, console_sink, upsert_foreach_batch
+from .stream_join import watermarked_stream_join
 
 __all__ = [
     "batch_emission_trace",
@@ -12,4 +13,5 @@ __all__ = [
     "KeyedUpsertSink",
     "upsert_foreach_batch",
     "console_sink",
+    "watermarked_stream_join",
 ]
