@@ -1054,9 +1054,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "pivot_priority_status": """
         SELECT o_orderpriority,
-               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
         FROM orders GROUP BY o_orderpriority
     """,
     "value_percentiles": """

@@ -43,6 +43,16 @@ def asof_join(
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join supports inner|left, got {how!r}")
     right_cols = right.columns
+    helper = {_K, _T, _SIDE, _RV, _MATCH}
+    clash = helper.intersection(left.columns)
+    if clash:
+        raise ValueError(f"asof_join: left columns collide with internal helper names: {sorted(clash)}")
+    clash = {f"{right_prefix}{c}" for c in right_cols}.intersection(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: prefixed right columns would silently overwrite "
+            f"existing left columns {sorted(clash)}; pass a different right_prefix"
+        )
     r = right.select(
         F.col(on).alias(_K),
         F.col(right_ts).alias(_T),

@@ -41,6 +41,13 @@ def interval_join(
     (and equal ``on`` key when given).  Right columns are prefixed."""
     if upper_s < lower_s:
         raise ValueError("upper_s must be >= lower_s")
+    clash = {f"{right_prefix}{c}" for c in right.columns}.intersection(left.columns)
+    clash.update({_B}.intersection(left.columns))
+    if clash:
+        raise ValueError(
+            f"interval_join: prefixed right columns / helper names collide "
+            f"with left columns {sorted(clash)}; pass a different right_prefix"
+        )
     r = right.select(
         *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
     )

@@ -61,7 +61,20 @@ def salted_join(
     actually be small (if it broadcasts, just broadcast -- no skew
     problem exists).  Result equals the plain join; salt columns never
     escape.
+
+    Only left-side-preserving joins are exact: every salt partition holds
+    a full replica of ``small``, so a skewed row sees the complete small
+    side regardless of its salt (inner/left/semi/anti all hold).  Right
+    and full outer joins would emit each UNMATCHED small-side row once
+    per salt replica -- n_salts duplicates -- so they are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports left-side-preserving joins only "
+            f"({sorted(allowed)}), got {how!r}: right/full outer would "
+            f"duplicate unmatched small-side rows n_salts times"
+        )
     sk = F.col(skewed_key) if isinstance(skewed_key, str) else skewed_key
     sm = F.col(small_key) if isinstance(small_key, str) else small_key
     left = skewed.withColumn(

@@ -65,6 +65,10 @@ def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> list[s
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer division: ts/1000 via double loses 1-us precision at
-    # epoch-microsecond magnitudes (2^52 < 1.7e15 * 1000)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # integer FLOOR division: /1000 via double loses 1-us precision at
+    # epoch-nanosecond magnitudes (2^52 < 1.7e18), and `div` truncates
+    # toward zero, which would round pre-1970 (negative ns) timestamps
+    # UP where DuckDB floors; subtracting pmod first makes div exact
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+    )

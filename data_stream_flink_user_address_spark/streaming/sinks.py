@@ -8,7 +8,7 @@ userAddress (key userId), userCountByState (key state), userCountByCountry
 
 Spark mapping: ``writeStream.foreachBatch`` with a per-batch keyed merge.
 The default store here is a self-contained parquet key-value table
-(read-merge-rewrite with an atomic directory swap); on a real deployment
+(read-merge-rewrite, atomic per bucket directory); on a real deployment
 the same interface fronts Delta ``MERGE`` or the Mongo Spark connector --
 the batch-level dedup logic is identical.
 
@@ -51,8 +51,17 @@ class KeyedUpsertSink:
     (partition pruning) and rewritten (dynamic partition overwrite) --
     per-batch cost is O(touched buckets), not O(table), which is what
     keeps a continuously-upserting sink viable as the keyed table grows.
-    For transactional multi-writer upserts swap this class for Delta
-    MERGE behind the same ``apply(df)`` interface.
+
+    Durability limits (by design, matching the reference's
+    no-transactions Mongo sink): SINGLE writer on a LOCAL/HDFS-like
+    filesystem only.  ``_read_raw`` probes bucket dirs via
+    ``os.listdir``, so ``path`` must be driver-visible; and dynamic
+    partition overwrite is atomic per bucket directory but not across
+    buckets -- a crash mid-commit can leave some touched buckets new and
+    others old (replaying the batch converges, since the merge is
+    idempotent per key).  For multi-writer or crash-transactional
+    deployments swap this class for Delta ``MERGE`` behind the same
+    ``apply(df)`` interface.
     """
 
     def __init__(

@@ -34,6 +34,12 @@ def watermarked_stream_join(
     ``how`` supports ``inner`` and ``leftOuter`` (outer emission waits
     for the watermark to close the window, per Spark semantics).
     """
+    clash = {f"{right_prefix}{c}" for c in right.columns}.intersection(left.columns)
+    if clash:
+        raise ValueError(
+            f"watermarked_stream_join: prefixed right columns collide with "
+            f"left columns {sorted(clash)}; pass a different right_prefix"
+        )
     r = right.select(*[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns])
     l_wm = left.withWatermark(left_ts, watermark_delay)
     r_wm = r.withWatermark(f"{right_prefix}{right_ts}", watermark_delay)
