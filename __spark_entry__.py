@@ -85,6 +85,17 @@ _LSH_ROWS = 4
 _SIMHASH_BITS = 32
 _ANN_PLANES = 6
 _EMB_DIM = 64
+# Stop-shingle pruning for the declared ngram-Jaccard query: shingles in
+# more than this many docs are dropped from the candidate join (the true
+# Jaccard denominator still uses unpruned set sizes).  This bounds the
+# per-shingle self-join at <= vocab * cap^2 candidate rows -- the knob
+# that keeps the operator linear-ish at 100 TB instead of quadratic on
+# hot shingles.  On the synthetic word-salad corpus (~2k distinct
+# 5-gram shingles, median doc-frequency 31 at sf0.01) pruning is
+# deliberately lossy for pairs held together only by corpus-common
+# shingles; the exact unpruned variant remains available as
+# ngram_jaccard_pairs(max_shingle_freq=None).
+_NGRAM_MAX_DF = 100
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -178,11 +189,18 @@ def _count_by_dim(spark: SparkSession, sf_dir: str, dim: str, alias: str) -> Dat
     array materialization.  Catalyst cannot see this equivalence through
     the aggregate; the engine applies it at plan-construction time.
     The un-rewritten shape remains exercised by user_address_counts and
-    the streaming pipeline (plans/pipeline.py)."""
+    the streaming pipeline (plans/pipeline.py).
+
+    No broadcast hint: the probe side is the USER table, which at 100x
+    scale does not fit executor memory -- a forced broadcast would OOM
+    where an AQE-chosen strategy degrades to a shuffle join.  The
+    left-semi probe carries only the ``id`` column, so
+    autoBroadcastJoinThreshold picks broadcast whenever it actually
+    fits (plan-asserted: no cartesian, tests/test_plan_shapes.py)."""
     users = _customer_as_users(spark, sf_dir).select("id")
     addresses = _orders_as_addresses(spark, sf_dir)
     return (
-        addresses.join(users.hint("broadcast"), addresses.userId == users.id, "left_semi")
+        addresses.join(users, addresses.userId == users.id, "left_semi")
         .groupBy(F.col(dim).alias(alias))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -654,7 +672,9 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, threshold=0.25)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=5, threshold=0.25, max_shingle_freq=_NGRAM_MAX_DF
+    )
 
 
 def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1225,9 +1245,15 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_pairs": f"""
         WITH {_sql_shingles(5)},
         sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        freq AS (SELECT shingle, count(*) AS df_ FROM sh GROUP BY shingle),
+        joinable AS (
+          SELECT s.doc_id, s.shingle
+          FROM sh s JOIN freq f USING (shingle)
+          WHERE f.df_ <= {_NGRAM_MAX_DF}
+        ),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-          FROM sh a JOIN sh b USING (shingle)
+          FROM joinable a JOIN joinable b USING (shingle)
           WHERE a.doc_id < b.doc_id
           GROUP BY 1, 2
         )

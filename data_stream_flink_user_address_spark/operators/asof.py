@@ -47,6 +47,12 @@ def asof_join(
     clash = helper.intersection(left.columns)
     if clash:
         raise ValueError(f"asof_join: left columns collide with internal helper names: {sorted(clash)}")
+    clash = helper.intersection({f"{right_prefix}{c}" for c in right_cols})
+    if clash:
+        raise ValueError(
+            f"asof_join: prefixed right columns collide with internal helper "
+            f"names: {sorted(clash)}; pass a different right_prefix"
+        )
     clash = {f"{right_prefix}{c}" for c in right_cols}.intersection(left.columns)
     if clash:
         raise ValueError(

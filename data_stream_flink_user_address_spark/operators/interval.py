@@ -41,8 +41,10 @@ def interval_join(
     (and equal ``on`` key when given).  Right columns are prefixed."""
     if upper_s < lower_s:
         raise ValueError("upper_s must be >= lower_s")
-    clash = {f"{right_prefix}{c}" for c in right.columns}.intersection(left.columns)
+    prefixed = {f"{right_prefix}{c}" for c in right.columns}
+    clash = prefixed.intersection(left.columns)
     clash.update({_B}.intersection(left.columns))
+    clash.update({_B}.intersection(prefixed))
     if clash:
         raise ValueError(
             f"interval_join: prefixed right columns / helper names collide "

@@ -69,7 +69,9 @@ def salted_join(
     per salt replica -- n_salts duplicates -- so they are rejected.
     """
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
-    if how not in allowed:
+    # Spark normalizes join-type strings case-insensitively; mirror that
+    # so spellings like 'Inner' or 'LEFT_SEMI' stay valid.
+    if how.lower() not in allowed:
         raise ValueError(
             f"salted_join supports left-side-preserving joins only "
             f"({sorted(allowed)}), got {how!r}: right/full outer would "

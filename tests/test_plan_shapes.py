@@ -56,6 +56,9 @@ def test_count_by_dim_rewrite_has_no_aggregate_list(spark):
     plan = _plan(spark, "count_by_state")
     assert "collect_list" not in plan
     assert "Generate" not in plan  # no explode either
+    # no forced broadcast of the user side (it scales with the data);
+    # the join just must not degrade to a cartesian
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_interval_keyed_join_is_equi_with_residual_range(spark):
