@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..streaming.sinks import KeyedUpsertSink
+from ..streaming.sinks import KeyedUpsertSink, TransactionalKeyedUpsertSink
 from ..streaming.stateful_join import stateful_user_address_join
 
 
@@ -44,21 +44,28 @@ class ReferencePipeline:
         checkpoint_dir: str,
         window: str = "1 minute",
         seq_col: str | None = "seq",
+        transactional: bool = False,
     ):
         self.spark = spark
         self.out_dir = out_dir
         self.checkpoint_dir = checkpoint_dir
         self.window = window
+        # transactional=True swaps every sink for the commit-log backend
+        # (cross-bucket crash atomicity, multi-writer safe) -- same
+        # upsert semantics, production-shaped durability
+        self.sink_cls = TransactionalKeyedUpsertSink if transactional else KeyedUpsertSink
         self.joined = stateful_user_address_join(users, addresses, seq_col=seq_col)
         self.queries = []
+        self.sinks: dict[str, KeyedUpsertSink | TransactionalKeyedUpsertSink] = {}
 
     def start(self):
         """Start the three sink queries off the shared joined stream."""
         joined = self.joined.withColumn("ingest_time", F.current_timestamp())
 
-        ua_sink = KeyedUpsertSink(
+        ua_sink = self.sink_cls(
             self.spark, os.path.join(self.out_dir, "userAddress"), key="userId", order_col="seq"
         )
+        self.sinks["userAddress"] = ua_sink
         self.queries.append(
             joined.writeStream.outputMode("append")
             .option("checkpointLocation", os.path.join(self.checkpoint_dir, "ua"))
@@ -67,7 +74,8 @@ class ReferencePipeline:
         )
 
         for dim, table in (("state", "userCountByState"), ("country", "userCountByCountry")):
-            sink = KeyedUpsertSink(self.spark, os.path.join(self.out_dir, table), key=dim)
+            sink = self.sink_cls(self.spark, os.path.join(self.out_dir, table), key=dim)
+            self.sinks[table] = sink
             exploded = joined.withColumn("addr", F.explode("addresses"))
             counted = (
                 exploded.groupBy(
