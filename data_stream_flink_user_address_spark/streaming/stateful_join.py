@@ -317,6 +317,94 @@ def batch_emission_trace(users: DataFrame, addresses: DataFrame, seq_col: str = 
     return arranged.mapInPandas(run, schema=OUTPUT_SCHEMA)
 
 
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class UserAddressProcessorV2(StatefulProcessor):
+    """transformWithState processor for the emit-per-event join.
+
+    Module-level (not nested in the operator) so its logic runs under
+    test with a fake handle even where ``google.protobuf`` -- a runtime
+    dependency of Spark's transformWithState state-server protocol, not
+    of this class -- is unavailable.  ``tests/test_stateful_join.py``
+    drives it through scripted traces with fake Value/List states and
+    asserts emission-equality with the v1 ``_KeyJoinState`` machine.
+
+    State shape: the user is a ``ValueState`` and the addresses a
+    ``ListState`` appended incrementally -- with the RocksDB state store
+    an address event writes ONE list entry instead of rewriting the
+    whole accumulated array (v1's write amplification on hot keys).
+    """
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._user = handle.getValueState(
+            "user",
+            "name string, email string, genre string, registerDate timestamp",
+            self._ttl,
+        )
+        self._addrs = handle.getListState(
+            "addresses",
+            "address string, city string, state string, zipCode string, country string",
+            self._ttl,
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        pdf = pd.concat(list(rows), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        if "seq" in pdf.columns and pdf["seq"].notna().any():
+            pdf = pdf.sort_values("seq", kind="stable")
+        user = self._user.get() if self._user.exists() else None
+        addrs = [tuple(t) for t in self._addrs.get()] if self._addrs.exists() else []
+        out = []
+
+        def emission(seq):
+            return {
+                "userId": key[0],
+                "userName": user[0],
+                "userEmail": user[1],
+                "genre": user[2],
+                "registerDate": user[3],
+                "addresses": [
+                    {"address": a, "city": c, "state": s, "zipCode": z, "country": co}
+                    for a, c, s, z, co in addrs
+                ],
+                "seq": None if seq is None or pd.isna(seq) else int(seq),
+            }
+
+        new_addrs = []
+        for row in pdf.itertuples(index=False):
+            if row.side == "U":
+                user = (
+                    row.name,
+                    row.email,
+                    row.genre,
+                    None if pd.isna(row.registerDate) else row.registerDate,
+                )
+                self._user.update(user)
+                out.append(emission(row.seq))
+            else:
+                entry = (row.address, row.city, row.state, row.zipCode, row.country)
+                addrs.append(entry)
+                new_addrs.append(entry)
+                if user is not None:
+                    out.append(emission(row.seq))
+        if new_addrs:
+            # incremental append -- the whole point of ListState
+            self._addrs.appendList(new_addrs)
+        if out:
+            yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
 def stateful_user_address_join_v2(
     users: DataFrame,
     addresses: DataFrame,
@@ -350,11 +438,6 @@ def stateful_user_address_join_v2(
             "(transformWithState state-server protocol); use "
             "stateful_user_address_join instead"
         ) from e
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
     from ..shipping import ensure_package_on_workers
 
     ensure_package_on_workers(users.sparkSession)
@@ -363,77 +446,12 @@ def stateful_user_address_join_v2(
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
 
-    ttl = state_ttl_ms
-
-    class _UserAddressProcessor(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._user = handle.getValueState(
-                "user",
-                "name string, email string, genre string, registerDate timestamp",
-                ttl,
-            )
-            self._addrs = handle.getListState(
-                "addresses",
-                "address string, city string, state string, zipCode string, country string",
-                ttl,
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            pdf = pd.concat(list(rows), ignore_index=True)
-            if len(pdf) == 0:
-                return
-            if "seq" in pdf.columns and pdf["seq"].notna().any():
-                pdf = pdf.sort_values("seq", kind="stable")
-            user = self._user.get() if self._user.exists() else None
-            addrs = [tuple(t) for t in self._addrs.get()] if self._addrs.exists() else []
-            out = []
-
-            def emission(seq):
-                return {
-                    "userId": key[0],
-                    "userName": user[0],
-                    "userEmail": user[1],
-                    "genre": user[2],
-                    "registerDate": user[3],
-                    "addresses": [
-                        {"address": a, "city": c, "state": s, "zipCode": z, "country": co}
-                        for a, c, s, z, co in addrs
-                    ],
-                    "seq": None if seq is None or pd.isna(seq) else int(seq),
-                }
-
-            new_addrs = []
-            for row in pdf.itertuples(index=False):
-                if row.side == "U":
-                    user = (
-                        row.name,
-                        row.email,
-                        row.genre,
-                        None if pd.isna(row.registerDate) else row.registerDate,
-                    )
-                    self._user.update(user)
-                    out.append(emission(row.seq))
-                else:
-                    entry = (row.address, row.city, row.state, row.zipCode, row.country)
-                    addrs.append(entry)
-                    new_addrs.append(entry)
-                    if user is not None:
-                        out.append(emission(row.seq))
-            if new_addrs:
-                # incremental append -- the whole point of ListState
-                self._addrs.appendList(new_addrs)
-            if out:
-                yield pd.DataFrame(out)
-
-        def close(self) -> None:
-            pass
-
     unioned = union_with_discriminator(users, addresses, seq_col)
     return unioned.groupBy("key").transformWithStateInPandas(
-        statefulProcessor=_UserAddressProcessor(),
+        statefulProcessor=UserAddressProcessorV2(state_ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="append",
-        timeMode="none" if ttl is None else "processingTime",
+        timeMode="none" if state_ttl_ms is None else "processingTime",
     )
 
 
