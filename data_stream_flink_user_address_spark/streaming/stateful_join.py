@@ -329,9 +329,13 @@ class UserAddressProcessorV2(StatefulProcessor):
     Module-level (not nested in the operator) so its logic runs under
     test with a fake handle even where ``google.protobuf`` -- a runtime
     dependency of Spark's transformWithState state-server protocol, not
-    of this class -- is unavailable.  ``tests/test_stateful_join.py``
-    drives it through scripted traces with fake Value/List states and
-    asserts emission-equality with the v1 ``_KeyJoinState`` machine.
+    of this class -- is unavailable.
+    ``tests/test_stateful_join.py::test_v2_fake_handle_emissions_equal_v1``
+    drives it through the scripted FIXTURES.md SS5 traces with fake
+    Value/List states and asserts emission-equality with the v1
+    ``_KeyJoinState`` machine;
+    ``test_v2_append_list_writes_only_the_delta`` pins the incremental
+    ``appendList`` write (the delta, never the full array).
 
     State shape: the user is a ``ValueState`` and the addresses a
     ``ListState`` appended incrementally -- with the RocksDB state store

@@ -271,6 +271,181 @@ def test_address_struct_fields(harness):
     }
 
 
+class _FakeValueState:
+    """transformWithState ValueState double (get/exists/update surface)."""
+
+    def __init__(self):
+        self._v = None
+        self.updates = []
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.updates.append(v)
+
+
+class _FakeListState:
+    """transformWithState ListState double.
+
+    Records every ``appendList`` call separately so tests can assert the
+    incremental-write property (each call carries only the delta).
+    """
+
+    def __init__(self):
+        self._items = []
+        self.append_calls = []
+
+    def exists(self):
+        return len(self._items) > 0
+
+    def get(self):
+        return iter(list(self._items))
+
+    def appendList(self, items):
+        items = list(items)
+        self._items.extend(items)
+        self.append_calls.append(items)
+
+
+class _FakeHandle:
+    """StatefulProcessorHandle double: hands out the fakes above."""
+
+    def __init__(self):
+        self.value_states = {}
+        self.list_states = {}
+
+    def getValueState(self, name, schema, ttl=None):
+        return self.value_states.setdefault(name, _FakeValueState())
+
+    def getListState(self, name, schema, ttl=None):
+        return self.list_states.setdefault(name, _FakeListState())
+
+
+def _drive_v2(key, batches):
+    """Run UserAddressProcessorV2 over scripted batches with fake state.
+
+    ``batches`` is a list of row-dict lists (one list per micro-batch for
+    this key).  Returns (emissions, handle) — emissions as plain dicts.
+    """
+    from data_stream_flink_user_address_spark.streaming.stateful_join import (
+        UserAddressProcessorV2,
+    )
+
+    proc = UserAddressProcessorV2()
+    handle = _FakeHandle()
+    proc.init(handle)
+    out = []
+    for rows in batches:
+        for pdf in proc.handleInputRows((key,), _machine_rows(rows), None):
+            out.extend(pdf.to_dict("records"))
+    return out, handle
+
+
+def _drive_v1(key, batches):
+    """Run the v1 _KeyJoinState machine over the same scripted batches."""
+    from data_stream_flink_user_address_spark.streaming.stateful_join import (
+        _KeyJoinState,
+    )
+
+    s = _KeyJoinState(key)
+    out = []
+    for rows in batches:
+        pdf = next(_machine_rows(rows))
+        for row in pdf.itertuples(index=False):
+            e = s.on_row(row)
+            if e is not None:
+                out.append(e)
+    return out
+
+
+def _u_row(key, seq, name="N"):
+    return {"key": key, "side": "U", "seq": seq, "name": name,
+            "email": f"{name}@x.com", "genre": "F"}
+
+
+def _a_row(key, seq, addr=None):
+    return {"key": key, "side": "A", "seq": seq, "address": addr or f"a{seq}",
+            "city": "c", "state": "S1", "zipCode": "z", "country": "C1"}
+
+
+# The five FIXTURES.md SS5 traces, as (name, batches) — same scripts the
+# live-stream tests above feed through the v1 operator.
+_V2_TRACES = [
+    ("user_first", [[_u_row("k", 1), _a_row("k", 2), _a_row("k", 3), _a_row("k", 4)]]),
+    ("address_first", [[_a_row("k", 1), _a_row("k", 2), _u_row("k", 3)]]),
+    ("user_update", [[_u_row("k", 1, "V1"), _a_row("k", 2), _u_row("k", 3, "V2")]]),
+    ("duplicate_address", [[_u_row("k", 1), _a_row("k", 2, "dup"), _a_row("k", 3, "dup")]]),
+    ("orphan_address", [[_a_row("k", 1)]]),
+    # cross-batch persistence: buffered orphan released by a later user,
+    # then an append in a third batch
+    ("cross_batch", [[_a_row("k", 1)], [_u_row("k", 2)], [_a_row("k", 3)]]),
+]
+
+
+@pytest.mark.parametrize("name,batches", _V2_TRACES, ids=[t[0] for t in _V2_TRACES])
+def test_v2_fake_handle_emissions_equal_v1(name, batches):
+    """UserAddressProcessorV2's state machine (driven with fake
+    Value/List state handles — no protobuf, no state server) must emit
+    EXACTLY what the v1 _KeyJoinState machine emits for every scripted
+    trace, field for field."""
+    v2_out, _ = _drive_v2("k", batches)
+    v1_out = _drive_v1("k", batches)
+    assert v2_out == v1_out
+    # spot-check the one trace with a known expected shape
+    if name == "user_first":
+        assert [[a["address"] for a in e["addresses"]] for e in v2_out] == [
+            [], ["a2"], ["a2", "a3"], ["a2", "a3", "a4"],
+        ]
+
+
+def test_v2_append_list_writes_only_the_delta():
+    """The scale-critical property of the v2 state shape: an address
+    event appends ONE ListState entry (RocksDB incremental put) instead
+    of rewriting the whole accumulated array like v1.  Assert each
+    appendList call carries exactly that batch's new addresses."""
+    batches = [
+        [_u_row("k", 1), _a_row("k", 2), _a_row("k", 3)],  # batch 1: 2 addrs
+        [_a_row("k", 4)],                                   # batch 2: 1 addr
+        [_u_row("k", 5, "V2")],                             # batch 3: none
+    ]
+    out, handle = _drive_v2("k", batches)
+    ls = handle.list_states["addresses"]
+    # one appendList per batch that had addresses, each only the delta
+    assert [len(c) for c in ls.append_calls] == [2, 1]
+    assert [e[0] for c in ls.append_calls for e in c] == ["a2", "a3", "a4"]
+    # and the accumulated list state equals the full address run
+    assert [e[0] for e in ls._items] == ["a2", "a3", "a4"]
+    # user ValueState rewritten only on user events
+    vs = handle.value_states["user"]
+    assert [u[0] for u in vs.updates] == ["N", "V2"]
+    # final emission sees all three addresses despite incremental writes
+    assert [a["address"] for a in out[-1]["addresses"]] == ["a2", "a3", "a4"]
+
+
+def test_v2_batch_sorts_by_seq_like_v1():
+    """Within-batch ordering comes from seq, not arrival order — feed a
+    shuffled batch and assert both machines resolve it identically."""
+    shuffled = [[_a_row("k", 3), _u_row("k", 1), _a_row("k", 2)]]
+    v2_out, _ = _drive_v2("k", shuffled)
+    # v1 sorts inside _make_join_state_machine, not _KeyJoinState — sort here
+    pdf = next(_machine_rows(shuffled[0])).sort_values("seq", kind="stable")
+    from data_stream_flink_user_address_spark.streaming.stateful_join import (
+        _KeyJoinState,
+    )
+
+    s = _KeyJoinState("k")
+    v1_sorted = [e for e in (s.on_row(r) for r in pdf.itertuples(index=False)) if e]
+    assert v2_out == v1_sorted
+    assert [[a["address"] for a in e["addresses"]] for e in v2_out] == [
+        [], ["a2"], ["a2", "a3"],
+    ]
+
+
 def test_v2_transform_with_state_matches_traces(spark, tmp_path):
     """The transformWithStateInPandas implementation must reproduce the
     same emission traces as v1 (user-first growth, address-first
