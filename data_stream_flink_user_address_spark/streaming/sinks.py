@@ -146,19 +146,34 @@ class TransactionalKeyedUpsertSink:
     - **Path abstraction + multi-writer.**  All metadata I/O goes
       through the Hadoop ``FileSystem`` API resolved from the path (no
       ``os.listdir``), so the table works on any Hadoop-addressable
-      store.  ``create(path, overwrite=false)`` on the next version
-      number is the commit arbiter: of two concurrent writers exactly
-      one wins (atomic create-if-absent on HDFS and local FS); the
-      loser re-reads the winner's manifest and retries its merge on top
-      -- optimistic concurrency, same protocol Delta Lake uses for its
-      transaction log.
+      store.  The commit arbiter is write-temp-then-publish (Delta
+      HDFSLogStore pattern): the manifest body is fully written and
+      closed as ``_log/.tmp-*`` FIRST, then published to
+      ``_log/{version}.json`` by an atomic fail-if-exists move -- a
+      POSIX hard link on local filesystems (``rename(2)`` silently
+      replaces, ``link(2)`` atomically fails on an existing target) and
+      ``FileSystem.rename`` elsewhere (atomic no-overwrite on HDFS).
+      Of two concurrent writers exactly one wins; the loser re-reads
+      the winner's manifest and retries its merge on top -- optimistic
+      concurrency, the same protocol as Delta Lake's transaction log.
+      A manifest is therefore never visible half-written; as defense in
+      depth readers also skip an unparsable/empty newest log entry
+      (e.g. one produced by a crashed foreign writer) and fall back to
+      the newest parsable version.
+
+    Manifests store data-file paths RELATIVE to the table root, so the
+    table survives being moved/renamed or addressed through a different
+    filesystem prefix (absolute entries from older manifests are still
+    resolved for compatibility).
 
     Scale shape is unchanged: a batch reads and rewrites only the
     buckets its keys hash to (the manifest carries the untouched
     buckets' file lists forward), so per-batch cost is O(touched
     buckets) however large the table grows.  Old versions' files stay
-    until :meth:`vacuum` -- which also gives readers of a just-replaced
-    version a grace window.
+    until :meth:`vacuum`, which only reclaims unreferenced files older
+    than its retention window -- protecting both readers pinned to a
+    just-replaced version and in-flight writers whose data is written
+    before their commit.
     """
 
     def __init__(
@@ -191,19 +206,24 @@ class TransactionalKeyedUpsertSink:
     def _log_dir(self) -> str:
         return f"{self.path}/_log"
 
-    def _current_version(self, fs) -> int | None:
+    def _list_versions(self, fs) -> list[int]:
+        """Committed version numbers, newest first (tmp files excluded)."""
         log = self._jpath(self._log_dir)
         if not fs.exists(log):
-            return None
+            return []
         versions = []
         for st in fs.listStatus(log):
             name = st.getPath().getName()
-            if name.endswith(".json"):
+            if name.endswith(".json") and not name.startswith("."):
                 try:
                     versions.append(int(name[: -len(".json")]))
                 except ValueError:
                     continue
-        return max(versions) if versions else None
+        return sorted(versions, reverse=True)
+
+    def _current_version(self, fs) -> int | None:
+        versions = self._list_versions(fs)
+        return versions[0] if versions else None
 
     def _read_manifest(self, fs, version: int) -> dict:
         stream = fs.open(self._jpath(f"{self._log_dir}/{version:020d}.json"))
@@ -215,19 +235,85 @@ class TransactionalKeyedUpsertSink:
             stream.close()
         return json.loads(body)
 
-    def _try_commit(self, fs, version: int, manifest: dict) -> bool:
-        """Atomically create ``_log/{version}.json``; False on conflict."""
-        fs.mkdirs(self._jpath(self._log_dir))
-        target = self._jpath(f"{self._log_dir}/{version:020d}.json")
+    def _try_read_manifest(self, fs, version: int) -> dict | None:
+        """None instead of raising on an empty/truncated/corrupt entry."""
         try:
-            out = fs.create(target, False)  # overwrite=False: the arbiter
-        except Exception:
-            return False  # a concurrent writer owns this version
+            return self._read_manifest(fs, version)
+        except (json.JSONDecodeError, ValueError):
+            return None
+
+    def _latest_valid_manifest(self, fs) -> tuple[int | None, dict | None]:
+        """(version, manifest) of the newest PARSABLE log entry.
+
+        The publish protocol never exposes a half-written manifest, but
+        a crashed foreign writer using direct create() could; skipping
+        to the next parsable version keeps the table readable instead
+        of wedging every read on a JSONDecodeError.
+        """
+        for v in self._list_versions(fs):
+            m = self._try_read_manifest(fs, v)
+            if m is not None:
+                return v, m
+        return None, None
+
+    def _resolve(self, f: str) -> str:
+        """Manifest entry -> readable path (entries are table-relative;
+        absolute URIs from older manifests pass through unchanged)."""
+        if "://" in f or f.startswith(("/", "file:")):
+            return f
+        return f"{self.path}/{f}"
+
+    def _publish(self, fs, tmp: str, target_str: str) -> bool:
+        """Atomically move the fully-written tmp manifest to its final
+        name iff no file exists there; False when a concurrent writer
+        already owns the version.  Genuine I/O errors propagate."""
+        jvm = self.spark._jvm
+        target = self._jpath(target_str)
+        if fs.exists(target):
+            fs.delete(self._jpath(tmp), False)
+            return False
+        if fs.getScheme() == "file":
+            # POSIX hard link: the one local-FS primitive that
+            # atomically fails if the destination already exists
+            # (rename(2) silently replaces; create(overwrite=false) is
+            # check-then-create in Hadoop's RawLocalFileSystem).
+            src = jvm.java.io.File(self._jpath(tmp).toUri().getPath()).toPath()
+            dst = jvm.java.io.File(target.toUri().getPath()).toPath()
+            try:
+                jvm.java.nio.file.Files.createLink(dst, src)
+            except Exception as e:
+                fs.delete(self._jpath(tmp), False)
+                if "FileAlreadyExists" in str(e) or fs.exists(target):
+                    return False
+                raise
+            fs.delete(self._jpath(tmp), False)
+            return True
+        # HDFS and friends: rename refuses an existing destination
+        try:
+            renamed = fs.rename(self._jpath(tmp), target)
+        except Exception as e:
+            if "FileAlreadyExists" in str(e) or fs.exists(target):
+                fs.delete(self._jpath(tmp), False)
+                return False
+            raise
+        if not renamed:
+            fs.delete(self._jpath(tmp), False)
+        return renamed
+
+    def _try_commit(self, fs, version: int, manifest: dict) -> bool:
+        """Write-temp-then-publish ``_log/{version}.json``; False on a
+        lost commit race.  The manifest body is complete and closed
+        BEFORE it becomes visible under its final name, so readers can
+        never observe a partial entry."""
+        fs.mkdirs(self._jpath(self._log_dir))
+        tmp = f"{self._log_dir}/.tmp-{uuid.uuid4().hex}.json"
+        out = fs.create(self._jpath(tmp), True)
         try:
             out.write(bytearray(json.dumps(manifest).encode("utf-8")))
         finally:
             out.close()
-        return True
+        target = f"{self._log_dir}/{version:020d}.json"
+        return self._publish(fs, tmp, target)
 
     # -- table surface ------------------------------------------------------
 
@@ -237,24 +323,26 @@ class TransactionalKeyedUpsertSink:
     def read(self) -> DataFrame | None:
         """Current committed contents (None before the first commit)."""
         fs = self._fs()
-        version = self._current_version(fs)
-        if version is None:
+        _, manifest = self._latest_valid_manifest(fs)
+        if manifest is None:
             return None
-        files = [f for fl in self._read_manifest(fs, version)["buckets"].values() for f in fl]
+        files = [self._resolve(f) for fl in manifest["buckets"].values() for f in fl]
         return self.spark.read.parquet(*files)
 
     def _write_data(self, merged: DataFrame, touched: list[int]) -> dict[str, list[str]]:
-        """Write touched buckets' merged rows; return bucket -> new files."""
-        txn_dir = f"{self.path}/data/txn-{uuid.uuid4().hex}"
-        merged.write.partitionBy("__bucket").parquet(txn_dir)
+        """Write touched buckets' merged rows; return bucket -> new
+        files as TABLE-RELATIVE paths (the manifest must survive the
+        table directory moving or being addressed via another prefix)."""
+        txn_name = f"txn-{uuid.uuid4().hex}"
+        merged.write.partitionBy("__bucket").parquet(f"{self.path}/data/{txn_name}")
         fs = self._fs()
         out: dict[str, list[str]] = {}
         for b in touched:
-            bdir = self._jpath(f"{txn_dir}/__bucket={b}")
+            bdir = self._jpath(f"{self.path}/data/{txn_name}/__bucket={b}")
             if not fs.exists(bdir):
                 continue  # bucket lost every row to the LWW collapse
             out[str(b)] = [
-                st.getPath().toString()
+                f"data/{txn_name}/__bucket={b}/{st.getPath().getName()}"
                 for st in fs.listStatus(bdir)
                 if st.getPath().getName().endswith(".parquet")
             ]
@@ -271,12 +359,13 @@ class TransactionalKeyedUpsertSink:
         incoming = incoming.localCheckpoint()  # one computation across retries
         fs = self._fs()
         for _ in range(self.max_commit_retries):
-            version = self._current_version(fs)
+            versions = self._list_versions(fs)
+            _, base_manifest = self._latest_valid_manifest(fs)
             old_buckets: dict[str, list[str]] = (
-                {} if version is None else self._read_manifest(fs, version)["buckets"]
+                {} if base_manifest is None else base_manifest["buckets"]
             )
             old_files = [
-                f
+                self._resolve(f)
                 for b, fl in old_buckets.items()
                 if int(b) in touched
                 for f in fl
@@ -295,7 +384,9 @@ class TransactionalKeyedUpsertSink:
                 b: fl for b, fl in old_buckets.items() if int(b) not in touched
             }
             buckets.update(new_files)
-            next_version = 0 if version is None else version + 1
+            # next version counts PAST the newest listed entry even if it
+            # was unparsable -- never reuse a claimed version number
+            next_version = versions[0] + 1 if versions else 0
             if self._try_commit(fs, next_version, {"version": next_version, "buckets": buckets}):
                 return
             # lost the race: another writer committed next_version; re-merge
@@ -306,16 +397,31 @@ class TransactionalKeyedUpsertSink:
             f"{self.max_commit_retries} retries at {self.path}"
         )
 
-    def vacuum(self) -> int:
-        """Delete data files not referenced by the CURRENT manifest and
-        all older log entries; returns the number of files removed.
-        Callers must ensure no reader is pinned to an older version."""
+    def vacuum(self, retain_seconds: float = 3600.0) -> int:
+        """Delete data files not referenced by the current manifest, and
+        superseded log entries, PROVIDED they are older than
+        ``retain_seconds`` (Delta ``VACUUM ... RETAIN``-style age guard);
+        returns the number of data files removed.
+
+        The retention window is the safety mechanism: a reader pinned to
+        a just-replaced version finishes its scan, and an in-flight
+        concurrent writer -- whose data files exist BEFORE its commit by
+        design -- cannot have its pre-commit files reclaimed from under
+        it.  ``retain_seconds=0`` reclaims everything unreferenced
+        immediately and is only safe with all readers and writers
+        quiesced."""
+        import time
+
         fs = self._fs()
-        version = self._current_version(fs)
-        if version is None:
+        version, manifest = self._latest_valid_manifest(fs)
+        if manifest is None:
             return 0
-        manifest = self._read_manifest(fs, version)
-        live = {f for fl in manifest["buckets"].values() for f in fl}
+        live = set()
+        for fl in manifest["buckets"].values():
+            for f in fl:
+                live.add(f)
+                live.add(self._resolve(f))
+        cutoff_ms = (time.time() - retain_seconds) * 1000.0
         removed = 0
         data_dir = self._jpath(f"{self.path}/data")
         if fs.exists(data_dir):
@@ -324,12 +430,23 @@ class TransactionalKeyedUpsertSink:
                     if st.isDirectory():
                         for leaf in fs.listStatus(st.getPath()):
                             p = leaf.getPath()
-                            if p.getName().endswith(".parquet") and p.toString() not in live:
+                            rel = f"data/{txn.getPath().getName()}/{st.getPath().getName()}/{p.getName()}"
+                            if (
+                                p.getName().endswith(".parquet")
+                                and rel not in live
+                                and p.toString() not in live
+                                and leaf.getModificationTime() < cutoff_ms
+                            ):
                                 fs.delete(p, False)
                                 removed += 1
+        current_name = f"{version:020d}.json"
         for st in fs.listStatus(self._jpath(self._log_dir)):
             name = st.getPath().getName()
-            if name.endswith(".json") and name != f"{version:020d}.json":
+            if name == current_name:
+                continue
+            is_old_version = name.endswith(".json") and not name.startswith(".")
+            is_stale_tmp = name.startswith(".tmp-")
+            if (is_old_version or is_stale_tmp) and st.getModificationTime() < cutoff_ms:
                 fs.delete(st.getPath(), False)
         return removed
 

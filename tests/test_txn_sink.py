@@ -131,7 +131,7 @@ def test_txn_vacuum_reclaims_unreferenced_files(spark, tmp_path):
     sink = _mk(spark, tmp_path)
     sink.apply(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"))
     sink.apply(spark.createDataFrame([("a", 3)], "k string, v int"))
-    removed = sink.vacuum()
+    removed = sink.vacuum(retain_seconds=0)
     assert removed >= 1  # version-0 file for a's bucket is now orphaned
     got = {r["k"]: r["v"] for r in sink.read().collect()}
     assert got == {"a": 3, "b": 2}
@@ -143,6 +143,114 @@ def test_txn_vacuum_reclaims_unreferenced_files(spark, tmp_path):
         if st.getPath().getName().endswith(".json")
     ]
     assert len(log_entries) == 1
+
+
+def test_txn_vacuum_retention_preserves_recent_versions(spark, tmp_path):
+    """Default vacuum must NOT reclaim files inside the retention
+    window: a reader pinned to the just-replaced version (or an
+    in-flight writer whose data lands before its commit) keeps its
+    files.  This is the age guard that makes vacuum safe to run while
+    the table is live."""
+    sink = _mk(spark, tmp_path)
+    sink.apply(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"))
+    fs = sink._fs()
+    v0 = sink._current_version(fs)
+    v0_files = [
+        sink._resolve(f)
+        for fl in sink._read_manifest(fs, v0)["buckets"].values()
+        for f in fl
+    ]
+    sink.apply(spark.createDataFrame([("a", 3)], "k string, v int"))
+
+    removed = sink.vacuum()  # default 1h retention; everything is seconds old
+    assert removed == 0
+    # the replaced version is still fully readable (pinned-reader story)
+    assert fs.exists(sink._jpath(f"{sink._log_dir}/{v0:020d}.json"))
+    old = {r["k"]: r["v"] for r in spark.read.parquet(*v0_files).collect()}
+    assert old == {"a": 1, "b": 2}
+    # and an in-flight writer's pre-commit data survives too
+    crashed = spark.createDataFrame([("z", 9)], "k string, v int").withColumn(
+        "__bucket", sink._bucket()
+    )
+    files = sink._write_data(
+        crashed, [int(r[0]) for r in crashed.select("__bucket").distinct().collect()]
+    )
+    assert sink.vacuum() == 0
+    for fl in files.values():
+        for f in fl:
+            assert fs.exists(sink._jpath(sink._resolve(f)))
+
+
+def test_txn_manifest_paths_relative_and_table_survives_move(spark, tmp_path):
+    """Manifests store table-relative data paths, so physically moving
+    the table directory (or addressing it via a different prefix) keeps
+    every version readable -- the Delta-log property the absolute-URI
+    manifests lacked."""
+    import shutil
+
+    sink = _mk(spark, tmp_path)
+    sink.apply(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"))
+    sink.apply(spark.createDataFrame([("b", 99)], "k string, v int"))
+    fs = sink._fs()
+    manifest = sink._read_manifest(fs, sink._current_version(fs))
+    for fl in manifest["buckets"].values():
+        for f in fl:
+            assert not f.startswith("/") and "://" not in f, f
+
+    moved = str(tmp_path / "kv_moved")
+    shutil.move(str(tmp_path / "kv"), moved)
+    sink2 = TransactionalKeyedUpsertSink(spark, moved, key="k", order_col="v")
+    got = {r["k"]: r["v"] for r in sink2.read().collect()}
+    assert got == {"a": 1, "b": 99}
+    # and the moved table accepts further commits + vacuums cleanly
+    sink2.apply(spark.createDataFrame([("c", 5)], "k string, v int"))
+    assert {r["k"] for r in sink2.read().collect()} == {"a", "b", "c"}
+    assert sink2.vacuum(retain_seconds=0) >= 1
+
+
+def test_txn_reader_skips_truncated_newest_manifest(spark, tmp_path):
+    """A zero-byte/garbage newest log entry (crashed foreign writer
+    using direct create) must not wedge the table: reads fall back to
+    the newest parsable version and the next commit claims a FRESH
+    version number past the junk entry."""
+    sink = _mk(spark, tmp_path)
+    sink.apply(spark.createDataFrame([("a", 1)], "k string, v int"))
+    fs = sink._fs()
+    v = sink._current_version(fs)
+
+    # simulate the crash: an empty manifest at v+1 and garbage at v+2
+    for junk_v, body in ((v + 1, b""), (v + 2, b'{"version": 7, "buck')):
+        out = fs.create(sink._jpath(f"{sink._log_dir}/{junk_v:020d}.json"), True)
+        try:
+            if body:
+                out.write(bytearray(body))
+        finally:
+            out.close()
+
+    got = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert got == {"a": 1}  # fell back past both junk entries
+    sink.apply(spark.createDataFrame([("b", 2)], "k string, v int"))
+    assert sink._current_version(fs) == v + 3  # fresh number, junk not reused
+    got = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert got == {"a": 1, "b": 2}  # merge based on the last VALID version
+
+
+def test_txn_lost_race_cleans_tmp_and_returns_false(spark, tmp_path):
+    """_try_commit on an already-claimed version: returns False (the
+    retry signal) and leaves no .tmp litter in the log directory."""
+    sink = _mk(spark, tmp_path)
+    sink.apply(spark.createDataFrame([("a", 1)], "k string, v int"))
+    fs = sink._fs()
+    v = sink._current_version(fs)
+    assert sink._try_commit(fs, v, {"version": v, "buckets": {}}) is False
+    leftovers = [
+        st.getPath().getName()
+        for st in fs.listStatus(sink._jpath(sink._log_dir))
+        if st.getPath().getName().startswith(".tmp")
+    ]
+    assert leftovers == []
+    # the claimed version's content is untouched by the losing attempt
+    assert sink._read_manifest(fs, v)["buckets"] != {}
 
 
 def test_txn_streaming_foreach_batch(spark, tmp_path):
