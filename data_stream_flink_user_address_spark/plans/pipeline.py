@@ -8,8 +8,10 @@ Two JSON streams (user, address) -> stateful emit-per-event join ->
 Differences from the reference, by design (SURVEY.md SS7 item 8):
 - windows are (window x dimension) grouped aggs, not parallelism-1
   ``windowAll`` -- identical per-window results, fully parallel;
-- sinks are parquet-backed keyed upsert tables (MongoSink analogue)
-  behind ``foreachBatch``; swap for the Mongo connector in production;
+- sinks are keyed upsert tables (MongoSink analogue) behind
+  ``foreachBatch`` -- the commit-log transactional backend by default,
+  the plain parquet-directory store via ``transactional=False``; swap
+  for the Mongo connector in production;
 - counts are driven by an explicit ingest-time column, making the
   reference's processing-time behavior reproducible in tests.
 """
@@ -44,15 +46,16 @@ class ReferencePipeline:
         checkpoint_dir: str,
         window: str = "1 minute",
         seq_col: str | None = "seq",
-        transactional: bool = False,
+        transactional: bool = True,
     ):
         self.spark = spark
         self.out_dir = out_dir
         self.checkpoint_dir = checkpoint_dir
         self.window = window
-        # transactional=True swaps every sink for the commit-log backend
-        # (cross-bucket crash atomicity, multi-writer safe) -- same
-        # upsert semantics, production-shaped durability
+        # The commit-log backend (cross-bucket crash atomicity,
+        # multi-writer safe) is the default; transactional=False selects
+        # the simpler parquet-directory store -- same upsert semantics,
+        # single-writer durability only
         self.sink_cls = TransactionalKeyedUpsertSink if transactional else KeyedUpsertSink
         self.joined = stateful_user_address_join(users, addresses, seq_col=seq_col)
         self.queries = []

@@ -73,11 +73,11 @@ def main(n_users: int = 10) -> None:
     finally:
         pipe.stop()
 
-    # 4. what the Mongo collections would hold
+    # 4. what the Mongo collections would hold (sink.read() works on
+    # both the commit-log default and the parquet-directory backend)
     for table in ("userAddress", "userCountByState", "userCountByCountry"):
-        path = os.path.join(work, "out", table)
         print(f"\n=== {table} ===")
-        t = spark.read.parquet(path).drop("__bucket")  # sink-internal partition key
+        t = pipe.sinks[table].read().drop("__bucket")  # sink-internal partition key
         t.orderBy(t.columns[0]).show(10, truncate=60)
 
     shutil.rmtree(work)

@@ -67,7 +67,11 @@ def test_full_pipeline_end_to_end(spark, tmp_path):
 
     users = spark.readStream.schema(USER_SEQ).json(udir)
     addresses = spark.readStream.schema(ADDR_SEQ).json(adir)
-    pipe = ReferencePipeline(spark, users, addresses, out, str(tmp_path / "ckpt"))
+    # transactional=False pins THIS test to the parquet-directory
+    # backend (the raw spark.read.parquet assertions below are
+    # backend-specific); the commit-log default runs in test_txn_sink.py
+    pipe = ReferencePipeline(spark, users, addresses, out, str(tmp_path / "ckpt"),
+                             transactional=False)
     pipe.start()
     try:
         pipe.process_all()

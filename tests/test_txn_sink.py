@@ -253,6 +253,52 @@ def test_txn_lost_race_cleans_tmp_and_returns_false(spark, tmp_path):
     assert sink._read_manifest(fs, v)["buckets"] != {}
 
 
+def test_txn_two_concurrent_writers_serialize(spark, tmp_path):
+    """Two writers hammering the SAME table from separate threads: the
+    commit arbiter must serialize every commit (no lost updates, one
+    version per apply) and the merged table must equal the sequential
+    result.  Keys are disjoint per writer except the shared{b} keys,
+    which both writers upsert with identical values -- so the final
+    table is deterministic regardless of interleaving."""
+    import threading
+
+    path = str(tmp_path / "kv")
+    n_batches, n_keys = 4, 5
+    errors = []
+
+    def writer(tag):
+        try:
+            sink = TransactionalKeyedUpsertSink(spark, path, key="k", order_col="v")
+            for b in range(n_batches):
+                rows = [(f"{tag}-{b}-{i}", b * 100 + i) for i in range(n_keys)]
+                rows.append((f"shared{b}", 1000 + b))
+                sink.apply(spark.createDataFrame(rows, "k string, v int"))
+        except Exception as e:  # surface failures from the thread
+            errors.append((tag, e))
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("w1", "w2")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert errors == []
+
+    check = TransactionalKeyedUpsertSink(spark, path, key="k", order_col="v")
+    got = {r["k"]: r["v"] for r in check.read().collect()}
+    expected = {
+        f"{tag}-{b}-{i}": b * 100 + i
+        for tag in ("w1", "w2")
+        for b in range(n_batches)
+        for i in range(n_keys)
+    }
+    expected.update({f"shared{b}": 1000 + b for b in range(n_batches)})
+    assert got == expected
+    # every apply won exactly one version: 8 commits -> versions 0..7
+    fs = check._fs()
+    assert check._current_version(fs) == 2 * n_batches - 1
+    assert len(check._list_versions(fs)) == 2 * n_batches
+
+
 def test_txn_streaming_foreach_batch(spark, tmp_path):
     """The sink behind writeStream.foreachBatch: per-micro-batch keyed
     upsert with the commit log advancing once per batch."""
