@@ -10,7 +10,8 @@ Query inventory (SURVEY.md SS2 + BASELINE.json north-star extensions):
 Reference parity (operators of the Flink job, FIXTURES.md SS6 mapping --
 customer plays user, orders plays address, events plays the Kafka stream):
   user_address_counts, count_by_state, count_by_country,
-  windowed_count_by_type, windowed_value_sum, stateful_join_trace
+  windowed_count_by_type, windowed_value_sum, stateful_join_trace,
+  windowed_trace_inflation
 
 Relational breadth (standard OLAP surface on the same engine):
   q1_pricing_summary, q3_shipping_priority, q5_local_supplier_volume,
@@ -259,6 +260,48 @@ def _q_stateful_join_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("userId").cast("bigint").alias("user_key"),
         F.col("seq"),
         F.size("addresses").cast("bigint").alias("n_addresses"),
+    )
+
+
+def _q_windowed_trace_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window count by state OVER THE EMISSION STREAM -- the
+    reference's actual window input (Main.java:136-150 consumes the
+    join's output, not the raw address stream), which is INFLATED by
+    per-event snapshot re-emission: every emission carries the user's
+    full address list so far, so an address is re-counted once per
+    later emission of the same user (SURVEY.md SS2.4 note a).
+
+    The trace is driven by the real ``batch_emission_trace`` operator
+    (customer seq=0, orders seq=o_orderkey); each emission is
+    timestamped with its triggering order's o_orderdate and counted in
+    epoch-aligned 30-day tumbling windows (``F.window``), making the
+    reference's processing-time inflation deterministic and
+    SQL-checkable.  Scale shape: explode + one shuffle join on seq +
+    one windowed agg; no driver participation, no array rebuild per
+    snapshot (the trace operator shares prefix slices)."""
+    _utc(spark)
+    users = _customer_as_users(spark, sf_dir).withColumn("seq", F.lit(0).cast("long"))
+    addresses = (
+        _orders_as_addresses(spark, sf_dir)
+        .withColumn("seq", F.col("address").cast("long"))
+    )
+    trace = batch_emission_trace(users, addresses)
+    emit_times = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("seq"),
+        F.col("o_orderdate").alias("emit_ts"),
+    )
+    exploded = trace.withColumn("addr", F.explode("addresses")).join(emit_times, "seq")
+    return (
+        exploded.groupBy(
+            F.window("emit_ts", "30 days").alias("win"),
+            F.col("addr.state").alias("state"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "state",
+            "cnt",
+        )
     )
 
 
@@ -717,6 +760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_count_by_type": _q_windowed_count_by_type,
     "windowed_value_sum": _q_windowed_value_sum,
     "stateful_join_trace": _q_stateful_join_trace,
+    "windowed_trace_inflation": _q_windowed_trace_inflation,
     # relational breadth
     "q1_pricing_summary": _q_q1_pricing_summary,
     "q3_shipping_priority": _q_q3_shipping_priority,
@@ -903,6 +947,22 @@ ORACLE_SQL: dict[str, str] = {
                row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS n_addresses
         FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer)
+    """,
+    # the emission stream as (emitting order e, snapshot member m) pairs:
+    # e's snapshot holds every order of the same customer with key <= e's
+    # (users arrive first at seq 0), so each member is re-counted once per
+    # later emission -- the Flink job's window-input inflation.  Window =
+    # epoch-aligned 30-day buckets of the emitting order's date (Spark
+    # F.window alignment: floor(epoch/2592000)*2592000).
+    "windowed_trace_inflation": """
+        SELECT strftime(to_timestamp((epoch(e.o_orderdate)::BIGINT // 2592000) * 2592000),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               m.o_orderpriority AS state,
+               count(*) AS cnt
+        FROM orders e
+        JOIN orders m ON m.o_custkey = e.o_custkey AND m.o_orderkey <= e.o_orderkey
+        WHERE e.o_custkey IN (SELECT c_custkey FROM customer)
+        GROUP BY 1, 2
     """,
     # ---------------- relational breadth ----------------
     "q1_pricing_summary": """

@@ -35,6 +35,7 @@ HEADLINE = [
     "windowed_count_by_type",
     "windowed_value_sum",
     "stateful_join_trace",
+    "windowed_trace_inflation",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
