@@ -87,14 +87,15 @@ _SIMHASH_BITS = 32
 _ANN_PLANES = 6
 _EMB_DIM = 64
 # Stop-shingle pruning for the declared ngram-Jaccard query: shingles in
-# more than this many docs are dropped from the candidate join (the true
-# Jaccard denominator still uses unpruned set sizes).  This bounds the
-# per-shingle self-join at <= vocab * cap^2 candidate rows -- the knob
+# more than this many docs are dropped from CANDIDATE GENERATION (the
+# per-shingle self-join is bounded at <= vocab * cap^2 rows -- the knob
 # that keeps the operator linear-ish at 100 TB instead of quadratic on
-# hot shingles.  On the synthetic word-salad corpus (~2k distinct
-# 5-gram shingles, median doc-frequency 31 at sf0.01) pruning is
-# deliberately lossy for pairs held together only by corpus-common
-# shingles; the exact unpruned variant remains available as
+# hot shingles).  Every candidate pair is then RESCORED over its full
+# shingle sets, so emitted jaccard values are exact; pruning costs
+# recall only -- a pair sharing exclusively corpus-common shingles is
+# never considered.  On the synthetic word-salad corpus (~2k distinct
+# 5-gram shingles, median doc-frequency 31 at sf0.01) that recall loss
+# is deliberate; the exhaustive variant remains available as
 # ngram_jaccard_pairs(max_shingle_freq=None).
 _NGRAM_MAX_DF = 100
 
@@ -1302,6 +1303,9 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT doc_id, min(lab) AS cluster_id FROM comp GROUP BY doc_id
     """,
+    # candidates come from low-df shingles only (stop-shingle pruning);
+    # n_common is then recomputed over the candidates' FULL shingle sets,
+    # so every emitted score is the exact Jaccard (pruning = recall only)
     "ngram_jaccard_pairs": f"""
         WITH {_sql_shingles(5)},
         sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
@@ -1311,10 +1315,16 @@ ORACLE_SQL: dict[str, str] = {
           FROM sh s JOIN freq f USING (shingle)
           WHERE f.df_ <= {_NGRAM_MAX_DF}
         ),
-        inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        candidates AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM joinable a JOIN joinable b USING (shingle)
           WHERE a.doc_id < b.doc_id
+        ),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          FROM candidates c
+          JOIN sh x ON x.doc_id = c.doc_a
+          JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
           GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,

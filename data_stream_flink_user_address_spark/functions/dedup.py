@@ -361,26 +361,55 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over n-gram shingle sets for candidate pairs.
 
     Candidates come from sharing any shingle; ``max_shingle_freq`` drops
-    shingles appearing in more than that many docs (stop-shingles) --
-    the standard pruning that keeps the per-shingle join from going
-    quadratic on hot shingles at scale.  Jaccard itself uses the TRUE
-    per-doc set sizes (computed before pruning), so the score is exact
-    for every surviving pair.
+    shingles appearing in more than that many docs (stop-shingles) from
+    CANDIDATE GENERATION ONLY -- the standard pruning that keeps the
+    per-shingle join from going quadratic on hot shingles at scale.
+    The Jaccard score of every candidate pair is then computed over the
+    pair's FULL shingle sets (n_common counts pruned shingles too, and
+    set sizes are unpruned), so scores are EXACT for every emitted pair;
+    pruning affects recall only (a pair sharing exclusively stop-shingles
+    is never considered).
+
+    Scale shape with pruning: the candidate join is bounded by
+    vocab * cap^2 rows; rescoring expands each candidate pair by one
+    doc's shingle set and joins it back to the shingle table on
+    (doc, shingle) -- O(candidates * shingles_per_doc), linear in the
+    candidate count, never all-pairs.
     """
     sh = shingles(df, text_col, id_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    joinable = sh
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        joinable = sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle").select(id_col, "shingle")
-    a = joinable.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = joinable.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        joinable = sh.join(
+            freq.filter(F.col("df_") <= max_shingle_freq), "shingle"
+        ).select(id_col, "shingle")
+        a = joinable.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = joinable.select(F.col(id_col).alias("doc_b"), "shingle")
+        candidates = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # exact n_common for the candidates: expand each pair by doc_a's
+        # FULL shingle set, keep the shingles doc_b also has
+        sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        inter = (
+            candidates.join(sh_a, "doc_a")
+            .join(sh_b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
     return (

@@ -126,3 +126,46 @@ def test_minhash_text_variant_equals_explode_variant(spark):
     }
     assert via_text == via_explode
     assert 5 not in via_text and 1 in via_text
+
+
+def test_ngram_jaccard_pruned_scores_are_exact(spark):
+    """Stop-shingle pruning must affect candidate RECALL only: a pair
+    found via its low-df shingles gets the same exact jaccard as the
+    unpruned run (n_common counts pruned shingles too), and a pair held
+    together exclusively by stop-shingles is dropped."""
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    common = "zzzzzzzzzz"  # 10 chars -> 6 distinct 5-gram shingles, in all docs
+    rare1 = "abcdefghij"
+    rare2 = "abcdefghXY"  # shares abcde..defgh with rare1
+    rows = [
+        (1, rare1 + common),
+        (2, rare2 + common),
+        (3, common + "qqqqq"),  # overlaps every other doc ONLY via the common run
+        (4, common + "wwwww"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=5, threshold=0.01).collect()
+    }
+    # cap=2: every shingle of the common run appears in all 4 docs -> pruned
+    pruned = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, n=5, threshold=0.01, max_shingle_freq=2
+        ).collect()
+    }
+    # (1,2) survives via its rare shingles and keeps the EXACT score,
+    # which counts the shared common-run shingles in n_common
+    assert (1, 2) in pruned
+    assert pruned[(1, 2)] == exact[(1, 2)]
+    # every pruned pair's score matches the exhaustive run exactly
+    for pair, score in pruned.items():
+        assert score == exact[pair], pair
+    # pairs glued only by the corpus-common run are recall losses
+    assert (3, 4) not in pruned and (3, 4) in exact
+    assert set(pruned) < set(exact)
