@@ -729,6 +729,22 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
+def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed variant of embedding_near_dup: hyperplane sign
+    buckets pre-partition the corpus and the pairwise sweep runs within
+    each bucket only -- the scale path when one exact block-pair sweep
+    is too quadratic.  Approximate by design: measured recall vs the
+    exact variant at threshold 0.4 with 6 planes is 59/59 = 1.00 on the
+    sf0.01 corpus and 327/343 = 0.95 at sf0.1 (high-cosine pairs agree
+    on all plane signs w.h.p.; the oracle reproduces the identical
+    bucketing, so correctness checks the approximate semantics
+    themselves)."""
+    return embedding_near_dup_pairs(
+        _embs(spark, sf_dir), threshold=0.4,
+        lsh_planes=_ANN_PLANES, dim=_EMB_DIM, lsh_seed=42,
+    )
+
+
 def _queries_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return e.filter(F.col("vec_id") < 10).select(
@@ -798,6 +814,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
     "simhash_docs": _q_simhash_docs,
     "embedding_near_dup": _q_embedding_near_dup,
+    "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     "similarity_topk": _q_similarity_topk,
     "similarity_lsh_topk": _q_similarity_lsh_topk,
     "multimodal_meta": _q_multimodal_meta,
@@ -1353,6 +1370,20 @@ ORACLE_SQL: dict[str, str] = {
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round({_sql_cosine("a.embedding", "b.embedding")}, 6) AS cosine
         FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND round({_sql_cosine("a.embedding", "b.embedding")}, 6) >= 0.4
+    """,
+    # same hyperplane buckets as the Spark path (seeded planes baked into
+    # both plans); pairs meet only inside a bucket -- the oracle checks
+    # the approximate semantics themselves, not the exact answer
+    "embedding_near_dup_lsh": f"""
+        WITH bucketed AS (
+          SELECT vec_id, embedding, {_sql_plane_bucket("embedding", _PLANES)} AS bucket
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_sql_cosine("a.embedding", "b.embedding")}, 6) AS cosine
+        FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
         WHERE a.vec_id < b.vec_id
           AND round({_sql_cosine("a.embedding", "b.embedding")}, 6) >= 0.4
     """,

@@ -70,6 +70,7 @@ HEADLINE = [
     "dedup_clusters",
     "simhash_docs",
     "embedding_near_dup",
+    "embedding_near_dup_lsh",
     "similarity_topk",
     "similarity_lsh_topk",
     "multimodal_meta",

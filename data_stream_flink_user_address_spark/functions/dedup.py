@@ -474,20 +474,43 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_blocks: int = 8,
+    lsh_planes: int | None = None,
+    dim: int | None = None,
+    lsh_seed: int = 42,
+    lsh_tables: int = 8,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold, via blocked matrix multiply.
+    """All pairs with cosine >= threshold.
 
-    The classic scalable shape for exact all-pairs similarity: vectors
-    are assigned to ``n_blocks`` blocks; every unordered block pair
-    (B*(B+1)/2 tasks) receives its two blocks (each vector replicated at
-    most B times -- linear, never quadratic, data movement) and computes
-    a dense float64 matmul in numpy, emitting only the thresholded
-    pairs.  Compute runs at BLAS speed; the quadratic term never
-    materializes as rows.
+    Two execution strategies behind one call:
 
-    At 100 TB scale, pick ``n_blocks`` so one block fits executor memory;
-    for corpora where even that is too quadratic, pre-partition by an LSH
-    bucket (similarity.lsh_bucket) and run this per bucket.
+    - ``lsh_planes=None`` (default): EXACT blocked matrix multiply --
+      the classic scalable shape for exact all-pairs similarity.
+      Vectors are assigned to ``n_blocks`` blocks; every unordered
+      block pair (B*(B+1)/2 tasks) receives its two blocks (each vector
+      replicated at most B times -- linear, never quadratic, data
+      movement) and computes a dense float64 matmul in numpy, emitting
+      only the thresholded pairs.  Compute runs at BLAS speed; the
+      quadratic term never materializes as rows, but every block PAIR
+      is still touched: total compute is O(n^2 / cores).
+
+    - ``lsh_planes=K`` (requires ``dim``): APPROXIMATE multi-table
+      random-hyperplane LSH -- ``lsh_tables`` independent tables, each
+      assigning every vector a K-bit sign bucket
+      (:func:`..functions.similarity.lsh_bucket`, seeded planes per
+      table), and the pairwise matmul runs WITHIN each (table, bucket)
+      group only; a pair found in several tables is kept once.  Data
+      movement is one shuffle of L copies of the corpus (linear);
+      compute is O(L * sum of bucket^2) BLAS flops.  This is the escape
+      hatch when the exact block-pair sweep's n^2 is unpayable.
+      Recall for a pair at angle theta is 1-(1-p^K)^L with
+      p = 1 - theta/pi -- tunable: more tables raise recall, more
+      planes shrink buckets.  Measured numbers for the declared entry
+      configuration live in ``__spark_entry__.py``.
+
+    At 100 TB scale: pick ``n_blocks`` so one block fits executor
+    memory for the exact path; for the LSH path pick ``lsh_planes`` so
+    the hottest (table, bucket) matmul fits one task, and
+    ``lsh_tables`` for the recall target.
     """
     import numpy as np
     import pandas as pd
@@ -495,6 +518,41 @@ def embedding_near_dup_pairs(
     from ..shipping import ensure_package_on_workers
 
     ensure_package_on_workers(emb.sparkSession)
+
+    if lsh_planes is not None:
+        if dim is None:
+            raise ValueError("dim is required when lsh_planes is set")
+        from .similarity import lsh_bucket, make_planes
+
+        e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        tagged = None
+        for t in range(lsh_tables):
+            planes = make_planes(dim, lsh_planes, lsh_seed + t)
+            bt = e.select(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col("v"), planes).alias("bucket"),
+                "id",
+                "v",
+            )
+            tagged = bt if tagged is None else tagged.unionByName(bt)
+
+        def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            cos = np.round((m @ m.T) / np.outer(norms, norms), 6)
+            ii, jj = np.where(cos >= threshold)
+            keep = ids[ii] < ids[jj]
+            return pd.DataFrame(
+                {"vec_a": ids[ii][keep], "vec_b": ids[jj][keep], "cosine": cos[ii, jj][keep]}
+            )
+
+        pairs = tagged.groupBy("tbl", "bucket").applyInPandas(
+            per_bucket, schema="vec_a long, vec_b long, cosine double"
+        )
+        # a pair colliding in several tables appears once per table with
+        # an identical (deterministically rounded) cosine -- keep one
+        return pairs.dropDuplicates(["vec_a", "vec_b"])
 
     spark = emb.sparkSession
     blkpairs = spark.createDataFrame(
