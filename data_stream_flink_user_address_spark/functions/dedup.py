@@ -525,21 +525,24 @@ def embedding_near_dup_pairs(
         from .similarity import lsh_bucket, make_planes
 
         e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        tagged = None
-        for t in range(lsh_tables):
-            planes = make_planes(dim, lsh_planes, lsh_seed + t)
-            bt = e.select(
-                F.lit(t).alias("tbl"),
-                lsh_bucket(F.col("v"), planes).alias("bucket"),
-                "id",
-                "v",
-            )
-            tagged = bt if tagged is None else tagged.unionByName(bt)
+        # one corpus scan: compute every table's bucket key in a single
+        # projection, then posexplode into (tbl, bucket) rows -- the L-way
+        # replication happens in the shuffle write, not as L re-scans of
+        # the source (at 100 TB the scan is the expensive part)
+        bucket_cols = [
+            lsh_bucket(F.col("v"), make_planes(dim, lsh_planes, lsh_seed + t))
+            for t in range(lsh_tables)
+        ]
+        tagged = e.select(
+            "id", "v", F.posexplode(F.array(*bucket_cols)).alias("tbl", "bucket")
+        )
 
         def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             ids = pdf["id"].to_numpy()
             m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(m, axis=1)
+            # zero-norm guard: a zero vector has cosine 0 to everything
+            # (filtered by any positive threshold) instead of NaN
+            norms = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
             cos = np.round((m @ m.T) / np.outer(norms, norms), 6)
             ii, jj = np.where(cos >= threshold)
             keep = ids[ii] < ids[jj]
@@ -583,8 +586,9 @@ def embedding_near_dup_pairs(
         ri = r["id"].to_numpy()
         lm = np.stack(l["v"].to_numpy()).astype(np.float64)
         rm = np.stack(r["v"].to_numpy()).astype(np.float64)
-        ln = np.linalg.norm(lm, axis=1)
-        rn = np.linalg.norm(rm, axis=1)
+        # zero-norm guard (see per_bucket): cosine 0, not NaN
+        ln = np.maximum(np.linalg.norm(lm, axis=1), 1e-300)
+        rn = np.maximum(np.linalg.norm(rm, axis=1), 1e-300)
         cos = np.round((lm @ rm.T) / np.outer(ln, rn), 6)
         ii, jj = np.where(cos >= threshold)
         ida, idb = li[ii], ri[jj]

@@ -169,3 +169,74 @@ def test_ngram_jaccard_pruned_scores_are_exact(spark):
     # pairs glued only by the corpus-common run are recall losses
     assert (3, 4) not in pruned and (3, 4) in exact
     assert set(pruned) < set(exact)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup: LSH vs exact semantics
+# ---------------------------------------------------------------------------
+
+
+def _emb_frame(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_embedding_lsh_recall(spark):
+    """Multi-table LSH output is a strict SUBSET of the exact pairs (no
+    spurious pairs -- every emitted cosine is exact and thresholded),
+    and true near-dups (cosine >= 0.95, the production regime) are
+    recovered with recall 1.0 under the declared 8-table config."""
+    import random
+
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(20)]
+    vecs = list(base)
+    # 10 true near-dups: tiny perturbations of the first 10 bases
+    for i in range(10):
+        vecs.append([x + rng.gauss(0, 0.01) for x in base[i]])
+    df = _emb_frame(spark, vecs)
+
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(df, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.4, lsh_planes=6, dim=dim, lsh_seed=42, lsh_tables=8
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair], pair
+    near_dups = {p for p, c in exact.items() if c >= 0.95}
+    assert len(near_dups) >= 10
+    assert near_dups <= set(lsh), "high-cosine pair missed by 8-table LSH"
+
+
+def test_embedding_near_dup_zero_vector_guard(spark):
+    """A zero vector must produce no NaN cosines and no pairs (cosine
+    defined as 0 against everything) on both execution strategies."""
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    dim = 8
+    vecs = [[0.0] * dim, [1.0] * dim, [1.0] * dim, [-1.0] * dim]
+    df = _emb_frame(spark, vecs)
+    for kwargs in (
+        {},
+        {"lsh_planes": 4, "dim": dim, "lsh_seed": 42, "lsh_tables": 4},
+    ):
+        rows = embedding_near_dup_pairs(df, threshold=0.4, **kwargs).collect()
+        ids = {r["vec_a"] for r in rows} | {r["vec_b"] for r in rows}
+        assert 0 not in ids
+        assert all(r["cosine"] == r["cosine"] for r in rows)  # no NaN
+        assert {(r["vec_a"], r["vec_b"]) for r in rows} == {(1, 2)}
