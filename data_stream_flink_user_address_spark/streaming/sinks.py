@@ -21,9 +21,22 @@ from __future__ import annotations
 import json
 import os
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+# Filesystems whose ``rename`` is copy+delete (or otherwise cannot
+# atomically refuse an existing destination), so the write-temp-then-
+# publish commit arbiter in TransactionalKeyedUpsertSink._publish is NOT
+# safe against concurrent writers there.  Delta Lake solves the same
+# problem with a LogStore per scheme (S3SingleDriverLogStore etc.); this
+# sink supports local (hard-link publish) and HDFS-like atomic-rename
+# stores, and warns -- rather than silently corrupting -- elsewhere.
+NON_ATOMIC_RENAME_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "oss", "cos", "cosn", "swift"}
+)
 
 
 def latest_per_key(df: DataFrame, key: str, order_col: str | None) -> DataFrame:
@@ -153,6 +166,12 @@ class TransactionalKeyedUpsertSink:
       POSIX hard link on local filesystems (``rename(2)`` silently
       replaces, ``link(2)`` atomically fails on an existing target) and
       ``FileSystem.rename`` elsewhere (atomic no-overwrite on HDFS).
+      Multi-writer safety therefore requires a scheme with one of those
+      primitives: ``file`` and ``hdfs``-like stores qualify; object
+      stores whose rename is copy+delete (``s3a``, ``gs``, ... -- see
+      ``NON_ATOMIC_RENAME_SCHEMES``) do not, and ``_publish`` emits a
+      ``RuntimeWarning`` there (single-writer use remains safe; Delta
+      solves the same gap with a per-scheme ``LogStore``).
       Of two concurrent writers exactly one wins; the loser re-reads
       the winner's manifest and retries its merge on top -- optimistic
       concurrency, the same protocol as Delta Lake's transaction log.
@@ -191,6 +210,7 @@ class TransactionalKeyedUpsertSink:
         self.order_col = order_col
         self.n_buckets = n_buckets
         self.max_commit_retries = max_commit_retries
+        self._warned_non_atomic_scheme = False
 
     # -- Hadoop FS plumbing -------------------------------------------------
 
@@ -288,7 +308,23 @@ class TransactionalKeyedUpsertSink:
                 raise
             fs.delete(self._jpath(tmp), False)
             return True
-        # HDFS and friends: rename refuses an existing destination
+        # HDFS and friends: rename refuses an existing destination.
+        # That guarantee does NOT hold on object stores where rename is
+        # copy+delete (S3A, GCS, ...) -- two racing writers could both
+        # "publish" and the last copy silently wins.  Single-writer use
+        # is still safe; warn so multi-writer deployments know to front
+        # the log with an external arbiter (Delta LogStore pattern).
+        if fs.getScheme() in NON_ATOMIC_RENAME_SCHEMES and not self._warned_non_atomic_scheme:
+            self._warned_non_atomic_scheme = True
+            warnings.warn(
+                f"TransactionalKeyedUpsertSink at {self.path}: filesystem "
+                f"scheme '{fs.getScheme()}' does not provide atomic "
+                f"fail-if-exists rename; concurrent writers may corrupt the "
+                f"commit log. Safe schemes: file (hard-link publish), hdfs "
+                f"and other atomic-rename stores. See NON_ATOMIC_RENAME_SCHEMES.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         try:
             renamed = fs.rename(self._jpath(tmp), target)
         except Exception as e:

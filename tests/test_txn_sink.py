@@ -357,3 +357,78 @@ def test_txn_full_pipeline(spark, tmp_path):
     assert len(ua) == 10 and all(len(r["addresses"]) == 3 for r in ua.values())
     st = {r["state"]: r["count"] for r in pipe.sinks["userCountByState"].read().collect()}
     assert st == {"S0": 30, "S1": 20, "S2": 10}
+
+
+def test_txn_vacuum_log_age_guard_reclaims_only_expired_entries(spark, tmp_path):
+    """The log-entry half of vacuum's retention window: a superseded
+    manifest OLDER than retain_seconds is reclaimed, while a superseded
+    manifest INSIDE the window survives -- so a reader pinned to a
+    recently-replaced version can still resolve its manifest (the data
+    half of this guard is test_txn_vacuum_retention_preserves_recent_versions)."""
+    sink = _mk(spark, tmp_path)
+    fs = sink._fs()
+    sink.apply(spark.createDataFrame([("a", 1)], "k string, v int"))   # v0
+    sink.apply(spark.createDataFrame([("a", 2)], "k string, v int"))   # v1
+    sink.apply(spark.createDataFrame([("a", 3)], "k string, v int"))   # v2 (current)
+    v0_entry = sink._jpath(f"{sink._log_dir}/{0:020d}.json")
+    v1_entry = sink._jpath(f"{sink._log_dir}/{1:020d}.json")
+    # backdate v0's entry past the retention window; v1 stays recent
+    two_hours_ago_ms = int((__import__("time").time() - 7200) * 1000)
+    fs.setTimes(v0_entry, two_hours_ago_ms, -1)
+
+    sink.vacuum(retain_seconds=3600)
+
+    assert not fs.exists(v0_entry)          # expired superseded entry reclaimed
+    assert fs.exists(v1_entry)              # recent superseded entry retained
+    # the pinned reader holding v1 still resolves and reads its manifest
+    m1 = sink._read_manifest(fs, 1)
+    files = [sink._resolve(f) for fl in m1["buckets"].values() for f in fl]
+    assert {r["v"] for r in spark.read.parquet(*files).collect()} == {2}
+    # and the current version is of course untouched
+    assert {r["v"] for r in sink.read().collect()} == {3}
+
+
+def test_txn_publish_warns_on_non_atomic_rename_scheme(spark, tmp_path):
+    """_publish's rename branch assumes atomic fail-if-exists rename;
+    on schemes where rename is copy+delete (S3A et al.) it must emit a
+    RuntimeWarning naming the hazard instead of staying silent."""
+    import warnings as W
+
+    from data_stream_flink_user_address_spark.streaming import sinks as S
+
+    sink = _mk(spark, tmp_path)
+    sink.apply(spark.createDataFrame([("a", 1)], "k string, v int"))
+    fs = sink._fs()
+
+    class FakeS3FS:
+        """Delegates to the real local FS but claims to be s3a."""
+
+        def getScheme(self):
+            return "s3a"
+
+        def __getattr__(self, name):
+            return getattr(fs, name)
+
+    tmp = f"{sink._log_dir}/.tmp-fake.json"
+    out = fs.create(sink._jpath(tmp), True)
+    try:
+        out.write(bytearray(b'{"version": 99, "buckets": {}}'))
+    finally:
+        out.close()
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        ok = sink._publish(FakeS3FS(), tmp, f"{sink._log_dir}/{99:020d}.json")
+    assert ok
+    hazard = [w for w in caught if issubclass(w.category, RuntimeWarning)]
+    assert hazard and "s3a" in str(hazard[0].message)
+    assert "s3a" in S.NON_ATOMIC_RENAME_SCHEMES  # and the doc'd set is real
+    # warning is once-per-sink, not per-commit
+    out = fs.create(sink._jpath(tmp), True)
+    try:
+        out.write(bytearray(b'{"version": 100, "buckets": {}}'))
+    finally:
+        out.close()
+    with W.catch_warnings(record=True) as caught2:
+        W.simplefilter("always")
+        sink._publish(FakeS3FS(), tmp, f"{sink._log_dir}/{100:020d}.json")
+    assert not [w for w in caught2 if issubclass(w.category, RuntimeWarning)]
