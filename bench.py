@@ -3,7 +3,11 @@ sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+   "queries": {name: median_sec, ...},
+   "spread": {name: [min_sec, max_sec], ...}, "sf": ...}
+
+Per-query timing is the median of 3 runs; "spread" carries the min/max
+so a regression can be told apart from machine noise.
 
 Each query executes via ``df.write.format("noop")`` so the full plan runs
 (scan -> shuffle -> agg) without driver-side collection overhead
@@ -14,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -86,20 +91,24 @@ def main() -> None:
     for wq in ("count_by_state", "multimodal_meta"):
         qs[wq](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        # best-of-2: the first execution pays one-time JVM/codegen/scan
-        # warmup; the second is the steady-state number a long-running
-        # cluster job would see.
-        best = float("inf")
-        for _ in range(2):
+        # median-of-3: single-run numbers on this box swing +/-50% for
+        # sub-3s queries (stateful_join_trace 1.70->1.42->2.25 across
+        # rounds with no code change), so each query runs 3x and we
+        # report the median plus the [min, max] spread.  Run 1 also
+        # absorbs per-query codegen/scan warmup.
+        runs: list[float] = []
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        dt = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        dt = round(statistics.median(runs), 3)
         timings[name] = dt
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         total += dt
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -109,6 +118,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf),
             }
         )

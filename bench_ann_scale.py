@@ -1,0 +1,165 @@
+"""Measured exact-vs-LSH crossover for embedding near-dup at growing n.
+
+The engine's central ANN scale claim -- "the exact blocked matmul wins
+until n^2/cores becomes unpayable; reach for the 8-table hyperplane LSH
+only past that" -- was derived, not measured, through round 5.  This
+bench measures it: a deterministic synthetic corpus (dim 64, same as the
+driver's embeddings table) is generated at a ladder of sizes, and both
+strategies of ``embedding_near_dup_pairs`` run on each size with the
+knob each strategy's own docstring prescribes at that scale:
+
+- exact: ``n_blocks = ceil(n / 8000)`` so one block-pair matmul
+  (<= 8k x 8k doubles = 512 MB) fits a task.  Data movement is
+  n_blocks copies of the corpus -- the O(n^2 / block_size) shuffle term
+  that eventually kills the exact path.
+- LSH: 8 tables (the declared entry configuration) with
+  ``planes = max(6, ceil(log2(n / 4000)))`` so the expected bucket
+  stays ~4k rows -- the docstring's "pick lsh_planes so the hottest
+  (table, bucket) matmul fits one task".  Data movement is a flat 8
+  copies of the corpus at every n.
+
+Threshold 0.8: at dim 64 random cosines are ~N(0, 1/64), so 0.8 is a
+6.4-sigma tail -- output row count stays negligible at every size and
+the timing isolates scan + shuffle + BLAS, not result materialization.
+
+Writes ANN_SCALE.json:
+  {"dim": 64, "threshold": 0.8, "tables": 8,
+   "sizes": [{"n": ..., "exact": {"n_blocks": ..., "runs": [...],
+              "median": ...}, "lsh": {"planes": ..., "runs": [...],
+              "median": ...}}, ...],
+   "crossover_n": <first measured n where LSH median < exact median>}
+
+Run:  python bench_ann_scale.py            # full ladder, ~10-20 min
+      SPARK_GRAFT_ANN_SIZES=10000,100000 python bench_ann_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from data_stream_flink_user_address_spark.functions.dedup import (
+    embedding_near_dup_pairs,
+)
+from data_stream_flink_user_address_spark.session import get_spark
+
+DIM = 64
+THRESHOLD = 0.8
+TABLES = 8
+DATA_ROOT = "/tmp/ann_scale_data"
+SIZES = [
+    int(s)
+    for s in os.environ.get(
+        "SPARK_GRAFT_ANN_SIZES", "10000,30000,100000,300000,1000000"
+    ).split(",")
+]
+
+
+def gen_corpus(spark, n: int) -> str:
+    """Deterministic synthetic corpus: vec_id + dim-64 float array with
+    components xxhash64-derived uniform in [-1, 1].  Pure JVM expression
+    generation -- no driver-side data, no Python -- then written to
+    parquet so every timed run pays a real scan like the operator does
+    in production."""
+    path = f"{DATA_ROOT}/n{n}"
+    if os.path.exists(f"{path}/_SUCCESS"):
+        return path
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda i: (
+            (F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(2000001)) - 1000000)
+            / 1000000.0
+        ).cast("float"),
+    )
+    (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"))
+        .repartition(32)
+        .select("vec_id", vec.alias("embedding"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def timed_runs(fn, n_runs: int) -> list[float]:
+    out = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        out.append(round(time.perf_counter() - t0, 3))
+    return out
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    spark = get_spark("bench_ann_scale")
+    results = []
+    crossover = None
+    for n in SIZES:
+        path = gen_corpus(spark, n)
+        emb = spark.read.parquet(path)
+        n_blocks = max(8, math.ceil(n / 8000))
+        planes = max(6, math.ceil(math.log2(max(2, n / 4000))))
+        n_runs = 3 if n <= 100_000 else 1
+
+        exact_runs = timed_runs(
+            lambda: embedding_near_dup_pairs(
+                emb, threshold=THRESHOLD, n_blocks=n_blocks
+            ),
+            n_runs,
+        )
+        lsh_runs = timed_runs(
+            lambda: embedding_near_dup_pairs(
+                emb,
+                threshold=THRESHOLD,
+                lsh_planes=planes,
+                dim=DIM,
+                lsh_seed=42,
+                lsh_tables=TABLES,
+            ),
+            n_runs,
+        )
+        entry = {
+            "n": n,
+            "exact": {
+                "n_blocks": n_blocks,
+                "runs": exact_runs,
+                "median": statistics.median(exact_runs),
+            },
+            "lsh": {
+                "planes": planes,
+                "runs": lsh_runs,
+                "median": statistics.median(lsh_runs),
+            },
+        }
+        if crossover is None and entry["lsh"]["median"] < entry["exact"]["median"]:
+            crossover = n
+        results.append(entry)
+        print(json.dumps(entry), flush=True)
+    artifact = {
+        "dim": DIM,
+        "threshold": THRESHOLD,
+        "tables": TABLES,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+        "sizes": results,
+        "crossover_n": crossover,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "ANN_SCALE.json"), "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(json.dumps({"wrote": "ANN_SCALE.json", "crossover_n": crossover}))
+    if os.environ.get("SPARK_GRAFT_ANN_KEEP_DATA") != "1":
+        shutil.rmtree(DATA_ROOT, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

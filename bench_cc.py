@@ -1,0 +1,85 @@
+"""Wall-time + convergence-round bench for the DISTRIBUTED branch of
+``dedup_clusters`` (min-label propagation with pointer jumping).
+
+The driver union-find branch handles every graph the sf ladder
+produces; the distributed branch is the >5M-edge scale path and through
+round 5 had correctness tests but no timing and no pinned round count.
+This bench runs it (``driver_threshold=0``) on two shapes:
+
+- ``chain_1024``: a pure chain of diameter 1024 -- the adversarial case
+  for plain label propagation (1024 rounds); pointer jumping must close
+  it in <= log2(1024)+2 = 12 rounds.
+- ``random_100k``: 100k xxhash-random edges over 150k nodes (mean
+  degree ~1.3, the near-dup-graph regime: many small components plus an
+  emerging giant) -- the realistic shape.
+
+For each: rounds, wall seconds, nodes, edges, and the driver-branch
+wall seconds on the same graph for comparison (the hybrid default's
+justification).  Writes CC_BENCH.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from data_stream_flink_user_address_spark.functions.dedup import dedup_clusters
+from data_stream_flink_user_address_spark.session import get_spark
+
+
+def chain(spark, diameter: int):
+    return spark.range(diameter).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+
+
+def random_graph(spark, n_edges: int, n_nodes: int):
+    return spark.range(n_edges).select(
+        F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("doc_a"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes)).alias("doc_b"),
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+
+
+def run(name: str, pairs) -> dict:
+    pairs = pairs.localCheckpoint()  # freeze inputs so both branches see the same graph
+    n_edges = pairs.count()
+    stats: dict = {}
+    t0 = time.perf_counter()
+    out = dedup_clusters(pairs, driver_threshold=0, stats=stats)
+    n_nodes = out.count()
+    dist_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    dedup_clusters(pairs).count()
+    driver_sec = round(time.perf_counter() - t0, 3)
+    entry = {
+        "graph": name,
+        "edges": n_edges,
+        "nodes": n_nodes,
+        "distributed": {"rounds": stats.get("rounds"), "sec": dist_sec},
+        "driver_union_find": {"sec": driver_sec},
+    }
+    print(json.dumps(entry), flush=True)
+    return entry
+
+
+def main() -> None:
+    spark = get_spark("bench_cc")
+    results = [
+        run("chain_1024", chain(spark, 1024)),
+        run("random_100k", random_graph(spark, 100_000, 150_000)),
+    ]
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "CC_BENCH.json"), "w"
+    ) as f:
+        json.dump({"cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())), "graphs": results}, f, indent=2)
+    print(json.dumps({"wrote": "CC_BENCH.json"}))
+
+
+if __name__ == "__main__":
+    main()

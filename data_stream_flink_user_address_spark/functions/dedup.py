@@ -238,6 +238,7 @@ def dedup_clusters(
     b_col: str = "doc_b",
     max_iter: int = 20,
     driver_threshold: int = 5_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id)
     with cluster_id = the minimum doc id in the component -- the final
@@ -262,6 +263,14 @@ def dedup_clusters(
     shuffle-partition-count tasks per round on a tiny graph makes the
     loop scheduler-bound.  Docs not in any pair are absent (they are
     their own singleton cluster by definition).
+
+    ``stats``, when given, receives ``{"mode": "driver"|"distributed",
+    "rounds": k}`` after the plan is built (rounds includes the final
+    no-change round that proves convergence) -- the observable the
+    convergence-bound test pins: a chain of diameter D converges in
+    <= log2(D)+2 rounds thanks to the pointer-jumping hop
+    (``tests/test_functions.py``), measured wall times in
+    ``CC_BENCH.json`` (``python bench_cc.py``).
     """
     spark = pairs.sparkSession
     p = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -292,6 +301,8 @@ def dedup_clusters(
             if m is None or node < m:
                 root_min[r] = node
         rows = [(node, root_min[find(node)]) for node in parent]
+        if stats is not None:
+            stats.update(mode="driver", rounds=0)
         return spark.createDataFrame(rows, "doc_id long, cluster_id long")
 
     p = p.localCheckpoint()
@@ -308,7 +319,9 @@ def dedup_clusters(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -342,6 +355,8 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats.update(mode="distributed", rounds=rounds)
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -558,7 +573,13 @@ def embedding_near_dup_pairs(
             # zero-norm guard: a zero vector has cosine 0 to everything
             # (filtered by any positive threshold) instead of NaN
             norms = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
-            cos = np.round((m @ m.T) / np.outer(norms, norms), 6)
+            # in-place: peak memory is 2 b x b matrices (product + the
+            # norm outer), not 4 -- matters when 32 workers each hold a
+            # hot bucket's matrix at once.  Same arithmetic as
+            # round((m@m.T)/outer(...), 6) bit-for-bit.
+            cos = m @ m.T
+            cos /= np.outer(norms, norms)
+            np.round(cos, 6, out=cos)
             ii, jj = np.where(cos >= threshold)
             keep = ids[ii] < ids[jj]
             return pd.DataFrame(
@@ -604,7 +625,11 @@ def embedding_near_dup_pairs(
         # zero-norm guard (see per_bucket): cosine 0, not NaN
         ln = np.maximum(np.linalg.norm(lm, axis=1), 1e-300)
         rn = np.maximum(np.linalg.norm(rm, axis=1), 1e-300)
-        cos = np.round((lm @ rm.T) / np.outer(ln, rn), 6)
+        # in-place (see per_bucket): 2 matrices peak instead of 4,
+        # arithmetic identical to round((lm@rm.T)/outer(...), 6)
+        cos = lm @ rm.T
+        cos /= np.outer(ln, rn)
+        np.round(cos, 6, out=cos)
         ii, jj = np.where(cos >= threshold)
         ida, idb = li[ii], ri[jj]
         if pdf["ba"].iloc[0] == pdf["bb"].iloc[0]:

@@ -3,10 +3,12 @@
 Engine extension beyond the reference surface (BASELINE.json north star).
 Convention (schemas.MEDIA_SCHEMA): ``payload binary`` + typed ``meta``
 struct.  The Spark-side plumbing -- schema, partition-preserving
-mapInPandas, Arrow batch shape -- is real and tested; the actual
-image/audio decode is stubbed (decode libraries are not in this
-container) behind ``NotImplementedError`` with a deterministic fake for
-tests.
+mapInPandas, Arrow batch shape -- is real and tested.  Decode is real
+(pure-Python, dependency-free) for self-describing formats: PPM (P6)
+and 24-bit BMP pixels, WAV duration.  Formats needing codec libraries
+(JPEG/PNG/MP4/...) raise ``NotImplementedError`` -- those libraries are
+not in this container -- with ``fake_decode`` as the deterministic
+test stand-in.
 
 At scale: payloads ride in parquet binary columns; mapInPandas streams
 Arrow batches so a 100 MB image never materializes as a Python list; the
@@ -49,12 +51,104 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
+def decode_image_pixels(payload: bytes):
+    """Dependency-free pixel decode for two self-describing formats.
+
+    Returns ``(width, height, pixels)`` with ``pixels`` an
+    (height, width, 3) uint8 numpy array, or raises ValueError on a
+    malformed payload.  Supported:
+
+    - **PPM (P6)**: ``P6 <w> <h> <maxval>`` header (whitespace/comment
+      separated) + raw RGB triplets.
+    - **BMP**: 'BM' magic, BITMAPINFOHEADER, 24-bit uncompressed;
+      rows are 4-byte aligned bottom-up, stored BGR.
+
+    Formats that genuinely need codec libraries (JPEG/PNG/MP4/...) are
+    NOT handled here -- see :func:`real_decode`.
+    """
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        # header tokens may be separated by any whitespace and '#' comments
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval, then raw pixels
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"PPM maxval {maxval} unsupported (expect 255)")
+        raw = payload[pos : pos + w * h * 3]
+        if len(raw) != w * h * 3:
+            raise ValueError("PPM payload truncated")
+        return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    if payload[:2] == b"BM":
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or compression != 0:
+            raise ValueError(f"BMP bpp={bpp} compression={compression} unsupported")
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = []
+        for r in range(abs(h)):
+            line = payload[off + r * stride : off + r * stride + w * 3]
+            if len(line) != w * 3:
+                raise ValueError("BMP payload truncated")
+            rows.append(np.frombuffer(line, dtype=np.uint8).reshape(w, 3)[:, ::-1])
+        px = np.stack(rows)
+        if h > 0:  # positive height = bottom-up storage
+            px = px[::-1]
+        return w, abs(h), px
+
+
 def real_decode(payload: bytes, kind: str) -> dict:
-    """Real media decode -- requires PIL/ffmpeg/torchaudio, not present in
-    this container.  Clearly-marked stub per the build contract."""
+    """Real media decode for the formats a pure-Python parse can handle:
+
+    - images: PPM (P6) and 24-bit BMP via :func:`decode_image_pixels`
+      (full pixel decode, not just header sniffing);
+    - audio: WAV/RIFF -- duration from the fmt chunk's byte rate and
+      the data chunk length.
+
+    Anything else (JPEG/PNG/MP4/OGG/...) genuinely requires codec
+    libraries not present in this container and raises
+    NotImplementedError; ``fake_decode`` remains the deterministic
+    stand-in for those in tests.
+    """
+    if payload[:2] in (b"P6", b"BM"):
+        w, h, _ = decode_image_pixels(payload)
+        return {"width": w, "height": h, "duration_ms": None}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # walk chunks: fmt_ gives byte rate, data gives payload length
+        pos, byte_rate, data_len = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            if cid == b"fmt ":
+                byte_rate = int.from_bytes(payload[pos + 16 : pos + 20], "little")
+            elif cid == b"data":
+                data_len = clen
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if not byte_rate or data_len is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        return {
+            "width": None,
+            "height": None,
+            "duration_ms": int(data_len * 1000 / byte_rate),
+        }
     raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "environment; use fake_decode for deterministic tests"
+        "decode for this format requires image/audio libraries not present "
+        "in this environment (pure-Python path handles PPM/BMP/WAV); use "
+        "fake_decode for deterministic tests"
     )
 
 

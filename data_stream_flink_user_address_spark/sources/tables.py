@@ -1,16 +1,20 @@
 """Loaders for the driver's TPC-H-ish parquet tables (TESTDATA.md).
 
-``events.parquet`` stores nanosecond timestamps, which Spark's parquet
-reader rejects by default (PARQUET_TYPE_ILLEGAL).  The loader flips the
-legacy nanosAsLong read conf (runtime-settable) and converts ns -> the
-engine's microsecond TimestampType -- the same floor-to-microsecond
-DuckDB applies when reading ns parquet, so oracles agree.
+``events.parquet`` has shipped with ``ts`` as either nanosecond int64
+(which Spark's parquet reader rejects by default, PARQUET_TYPE_ILLEGAL)
+or native ``timestamp[us]``, depending on driver round.  The loader
+flips the legacy nanosAsLong read conf (runtime-settable) and, when the
+column arrives as a long, converts ns -> the engine's microsecond
+TimestampType -- the same floor-to-microsecond DuckDB applies when
+reading ns parquet, so oracles agree.  A native timestamp passes
+through untouched.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLE_NAMES = [
     "region",
@@ -65,10 +69,19 @@ def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> list[s
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer FLOOR division: /1000 via double loses 1-us precision at
-    # epoch-nanosecond magnitudes (2^52 < 1.7e18), and `div` truncates
-    # toward zero, which would round pre-1970 (negative ns) timestamps
-    # UP where DuckDB floors; subtracting pmod first makes div exact
+    # the driver has shipped ts as BOTH nanosecond int64 (read as long
+    # under nanosAsLong) and native timestamp[us] (read as
+    # TIMESTAMP_NTZ); accept either.  The NTZ -> TIMESTAMP cast
+    # reinterprets the wall-clock fields in the session zone -- UTC here
+    # (session.py) -- so it is value-preserving and agrees with DuckDB's
+    # naive-timestamp read of the same file.
+    if not isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # legacy ns-as-long: integer FLOOR division: /1000 via double loses
+    # 1-us precision at epoch-nanosecond magnitudes (2^52 < 1.7e18), and
+    # `div` truncates toward zero, which would round pre-1970 (negative
+    # ns) timestamps UP where DuckDB floors; subtracting pmod first
+    # makes div exact
     return df.withColumn(
         "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
     )

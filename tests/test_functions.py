@@ -80,6 +80,115 @@ def test_sample_frames_emits_one_row_per_interval(spark):
     assert all(r["ts_ms"] == i * 1000 for i, r in enumerate(rows))
 
 
+def _make_ppm(w, h, seed=7):
+    """Raw P6 image with deterministic pixels (includes a header comment
+    to exercise the tokenizer)."""
+    import numpy as np
+
+    px = np.arange(w * h * 3, dtype=np.uint64) * seed % 256
+    return (
+        b"P6\n# synthetic test image\n%d %d\n255\n" % (w, h)
+    ) + px.astype("uint8").tobytes(), px.astype("uint8").reshape(h, w, 3)
+
+
+def _make_bmp(w, h, seed=3):
+    """24-bit uncompressed bottom-up BMP with 4-byte row padding."""
+    import numpy as np
+
+    px = (np.arange(w * h * 3, dtype=np.uint64) * seed % 256).astype("uint8").reshape(h, w, 3)
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = px[r, :, ::-1].tobytes()  # BGR
+        body += row + b"\0" * (stride - len(row))
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(body)).to_bytes(4, "little")
+        + b"\0\0\0\0"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    return header + body, px
+
+
+def _make_wav(seconds=2, rate=8000, width=2):
+    data = b"\x01\x02" * (rate * seconds)
+    byte_rate = rate * width
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + width.to_bytes(2, "little")
+        + (8 * width).to_bytes(2, "little")
+    )
+    data_chunk = b"data" + len(data).to_bytes(4, "little") + data
+    body = b"WAVE" + fmt + data_chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_real_decode_ppm_bmp_pixels_and_wav_duration():
+    import numpy as np
+
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        decode_image_pixels,
+        real_decode,
+    )
+
+    ppm, want = _make_ppm(5, 4)
+    w, h, px = decode_image_pixels(ppm)
+    assert (w, h) == (5, 4)
+    assert np.array_equal(px, want)
+    assert real_decode(ppm, "image") == {"width": 5, "height": 4, "duration_ms": None}
+
+    bmp, want = _make_bmp(3, 2)
+    w, h, px = decode_image_pixels(bmp)
+    assert (w, h) == (3, 2)
+    assert np.array_equal(px, want)  # BGR + bottom-up + padding all undone
+
+    assert real_decode(_make_wav(seconds=2), "audio")["duration_ms"] == 2000
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x89PNG\r\n\x1a\nrest", "image")  # needs a codec lib
+
+
+def test_extract_media_meta_real_decode_through_spark(spark):
+    """The real decoders running inside the Arrow mapInPandas plumbing
+    on generated bytes -- the decode path is no longer a stub for
+    PPM/BMP/WAV."""
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        extract_media_meta,
+    )
+
+    ppm, _ = _make_ppm(6, 3)
+    bmp, _ = _make_bmp(4, 5)
+    wav = _make_wav(seconds=3)
+    media = spark.createDataFrame(
+        [(1, "image", ppm), (2, "image", bmp), (3, "audio", wav)],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in extract_media_meta(media, use_real_decode=True).collect()
+    }
+    assert (rows[1]["width"], rows[1]["height"]) == (6, 3)
+    assert (rows[2]["width"], rows[2]["height"]) == (4, 5)
+    assert rows[3]["duration_ms"] == 3000
+    assert rows[1]["n_bytes"] == len(ppm)
+
+
 def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
     from data_stream_flink_user_address_spark.functions.dedup import dedup_clusters
 
@@ -98,6 +207,27 @@ def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
     }
     assert via_driver == expected
     assert via_loop == expected
+
+
+def test_dedup_clusters_distributed_converges_in_log_rounds(spark):
+    """The pointer-jumping hop's O(log diameter) convergence claim,
+    pinned: a pure chain of diameter 64 (the worst case for plain
+    min-label propagation, which would need 64 rounds) must converge in
+    <= log2(64)+2 = 8 rounds, counting the final no-change round."""
+    import math
+
+    from data_stream_flink_user_address_spark.functions.dedup import dedup_clusters
+
+    diameter = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(diameter)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    out = dedup_clusters(pairs, driver_threshold=0, stats=stats).collect()
+    assert {r["doc_id"] for r in out} == set(range(diameter + 1))
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert stats["mode"] == "distributed"
+    assert stats["rounds"] <= math.log2(diameter) + 2, stats
 
 
 def test_minhash_text_variant_equals_explode_variant(spark):
