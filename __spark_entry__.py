@@ -49,6 +49,7 @@ from data_stream_flink_user_address_spark.functions.dedup import (
 )
 from data_stream_flink_user_address_spark.functions.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_bucketed_topk,
     make_planes,
 )
@@ -87,6 +88,12 @@ _SIMHASH_BITS = 32
 _ANN_PLANES = 6
 _ANN_TABLES = 8
 _EMB_DIM = 64
+# IVF coarse quantizer: every 31st corpus vector is a centroid (~n/31
+# lists; stride ~ sqrt(n) balances assignment fan-out vs list length at
+# a given n -- 31 suits the 1e3..1e4 test corpora), 3 lists probed per
+# query.
+_IVF_STRIDE = 31
+_IVF_NPROBE = 3
 # Stop-shingle pruning for the declared ngram-Jaccard query: shingles in
 # more than this many docs are dropped from CANDIDATE GENERATION (the
 # per-shingle self-join is bounded at <= vocab * cap^2 rows -- the knob
@@ -758,10 +765,13 @@ def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus; production near-dup thresholds (>= 0.9) sit in
     the high-recall regime.
 
-    CROSSOVER: at sf0.1 (5k vectors) the exact blocked matmul is ~4x
-    FASTER than this path -- 8-way corpus replication dominates while
-    n^2 is still tiny.  LSH wins only when n^2/cores becomes unpayable
-    (n >~ 10^6 at this dim); below that, use embedding_near_dup.
+    CROSSOVER, MEASURED (ANN_SCALE.json, bench_ann_scale.py: dim 64,
+    threshold 0.8, 32 cores): the exact blocked matmul wins at n <= 1e4
+    (2.7 s vs 7.2 s -- which is why sf0.1's 5k vectors bench ~4x faster
+    on the exact path), LSH overtakes by n = 3e4 (4.7 vs 5.8 s), and
+    the gap grows quadratically: 30 vs 91 s at 1e5, 23 vs 492 s at 3e5
+    (21x).  At 1e6 LSH measures 128 s while the exact arm extrapolates
+    (n^2 from the 3e5 rung) to ~1.5 h -- a 43x gap.
 
     The oracle SQL reproduces the identical 8-table bucketing (same
     seeded planes, UNION over tables, DISTINCT pairs), so correctness
@@ -789,6 +799,20 @@ def _q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     return lsh_bucketed_topk(
         e, _queries_frame(spark, sf_dir), k=5, n_planes=_ANN_PLANES, dim=_EMB_DIM, seed=42
+    )
+
+
+def _q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic coarse centroids (every 31st corpus
+    vector), map-side argmax-cosine assignment into inverted lists,
+    nprobe=3 list probing per query.  The second scale path next to the
+    hyperplane LSH -- corpus touched ~ nprobe/k_cent fraction instead of
+    100%; at scale the assignment frame persists partitioned by cid as
+    the reusable inverted index."""
+    e = _embs(spark, sf_dir)
+    return ivf_topk(
+        e, _queries_frame(spark, sf_dir), k=5,
+        centroid_stride=_IVF_STRIDE, nprobe=_IVF_NPROBE, dim=_EMB_DIM,
     )
 
 
@@ -845,6 +869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     "similarity_topk": _q_similarity_topk,
     "similarity_lsh_topk": _q_similarity_lsh_topk,
+    "similarity_ivf_topk": _q_similarity_ivf_topk,
     "multimodal_meta": _q_multimodal_meta,
 }
 
@@ -1455,6 +1480,48 @@ ORACLE_SQL: dict[str, str] = {
                             c.vec_id ASC) AS rank
           FROM bucketed c JOIN bucketed q ON c.bucket = q.bucket
           WHERE q.vec_id < 10
+        ) WHERE rank <= 5
+    """,
+    # IVF-flat ANN: identical deterministic coarse quantizer (centroids =
+    # vec_id % stride = 0, argmax-cosine assignment with round-6 +
+    # smaller-cid tie-break), nprobe nearest lists per query -- the
+    # oracle checks the approximate IVF semantics themselves
+    "similarity_ivf_topk": f"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding AS cvec
+          FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0
+        ),
+        assigned AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT c.vec_id, c.embedding, k.cid,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY round({_sql_cosine("c.embedding", "k.cvec")}, 6) DESC,
+                              k.cid ASC) AS rn
+            FROM embeddings c CROSS JOIN cent k
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, k.cid,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round({_sql_cosine("q.embedding", "k.cvec")}, 6) DESC,
+                              k.cid ASC) AS rn
+            FROM embeddings q CROSS JOIN cent k
+            WHERE q.vec_id < 10
+          ) WHERE rn <= {_IVF_NPROBE}
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+          SELECT p.query_id, a.vec_id,
+                 round({_sql_cosine("a.embedding", "q.embedding")}, 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY round({_sql_cosine("a.embedding", "q.embedding")}, 6) DESC,
+                            a.vec_id ASC) AS rank
+          FROM probes p
+          JOIN assigned a USING (cid)
+          JOIN embeddings q ON q.vec_id = p.query_id
         ) WHERE rank <= 5
     """,
     "multimodal_meta": """

@@ -78,6 +78,7 @@ HEADLINE = [
     "embedding_near_dup_lsh",
     "similarity_topk",
     "similarity_lsh_topk",
+    "similarity_ivf_topk",
     "multimodal_meta",
 ]
 

@@ -62,6 +62,14 @@ SIZES = [
         "SPARK_GRAFT_ANN_SIZES", "10000,30000,100000,300000,1000000"
     ).split(",")
 ]
+# Above this n the exact arm is extrapolated (~n^2 from the largest
+# measured rung) instead of executed: the measured trend at 3e5 already
+# puts 1e6 exact at ~1.5 h on this box, which buys no information the
+# 22x gap at 3e5 hasn't already bought.  The LSH arm always executes.
+MAX_EXACT_N = int(os.environ.get("SPARK_GRAFT_ANN_MAX_EXACT_N", "300000"))
+# Merge mode: keep previously-measured sizes in ANN_SCALE.json and only
+# add/replace the sizes run now (lets the big rungs run separately).
+MERGE = os.environ.get("SPARK_GRAFT_ANN_MERGE") == "1"
 
 
 def gen_corpus(spark, n: int) -> str:
@@ -105,6 +113,17 @@ def main() -> None:
     spark = get_spark("bench_ann_scale")
     results = []
     crossover = None
+    largest_exact: tuple[int, float] | None = None  # (n, median_sec)
+    out_path_prior = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ANN_SCALE.json"
+    )
+    if MERGE and os.path.exists(out_path_prior):
+        with open(out_path_prior) as f:
+            for e in json.load(f).get("sizes", []):
+                if "median" in e["exact"] and (
+                    largest_exact is None or e["n"] > largest_exact[0]
+                ):
+                    largest_exact = (e["n"], e["exact"]["median"])
     for n in SIZES:
         path = gen_corpus(spark, n)
         emb = spark.read.parquet(path)
@@ -112,12 +131,29 @@ def main() -> None:
         planes = max(6, math.ceil(math.log2(max(2, n / 4000))))
         n_runs = 3 if n <= 100_000 else 1
 
-        exact_runs = timed_runs(
-            lambda: embedding_near_dup_pairs(
-                emb, threshold=THRESHOLD, n_blocks=n_blocks
-            ),
-            n_runs,
-        )
+        if n > MAX_EXACT_N and largest_exact is not None:
+            base_n, base_sec = largest_exact
+            exact_entry = {
+                "n_blocks": n_blocks,
+                "extrapolated_sec": round(base_sec * (n / base_n) ** 2, 1),
+                "extrapolated_from_n": base_n,
+                "basis": "n^2 scaling of the largest measured rung",
+            }
+            exact_median = exact_entry["extrapolated_sec"]
+        else:
+            exact_runs = timed_runs(
+                lambda: embedding_near_dup_pairs(
+                    emb, threshold=THRESHOLD, n_blocks=n_blocks
+                ),
+                n_runs,
+            )
+            exact_median = statistics.median(exact_runs)
+            exact_entry = {
+                "n_blocks": n_blocks,
+                "runs": exact_runs,
+                "median": exact_median,
+            }
+            largest_exact = (n, exact_median)
         lsh_runs = timed_runs(
             lambda: embedding_near_dup_pairs(
                 emb,
@@ -131,21 +167,34 @@ def main() -> None:
         )
         entry = {
             "n": n,
-            "exact": {
-                "n_blocks": n_blocks,
-                "runs": exact_runs,
-                "median": statistics.median(exact_runs),
-            },
+            "exact": exact_entry,
             "lsh": {
                 "planes": planes,
                 "runs": lsh_runs,
                 "median": statistics.median(lsh_runs),
             },
         }
-        if crossover is None and entry["lsh"]["median"] < entry["exact"]["median"]:
+        if crossover is None and entry["lsh"]["median"] < exact_median:
             crossover = n
         results.append(entry)
         print(json.dumps(entry), flush=True)
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ANN_SCALE.json"
+    )
+    if MERGE and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        ran = {e["n"] for e in results}
+        results = sorted(
+            [e for e in prior.get("sizes", []) if e["n"] not in ran] + results,
+            key=lambda e: e["n"],
+        )
+        crossover = None
+        for e in results:
+            em = e["exact"].get("median", e["exact"].get("extrapolated_sec"))
+            if e["lsh"]["median"] < em:
+                crossover = e["n"]
+                break
     artifact = {
         "dim": DIM,
         "threshold": THRESHOLD,
@@ -154,7 +203,7 @@ def main() -> None:
         "sizes": results,
         "crossover_n": crossover,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "ANN_SCALE.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(artifact, f, indent=2)
     print(json.dumps({"wrote": "ANN_SCALE.json", "crossover_n": crossover}))
     if os.environ.get("SPARK_GRAFT_ANN_KEEP_DATA") != "1":

@@ -146,19 +146,45 @@ def main():
     result["count_hot_plain_sec"] = round(sec_plain, 3)
     result["count_hot_salted_sec"] = round(sec_salted, 3)
 
+    # -- 4. salting vs AQE skew-join, same workload ---------------------
+    # The session default (session.py) keeps AQE + skewJoin ON, so the
+    # historical "plain" number below was already AQE-assisted.  Compare
+    # all three regimes explicitly:
+    #   plain/noaqe   -- no runtime re-plan at all (the true baseline)
+    #   plain/aqeskew -- AQE skew-join with the split thresholds TUNED
+    #                    to this partition size (defaults: 256 MB split
+    #                    threshold -- far above the ~150 MB hot
+    #                    partition here, so default AQE never splits it)
+    #   salted        -- manual n_salts=32 replication (operators/skew.py)
     dim = spark.createDataFrame(
         [("hot", "dhot")] + [(f"k{i}", f"d{i}") for i in range(32)], "k string, d string"
     )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        sec_pj, _ = _timed(lambda: fact.join(dim, "k").count())
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        sec_pj_noaqe, _ = _timed(lambda: fact.join(dim, "k").count())
         sec_sj, _ = _timed(
             lambda: salted_join(fact, dim, fact.k, dim.k, n_salts=32).count()
         )
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        sec_pj_aqedef, _ = _timed(lambda: fact.join(dim, "k").count())
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        sec_pj_aqetuned, _ = _timed(lambda: fact.join(dim, "k").count())
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    result["join_hot_plain_nobroadcast_sec"] = round(sec_pj, 3)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.unset(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        )
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    result["join_hot_plain_noaqe_nobroadcast_sec"] = round(sec_pj_noaqe, 3)
+    result["join_hot_plain_aqe_default_sec"] = round(sec_pj_aqedef, 3)
+    result["join_hot_plain_aqe_tuned_sec"] = round(sec_pj_aqetuned, 3)
     result["join_hot_salted_nobroadcast_sec"] = round(sec_sj, 3)
 
     print(json.dumps(result))

@@ -1,0 +1,90 @@
+"""Measured recall for the approximate top-k paths (VERDICT r5 item 4).
+
+``embedding_near_dup_lsh`` got the measured-recall treatment in r5; the
+top-k ANN variants document theirs here.  For each sf dir, recall@5 of
+
+- ``lsh_bucketed_topk`` (6 hyperplanes, seed 42 -- the headline
+  ``similarity_lsh_topk`` configuration), and
+- ``ivf_topk`` (stride-31 coarse centroids, nprobe=3 -- the headline
+  ``similarity_ivf_topk`` configuration)
+
+against ``brute_force_topk`` ground truth on the same 10 query vectors:
+
+    recall@5 = |approx(q) intersect exact(q)| / |exact(q)|, averaged
+    over queries (exact(q) is the true top-5 id set).
+
+Writes TOPK_RECALL.json and prints it.
+Run:  python bench_topk_recall.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from data_stream_flink_user_address_spark.functions.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+from data_stream_flink_user_address_spark.session import get_spark
+from data_stream_flink_user_address_spark.sources.tables import load_table
+
+K = 5
+SF_DIRS = os.environ.get(
+    "SPARK_GRAFT_RECALL_SFS", "/root/testdata/sf0.01,/root/testdata/sf0.1"
+).split(",")
+
+
+def _topk_sets(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def _recall(approx: dict[int, set[int]], exact: dict[int, set[int]]) -> float:
+    per_q = [
+        len(approx.get(q, set()) & ids) / len(ids) for q, ids in exact.items()
+    ]
+    return round(sum(per_q) / len(per_q), 4)
+
+
+def main() -> None:
+    spark = get_spark("topk-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"k": K, "sfs": {}}
+    for sf_dir in SF_DIRS:
+        e = load_table(spark, sf_dir, "embeddings", spread=True)
+        q = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        n = e.count()
+        exact = _topk_sets(brute_force_topk(e, q, k=K))
+        lsh = _topk_sets(lsh_bucketed_topk(e, q, k=K, n_planes=6, dim=64, seed=42))
+        ivf = _topk_sets(
+            ivf_topk(e, q, k=K, centroid_stride=31, nprobe=3, dim=64)
+        )
+        out["sfs"][sf_dir] = {
+            "n_vectors": n,
+            "lsh_recall_at_5": _recall(lsh, exact),
+            "lsh_avg_candidates": round(n / 2 ** 6, 1),
+            "ivf_recall_at_5": _recall(ivf, exact),
+            "ivf_probed_fraction": round(3 / max(1, n // 31), 4),
+        }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "TOPK_RECALL.json"),
+        "w",
+    ) as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -372,6 +372,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    min_shared_shingles: int = 1,
 ) -> DataFrame:
     """Exact Jaccard over n-gram shingle sets for candidate pairs.
 
@@ -384,6 +385,16 @@ def ngram_jaccard_pairs(
     set sizes are unpruned), so scores are EXACT for every emitted pair;
     pruning affects recall only (a pair sharing exclusively stop-shingles
     is never considered).
+
+    ``min_shared_shingles`` (only meaningful with pruning on) keeps a
+    candidate pair only if it shares at least that many LOW-DF shingles
+    -- the same dedup step the m=1 path already pays (groupBy on the
+    pair) but with a stricter keep predicate, so it costs nothing extra
+    while shrinking the rescore join's input.  Like the df cap it trades
+    recall, not precision: every emitted score stays exact.  Measured at
+    sf0.1 (NGRAM_PROBE.json): see the probe artifact for the candidate
+    shrink and whether any true pair is lost at m=2 on the synthetic
+    corpus.
 
     Scale shape with pruning: the candidate join is bounded by
     vocab * cap^2 rows; rescoring joins each candidate pair to two
@@ -400,12 +411,15 @@ def ngram_jaccard_pairs(
         ).select(id_col, "shingle")
         a = joinable.select(F.col(id_col).alias("doc_a"), "shingle")
         b = joinable.select(F.col(id_col).alias("doc_b"), "shingle")
-        candidates = (
+        shared = (
             a.join(b, "shingle")
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("__n_shared"))
         )
+        if min_shared_shingles > 1:
+            shared = shared.filter(F.col("__n_shared") >= min_shared_shingles)
+        candidates = shared.select("doc_a", "doc_b")
         # exact n_common for the candidates: per-doc shingle-set arrays
         # (shingles are distinct within a doc) joined once per pair, then
         # array_intersect.  One row per candidate pair instead of
@@ -541,6 +555,14 @@ def embedding_near_dup_pairs(
     memory for the exact path; for the LSH path pick ``lsh_planes`` so
     the hottest (table, bucket) matmul fits one task, and
     ``lsh_tables`` for the recall target.
+
+    MEASURED crossover between the two strategies (ANN_SCALE.json,
+    ``python bench_ann_scale.py``: dim 64, 8 tables, 32 cores): exact
+    wins at n <= 1e4 (2.7 s vs 7.2 s), LSH overtakes by n = 3e4
+    (4.7 vs 5.8 s), then 30 vs 91 s at 1e5 and 23 vs 492 s at 3e5 --
+    the exact arm's n^2 compounds while LSH moves linearly in corpus
+    passes; at 1e6 LSH measures 128 s vs ~1.5 h extrapolated exact
+    (43x).
     """
     import numpy as np
     import pandas as pd

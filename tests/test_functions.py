@@ -370,3 +370,80 @@ def test_embedding_near_dup_zero_vector_guard(spark):
         assert 0 not in ids
         assert all(r["cosine"] == r["cosine"] for r in rows)  # no NaN
         assert {(r["vec_a"], r["vec_b"]) for r in rows} == {(1, 2)}
+
+
+def test_ngram_min_shared_shingles_cut(spark):
+    """min_shared_shingles=2 drops only pairs sharing a single low-df
+    shingle; survivors keep the identical exact score, and m=1 equals
+    the historical distinct-candidates behavior."""
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "commonpayloadtext one"),   # (1,2) share a long run
+        (2, "commonpayloadtext two"),   # -> many shared shingles
+        (3, "xxxxx11111"),              # (3,4) share EXACTLY one
+        (4, "xxxxx22222"),              # shingle: "xxxxx"
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=5, threshold=0.01, max_shingle_freq=10)
+    m1 = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, **kw).collect()
+    }
+    m2 = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, min_shared_shingles=2, **kw).collect()
+    }
+    assert (3, 4) in m1 and (1, 2) in m1
+    assert (3, 4) not in m2, "single-shared-shingle pair must be cut at m=2"
+    assert (1, 2) in m2
+    assert m2[(1, 2)] == m1[(1, 2)]
+    assert set(m2) < set(m1)
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_topk_self_match_and_exact_scores(spark):
+    """Each query (drawn from the corpus) finds itself at rank 1 with
+    cosine 1.0 -- its own vector lives in its argmax list, which is
+    always the first probe -- and every returned cosine equals the
+    brute-force cosine for the same (query, vec) pair: IVF approximates
+    by scoping candidates, never by approximating scores."""
+    import random
+
+    from data_stream_flink_user_address_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    vecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(40)]
+    corpus = _emb_frame(spark, vecs)
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ivf_topk(
+        corpus, queries, k=5, centroid_stride=7, nprobe=2, dim=dim
+    ).collect()
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in brute_force_topk(
+            corpus, queries, k=40, dim=dim
+        ).collect()
+    }
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert rs[0]["vec_id"] == qid and rs[0]["cosine"] == 1.0
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        for r in rs:
+            assert r["cosine"] == exact[(qid, r["vec_id"])]

@@ -72,3 +72,16 @@ def test_topk_queries_use_window_group_limit(spark):
     for name in ("similarity_topk", "top_parts_per_brand"):
         plan = _plan(spark, name)
         assert "WindowGroupLimit" in plan, name
+
+
+def test_ivf_topk_broadcasts_and_never_cartesians(spark):
+    # centroids and probes are the provably-small sides: both joins must
+    # be broadcast, the n*k_cent assignment explosion must reduce via a
+    # partial (map-side) aggregate, and nothing may degrade to a
+    # cartesian of the corpus
+    plan = _plan(spark, "similarity_ivf_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "max_by" in plan  # argmax assignment is an aggregate, not a window
+    # the final rank<=k is a partial top-k, not a global sort
+    assert "WindowGroupLimit" in plan
