@@ -53,6 +53,11 @@ from data_stream_flink_user_address_spark.functions.similarity import (
     lsh_bucketed_topk,
     make_planes,
 )
+from data_stream_flink_user_address_spark.functions.curation import (
+    ngram_contamination,
+    pii_redact,
+    repetition_stats,
+)
 from data_stream_flink_user_address_spark.functions.multimodal import (
     attach_binary_payload,
     extract_media_meta,
@@ -444,7 +449,15 @@ def _q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: each purchase event matched to the user's most
     recent view event at-or-before it (operators/asof.py union trick;
-    oracle uses DuckDB's native ASOF JOIN)."""
+    oracle uses DuckDB's native ASOF JOIN).
+
+    Pins UTC: the output exposes ABSOLUTE epoch micros, and since the
+    events loader accepts native timestamp[us] (NTZ), the NTZ->TIMESTAMP
+    cast resolves wall-clock in the session zone at EXECUTION time -- a
+    non-UTC driver session would shift every emitted epoch by its offset
+    (caught by the verify skill's TZ probe).  Gap/interval queries are
+    exempt: a uniform shift cancels in differences."""
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", F.col("user_id").alias("uid"), "ts", "value"
@@ -821,6 +834,80 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(media)
 
 
+# Deterministic PII-bearing "support ticket" text synthesized from the
+# customer table (the slimmed TPC-H customer here carries no c_phone /
+# c_address, so the demo PII is derived arithmetically from c_custkey --
+# the same expressions on both engines).  Which PII kinds appear varies
+# by key (mod arithmetic) so the redaction counts are non-constant.
+_CONTAM_BENCH_MOD = 25  # every 25th doc stands in for the held-out eval set
+_CONTAM_N = 5  # word n-gram width for the overlap check (GPT-3 used 13)
+
+
+def _pii_ticket_col() -> F.Column:
+    key = F.col("c_custkey")
+    email = F.concat(
+        F.lower(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", "")),
+        F.lit("@example.com"),
+    )
+    phone = F.concat_ws(
+        "-",
+        (key % 900 + 100).cast("string"),
+        ((key * 7) % 900 + 100).cast("string"),
+        ((key * 13) % 9000 + 1000).cast("string"),
+    )
+    ip = F.concat_ws(
+        ".",
+        (key % 256).cast("string"),
+        ((key * 3) % 256).cast("string"),
+        ((key * 5) % 256).cast("string"),
+        ((key * 7) % 256).cast("string"),
+    )
+    ssn = F.concat_ws(
+        "-",
+        F.lpad((key % 1000).cast("string"), 3, "0"),
+        F.lpad((key % 100).cast("string"), 2, "0"),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+    )
+    return F.concat_ws(
+        " ",
+        F.col("c_name"),
+        F.lit("contact:"),
+        F.when(key % 3 != 0, email),
+        F.when(key % 2 == 0, phone),
+        F.when(key % 5 != 0, ip),
+        F.when(key % 7 == 0, ssn),
+    )
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing demo over synthesized ticket text: one codegen'd
+    projection (4 regexp_count + 4 chained regexp_replace), zero
+    shuffle at any corpus size (functions/curation.py:pii_redact)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", _pii_ticket_col().alias("ticket")
+    )
+    return pii_redact(c, text_col="ticket", out_col="redacted")
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-level repetition signals per document
+    (functions/curation.py:repetition_stats): token stats per-row, the
+    bigram mode via a doc-keyed two-level aggregate -- one shuffle on
+    doc_id, never on the corpus-wide bigram vocabulary."""
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: every 25th doc plays the held-out
+    eval set; the remaining corpus is flagged on 5-word-gram overlap.
+    The eval n-gram set broadcasts; the corpus is never shuffled by the
+    membership test (functions/curation.py:ngram_contamination)."""
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % _CONTAM_BENCH_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % _CONTAM_BENCH_MOD != 0)
+    return ngram_contamination(corpus, bench, n=_CONTAM_N)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # reference parity
     "user_address_counts": _q_user_address_counts,
@@ -871,6 +958,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_lsh_topk": _q_similarity_lsh_topk,
     "similarity_ivf_topk": _q_similarity_ivf_topk,
     "multimodal_meta": _q_multimodal_meta,
+    "pii_redact": _q_pii_redact,
+    "repetition_stats": _q_repetition_stats,
+    "contamination_check": _q_contamination_check,
 }
 
 
@@ -1533,6 +1623,128 @@ ORACLE_SQL: dict[str, str] = {
                (64 + ('0x' || substr(sha256(text), 3, 2))::INT)::INT AS height,
                NULL::BIGINT AS duration_ms
         FROM documents
+    """,
+    # PII redaction over the same synthesized ticket text (identical
+    # arithmetic + concat_ws null-skipping on both engines); counts via
+    # regexp_extract_all, redaction via chained regexp_replace(..., 'g').
+    # Patterns are RE2/Java-regex-portable by construction (classes +
+    # \b + bounded repeats only).
+    "pii_redact": r"""
+        WITH t AS (
+          SELECT c_custkey,
+                 concat_ws(' ',
+                   c_name, 'contact:',
+                   CASE WHEN c_custkey % 3 <> 0 THEN
+                     lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || '@example.com'
+                   END,
+                   CASE WHEN c_custkey % 2 = 0 THEN
+                     concat_ws('-',
+                       CAST(c_custkey % 900 + 100 AS VARCHAR),
+                       CAST((c_custkey * 7) % 900 + 100 AS VARCHAR),
+                       CAST((c_custkey * 13) % 9000 + 1000 AS VARCHAR))
+                   END,
+                   CASE WHEN c_custkey % 5 <> 0 THEN
+                     concat_ws('.',
+                       CAST(c_custkey % 256 AS VARCHAR),
+                       CAST((c_custkey * 3) % 256 AS VARCHAR),
+                       CAST((c_custkey * 5) % 256 AS VARCHAR),
+                       CAST((c_custkey * 7) % 256 AS VARCHAR))
+                   END,
+                   CASE WHEN c_custkey % 7 = 0 THEN
+                     concat_ws('-',
+                       lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'),
+                       lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0'),
+                       lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'))
+                   END) AS ticket
+          FROM customer
+        )
+        SELECT c_custkey, ticket,
+               len(regexp_extract_all(ticket,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+               len(regexp_extract_all(ticket, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
+               len(regexp_extract_all(ticket, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+               len(regexp_extract_all(ticket,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(ticket,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                     '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                   '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+        FROM t
+    """,
+    # Word-level repetition signals: identical \s+ tokenization (with the
+    # empty-text guard), bigram mode via group + row_number with the same
+    # (count DESC, bigram ASC) tie-break the Spark min_by struct encodes.
+    "repetition_stats": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+') END AS toks
+          FROM documents
+        ),
+        bc AS (
+          SELECT doc_id, bigram, count(*) AS cnt FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS bigram
+            FROM t WHERE len(toks) >= 2
+          ) GROUP BY doc_id, bigram
+        ),
+        top AS (
+          SELECT doc_id, bigram, cnt,
+                 sum(cnt) OVER (PARTITION BY doc_id) AS nb,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, bigram ASC) AS rn
+          FROM bc
+        )
+        SELECT t.doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               len(list_distinct(toks))::BIGINT AS n_unique_tokens,
+               CASE WHEN len(toks) > 0
+                    THEN round(1.0 - len(list_distinct(toks)) / len(toks), 6)
+                    ELSE 0.0 END AS dup_token_frac,
+               top.bigram AS top_bigram,
+               coalesce(top.cnt, 0)::BIGINT AS top_bigram_count,
+               coalesce(round(top.cnt / top.nb, 6), 0.0) AS top_bigram_frac
+        FROM t LEFT JOIN (SELECT * FROM top WHERE rn = 1) top USING (doc_id)
+    """,
+    # Benchmark contamination: every 25th doc is the stand-in eval set;
+    # distinct 5-word-gram overlap, same tokenization and slicing.
+    "contamination_check": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+') END AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 5 THEN
+                   list_distinct(list_transform(range(1, len(toks) - 3),
+                     i -> array_to_string(toks[i:i+4], ' ')))
+                 ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM t
+        ),
+        bench AS (
+          SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 25 = 0
+        ),
+        corp AS (SELECT doc_id, grams FROM g WHERE doc_id % 25 <> 0),
+        hits AS (
+          SELECT doc_id, count(*) AS n_overlap FROM (
+            SELECT doc_id, unnest(grams) AS gram FROM corp
+          ) e JOIN bench USING (gram) GROUP BY doc_id
+        )
+        SELECT corp.doc_id,
+               len(grams)::BIGINT AS n_ngrams,
+               coalesce(n_overlap, 0)::BIGINT AS n_overlap,
+               CASE WHEN len(grams) > 0
+                    THEN round(coalesce(n_overlap, 0) / len(grams), 6)
+                    ELSE 0.0 END AS overlap_frac,
+               coalesce(n_overlap, 0) > 0 AS contaminated
+        FROM corp LEFT JOIN hits USING (doc_id)
     """,
 }
 

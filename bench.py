@@ -80,6 +80,9 @@ HEADLINE = [
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "multimodal_meta",
+    "pii_redact",
+    "repetition_stats",
+    "contamination_check",
 ]
 
 

@@ -187,6 +187,11 @@ def main():
     result["join_hot_plain_aqe_tuned_sec"] = round(sec_pj_aqetuned, 3)
     result["join_hot_salted_nobroadcast_sec"] = round(sec_sj, 3)
 
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "SKEW_BENCH.json"),
+        "w",
+    ) as f:
+        json.dump(result, f)
     print(json.dumps(result))
     spark.stop()
 

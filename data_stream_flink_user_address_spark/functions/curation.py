@@ -1,0 +1,223 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+Engine extensions beyond the reference surface (the reference's Flink
+topology — ``Main.java`` — has no corpus tooling; these are the standard
+pre-training curation steps a 100 TB documents pipeline needs next to the
+dedup family in :mod:`.dedup`):
+
+- :func:`pii_redact` — regex scrubbing of emails / phones / IPv4s / SSNs,
+  with per-category match counts (the audit trail curation jobs keep).
+- :func:`repetition_stats` — Gopher-style repetition signals at the word
+  level (duplicate-token fraction, most-frequent-bigram share); documents
+  dominated by repeated n-grams are the classic low-quality strata cut
+  before training.
+- :func:`ngram_contamination` — benchmark-contamination check: flag
+  training documents sharing word n-grams with a held-out eval set (the
+  GPT-3/PaLM 13-gram-overlap decontamination procedure, n configurable).
+
+Everything stays JVM-side (``pyspark.sql.functions`` expressions, no
+Python in the hot path) and every pattern is written to behave
+identically under Java regex (Spark) and RE2 (DuckDB): character
+classes, ``\\b`` anchors and bounded quantifiers only — no lookaround,
+no backreferences — so the DuckDB oracle verifies results byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# PII patterns, applied in dict order.  Deliberately conservative shapes
+# (dash-separated phones, dotted quads) so no pattern can match inside
+# another's redacted span and Java-regex / RE2 agree on every match:
+# each is anchored with \b and uses only classes + bounded repeats.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+}
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Redact PII spans and count matches per category.
+
+    Adds ``out_col`` (text with every match replaced by its placeholder)
+    plus one ``n_<category>`` count column per :data:`PII_PATTERNS` entry.
+    Counts are taken on the ORIGINAL text, then replacements chain in
+    dict order — the patterns are mutually non-overlapping by
+    construction (SSN is 3-2-4 digits, phone 3-3-4; emails consume their
+    digits before any numeric pattern could), so order only matters for
+    determinism, not results.
+
+    Scale shape: a single narrow projection — four ``regexp_count`` and
+    four ``regexp_replace`` calls fused into one whole-stage-codegen'd
+    map over the scan.  ZERO shuffle at any corpus size; redaction cost
+    is linear in bytes scanned and embarrassingly parallel.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    red = c
+    for pat, repl in PII_PATTERNS.values():
+        red = F.regexp_replace(red, pat, repl)
+    return df.select("*", *counts, red.alias(out_col))
+
+
+def _toks(text_col: str) -> Column:
+    trimmed = F.trim(F.col(text_col))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def word_ngrams(text_col: str, n: int) -> Column:
+    """Array of space-joined word n-grams (empty when < n tokens)."""
+    toks = _toks(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style word-level repetition signals, one row per doc:
+
+    - ``n_tokens`` / ``n_unique_tokens`` and ``dup_token_frac`` =
+      1 - unique/total (0.0 for empty docs), rounded to 6;
+    - ``top_bigram`` — the most frequent word bigram (ties break to the
+      lexicographically smallest, so engine and oracle agree), with
+      ``top_bigram_count`` and ``top_bigram_frac`` = count / n_bigrams.
+
+    Documents whose mass concentrates in few n-grams (high
+    ``top_bigram_frac``) or few distinct tokens (high
+    ``dup_token_frac``) are the repetition strata the Gopher quality
+    filters drop (Rae et al. 2021 §A1.1 line/paragraph analogue — this
+    corpus is single-line word text, so the signal lives at word level).
+
+    Scale shape: token stats are a per-row projection (zero shuffle).
+    The bigram mode needs cross-row state per doc only — explode to
+    (doc, bigram), two-level aggregate with a map-side partial
+    (``groupBy(doc, bigram)``), then a ``max_by`` per doc: one shuffle
+    keyed on the doc id, never on the corpus-wide bigram vocabulary, so
+    hot bigrams ("the the ...") cannot skew a reduce key.
+    """
+    toks = _toks(text_col)
+    per_row = df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        word_ngrams(text_col, 2).alias("__bigrams"),
+    )
+    dup_frac = F.when(
+        F.col("n_tokens") > 0,
+        F.round(1.0 - F.col("n_unique_tokens") / F.col("n_tokens"), 6),
+    ).otherwise(F.lit(0.0))
+    bigram_counts = (
+        per_row.select(id_col, F.explode("__bigrams").alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # max count wins; ties break to the smallest bigram string.  max_by
+    # with a (cnt, reversed-string) struct would need a total order on
+    # strings' reverse — use min_by on (-cnt, bigram) instead: the
+    # lexicographic struct order is exactly (highest count, smallest
+    # bigram).
+    top = bigram_counts.groupBy(id_col).agg(
+        F.min_by(
+            F.struct(F.col("bigram"), F.col("cnt")),
+            F.struct((-F.col("cnt")).alias("neg"), F.col("bigram")),
+        ).alias("__top"),
+        F.sum("cnt").alias("__n_bigrams"),
+    )
+    return (
+        per_row.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_unique_tokens",
+            dup_frac.alias("dup_token_frac"),
+            F.col("__top.bigram").alias("top_bigram"),
+            F.coalesce(F.col("__top.cnt"), F.lit(0)).cast("bigint").alias(
+                "top_bigram_count"
+            ),
+            F.when(
+                F.col("__n_bigrams") > 0,
+                F.round(F.col("__top.cnt") / F.col("__n_bigrams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check (GPT-3 appendix-C style): for every
+    corpus document, count its DISTINCT word ``n``-grams that also occur
+    anywhere in the ``benchmark`` frame, and flag ``contaminated`` when
+    any overlap exists.  One row per corpus doc:
+    ``(doc_id, n_ngrams, n_overlap, overlap_frac, contaminated)``.
+
+    GPT-3 used 13-gram overlap; ``n`` is a knob because the right value
+    scales with how paraphrase-robust the check must be (smaller n =
+    stricter).
+
+    Scale shape: the benchmark side is an eval set — thousands of docs,
+    not billions — so its distinct n-gram set is broadcast and the 100 TB
+    corpus is NEVER shuffled by the membership test: explode distinct
+    grams per doc (map-side), hash-join against the broadcast set, and
+    aggregate back on the doc id (map-side partial first).  The only
+    shuffle is the per-doc count combine, sized by matching grams, not
+    the corpus.
+    """
+    grams = word_ngrams(text_col, n)
+    c = corpus.select(
+        F.col(id_col), F.array_distinct(grams).alias("__grams")
+    )
+    bench_set = (
+        benchmark.select(F.explode(F.array_distinct(grams)).alias("gram"))
+        .distinct()
+    )
+    exploded = c.select(id_col, F.explode("__grams").alias("gram"))
+    hits = (
+        exploded.join(F.broadcast(bench_set), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        c.select(F.col(id_col), F.size("__grams").cast("bigint").alias("n_ngrams"))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_ngrams",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.round(
+                    F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_ngrams"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("overlap_frac"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -391,10 +391,14 @@ def ngram_jaccard_pairs(
     -- the same dedup step the m=1 path already pays (groupBy on the
     pair) but with a stricter keep predicate, so it costs nothing extra
     while shrinking the rescore join's input.  Like the df cap it trades
-    recall, not precision: every emitted score stays exact.  Measured at
-    sf0.1 (NGRAM_PROBE.json): see the probe artifact for the candidate
-    shrink and whether any true pair is lost at m=2 on the synthetic
-    corpus.
+    recall, not precision: every emitted score stays exact.  MEASURED at
+    sf0.1 (NGRAM_PROBE.json, bench_ngram_probe.py): m=2 cuts candidates
+    97.8% (148,423 -> 3,268; 97.8% of candidates share exactly one
+    low-df shingle) and runs 3.3x faster (15.3 -> 4.7 s median), but
+    LOSES 7,421 of the 7,665 true pairs -- on this corpus a single
+    shared low-df shingle usually IS the signal, so the headline query
+    stays at m=1 and the knob is for corpora where near-dup pairs share
+    many rare shingles (e.g. true web duplicates).
 
     Scale shape with pruning: the candidate join is bounded by
     vocab * cap^2 rows; rescoring joins each candidate pair to two

@@ -447,3 +447,106 @@ def test_ivf_topk_self_match_and_exact_scores(spark):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         for r in rs:
             assert r["cosine"] == exact[(qid, r["vec_id"])]
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: PII redaction, repetition stats, contamination
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redact_patterns_and_counts(spark):
+    from data_stream_flink_user_address_spark.functions.curation import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b-c@x.co and x@y.org twice"),
+            (1, "ssn 123-45-6789 phone 555-123-4567 ip 10.0.0.1"),
+            (2, "clean text with 12345 and 1.2 nothing"),
+            (3, ""),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert rows[0]["n_email"] == 2 and rows[0]["redacted"] == "mail [EMAIL] and [EMAIL] twice"
+    r1 = rows[1]
+    assert (r1["n_ssn"], r1["n_phone"], r1["n_ipv4"]) == (1, 1, 1)
+    assert r1["redacted"] == "ssn [SSN] phone [PHONE] ip [IP]"
+    r2 = rows[2]
+    assert (r2["n_email"], r2["n_ssn"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 0, 0)
+    assert r2["redacted"] == r2["text"]
+    assert rows[3]["redacted"] == ""
+
+
+def test_pii_redact_no_cross_pattern_bleed(spark):
+    """A phone is not an SSN (3-3-4 vs 3-2-4) and a dash-phone never
+    partially matches the dotted-quad IP pattern."""
+    from data_stream_flink_user_address_spark.functions.curation import pii_redact
+
+    df = spark.createDataFrame(
+        [(0, "call 123-456-7890 or 999-88-7777 at 123.456.789.250")],
+        "doc_id int, text string",
+    )
+    r = pii_redact(df).collect()[0]
+    assert (r["n_phone"], r["n_ssn"], r["n_ipv4"]) == (1, 1, 1)
+    assert r["redacted"] == "call [PHONE] or [SSN] at [IP]"
+
+
+def test_repetition_stats_word_level(spark):
+    from data_stream_flink_user_address_spark.functions.curation import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a"),      # bigrams: "a b"x2, "b a"x2 -> tie, "a b" wins
+            (1, "x y z"),          # all unique
+            (2, "w w w w"),        # one token repeated
+            (3, "solo"),           # no bigrams
+            (4, ""),               # empty
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r0 = rows[0]
+    assert (r0["n_tokens"], r0["n_unique_tokens"]) == (5, 2)
+    assert r0["dup_token_frac"] == 0.6
+    assert r0["top_bigram"] == "a b" and r0["top_bigram_count"] == 2
+    assert r0["top_bigram_frac"] == 0.5
+    r1 = rows[1]
+    assert r1["dup_token_frac"] == 0.0 and r1["top_bigram_count"] == 1
+    r2 = rows[2]
+    assert r2["top_bigram"] == "w w" and r2["top_bigram_count"] == 3
+    assert r2["top_bigram_frac"] == 1.0 and r2["dup_token_frac"] == 0.75
+    r3 = rows[3]
+    assert r3["top_bigram"] is None and r3["top_bigram_count"] == 0
+    assert r3["top_bigram_frac"] == 0.0
+    r4 = rows[4]
+    assert (r4["n_tokens"], r4["dup_token_frac"]) == (0, 0.0)
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    from data_stream_flink_user_address_spark.functions.curation import (
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "i saw the quick brown fox jumps here"),  # shares 3 distinct 5-grams? no: "the quick brown fox jumps" only
+            (1, "completely different words entirely here today"),
+            (2, "short doc"),  # < n tokens -> 0 ngrams
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_contamination(corpus, bench, n=5).collect()}
+    r0 = rows[0]
+    assert r0["contaminated"] is True and r0["n_overlap"] == 1
+    assert r0["n_ngrams"] == 4  # 8 tokens -> 4 distinct 5-grams
+    assert r0["overlap_frac"] == 0.25
+    assert rows[1]["contaminated"] is False and rows[1]["n_overlap"] == 0
+    r2 = rows[2]
+    assert (r2["n_ngrams"], r2["n_overlap"], r2["contaminated"]) == (0, 0, False)
+    assert r2["overlap_frac"] == 0.0
