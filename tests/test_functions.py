@@ -550,3 +550,41 @@ def test_ngram_contamination_flags_overlap(spark):
     r2 = rows[2]
     assert (r2["n_ngrams"], r2["n_overlap"], r2["contaminated"]) == (0, 0, False)
     assert r2["overlap_frac"] == 0.0
+
+
+def test_ngram_jaccard_bitmap_and_array_rescore_agree(spark):
+    """The dictionary-bitmap rescore and the string-array rescore are two
+    representations of the same exact computation: identical pairs and
+    identical scores, including docs sharing only stop-shingles (no
+    candidate) and pairs right at the threshold."""
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "entirely different content lives here today ok"),
+            (4, "entirely different content lives here tomorrow no"),
+            (5, "the quick brown fox leaps over the lazy dog"),
+        ],
+        "doc_id int, text string",
+    )
+    kw = dict(n=5, threshold=0.05, max_shingle_freq=4)
+    got_bitmap = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, bitmap_vocab_limit=65536, **kw).collect()
+    }
+    got_array = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, bitmap_vocab_limit=None, **kw).collect()
+    }
+    assert got_bitmap == got_array
+    assert len(got_bitmap) >= 2  # non-degenerate corpus
+    # forcing the fallback via a tiny limit must also agree
+    got_forced = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, bitmap_vocab_limit=1, **kw).collect()
+    }
+    assert got_forced == got_array

@@ -85,3 +85,35 @@ def test_ivf_topk_broadcasts_and_never_cartesians(spark):
     assert "max_by" in plan  # argmax assignment is an aggregate, not a window
     # the final rank<=k is a partial top-k, not a global sort
     assert "WindowGroupLimit" in plan
+
+
+def test_pii_redact_is_shuffle_free_projection(spark):
+    # redaction must stay a map-only projection over the scan: no
+    # exchange, no join, no aggregate anywhere in the plan
+    plan = _plan(spark, "pii_redact")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Aggregate" not in plan.replace("HashAggregate", "")  # no agg at all
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    # the eval-set gram side must broadcast; the corpus side must never
+    # feed a cartesian or a sort-merge join on gram strings
+    plan = _plan(spark, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # no sort-merge on the GRAM key (the corpus-side membership test);
+    # the per-doc zero-fill join may legitimately sort-merge at scale
+    for frag in plan.split("SortMergeJoin")[1:]:
+        assert "gram" not in frag.split("\n", 1)[0], "gram-keyed SMJ"
+
+
+def test_repetition_stats_shuffles_on_doc_id_only(spark):
+    # every exchange must be hash-partitioned on the doc id -- a
+    # bigram-keyed exchange would put the corpus-wide vocabulary on the
+    # wire and reintroduce hot-key skew
+    plan = _plan(spark, "repetition_stats")
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = frag.split(")", 1)[0]
+        assert "doc_id" in keys, f"non-doc_id exchange: {keys}"
