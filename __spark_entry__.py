@@ -62,6 +62,10 @@ from data_stream_flink_user_address_spark.functions.multimodal import (
     attach_binary_payload,
     extract_media_meta,
 )
+from data_stream_flink_user_address_spark.functions.sampling import (
+    hash_split,
+    mixture_sample,
+)
 from data_stream_flink_user_address_spark.functions.text import (
     BPE_SPLIT_PATTERN,
     STOPWORDS,
@@ -897,6 +901,34 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+# Mixture config for the sampling demo: keep all of four "curated"
+# sources, 40% of six mid-tier ones, 10% of everything else.
+_MIX_FRACTIONS = {**{f"src{i}": 1.0 for i in range(4)},
+                  **{f"src{i}": 0.4 for i in range(4, 10)}}
+_MIX_DEFAULT = 0.1
+_SPLITS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing: per-source hash-Bernoulli keep rates
+    (functions/sampling.py:mixture_sample).  Zero shuffle — one scan,
+    every row decides locally from md5(doc_id|seed), so a resumed or
+    replayed 100 TB job selects the identical sample."""
+    d = _docs(spark, sf_dir)
+    return mixture_sample(
+        d, _MIX_FRACTIONS, default_fraction=_MIX_DEFAULT, seed=42
+    ).select("doc_id", "source")
+
+
+def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/valid/test assignment by cumulative hash-bucket
+    ranges (functions/sampling.py:hash_split): a doc's split depends on
+    nothing but (doc_id, seed) — stable under re-runs and under corpus
+    growth, unlike randomSplit."""
+    d = _docs(spark, sf_dir)
+    return hash_split(d, _SPLITS, seed=42).select("doc_id", "split")
+
+
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: every 25th doc plays the held-out
     eval set; the remaining corpus is flagged on 5-word-gram overlap.
@@ -961,6 +993,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": _q_pii_redact,
     "repetition_stats": _q_repetition_stats,
     "contamination_check": _q_contamination_check,
+    "mixture_sample": _q_mixture_sample,
+    "dataset_split": _q_dataset_split,
 }
 
 
@@ -1745,6 +1779,36 @@ ORACLE_SQL: dict[str, str] = {
                     ELSE 0.0 END AS overlap_frac,
                coalesce(n_overlap, 0) > 0 AS contaminated
         FROM corp LEFT JOIN hits USING (doc_id)
+    """,
+    # Deterministic mixture sampling: identical md5-prefix bucket
+    # (15 hex chars -> bigint % 1e6) and integer thresholds.  src0-3
+    # keep 1.0, src4-9 keep 0.4, default 0.1, seed 42.
+    "mixture_sample": """
+        WITH b AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 15))
+                      AS BIGINT) % 1000000 AS bucket
+          FROM documents
+        )
+        SELECT doc_id, source FROM b
+        WHERE bucket < CASE
+          WHEN source IN ('src0','src1','src2','src3') THEN 1000000
+          WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 400000
+          ELSE 100000 END
+    """,
+    # Reproducible split assignment: cumulative bucket ranges
+    # train [0, 800000), valid [800000, 900000), test [900000, 1e6).
+    "dataset_split": """
+        SELECT doc_id,
+               CASE WHEN bucket < 800000 THEN 'train'
+                    WHEN bucket < 900000 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 15))
+                      AS BIGINT) % 1000000 AS bucket
+          FROM documents
+        )
     """,
 }
 

@@ -83,6 +83,8 @@ HEADLINE = [
     "pii_redact",
     "repetition_stats",
     "contamination_check",
+    "mixture_sample",
+    "dataset_split",
 ]
 
 

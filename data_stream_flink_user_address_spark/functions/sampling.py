@@ -1,0 +1,118 @@
+"""Deterministic sampling for large-scale training-data pipelines.
+
+Engine extension beyond the reference surface: the data-mixing /
+splitting steps of a pre-training pipeline — downsample sources to a
+target mixture, carve reproducible train/valid/test splits — done with
+HASH-derived uniforms instead of ``rand()``:
+
+- the sample is a pure function of (key, seed): re-running a failed or
+  resumed 100 TB job selects the SAME rows (rand() re-draws per task
+  attempt — a retry silently changes the sample);
+- membership is checkable row-by-row after the fact (auditable), and
+  the DuckDB oracle can reproduce it exactly — randomness is not
+  SQL-comparable, hashes are;
+- no coordination: every row decides locally, so sampling composes with
+  any partitioning, streams (same row → same decision in a replayed
+  micro-batch), and incremental reruns.
+
+The uniform is the first 15 hex chars of ``md5(key || '|' || seed)``
+reduced mod 1e6 — the same md5-prefix→bigint construction the dedup
+family uses (``dedup._md5_long``), available verbatim in DuckDB.
+Fractions compare as INTEGER thresholds (``bucket < round(f * 1e6)``)
+so engine/oracle agree exactly; resolution is 1e-6.
+
+Everything is a zero-shuffle projection/filter: sampling 100 TB costs
+one scan, embarrassingly parallel, no shuffle at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _md5_long
+
+_RESOLUTION = 1_000_000
+
+
+def hash_bucket(key: Column, seed: int = 42) -> Column:
+    """Deterministic uniform bucket in [0, 1e6) from (key, seed)."""
+    return _md5_long(
+        F.concat(key.cast("string"), F.lit(f"|{seed}"))
+    ) % _RESOLUTION
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, keyed on ``key_col``."""
+    thr = int(round(fraction * _RESOLUTION))
+    return df.filter(hash_bucket(F.col(key_col), seed) < thr)
+
+
+def hash_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to one split by cumulative hash-bucket ranges.
+
+    ``splits`` maps label -> fraction (must sum to ~1; the last label
+    absorbs rounding).  Insertion order defines the ranges, so the
+    assignment is stable under re-runs AND under adding rows: a doc's
+    split never depends on other rows (contrast ``randomSplit``, which
+    is neither).
+    """
+    labels = list(splits)
+    bucket = hash_bucket(F.col(key_col), seed)
+    cum = 0.0
+    expr = None
+    for label in labels[:-1]:
+        cum += splits[label]
+        thr = int(round(cum * _RESOLUTION))
+        expr = (
+            F.when(bucket < thr, F.lit(label))
+            if expr is None
+            else expr.when(bucket < thr, F.lit(label))
+        )
+    expr = (
+        F.lit(labels[-1])
+        if expr is None
+        else expr.otherwise(F.lit(labels[-1]))
+    )
+    return df.withColumn(out_col, expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-source downsampling to a target mixture (the data-mixing step:
+    e.g. keep all of a curated source, 10% of a crawl).
+
+    ``fractions`` maps source value -> keep fraction; sources absent
+    from the map keep ``default_fraction``.  The per-source threshold is
+    an inline CASE here (mixture configs are dozens of sources); a
+    million-source config would broadcast-join a (source, threshold)
+    frame instead — the row-side decision is unchanged.
+    """
+    thr = None
+    for src, frac in fractions.items():
+        t = int(round(frac * _RESOLUTION))
+        cond = F.col(source_col) == src
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = (
+        F.lit(int(round(default_fraction * _RESOLUTION)))
+        if thr is None
+        else thr.otherwise(int(round(default_fraction * _RESOLUTION)))
+    )
+    return df.filter(hash_bucket(F.col(key_col), seed) < thr)

@@ -588,3 +588,61 @@ def test_ngram_jaccard_bitmap_and_array_rescore_agree(spark):
         for r in ngram_jaccard_pairs(df, bitmap_vocab_limit=1, **kw).collect()
     }
     assert got_forced == got_array
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling: hash_sample / hash_split / mixture_sample
+# ---------------------------------------------------------------------------
+
+
+def _sampling_docs(spark, n=400):
+    rows = [(i, f"src{i % 4}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id int, source string")
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    from data_stream_flink_user_address_spark.functions.sampling import hash_sample
+
+    df = _sampling_docs(spark)
+    a = {r["doc_id"] for r in hash_sample(df, 0.3, seed=7).collect()}
+    b = {r["doc_id"] for r in hash_sample(df, 0.3, seed=7).collect()}
+    assert a == b, "same (key, seed) must select the same rows"
+    # a nested smaller sample is a subset: thresholds nest by construction
+    c = {r["doc_id"] for r in hash_sample(df, 0.1, seed=7).collect()}
+    assert c <= a
+    # calibration within binomial noise (400 draws, p=0.3 -> sd ~ 9)
+    assert 80 <= len(a) <= 160
+    # a different seed draws a genuinely different sample
+    d = {r["doc_id"] for r in hash_sample(df, 0.3, seed=8).collect()}
+    assert d != a
+
+
+def test_hash_split_partitions_and_is_row_local(spark):
+    from data_stream_flink_user_address_spark.functions.sampling import hash_split
+
+    df = _sampling_docs(spark)
+    splits = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    got = {r["doc_id"]: r["split"] for r in hash_split(df, splits, seed=42).collect()}
+    assert len(got) == 400 and set(got.values()) == {"train", "valid", "test"}
+    # row-local: the assignment of doc 0..99 is unchanged when the
+    # corpus grows (randomSplit cannot promise this)
+    small = {r["doc_id"]: r["split"]
+             for r in hash_split(_sampling_docs(spark, 100), splits, seed=42).collect()}
+    assert all(got[i] == small[i] for i in range(100))
+    counts = {s: list(got.values()).count(s) for s in splits}
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+
+
+def test_mixture_sample_per_source_rates(spark):
+    from data_stream_flink_user_address_spark.functions.sampling import mixture_sample
+
+    df = _sampling_docs(spark)  # 100 docs per source
+    kept = mixture_sample(
+        df, {"src0": 1.0, "src1": 0.5}, default_fraction=0.0, seed=42
+    ).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src.get("src0", set())) == 100, "fraction 1.0 keeps everything"
+    assert "src2" not in by_src and "src3" not in by_src, "default 0.0 drops"
+    assert 25 <= len(by_src.get("src1", set())) <= 75  # p=0.5 of 100
