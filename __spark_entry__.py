@@ -909,6 +909,54 @@ _MIX_DEFAULT = 0.1
 _SPLITS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern pre-training curation recipe as ONE declarative
+    plan: language-ID + quality gate -> word-repetition cut -> exact
+    dedup -> benchmark decontamination -> deterministic mixture sample.
+
+    Composition order is the 100 TB order: the row-local gates (lang,
+    quality) are scan-fused and prune before anything wide; the
+    repetition signal costs one doc-keyed aggregate; dedup is one
+    fingerprint shuffle over survivors only; the contamination test is
+    a broadcast membership join (eval docs themselves drop out -- they
+    are not training data); the mixture sample is a scan-fused hash
+    filter.  Nothing in the pipeline shuffles document bodies except
+    the one dedup exchange, and that moves 32-byte fingerprints."""
+    d = _docs(spark, sf_dir).withColumn("__toks", tokens("text"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        language_id("text").alias("lang"),
+        quality_score("text").alias("quality"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+    rep = repetition_stats(_docs(spark, sf_dir)).select("doc_id", "dup_token_frac")
+    base = _docs(spark, sf_dir)
+    contam = ngram_contamination(
+        base.filter(F.col("doc_id") % _CONTAM_BENCH_MOD != 0),
+        base.filter(F.col("doc_id") % _CONTAM_BENCH_MOD == 0),
+        n=_CONTAM_N,
+    ).select("doc_id", "contaminated")
+    kept = (
+        scored.join(rep, "doc_id")
+        .join(contam, "doc_id")  # inner: benchmark docs drop out by design
+        .filter(
+            (F.col("lang") == "en")
+            & (F.col("quality") >= 0.5)
+            & (F.col("dup_token_frac") <= 0.6)
+            & (~F.col("contaminated"))
+        )
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
+    deduped = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return mixture_sample(
+        deduped, _MIX_FRACTIONS, default_fraction=_MIX_DEFAULT, seed=42
+    ).select("doc_id", "source", "quality", "dup_token_frac")
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic data-mixing: per-source hash-Bernoulli keep rates
     (functions/sampling.py:mixture_sample).  Zero shuffle — one scan,
@@ -995,6 +1043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": _q_contamination_check,
     "mixture_sample": _q_mixture_sample,
     "dataset_split": _q_dataset_split,
+    "curation_pipeline": _q_curation_pipeline,
 }
 
 
@@ -1792,6 +1841,79 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT doc_id, source FROM b
         WHERE bucket < CASE
+          WHEN source IN ('src0','src1','src2','src3') THEN 1000000
+          WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 400000
+          ELSE 100000 END
+    """,
+    # Full curation recipe: the corpus_curation lang/quality chain +
+    # word-repetition cut + exact dedup + contamination drop + mixture
+    # threshold, each sub-expression identical to its standalone green
+    # oracle.
+    "curation_pipeline": f"""
+        WITH t AS (
+          SELECT doc_id, text, source, {_sql_tokens()} AS toks FROM documents
+        ), h AS (
+          SELECT doc_id, text, source, toks,
+                 {", ".join(f"{_sql_hits('toks', STOPWORDS[lang])} AS h_{lang}" for lang in STOPWORDS)}
+          FROM t
+        ), m AS (
+          SELECT doc_id, text, source, toks,
+                 {_sql_lang_case()} AS lang,
+                 len(toks)::DOUBLE AS n_tok,
+                 length(text)::DOUBLE AS n_chars,
+                 CASE WHEN len(toks) > 0
+                      THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                      ELSE 0.0 END AS mean_tok_len,
+                 CASE WHEN length(text) > 0
+                      THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)
+                      ELSE 0.0 END AS punct_ratio,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, t -> t IN ({_STOP_IN})))::DOUBLE / len(toks)
+                      ELSE 0.0 END AS stop_ratio
+          FROM h
+        ), q AS (
+          SELECT doc_id, source, lang, toks,
+                 round(0.25 * least(1.0, n_tok / 64.0)
+                     + 0.25 * least(1.0, mean_tok_len / 8.0)
+                     + 0.25 * (1.0 - least(1.0, punct_ratio * 10.0))
+                     + 0.25 * least(1.0, stop_ratio * 4.0), 4) AS quality,
+                 CASE WHEN len(toks) > 0
+                      THEN round(1.0 - len(list_distinct(toks)) / len(toks), 6)
+                      ELSE 0.0 END AS dup_token_frac,
+                 md5({_sql_norm()}) AS fingerprint
+          FROM m
+        ), g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= {_CONTAM_N} THEN
+                   list_distinct(list_transform(range(1, len(toks) - {_CONTAM_N - 2}),
+                     i -> array_to_string(toks[i:i+{_CONTAM_N - 1}], ' ')))
+                 ELSE CAST([] AS VARCHAR[]) END AS grams
+          FROM t
+        ), bench AS (
+          SELECT DISTINCT unnest(grams) AS gram FROM g
+          WHERE doc_id % {_CONTAM_BENCH_MOD} = 0
+        ), corp AS (
+          SELECT doc_id, grams FROM g WHERE doc_id % {_CONTAM_BENCH_MOD} <> 0
+        ), hits AS (
+          SELECT doc_id, count(*) AS n_overlap FROM (
+            SELECT doc_id, unnest(grams) AS gram FROM corp
+          ) e JOIN bench USING (gram) GROUP BY doc_id
+        ), kept AS (
+          SELECT q.doc_id, q.source, q.quality, q.dup_token_frac, q.fingerprint
+          FROM q JOIN corp ON q.doc_id = corp.doc_id
+          LEFT JOIN hits ON q.doc_id = hits.doc_id
+          WHERE q.lang = 'en' AND q.quality >= 0.5
+            AND q.dup_token_frac <= 0.6
+            AND coalesce(hits.n_overlap, 0) = 0
+        ), deduped AS (
+          SELECT doc_id, source, quality, dup_token_frac FROM (
+            SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                         ORDER BY doc_id ASC) AS rn
+            FROM kept
+          ) WHERE rn = 1
+        )
+        SELECT doc_id, source, quality, dup_token_frac FROM deduped
+        WHERE {_sql_md5_long("CAST(doc_id AS VARCHAR) || '|42'")} % 1000000 < CASE
           WHEN source IN ('src0','src1','src2','src3') THEN 1000000
           WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 400000
           ELSE 100000 END

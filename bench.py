@@ -85,6 +85,7 @@ HEADLINE = [
     "contamination_check",
     "mixture_sample",
     "dataset_split",
+    "curation_pipeline",
 ]
 
 

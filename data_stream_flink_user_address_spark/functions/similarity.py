@@ -171,6 +171,15 @@ def ivf_topk(
     with weak cluster structure, recall degrades toward the probed
     fraction as n grows at fixed nprobe; real embedding corpora
     cluster, which is what makes IVF the production default (FAISS).
+
+    Small-n wall time is STAGE-COUNT-bound, not compute-bound: at
+    sf0.1 (n=2,000) this runs ~5 s vs ~2 s brute force, but the profile
+    shows the full 130k-pair assignment join + argmax costs only ~1.3 s
+    -- the rest is fixed per-stage overhead across IVF's ~8 tiny stages
+    (probe window, scoring join, rank).  Brute force is simply correct
+    at small n; IVF's corpus-fraction advantage is the 10^6+ regime,
+    the same shape as the measured near-dup LSH crossover
+    (ANN_SCALE.json).
     """
     c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv"))
     cent = (
