@@ -784,7 +784,7 @@ def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     CROSSOVER, MEASURED (ANN_SCALE.json, bench_ann_scale.py: dim 64,
     threshold 0.8, 32 cores): the exact blocked matmul wins at n <= 1e4
-    (2.7 s vs 7.2 s -- which is why sf0.1's 5k vectors bench ~4x faster
+    (2.7 s vs 7.2 s -- which is why sf0.1's 2k vectors bench ~4x faster
     on the exact path), LSH overtakes by n = 3e4 (4.7 vs 5.8 s), and
     the gap grows quadratically: 30 vs 91 s at 1e5, 23 vs 492 s at 3e5
     (21x).  At 1e6 LSH measures 128 s while the exact arm extrapolates

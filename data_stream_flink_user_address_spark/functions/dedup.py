@@ -408,7 +408,6 @@ def ngram_jaccard_pairs(
     count, never all-pairs.
     """
     sh = shingles(df, text_col, id_col, n).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         joinable = sh.join(
@@ -463,11 +462,18 @@ def ngram_jaccard_pairs(
                 "aggregate(filter(__sids, s -> s div 64 = w), 0L, "
                 "(acc, s) -> acc | shiftleft(1L, cast(s % 64 AS INT))))"
             )
+            # set_size rides along in the same per-doc aggregate, so the
+            # sizes are attached by the SAME pair joins that deliver the
+            # bitmaps -- no separate sizes frame and no trailing size
+            # joins for this branch
             sets = (
                 sh.join(ids, "shingle")
                 .groupBy(id_col)
-                .agg(F.collect_list("__sid").alias("__sids"))
-                .select(id_col, bitmap.alias("__bm"))
+                .agg(
+                    F.collect_list("__sid").alias("__sids"),
+                    F.count(F.lit(1)).alias("__sz"),
+                )
+                .select(id_col, bitmap.alias("__bm"), "__sz")
             )
             n_common = F.expr(
                 "aggregate(zip_with(__bm_a, __bm_b, (x, y) -> bit_count(x & y)), "
@@ -475,30 +481,51 @@ def ngram_jaccard_pairs(
             )
             inter = (
                 candidates.join(
-                    sets.select(F.col(id_col).alias("doc_a"), F.col("__bm").alias("__bm_a")),
+                    sets.select(
+                        F.col(id_col).alias("doc_a"),
+                        F.col("__bm").alias("__bm_a"),
+                        F.col("__sz").alias("size_a"),
+                    ),
                     "doc_a",
                 )
                 .join(
-                    sets.select(F.col(id_col).alias("doc_b"), F.col("__bm").alias("__bm_b")),
+                    sets.select(
+                        F.col(id_col).alias("doc_b"),
+                        F.col("__bm").alias("__bm_b"),
+                        F.col("__sz").alias("size_b"),
+                    ),
                     "doc_b",
                 )
-                .select("doc_a", "doc_b", n_common.alias("n_common"))
+                .select("doc_a", "doc_b", n_common.alias("n_common"), "size_a", "size_b")
             )
         else:
-            sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("__set"))
+            sets = sh.groupBy(id_col).agg(
+                F.collect_list("shingle").alias("__set"),
+                F.count(F.lit(1)).alias("__sz"),
+            )
             inter = (
                 candidates.join(
-                    sets.select(F.col(id_col).alias("doc_a"), F.col("__set").alias("__set_a")),
+                    sets.select(
+                        F.col(id_col).alias("doc_a"),
+                        F.col("__set").alias("__set_a"),
+                        F.col("__sz").alias("size_a"),
+                    ),
                     "doc_a",
                 )
                 .join(
-                    sets.select(F.col(id_col).alias("doc_b"), F.col("__set").alias("__set_b")),
+                    sets.select(
+                        F.col(id_col).alias("doc_b"),
+                        F.col("__set").alias("__set_b"),
+                        F.col("__sz").alias("size_b"),
+                    ),
                     "doc_b",
                 )
                 .select(
                     "doc_a",
                     "doc_b",
                     F.size(F.array_intersect("__set_a", "__set_b")).alias("n_common"),
+                    "size_a",
+                    "size_b",
                 )
             )
     else:
@@ -510,12 +537,17 @@ def ngram_jaccard_pairs(
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    if "size_a" not in inter.columns:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+        inter = inter.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a")),
+            "doc_a",
+        ).join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b")),
+            "doc_b",
+        )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
