@@ -407,7 +407,15 @@ def ngram_jaccard_pairs(
     O(candidates * shingles_per_doc) work, linear in the candidate
     count, never all-pairs.
     """
-    sh = shingles(df, text_col, id_col, n).cache()
+    # NOT cached, deliberately: the three consumers below (freq,
+    # candidate join, set build) all sit downstream of the distinct's
+    # shuffle, and Spark's shuffle-file reuse already serves them from
+    # that materialization -- measured at sf0.1, dropping the cache is
+    # same-or-faster (5.8-6.2 s vs 7.2-20 s first-call).  At 100 TB a
+    # corpus-sized pinned intermediate is exactly what an engine must
+    # not hold; and cached plans accumulate in the CacheManager across
+    # calls with no release point in a lazy API.
+    sh = shingles(df, text_col, id_col, n)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         joinable = sh.join(
