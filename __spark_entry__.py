@@ -914,39 +914,56 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan: language-ID + quality gate -> word-repetition cut -> exact
     dedup -> benchmark decontamination -> deterministic mixture sample.
 
-    Composition order is the 100 TB order: the row-local gates (lang,
-    quality) are scan-fused and prune before anything wide; the
-    repetition signal costs one doc-keyed aggregate; dedup is one
-    fingerprint shuffle over survivors only; the contamination test is
-    a broadcast membership join (eval docs themselves drop out -- they
-    are not training data); the mixture sample is a scan-fused hash
-    filter.  Nothing in the pipeline shuffles document bodies except
-    the one dedup exchange, and that moves 32-byte fingerprints."""
+    Composition order is the 100 TB order, and the plan is built to
+    match the claim (pinned in tests/test_plan_shapes.py): every
+    per-doc signal -- lang, quality, fingerprint, dup-token fraction,
+    contamination grams -- comes out of ONE projection over ONE pass,
+    so the row-local gates prune before anything wide; after them,
+    document bodies never cross an exchange again -- decontamination is
+    a LEFT ANTI join against the broadcast eval-gram set, dedup
+    shuffles 32-byte fingerprints, and the mixture sample is a
+    scan-fused hash filter.  (An earlier version composed the
+    standalone operators by doc_id joins; the plan audit showed 4
+    separate corpus scans and the unused bigram aggregate riding
+    along -- composition at the COLUMN level, not the operator level,
+    is what collapses them.)"""
+    from data_stream_flink_user_address_spark.functions.curation import word_ngrams
+
     d = _docs(spark, sf_dir).withColumn("__toks", tokens("text"))
-    scored = d.select(
+    sig = d.select(
         "doc_id",
         "source",
         language_id("text").alias("lang"),
         quality_score("text").alias("quality"),
         doc_fingerprint("text").alias("fingerprint"),
-    )
-    rep = repetition_stats(_docs(spark, sf_dir)).select("doc_id", "dup_token_frac")
-    base = _docs(spark, sf_dir)
-    contam = ngram_contamination(
-        base.filter(F.col("doc_id") % _CONTAM_BENCH_MOD != 0),
-        base.filter(F.col("doc_id") % _CONTAM_BENCH_MOD == 0),
-        n=_CONTAM_N,
-    ).select("doc_id", "contaminated")
-    kept = (
-        scored.join(rep, "doc_id")
-        .join(contam, "doc_id")  # inner: benchmark docs drop out by design
-        .filter(
-            (F.col("lang") == "en")
-            & (F.col("quality") >= 0.5)
-            & (F.col("dup_token_frac") <= 0.6)
-            & (~F.col("contaminated"))
+        F.when(
+            F.size("__toks") > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct("__toks")) / F.size("__toks"), 6
+            ),
         )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+        F.array_distinct(word_ngrams(F.col("__toks"), _CONTAM_N)).alias("__grams"),
     )
+    bench_grams = (
+        sig.filter(F.col("doc_id") % _CONTAM_BENCH_MOD == 0)
+        .select(F.explode("__grams").alias("gram"))
+        .distinct()
+    )
+    kept0 = sig.filter(
+        (F.col("doc_id") % _CONTAM_BENCH_MOD != 0)  # eval docs are not training data
+        & (F.col("lang") == "en")
+        & (F.col("quality") >= 0.5)
+        & (F.col("dup_token_frac") <= 0.6)
+    )
+    contaminated_ids = (
+        kept0.select("doc_id", F.explode("__grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = kept0.join(contaminated_ids, "doc_id", "left_anti").drop("__grams")
     w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
     deduped = (
         kept.withColumn("__rn", F.row_number().over(w))

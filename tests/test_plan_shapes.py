@@ -117,3 +117,21 @@ def test_repetition_stats_shuffles_on_doc_id_only(spark):
     for frag in plan.split("Exchange hashpartitioning(")[1:]:
         keys = frag.split(")", 1)[0]
         assert "doc_id" in keys, f"non-doc_id exchange: {keys}"
+
+
+def test_curation_pipeline_never_shuffles_document_bodies(spark):
+    # the composed recipe's core claim: after the row-local gates, text
+    # never crosses a hash exchange -- the wide ops move grams, doc ids,
+    # and 32-byte fingerprints only.  (RoundRobin respreads are the
+    # small-single-file spread, off at real scale.)
+    import re
+
+    plan = _plan(spark, "curation_pipeline")
+    assert "BroadcastHashJoin" in plan  # decontamination joins broadcast grams
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"\(\d+\) Exchange\n(.*?)\n\n", plan, re.S):
+        block = m.group(1)
+        if "hashpartitioning" not in block:
+            continue
+        inputs = [l for l in block.splitlines() if l.startswith("Input")]
+        assert inputs and "text#" not in inputs[0], f"text crosses a hash exchange: {inputs}"
