@@ -407,14 +407,14 @@ def ngram_jaccard_pairs(
     O(candidates * shingles_per_doc) work, linear in the candidate
     count, never all-pairs.
     """
-    # NOT cached, deliberately: the three consumers below (freq,
-    # candidate join, set build) all sit downstream of the distinct's
-    # shuffle, and Spark's shuffle-file reuse already serves them from
-    # that materialization -- measured at sf0.1, dropping the cache is
-    # same-or-faster (5.8-6.2 s vs 7.2-20 s first-call).  At 100 TB a
-    # corpus-sized pinned intermediate is exactly what an engine must
-    # not hold; and cached plans accumulate in the CacheManager across
-    # calls with no release point in a lazy API.
+    # Cache policy is PER BRANCH, both directions measured at sf0.1
+    # (NGRAM_PROBE.json): the BITMAP branch runs faster uncached (5.2 s
+    # vs 7.2-20 s first-call cached -- its consumers reuse the
+    # distinct's shuffle files), but the ARRAY branch collapses without
+    # the cache (24.8 s vs 7.9 s): its three consumers prune different
+    # column sets, so their canonical plans diverge and each recomputes
+    # the full shingle distinct.  The array branch therefore re-caches
+    # below; the default bitmap path holds no corpus-sized intermediate.
     sh = shingles(df, text_col, id_col, n)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -453,23 +453,61 @@ def ngram_jaccard_pairs(
         #     single-partition id window) stops being payable and the
         #     array rescore is the right shape.  Both paths emit
         #     identical exact scores (pinned by test + 7,665-pair diff
-        #     check); at sf0.1 (a) measures 1.4x faster end-to-end --
-        #     5.5 vs 7.9 s median-of-3 (NGRAM_PROBE.json
-        #     sec_rescore_bitmap / sec_rescore_array).
+        #     check).  Measured at sf0.1 (NGRAM_PROBE.json): bitmap
+        #     4.8 s with NO pinned intermediate; array 4.5 s warm but
+        #     only by re-caching the corpus-sized shingle frame (22 s on
+        #     the cold first call, and the pin is exactly what a 100 TB
+        #     job cannot afford) -- so bitmap is the default wherever
+        #     the vocab allows.
+        # branch probe: an HLL estimate over the RAW (pre-distinct)
+        # shingle stream -- map-side partials only, no shuffle, vs the
+        # exact count's full distinct.  Approximate is safe here because
+        # the probe only picks the REPRESENTATION; exactness never
+        # depends on it: dense ids come from the exact row_number below,
+        # and each doc's bitmap is sized by its own max id (zip_with
+        # null-pads shorter arrays; coalesce makes the padding inert),
+        # so an estimate that straddles the limit merely shifts which
+        # equally-correct branch runs.
         vocab = (
-            freq.count() if bitmap_vocab_limit is not None else None
+            shingles(df, text_col, id_col, n, distinct=False)
+            .agg(F.approx_count_distinct("shingle").alias("v"))
+            .collect()[0]["v"]
+            if bitmap_vocab_limit is not None
+            else None
         )
         if vocab is not None and vocab <= bitmap_vocab_limit:
-            nwords = (vocab + 63) // 64
             w_ord = Window.orderBy("shingle")
             ids = freq.select(
                 "shingle", (F.row_number().over(w_ord) - 1).alias("__sid")
             )
-            bitmap = F.expr(
-                f"transform(sequence(0, {nwords - 1}), w -> "
-                "aggregate(filter(__sids, s -> s div 64 = w), 0L, "
-                "(acc, s) -> acc | shiftleft(1L, cast(s % 64 AS INT))))"
-            )
+            # the per-doc PACK is the one spot where a vectorized Arrow
+            # batch beats JVM expressions: the pure-expression build
+            # (transform over words x aggregate over ids) is an
+            # interpreted lambda per (word, id) pair -- measured ~4 s at
+            # sf0.1 (46M lambda evals) vs ~0.1 s for numpy
+            # bitwise_or.at.  Corpus-linear, embarrassingly parallel,
+            # same precedent as the near-dup BLAS matmul; the PAIR-side
+            # intersect (the quadratic-ish hot path) stays JVM
+            # (zip_with + bit_count).  Each doc's bitmap is sized by its
+            # own max id; coalesce in the intersect makes zip_with's
+            # null-padding inert, so no driver-side exact vocab count is
+            # needed.
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("array<bigint>")
+            def _pack(sids_col):
+                import numpy as np
+                import pandas as pd
+
+                out = []
+                for s in sids_col:
+                    a = np.asarray(s, dtype=np.int64)
+                    arr = np.zeros(int(a.max() >> 6) + 1, dtype=np.int64)
+                    np.bitwise_or.at(arr, a >> 6, np.int64(1) << (a & 63))
+                    out.append(arr)
+                return pd.Series(out)
+
+            bitmap = _pack(F.col("__sids"))
             # set_size rides along in the same per-doc aggregate, so the
             # sizes are attached by the SAME pair joins that deliver the
             # bitmaps -- no separate sizes frame and no trailing size
@@ -484,7 +522,8 @@ def ngram_jaccard_pairs(
                 .select(id_col, bitmap.alias("__bm"), "__sz")
             )
             n_common = F.expr(
-                "aggregate(zip_with(__bm_a, __bm_b, (x, y) -> bit_count(x & y)), "
+                "aggregate(zip_with(__bm_a, __bm_b, "
+                "(x, y) -> bit_count(coalesce(x, 0L) & coalesce(y, 0L))), "
                 "0, (acc, v) -> acc + v)"
             )
             inter = (
@@ -507,6 +546,7 @@ def ngram_jaccard_pairs(
                 .select("doc_a", "doc_b", n_common.alias("n_common"), "size_a", "size_b")
             )
         else:
+            sh = sh.cache()  # see cache-policy note above
             sets = sh.groupBy(id_col).agg(
                 F.collect_list("shingle").alias("__set"),
                 F.count(F.lit(1)).alias("__sz"),
@@ -537,6 +577,7 @@ def ngram_jaccard_pairs(
                 )
             )
     else:
+        sh = sh.cache()  # multi-consumer, divergent pruning: same policy
         a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
         b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
         inter = (
