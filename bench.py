@@ -1,13 +1,17 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (the driver-parsed artifact):
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: median_sec, ...},
-   "spread": {name: [min_sec, max_sec], ...}, "sf": ...}
+   "queries": {name: median_sec, ...}, "sf": ...}
 
-Per-query timing is the median of 3 runs; "spread" carries the min/max
-so a regression can be told apart from machine noise.
+Per-query timing is the median of 3 runs.  The [min, max] spread per
+query -- needed to tell a regression from machine noise -- is written to
+``BENCH_SPREAD.json`` next to this script rather than printed: in round
+7 the single stdout line grew past the driver's capture window and the
+head (the part the driver parses) was truncated, leaving the round with
+no machine-readable headline.  stdout stays one bounded line; the spread
+artifact carries the diagnostics.
 
 Each query executes via ``df.write.format("noop")`` so the full plan runs
 (scan -> shuffle -> agg) without driver-side collection overhead
@@ -118,6 +122,11 @@ def main() -> None:
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         total += dt
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spread_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"
+    )
+    with open(spread_path, "w") as fh:
+        json.dump({"sf": float(sf), "spread": spread}, fh, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
@@ -125,9 +134,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "spread": spread,
                 "sf": float(sf),
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -258,11 +258,13 @@ def dedup_clusters(
     fully distributed (two joins + a grouped min); the driver only
     checks the converged flag, and ``localCheckpoint`` truncates the
     growing lineage.  The edge/label frames are repartitioned to a
-    width proportional to their size -- the candidate-pair graph is
-    orders of magnitude smaller than the corpus, and running
-    shuffle-partition-count tasks per round on a tiny graph makes the
-    loop scheduler-bound.  Docs not in any pair are absent (they are
-    their own singleton cluster by definition).
+    width sized from the counted edge total (one partition per ~1M
+    edges, floor 8, cap 2x cluster parallelism) -- the candidate-pair
+    graph is orders of magnitude smaller than the corpus, so a fixed
+    shuffle-partition count would either starve a billion-edge graph
+    or make a just-over-threshold graph scheduler-bound.  Docs not in
+    any pair are absent (they are their own singleton cluster by
+    definition).
 
     ``stats``, when given, receives ``{"mode": "driver"|"distributed",
     "rounds": k}`` after the plan is built (rounds includes the final
@@ -306,7 +308,17 @@ def dedup_clusters(
         return spark.createDataFrame(rows, "doc_id long, cluster_id long")
 
     p = p.localCheckpoint()
-    n_parts = max(2, min(spark.sparkContext.defaultParallelism, 8))
+    # Width scales with the graph: one partition per ~1M directed edges,
+    # floored at 8 so the per-round joins keep some parallelism, capped
+    # at 2x cluster parallelism so a huge graph doesn't over-split.
+    # This branch only runs above ``driver_threshold`` edges, so the
+    # graph is never tiny here -- the floor, not the cap, is the common
+    # case at the threshold boundary, and a billion-edge graph gets the
+    # full cluster width instead of funnelling through a fixed handful
+    # of reducers per round.
+    edge_count = p.count()
+    parallelism = spark.sparkContext.defaultParallelism
+    n_parts = max(8, min(edge_count // 1_000_000, 2 * parallelism))
     edges = (
         p.unionByName(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -406,6 +418,16 @@ def ngram_jaccard_pairs(
     per-doc shingle-set arrays and intersects them --
     O(candidates * shingles_per_doc) work, linear in the candidate
     count, never all-pairs.
+
+    EAGER PROBE at call time: when ``max_shingle_freq`` is set AND
+    ``bitmap_vocab_limit`` is not None (the defaults used by the
+    headline query), this function runs one bounded Spark job during
+    plan CONSTRUCTION -- a shuffle-free ``approx_count_distinct`` over
+    the shingle stream -- to pick the rescore representation (packed
+    bitmap vs string array).  Pass ``bitmap_vocab_limit=None`` to keep
+    plan construction fully lazy (forces the array branch, which also
+    avoids the bitmap branch's pandas_udf/pyarrow dependency).  Keep
+    the default out of streaming plan builders for the same reason.
     """
     # Cache policy is PER BRANCH, both directions measured at sf0.1
     # (NGRAM_PROBE.json): the BITMAP branch runs faster uncached (5.2 s

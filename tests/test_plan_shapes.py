@@ -93,7 +93,7 @@ def test_pii_redact_is_shuffle_free_projection(spark):
     plan = _plan(spark, "pii_redact")
     assert "Exchange" not in plan
     assert "Join" not in plan
-    assert "Aggregate" not in plan.replace("HashAggregate", "")  # no agg at all
+    assert "Aggregate" not in plan  # no agg of any kind (hash/sort/object)
 
 
 def test_contamination_broadcasts_benchmark_set(spark):
