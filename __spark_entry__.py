@@ -22,8 +22,8 @@ Relational breadth (standard OLAP surface on the same engine):
 LLM-data-pipeline extensions:
   text_stats, lang_id_pred, quality_scores, dedup_exact,
   minhash_lsh_pairs, ngram_jaccard_pairs, simhash_docs,
-  embedding_near_dup, similarity_topk, similarity_lsh_topk,
-  multimodal_meta
+  substring_dup_spans, embedding_near_dup, similarity_topk,
+  similarity_lsh_topk, multimodal_meta
 
 Column-name discipline: every computed column is aliased identically in
 the Spark code and the oracle SQL.  Doubles are rounded in BOTH engines;
@@ -45,6 +45,7 @@ from data_stream_flink_user_address_spark.functions.dedup import (
     minhash_signatures_text,
     ngram_jaccard_pairs,
     simhash,
+    substring_dup_spans,
     embedding_near_dup_pairs,
 )
 from data_stream_flink_user_address_spark.functions.similarity import (
@@ -760,6 +761,14 @@ def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), bits=_SIMHASH_BITS)
 
 
+def _q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (suffix-array-dedup surrogate,
+    Lee et al. 2022): maximal token ranges covered by globally
+    non-unique 8-token grams.  k=8 fits the synthetic corpus' ~60-token
+    docs; production substring dedup uses k~50."""
+    return substring_dup_spans(_docs(spark, sf_dir), k=8)
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
@@ -1049,6 +1058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": _q_dedup_clusters,
     "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
     "simhash_docs": _q_simhash_docs,
+    "substring_dup_spans": _q_substring_dup_spans,
     "embedding_near_dup": _q_embedding_near_dup,
     "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     "similarity_topk": _q_similarity_topk,
@@ -1632,6 +1642,36 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id,
                sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
         FROM perbit GROUP BY doc_id
+    """,
+    # duplicated k-gram positions -> merged maximal spans (interval
+    # union via gaps-and-islands); the oracle groups on gram STRINGS
+    # where the engine groups on 60-bit md5 prefixes -- identical
+    # partitions absent a hash collision
+    "substring_dup_spans": """
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        grams AS (
+          SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS gram
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7))) AS g(i)
+        ),
+        dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        dpos AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        flag AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+                      THEN 1 ELSE 0 END AS new_island
+          FROM dpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM flag
+        )
+        SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+               max(pos) + 7 - min(pos) + 1 AS span_tokens
+        FROM isl GROUP BY doc_id, island
     """,
     "embedding_near_dup": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

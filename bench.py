@@ -78,6 +78,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "dedup_clusters",
     "simhash_docs",
+    "substring_dup_spans",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "similarity_topk",

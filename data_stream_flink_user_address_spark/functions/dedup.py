@@ -631,6 +631,84 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# exact substring dedup (Lee et al. 2022 style)
+# ---------------------------------------------------------------------------
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring spans: maximal token ranges made of
+    ``k``-token grams that occur at least ``min_occurrences`` times
+    anywhere in the corpus (across documents or repeated within one) --
+    the scalable surrogate for suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022).  Output rows ``(doc_id, span_start, span_end,
+    span_tokens)`` with 1-based inclusive token indices; a downstream
+    cleaner drops or trims these spans.
+
+    Semantics: a token position ``p`` opens a duplicated gram when the
+    k-gram starting at ``p`` (tokens joined by a single space after
+    whitespace normalization) is globally non-unique.  Each such gram
+    covers tokens ``[p, p+k-1]``; overlapping or adjacent covers merge
+    into maximal spans.  Every token inside an emitted span is part of
+    at least one globally repeated k-gram -- the same marking rule as
+    suffix-array dedup restricted to length-k windows, which
+    under-reports only repeats shorter than ``k`` (by design: ``k`` IS
+    the minimum span worth removing, 50 tokens in the paper).
+
+    Scale shape (the reason this beats a distributed suffix array):
+    gram extraction is a per-row projection; the duplicate test
+    shuffles ONLY ``(gram_hash: 8 bytes, doc_id, pos)`` -- never text
+    -- with map-side partial counts shrinking the aggregate side, and
+    AQE free to split a skewed hot gram because the count is an
+    aggregation, not a window.  The span merge shuffles the surviving
+    ``(doc_id, pos)`` pairs keyed by doc id.  Total: two narrow
+    shuffles, both on fixed-width keys, corpus-linear.  Gram identity
+    is a 60-bit md5 prefix (:func:`_md5_long`): a collision can only
+    over-mark (two distinct grams counted as one), never split a true
+    repeat, and at 2^30 grams the expected collision count is ~2^-1.
+    """
+    d = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+    ).filter(F.size("__t") >= k)
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - (k - 1)),
+        lambda i: _md5_long(F.concat_ws(" ", F.slice("__t", i, k))),
+    )
+    g = d.select(id_col, F.posexplode(gram_hashes).alias("__p0", "gh")).select(
+        id_col, (F.col("__p0") + 1).alias("pos"), "gh"
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") >= min_occurrences)
+        .select("gh")
+    )
+    dpos = g.join(dup, "gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lagp = F.lag("pos").over(w)
+    flagged = dpos.select(
+        id_col,
+        "pos",
+        F.when(lagp.isNull() | (F.col("pos") > lagp + k), 1).otherwise(0).alias("__new"),
+    )
+    islands = flagged.select(
+        id_col, "pos", F.sum("__new").over(w).alias("__island")
+    )
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+        (F.max("pos") + (k - 1) - F.min("pos") + 1).alias("span_tokens"),
+    ).select(id_col, "span_start", "span_end", "span_tokens")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -230,6 +230,54 @@ def test_dedup_clusters_distributed_converges_in_log_rounds(spark):
     assert stats["rounds"] <= math.log2(diameter) + 2, stats
 
 
+def test_substring_dup_spans_marks_and_merges(spark):
+    """Cross-doc repeat, within-doc repeat with adjacent-cover merge,
+    and a unique doc producing no row."""
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        substring_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 10-token run shared between docs 1 and 2 (doc 2 offsets it by 2)
+            (1, "a b c d e f g h i j"),
+            (2, "x x a b c d e f g h i j y"),
+            # doubled 8-token sequence: grams at pos 1 and 9 coincide;
+            # covers [1,8] and [9,16] are adjacent and must merge
+            (4, "p q r s t u v w p q r s t u v w"),
+            # all-unique doc: no duplicated gram, no output row
+            (3, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in substring_dup_spans(docs, k=8).collect()
+    }
+    assert rows == {1: (1, 10, 10), 2: (3, 12, 10), 4: (1, 16, 16)}
+
+
+def test_substring_dup_spans_within_doc_gap_splits(spark):
+    """Two repeated regions separated by more than k unique tokens stay
+    two spans."""
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        substring_dup_spans,
+    )
+
+    shared = "a b c d e f g h"          # one exact 8-gram
+    gap = " ".join(f"u{i}" for i in range(12))  # 12 unique tokens > k
+    docs = spark.createDataFrame(
+        [(1, f"{shared} {gap} {shared}"), (2, shared)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_dup_spans(docs, k=8).collect()
+    )
+    # doc 1: spans at tokens [1,8] and [21,28]; doc 2: [1,8]
+    assert rows == [(1, 1, 8), (1, 21, 28), (2, 1, 8)]
+
+
 def test_minhash_text_variant_equals_explode_variant(spark):
     """The zero-shuffle per-row MinHash must produce bit-identical
     signatures to the original shingle-explode + grouped-min path."""

@@ -96,6 +96,23 @@ def test_pii_redact_is_shuffle_free_projection(spark):
     assert "Aggregate" not in plan  # no agg of any kind (hash/sort/object)
 
 
+def test_substring_dup_spans_shuffles_hashes_never_text(spark):
+    # the dup test shuffles (gram_hash, doc_id, pos); the span merge
+    # shuffles (doc_id, pos).  Neither the text column nor the token
+    # array may cross an exchange, and nothing degrades to a cartesian.
+    import re
+
+    plan = _plan(spark, "substring_dup_spans")
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"\(\d+\) Exchange\n(.*?)\n\n", plan, re.S):
+        block = m.group(1)
+        if "hashpartitioning" not in block:
+            continue
+        inputs = [l for l in block.splitlines() if l.startswith("Input")]
+        assert inputs, block
+        assert "text#" not in inputs[0] and "__t#" not in inputs[0], inputs
+
+
 def test_contamination_broadcasts_benchmark_set(spark):
     # the eval-set gram side must broadcast; the corpus side must never
     # feed a cartesian or a sort-merge join on gram strings
