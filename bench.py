@@ -84,6 +84,7 @@ HEADLINE = [
     "similarity_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
+    "similarity_ivf_trained",
     "multimodal_meta",
     "pii_redact",
     "repetition_stats",

@@ -31,6 +31,7 @@ from data_stream_flink_user_address_spark.functions.similarity import (
     brute_force_topk,
     ivf_topk,
     lsh_bucketed_topk,
+    train_ivf_centroids,
 )
 from data_stream_flink_user_address_spark.session import get_spark
 from data_stream_flink_user_address_spark.sources.tables import load_table
@@ -70,11 +71,21 @@ def main() -> None:
         ivf = _topk_sets(
             ivf_topk(e, q, k=K, centroid_stride=31, nprobe=3, dim=64)
         )
+        # Lloyd-trained centroids: same stride init, same nprobe -> any
+        # recall delta is purely the training (identical search cost)
+        trained = _topk_sets(
+            ivf_topk(
+                e, q, k=K, nprobe=3, dim=64,
+                centroids=train_ivf_centroids(e, iters=2, centroid_stride=31, dim=64),
+            )
+        )
         out["sfs"][sf_dir] = {
             "n_vectors": n,
             "lsh_recall_at_5": _recall(lsh, exact),
             "lsh_avg_candidates": round(n / 2 ** 6, 1),
             "ivf_recall_at_5": _recall(ivf, exact),
+            "ivf_trained_recall_at_5": _recall(trained, exact),
+            "ivf_train_iters": 2,
             "ivf_probed_fraction": round(3 / max(1, n // 31), 4),
         }
     with open(

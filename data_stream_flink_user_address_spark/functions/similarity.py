@@ -122,6 +122,82 @@ def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    iters: int = 2,
+    centroid_stride: int = 31,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lloyd-refined IVF coarse centroids as pure DataFrame aggregations:
+    ``(cid, centroid: array<double>)``.
+
+    Init is the same deterministic stride sample :func:`ivf_topk` uses
+    standalone (sampling IS the standard k-means init); each of the
+    ``iters`` Lloyd rounds is then
+
+    1. **assign** -- corpus x broadcast(centroids), per-vector argmax of
+       the 6-digit-rounded cosine via ``max_by`` (map-side partial agg;
+       ties to the smaller cid), and
+    2. **update** -- ``groupBy(cid)`` with one ``avg`` per dimension
+       (``dim`` scalar agg columns, NOT an explode: map-side partials
+       keep the shuffle at k_cent x dim doubles), each mean rounded to
+       ``round_digits`` so the trained centroids are reproducible
+       across engines and runs.
+
+    Clusters that lose all members simply drop out (both the engine and
+    the oracle SQL share that convention).  Everything stays lazy -- the
+    loop builds one nested plan, no driver collects; each round adds a
+    broadcast of the previous (k_cent x dim) centroid frame, which is
+    bounded: centroid count ~ sqrt(n) keeps even a 10^9-vector corpus'
+    centroid set at ~16 MB.  Cosine (not Euclidean) assignment matches
+    the search-time metric -- spherical k-means, the right variant for
+    normalized-embedding retrieval.
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv")
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    cent = c.filter(F.pmod(F.col("vec_id"), F.lit(centroid_stride)) == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.transform(F.col("__cv"), lambda x: x.cast("double")).alias("centroid"),
+    )
+    for _ in range(iters):
+        kf = cent.select("cid", F.col("centroid").alias("__kv")).withColumn(
+            "__kn", _norm(F.col("__kv"))
+        )
+        cos = F.round(
+            _dot_unrolled(F.col("__cv"), F.col("__kv"), dim)
+            / (F.col("__cn") * F.col("__kn")),
+            6,
+        )
+        assigned = (
+            c.join(F.broadcast(kf))
+            .select("vec_id", "__cv", "cid", cos.alias("__kcos"))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "cid", F.struct(F.col("__kcos"), (-F.col("cid")).alias("__t"))
+                ).alias("cid"),
+                F.first("__cv").alias("__cv"),
+            )
+        )
+        cent = (
+            assigned.groupBy("cid")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("__cv").getItem(i)), round_digits).alias(f"__m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .select(
+                "cid", F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("centroid")
+            )
+        )
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -133,6 +209,7 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -141,8 +218,9 @@ def ivf_topk(
 
     1. **Centroids**: every ``centroid_stride``-th corpus vector
        (``vec_id % stride == 0``) serves as a coarse centroid -- a
-       deterministic, SQL-expressible stand-in for k-means (production
-       swaps in trained centroids; the plumbing below is unchanged, and
+       deterministic, SQL-expressible stand-in for k-means (pass
+       ``centroids=`` a :func:`train_ivf_centroids` frame to swap in
+       Lloyd-trained ones -- the plumbing below is unchanged, and
        sampled "random" centroids are the standard k-means init anyway).
        Centroid count scales as n/stride; choose stride ~ sqrt(n) so
        both the assignment fan-out (n * n/stride) and the list sizes
@@ -182,11 +260,17 @@ def ivf_topk(
     (ANN_SCALE.json).
     """
     c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv"))
-    cent = (
-        c.filter(F.pmod(F.col("vec_id"), F.lit(centroid_stride)) == 0)
-        .select(F.col("vec_id").alias("cid"), F.col("__cv").alias("__kv"))
-        .withColumn("__kn", _norm(F.col("__kv")))
-    )
+    if centroids is not None:
+        # pre-trained (cid, centroid) frame, e.g. from train_ivf_centroids
+        cent = centroids.select(
+            F.col("cid"), F.col("centroid").alias("__kv")
+        ).withColumn("__kn", _norm(F.col("__kv")))
+    else:
+        cent = (
+            c.filter(F.pmod(F.col("vec_id"), F.lit(centroid_stride)) == 0)
+            .select(F.col("vec_id").alias("cid"), F.col("__cv").alias("__kv"))
+            .withColumn("__kn", _norm(F.col("__kv")))
+        )
     c = c.withColumn("__cn", _norm(F.col("__cv")))
     cent_cos = F.round(
         _dot_unrolled(F.col("__cv"), F.col("__kv"), dim) / (F.col("__cn") * F.col("__kn")),

@@ -230,6 +230,52 @@ def test_dedup_clusters_distributed_converges_in_log_rounds(spark):
     assert stats["rounds"] <= math.log2(diameter) + 2, stats
 
 
+def test_train_ivf_centroids_recovers_cluster_means(spark):
+    """Two well-separated cone clusters; stride init picks one seed in
+    each; one Lloyd round must move each centroid to its cluster's
+    per-dimension mean (rounded to 6), and trained-centroid ivf_topk
+    must then return the exact per-cluster neighbors."""
+    from data_stream_flink_user_address_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rows = [
+        # cluster A around e_x: ids 0,1,2  (stride-3 init: cid 0)
+        (0, [1.0, 0.0, 0.1, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [1.1, 0.0, 0.0, 0.1]),
+        # cluster B around e_y: ids 3,4,5  (stride-3 init: cid 3)
+        (3, [0.0, 1.0, 0.0, 0.1]),
+        (4, [0.1, 0.9, 0.0, 0.0]),
+        (5, [0.0, 1.1, 0.1, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = {
+        r["cid"]: r["centroid"]
+        for r in train_ivf_centroids(
+            e, iters=1, centroid_stride=3, dim=4
+        ).collect()
+    }
+    import numpy as np
+
+    a_mean = np.mean([rows[i][1] for i in range(3)], axis=0)
+    b_mean = np.mean([rows[i][1] for i in range(3, 6)], axis=0)
+    assert np.allclose(cent[0], np.round(a_mean, 6), atol=1e-6)
+    assert np.allclose(cent[3], np.round(b_mean, 6), atol=1e-6)
+
+    q = e.filter(F.col("vec_id").isin(0, 3)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    trained = ivf_topk(
+        e, q, k=3, nprobe=1, dim=4,
+        centroids=train_ivf_centroids(e, iters=1, centroid_stride=3, dim=4),
+    )
+    exact = brute_force_topk(e, q, k=3, dim=4)
+    assert sorted(map(tuple, trained.collect())) == sorted(map(tuple, exact.collect()))
+
+
 def test_substring_dup_spans_marks_and_merges(spark):
     """Cross-doc repeat, within-doc repeat with adjacent-cover merge,
     and a unique doc producing no row."""
