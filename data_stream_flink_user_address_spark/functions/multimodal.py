@@ -5,10 +5,10 @@ Convention (schemas.MEDIA_SCHEMA): ``payload binary`` + typed ``meta``
 struct.  The Spark-side plumbing -- schema, partition-preserving
 mapInPandas, Arrow batch shape -- is real and tested.  Decode is real
 (pure-Python, dependency-free) for self-describing formats: PPM (P6)
-and 24-bit BMP pixels, WAV duration.  Formats needing codec libraries
-(JPEG/PNG/MP4/...) raise ``NotImplementedError`` -- those libraries are
-not in this container -- with ``fake_decode`` as the deterministic
-test stand-in.
+and 24-bit BMP pixels, WAV duration, JPEG dimensions (SOF marker
+walk).  Formats needing codec libraries (PNG/MP4/... and JPEG pixel
+data) raise ``NotImplementedError`` -- those libraries are not in this
+container -- with ``fake_decode`` as the deterministic test stand-in.
 
 At scale: payloads ride in parquet binary columns; mapInPandas streams
 Arrow batches so a 100 MB image never materializes as a Python list; the
@@ -111,21 +111,65 @@ def decode_image_pixels(payload: bytes):
         return w, abs(h), px
 
 
+def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
+    """(width, height) from a JPEG's SOF marker -- a pure byte-level
+    marker walk, no codec library.
+
+    JPEG is a sequence of ``FF xx`` markers, each (except the
+    standalone ones) followed by a 2-byte big-endian length that
+    includes itself.  Any start-of-frame marker SOF0-SOF15 (0xC0-0xCF
+    minus DHT 0xC4, JPG 0xC8, DAC 0xCC -- baseline, progressive,
+    lossless, arithmetic variants alike) carries
+    ``precision(1) height(2) width(2)`` right after its length field.
+    The walk skips fill bytes (padding ``FF``\\ s) and stops at SOS
+    (0xDA): past it lies entropy-coded data, and a JPEG without a SOF
+    before SOS is malformed.  Raises ValueError when no SOF is found.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone TEM/RSTn
+            pos += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no SOF seen
+            break
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+            w = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+            return w, h
+        pos += 2 + seg_len
+    raise ValueError("JPEG has no SOF marker before SOS/EOI")
+
+
 def real_decode(payload: bytes, kind: str) -> dict:
     """Real media decode for the formats a pure-Python parse can handle:
 
     - images: PPM (P6) and 24-bit BMP via :func:`decode_image_pixels`
-      (full pixel decode, not just header sniffing);
+      (full pixel decode, not just header sniffing); JPEG dimensions
+      via :func:`jpeg_dimensions` (SOF marker walk -- header metadata
+      only; pixel decode of entropy-coded data genuinely needs a codec
+      library);
     - audio: WAV/RIFF -- duration from the fmt chunk's byte rate and
       the data chunk length.
 
-    Anything else (JPEG/PNG/MP4/OGG/...) genuinely requires codec
-    libraries not present in this container and raises
-    NotImplementedError; ``fake_decode`` remains the deterministic
-    stand-in for those in tests.
+    Anything else (PNG/MP4/OGG/...) requires codec libraries not
+    present in this container and raises NotImplementedError;
+    ``fake_decode`` remains the deterministic stand-in for those in
+    tests.
     """
     if payload[:2] in (b"P6", b"BM"):
         w, h, _ = decode_image_pixels(payload)
+        return {"width": w, "height": h, "duration_ms": None}
+    if payload[:2] == b"\xff\xd8":
+        w, h = jpeg_dimensions(payload)
         return {"width": w, "height": h, "duration_ms": None}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # walk chunks: fmt_ gives byte rate, data gives payload length
@@ -147,8 +191,8 @@ def real_decode(payload: bytes, kind: str) -> dict:
         }
     raise NotImplementedError(
         "decode for this format requires image/audio libraries not present "
-        "in this environment (pure-Python path handles PPM/BMP/WAV); use "
-        "fake_decode for deterministic tests"
+        "in this environment (pure-Python path handles PPM/BMP/WAV plus "
+        "JPEG dimensions); use fake_decode for deterministic tests"
     )
 
 

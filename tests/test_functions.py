@@ -137,6 +137,44 @@ def _make_wav(seconds=2, rate=8000, width=2):
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def _make_jpeg(width: int, height: int, progressive: bool = False) -> bytes:
+    """Minimal structurally-valid JPEG prefix: SOI, a JFIF APP0, a COM
+    segment (exercises the length-skip), then SOF0/SOF2 with the given
+    dimensions and a truncated SOS."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe" + (2 + 5).to_bytes(2, "big") + b"hello"
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = (
+        sof_marker
+        + (17).to_bytes(2, "big")  # 8 + 3 components * 3
+        + b"\x08"
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + com + sof + b"\xff\xda\x00\x0c"
+
+
+def test_jpeg_dimensions_sof_walk():
+    import pytest
+
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        jpeg_dimensions,
+        real_decode,
+    )
+
+    assert jpeg_dimensions(_make_jpeg(640, 480)) == (640, 480)
+    # progressive (SOF2) uses the same frame-header layout
+    assert jpeg_dimensions(_make_jpeg(33, 7, progressive=True)) == (33, 7)
+    assert real_decode(_make_jpeg(640, 480), "image") == {
+        "width": 640, "height": 480, "duration_ms": None,
+    }
+    with pytest.raises(ValueError):
+        jpeg_dimensions(b"\xff\xd8\xff\xda\x00\x04rest")  # SOS before any SOF
+    with pytest.raises(ValueError):
+        jpeg_dimensions(b"nope")
+
+
 def test_real_decode_ppm_bmp_pixels_and_wav_duration():
     import numpy as np
 
@@ -175,8 +213,9 @@ def test_extract_media_meta_real_decode_through_spark(spark):
     ppm, _ = _make_ppm(6, 3)
     bmp, _ = _make_bmp(4, 5)
     wav = _make_wav(seconds=3)
+    jpg = _make_jpeg(640, 480)
     media = spark.createDataFrame(
-        [(1, "image", ppm), (2, "image", bmp), (3, "audio", wav)],
+        [(1, "image", ppm), (2, "image", bmp), (3, "audio", wav), (4, "image", jpg)],
         "media_id long, kind string, payload binary",
     )
     rows = {
@@ -186,6 +225,7 @@ def test_extract_media_meta_real_decode_through_spark(spark):
     assert (rows[1]["width"], rows[1]["height"]) == (6, 3)
     assert (rows[2]["width"], rows[2]["height"]) == (4, 5)
     assert rows[3]["duration_ms"] == 3000
+    assert (rows[4]["width"], rows[4]["height"]) == (640, 480)
     assert rows[1]["n_bytes"] == len(ppm)
 
 
