@@ -55,6 +55,7 @@ from data_stream_flink_user_address_spark.functions.similarity import (
     make_planes,
     train_ivf_centroids,
 )
+from data_stream_flink_user_address_spark.functions.semantic import semantic_dedup
 from data_stream_flink_user_address_spark.functions.curation import (
     ngram_contamination,
     pii_redact,
@@ -869,6 +870,30 @@ def _q_similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_THRESHOLD = 0.3
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) on the trained IVF centroids:
+    cluster with 2 Lloyd rounds, then prune within clusters only --
+    a vector is dropped iff a smaller-id cluster-mate sits at
+    cosine >= 0.3 (deterministic representative rule; see
+    functions/semantic.py for the 100 TB shape: broadcast centroids,
+    zero-shuffle assignment, one cluster-keyed shuffle, per-cluster
+    BLAS).  At sf0.01 the clusters hold 7,323 candidate pairs vs
+    124,750 global pairs -- the 17x reduction in pairwise work is the
+    SemDeDup trade; prune quality is bounded by cluster recall (a
+    cross-cluster near-dup pair is never examined, same recall
+    contract as similarity_ivf_topk)."""
+    e = _embs(spark, sf_dir)
+    cent = train_ivf_centroids(
+        e, iters=_IVF_TRAIN_ITERS, centroid_stride=_IVF_STRIDE, dim=_EMB_DIM
+    )
+    return semantic_dedup(
+        e, cent, threshold=_SEMDEDUP_THRESHOLD, dim=_EMB_DIM
+    )
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary_payload(_docs(spark, sf_dir))
     return extract_media_meta(media)
@@ -1092,6 +1117,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_lsh_topk": _q_similarity_lsh_topk,
     "similarity_ivf_topk": _q_similarity_ivf_topk,
     "similarity_ivf_trained": _q_similarity_ivf_trained,
+    "semantic_dedup": _q_semantic_dedup,
     "multimodal_meta": _q_multimodal_meta,
     "pii_redact": _q_pii_redact,
     "repetition_stats": _q_repetition_stats,
@@ -1854,6 +1880,31 @@ ORACLE_SQL: dict[str, str] = {
           JOIN assigned a USING (cid)
           JOIN embeddings q ON q.vec_id = p.query_id
         ) WHERE rank <= 5
+    """,
+    # SemDeDup: trained-centroid assignment (identical CTE chain to
+    # similarity_ivf_trained), then the deterministic smaller-id prune
+    # rule within each cluster (functions/semantic.py contract)
+    "semantic_dedup": f"""
+        WITH {_sql_ivf_trained_ctes(_IVF_TRAIN_ITERS)},
+        assign AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT c.vec_id, c.embedding, k.cid,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY round({_sql_cosine("c.embedding", "k.cvec")}, 6) DESC,
+                              k.cid ASC) AS rn
+            FROM embeddings c CROSS JOIN cent{_IVF_TRAIN_ITERS} k
+          ) WHERE rn = 1
+        ),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM assign a JOIN assign b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE round({_sql_cosine("a.embedding", "b.embedding")}, 6)
+                  >= {_SEMDEDUP_THRESHOLD}
+        )
+        SELECT a.vec_id, a.cid AS cluster_id, (d.vec_id IS NULL) AS keep
+        FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
     """,
     "multimodal_meta": """
         SELECT doc_id AS media_id,

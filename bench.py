@@ -85,6 +85,7 @@ HEADLINE = [
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "similarity_ivf_trained",
+    "semantic_dedup",
     "multimodal_meta",
     "pii_redact",
     "repetition_stats",

@@ -1,0 +1,128 @@
+"""SemDeDup-style semantic deduplication over embedding columns.
+
+Engine extension beyond the reference surface (the reference,
+``Main.java``, has no vector analytics; this belongs to the
+LLM-training-data curation suite alongside ``functions/dedup.py``).
+
+The operator family follows "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication" (Abbas et al., 2023): cluster
+the corpus embeddings with k-means, then prune near-duplicate pairs
+WITHIN each cluster only -- the clustering bounds the quadratic pairwise
+term that makes global semantic dedup unpayable.  At 100 TB the shape
+is: centroids broadcast (k ~ sqrt(n) keeps them megabytes), assignment
+is a map-side argmax with ZERO corpus shuffle, and the single shuffle
+keys the corpus by cluster id; per-cluster work is a dense BLAS matmul
+bounded by cluster size (choose k so the hottest cluster fits one
+task -- the same contract IVF search already documents).  The corpus
+crosses exactly two exchanges, both fixed-width ``(id, vector)`` rows:
+one keyed by vec_id (the map-side-combined argmax -- each vector's k
+candidate rows collapse to one BEFORE the shuffle, because the
+broadcast join emits them contiguously in the map partition), one
+keyed by cluster id for the pairwise pass.
+
+Determinism contract (shared with the DuckDB oracle): cosines round to
+6 digits; assignment ties break to the smaller centroid id; the pruning
+rule is "drop a vector iff some SMALLER-ID vector in its cluster is
+within ``threshold``" -- a deterministic stand-in for the paper's
+keep-farthest-from-centroid rule, chosen so both engines agree without
+floating-point order sensitivity.  Like the paper's rule it keeps
+exactly one representative of any tight pairwise clique; it only
+differs on which member survives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _dot_unrolled, _norm
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    dim: int = 64,
+) -> DataFrame:
+    """Cluster-then-prune semantic dedup: ``(vec_id, cluster_id, keep)``.
+
+    ``centroids`` is a ``(cid, centroid: array<double>)`` frame --
+    typically :func:`..functions.similarity.train_ivf_centroids` output
+    (trained Lloyd centroids), or any deterministic sample for
+    oracle-parity runs.  Every corpus vector is assigned to its
+    argmax-cosine centroid (rounded to 6 digits, ties to smaller cid --
+    identical to the IVF assignment), then each cluster is scanned once
+    as a dense float64 cosine matrix and a vector is marked
+    ``keep = false`` iff a smaller-id cluster-mate sits at
+    ``cosine >= threshold``.
+
+    Plan shape: broadcast-join against the centroid frame (map-side),
+    argmax collapsed by map-side partial ``max_by`` so the vec_id
+    exchange carries one fixed-width row per vector, then one
+    ``groupBy(cluster_id)`` shuffle -- no text anywhere -- and a
+    vectorized ``applyInPandas`` per cluster.  Compute is
+    O(sum over clusters of size^2) BLAS flops: the k-means step is what
+    turns global O(n^2) into that bounded sum, which is the entire
+    SemDeDup argument.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(emb.sparkSession)
+
+    # zero-norm guard mirrors the pandas step (and survives ANSI mode's
+    # DIVIDE_BY_ZERO): a zero vector gets cosine 0 everywhere, so it
+    # assigns to the smallest cid and never counts as a duplicate
+    c = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", F.greatest(_norm(F.col("__cv")), F.lit(1e-300)))
+    kf = centroids.select("cid", F.col("centroid").alias("__kv")).withColumn(
+        "__kn", F.greatest(_norm(F.col("__kv")), F.lit(1e-300))
+    )
+    cos = F.round(
+        _dot_unrolled(F.col("__cv"), F.col("__kv"), dim)
+        / (F.col("__cn") * F.col("__kn")),
+        6,
+    )
+    assigned = (
+        c.join(F.broadcast(kf))
+        .select("vec_id", "__cv", "cid", cos.alias("__kcos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("__kcos"), (-F.col("cid")).alias("__t"))
+            ).alias("cluster_id"),
+            F.first("__cv").alias("__cv"),
+        )
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf["__cv"].to_numpy())[order].astype(np.float64)
+        # zero-norm guard (see dedup.embedding_near_dup_pairs): cosine 0,
+        # never NaN, so a zero vector is simply never a duplicate
+        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
+        cosm = m @ m.T
+        cosm /= np.outer(norms, norms)
+        np.round(cosm, 6, out=cosm)
+        # upper triangle (k=1): entry [i, j] with i < j pairs a smaller
+        # id (ids are sorted) with a larger one; column j any-reduces to
+        # "j has a smaller-id near neighbor" -> dropped
+        dropped = np.triu(cosm >= threshold, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": pdf["cluster_id"].iloc[0],
+                "keep": ~dropped,
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        per_cluster, schema="vec_id long, cluster_id long, keep boolean"
+    )

@@ -152,3 +152,14 @@ def test_curation_pipeline_never_shuffles_document_bodies(spark):
             continue
         inputs = [l for l in block.splitlines() if l.startswith("Input")]
         assert inputs and "text#" not in inputs[0], f"text crosses a hash exchange: {inputs}"
+
+
+def test_semantic_dedup_broadcasts_centroids_no_cartesian(spark):
+    # the centroid side must broadcast (the corpus x centroid argmax is
+    # a BroadcastNestedLoopJoin over the tiny trained frame, never a
+    # CartesianProduct shuffle), and the cluster-keyed pairwise stage is
+    # the grouped-pandas node keyed by cluster_id
+    plan = _plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan

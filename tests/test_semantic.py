@@ -1,0 +1,89 @@
+"""semantic_dedup (SemDeDup) unit tests: hand-built clusters with known
+near-duplicate structure, plus the determinism/representative invariants
+the oracle parity check relies on."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_stream_flink_user_address_spark.functions.semantic import semantic_dedup
+
+DIM = 4
+
+
+def _vec(*xs):
+    return [float(x) for x in xs] + [0.0] * (DIM - len(xs))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # two well-separated directions; ids interleaved across clusters so
+    # the keep rule's id ordering is exercised within, not across, groups
+    rows = [
+        (1, _vec(1, 0)),        # cluster A representative (smallest id)
+        (2, _vec(0, 1)),        # cluster B representative
+        (3, _vec(0.99, 0.1)),   # near-dup of 1 -> dropped
+        (4, _vec(0.05, 1.0)),   # near-dup of 2 -> dropped
+        (5, _vec(0.6, -0.8)),   # assigned to A but far from everything -> kept
+        (6, _vec(-0.1, 0.9)),   # near-dup of 2 (and 4) -> dropped
+    ]
+    return spark.createDataFrame(rows, f"vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def centroids(spark):
+    rows = [(10, _vec(1, 0)), (20, _vec(0, 1))]
+    return spark.createDataFrame(rows, "cid long, centroid array<double>")
+
+
+def test_known_clusters_and_keeps(corpus, centroids):
+    out = semantic_dedup(corpus, centroids, threshold=0.9, dim=DIM)
+    got = {r.vec_id: (r.cluster_id, r.keep) for r in out.collect()}
+    assert got == {
+        1: (10, True),
+        3: (10, False),
+        5: (10, True),
+        2: (20, True),
+        4: (20, False),
+        6: (20, False),
+    }
+
+
+def test_smallest_id_of_any_clique_is_kept(corpus, centroids):
+    # invariant behind the deterministic rule: within a cluster, the
+    # smallest id overall can never be dropped
+    out = semantic_dedup(corpus, centroids, threshold=0.0, dim=DIM)
+    rows = out.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        smallest = min(m.vec_id for m in members)
+        assert all(m.keep for m in members if m.vec_id == smallest)
+        # threshold 0: everything pairs with everything -> only the
+        # smallest id survives
+        assert sum(m.keep for m in members) == 1
+
+
+def test_cross_cluster_near_dups_not_examined(spark, centroids):
+    # two identical vectors forced into different clusters by tie-break?
+    # no -- identical vectors always co-assign.  Instead: vectors near
+    # the decision boundary on opposite sides stay un-pruned even at a
+    # loose threshold, pinning the documented recall contract.
+    rows = [(1, _vec(1, 0.9)), (2, _vec(0.9, 1))]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(e, centroids, threshold=0.5, dim=DIM)
+    got = {r.vec_id: (r.cluster_id, r.keep) for r in out.collect()}
+    # cosine(v1, v2) ~ 0.994 but they sit in different clusters
+    assert got == {1: (10, True), 2: (20, True)}
+
+
+def test_zero_vector_never_duplicates(spark, centroids):
+    rows = [(1, _vec(1, 0)), (2, _vec(0, 0))]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(e, centroids, threshold=0.1, dim=DIM)
+    assert all(r.keep for r in out.collect())
