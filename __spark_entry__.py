@@ -441,6 +441,373 @@ def _q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (EXISTS -> left-semi join).  The slimmed lineitem has no
+    commit/receipt dates, so "late" is adapted to: some line shipped
+    more than 90 days after the order date.  The semi join hashes on
+    the equi key (l_orderkey) with the interval predicate as a
+    post-probe filter -- no cartesian, orders side never duplicated."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by ship
+    year.  Nation dims broadcast twice under different aliases; the
+    disjunctive nation-pair predicate lands after both broadcasts, so
+    the big fact joins stay equi-key hash joins."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+def _q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's supplier share of STANDARD-part volume sold
+    into the EUROPE customer region, by order year.  The share is a
+    conditional-aggregate ratio -- one grouped pass, no second join
+    against a subtotal."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_rkey")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def _q_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted: no partsupp table, so supply cost is modeled as
+    half the part's retail price (profit = disc. revenue -
+    0.5 * p_retailprice * l_quantity) for parts whose name contains
+    'PROMO' substring filter analog (p_type = 'PROMO')."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    # profit terms cancel (revenue minus cost), so double-sum ordering
+    # can flip the cent rounding between engines -- accumulate in exact
+    # decimal instead (order-independent), round, then return double
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(24,4)")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+
+
+def _q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top 20 customers by revenue lost to returns in one
+    quarter.  Deterministic top-N: ties break on c_custkey."""
+    _utc(spark)
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+def _q_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (no l_shipmode/receipt dates): for lines
+    shipped >90 days after their order date in 1997, count
+    high-priority (1-URGENT/2-HIGH) vs lower-priority orders per line
+    status -- the conditional-aggregate shape of the original."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def _q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count, INCLUDING
+    zero-order customers (left outer join, count of the nullable key)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def _q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: PROMO-part share of one month's revenue, as a
+    conditional-aggregate percentage over a broadcast part join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def _q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.  The
+    max is a window aggregate over the revenue frame (the decorrelated
+    form of the scalar subquery); revenue rounds to 2 digits BEFORE the
+    max comparison so both engines pick identical winners."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("__mx", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("__mx")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return top.join(s, top.supplier_no == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+def _q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: average yearly revenue lost if small-quantity orders
+    (below half the part's average quantity) for one brand's small
+    parts were not filled.  The correlated per-part avg decorrelates to
+    a grouped aggregate joined back on partkey."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    avg_qty = branded.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        branded.join(F.broadcast(avg_qty), branded.l_partkey == avg_qty.ak)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def _q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers whose single orders exceed 250 total units
+    (the HAVING-IN shape: qualifying orderkeys from a grouped filter,
+    then the detail join)."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+def _q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from three disjunctive brand/size/quantity
+    branches.  The OR-of-ANDs predicate sits on one broadcast-joined
+    scan -- Catalyst pushes the common l_quantity bounds and the part
+    prefilter (brand IN ...) into the scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def _q_q21_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (no receipt/commit dates): suppliers whose
+    line is the ONLY returned ('R') line in a multi-supplier order --
+    EXISTS (another supplier in the order) + NOT EXISTS (another
+    supplier's returned line), i.e. a left-semi and a left-anti
+    self-join on l_orderkey with a suppkey inequality residual."""
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    cand = l1.join(
+        l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi"
+    )
+    sole = cand.join(
+        l3, (cand.l_orderkey == l3.o3) & (cand.l_suppkey != l3.s3), "left_anti"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    return (
+        sole.join(s, sole.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def _q_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (no c_phone): 'country code' is the customer
+    nation key mod 5, and "never ordered" relaxes to "lapsed" (no
+    order since 1999 -- at small SF every customer has SOME order, so
+    the strict form returns an empty set and proves nothing).  Wealthy
+    (above-average positive balance) lapsed customers per code -- a
+    broadcast scalar threshold plus a left-anti join."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1999-01-01")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.pmod(F.col("c_nationkey"), F.lit(5)).cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def _q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON decode parity with the reference deserializers (S3/S4):
     extract props.k, bucket it, aggregate."""
@@ -1084,6 +1451,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": _q_customers_without_orders,
     "high_discount_orders": _q_high_discount_orders,
     "rollup_returns": _q_rollup_returns,
+    "q4_order_priority": _q_q4_order_priority,
+    "q7_volume_shipping": _q_q7_volume_shipping,
+    "q8_market_share": _q_q8_market_share,
+    "q9_profit_by_nation_year": _q_q9_profit_by_nation_year,
+    "q10_returned_items": _q_q10_returned_items,
+    "q12_late_shipments": _q_q12_late_shipments,
+    "q13_customer_distribution": _q_q13_customer_distribution,
+    "q14_promo_revenue": _q_q14_promo_revenue,
+    "q15_top_supplier": _q_q15_top_supplier,
+    "q17_small_quantity_revenue": _q_q17_small_quantity_revenue,
+    "q18_large_volume_customers": _q_q18_large_volume_customers,
+    "q19_discounted_revenue": _q_q19_discounted_revenue,
+    "q21_sole_blame_supplier": _q_q21_sole_blame_supplier,
+    "q22_global_sales_opportunity": _q_q22_global_sales_opportunity,
     "events_json_extract": _q_events_json_extract,
     "asof_purchase_view": _q_asof_purchase_view,
     "interval_view_purchase": _q_interval_view_purchase,
@@ -1426,6 +1807,195 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+    """,
+    "q7_volume_shipping": """
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "q8_market_share": """
+        SELECT year(o_orderdate) AS o_year,
+               round(sum(CASE WHEN ns.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region   ON nc.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY year(o_orderdate)
+    """,
+    "q9_profit_by_nation_year": """
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              - 0.5 * p_retailprice * l_quantity
+                              AS DECIMAL(24,4))), 2)::DOUBLE AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_type = 'PROMO'
+        GROUP BY n_name, year(o_orderdate)
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, revenue,
+               round(c_acctbal, 2) AS c_acctbal, n_name
+        FROM (
+          SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer c ON o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1996-10-01'
+            AND o_orderdate <  TIMESTAMP '1997-01-01'
+          GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+          ORDER BY revenue DESC, c.c_custkey ASC
+          LIMIT 20
+        )
+    """,
+    "q12_late_shipments": """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY l_linestatus
+    """,
+    "q13_customer_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN (SELECT * FROM orders
+                           WHERE o_orderpriority <> '5-LOW') o
+            ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        ) GROUP BY c_count
+    """,
+    "q14_promo_revenue": """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6)
+               AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON supplier_no = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "q17_small_quantity_revenue": """
+        WITH branded AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#1' AND p_size <= 10
+        ),
+        a AS (
+          SELECT l_partkey AS ak, 0.5 * avg(l_quantity) AS half_avg
+          FROM branded GROUP BY l_partkey
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM branded JOIN a ON l_partkey = ak
+        WHERE l_quantity < half_avg
+    """,
+    "q18_large_volume_customers": """
+        WITH big AS (
+          SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING round(sum(l_quantity), 2) > 250
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice, sum_qty
+        FROM big
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q19_discounted_revenue": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q21_sole_blame_supplier": """
+        SELECT s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE l1.l_returnflag = 'R' AND n_name = 'NATION_4'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+    """,
+    "q22_global_sales_opportunity": """
+        SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+               count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY CAST(c_nationkey % 5 AS INT)
     """,
     "events_json_extract": """
         SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,

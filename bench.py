@@ -53,6 +53,20 @@ HEADLINE = [
     "customers_without_orders",
     "high_discount_orders",
     "rollup_returns",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q21_sole_blame_supplier",
+    "q22_global_sales_opportunity",
     "events_json_extract",
     "asof_purchase_view",
     "interval_view_purchase",

@@ -163,3 +163,30 @@ def test_semantic_dedup_broadcasts_centroids_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_new_tpch_queries_join_strategies(spark):
+    # q4: the EXISTS becomes a hash semi join on the equi key, orders
+    # never duplicated; q21: both existential self-joins stay hash
+    # joins; q19: the disjunctive predicate leaves the part prefilter
+    # pushed to the scan and the join broadcast
+    for name in ("q4_order_priority", "q21_sole_blame_supplier"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "LeftSemi" in plan or "ExistenceJoin" in plan, name
+    plan = _plan(spark, "q19_discounted_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    pushed = [seg.split("ReadSchema", 1)[0] for seg in plan.split("PushedFilters:")[1:]]
+    # Catalyst derives l_quantity bounds from the OR-of-ANDs and pushes
+    # them into the lineitem scan; the brand IN-list reaches the part scan
+    assert any("l_quantity" in s for s in pushed), pushed
+    assert any("p_brand" in s for s in pushed), pushed
+
+
+def test_q22_scalar_threshold_is_broadcast(spark):
+    # the global-average threshold must reach the customer scan as a
+    # broadcast (nested-loop over a 1-row frame), not a shuffled join
+    plan = _plan(spark, "q22_global_sales_opportunity")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
