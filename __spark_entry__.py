@@ -1003,6 +1003,35 @@ def _q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` (30-min gap) per user: start, end
+    (last event + gap), count, value sum.  Unlike ``sessionization``
+    (the lag/island formulation), this is the engine-native session
+    operator -- the same expression runs under Structured Streaming
+    with a watermark and merging session state
+    (tests/test_windows.py::test_session_window_streaming_matches_batch).
+    Scale shape: one shuffle on user_id; session merge is per-key state,
+    no window-function total sort."""
+    _utc(spark)
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # ===========================================================================
 # LLM-pipeline extensions
 # ===========================================================================
@@ -1477,6 +1506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_priority_status": _q_pivot_priority_status,
     "value_percentiles": _q_value_percentiles,
     "sessionization": _q_sessionization,
+    "session_window_stats": _q_session_window_stats,
     # LLM-pipeline extensions
     "text_stats": _q_text_stats,
     "lang_id_pred": _q_lang_id_pred,
@@ -2112,6 +2142,36 @@ ORACLE_SQL: dict[str, str] = {
                          OR date_diff('microsecond', prev, ts) > 3600000000
                         THEN 1 ELSE 0 END)::BIGINT AS n_sessions
         FROM o GROUP BY user_id
+    """,
+    # session_window semantics: a session's end is last event + gap;
+    # islands form wherever the inter-event gap exceeds 30 minutes
+    "session_window_stats": """
+        WITH o AS (
+          SELECT user_id, ts, event_id, value,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev
+          FROM events
+        ),
+        marked AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN prev IS NULL
+                       OR date_diff('microsecond', prev, ts) > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM o
+        ),
+        islands AS (
+          SELECT user_id, ts, value,
+                 sum(brk) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM marked
+        )
+        SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+                 AS session_end,
+               user_id, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM islands GROUP BY user_id, island
     """,
     # ---------------- LLM-pipeline extensions ----------------
     "text_stats": f"""

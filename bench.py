@@ -79,6 +79,7 @@ HEADLINE = [
     "pivot_priority_status",
     "value_percentiles",
     "sessionization",
+    "session_window_stats",
     "text_stats",
     "lang_id_pred",
     "quality_scores",

@@ -114,3 +114,73 @@ def test_flatten_count_map(spark):
     )
     got = {r["state"]: r["count"] for r in flatten_count_map(df, "m", "state").collect()}
     assert got == {"Illinois": 3, "Texas": 1}
+
+
+def test_session_window_streaming_matches_batch(spark, tmp_path):
+    """The SAME session_window_count call runs under Structured
+    Streaming with a watermark: closed sessions emitted in append mode
+    equal the batch answer (the sentinel flush event only advances the
+    watermark; its still-open session is the one row withheld)."""
+    import json as _json
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from data_stream_flink_user_address_spark.operators.windows import (
+        session_window_count,
+    )
+
+    rows = [
+        ("2024-01-01 00:00:00", "u1"),
+        ("2024-01-01 00:03:00", "u1"),
+        ("2024-01-01 00:20:00", "u1"),
+        ("2024-01-01 00:01:00", "u2"),
+    ]
+    src = str(tmp_path / "sess_in")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for ts, u in rows:
+            f.write(_json.dumps({"ts_s": ts, "user": u}) + "\n")
+        # flush: pushes the watermark past every real session's end
+        f.write(_json.dumps({"ts_s": "2024-01-02 00:00:00", "user": "flush"}) + "\n")
+
+    schema = T.StructType(
+        [T.StructField("ts_s", T.StringType()), T.StructField("user", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(src)
+        .selectExpr("cast(ts_s as timestamp) as ts", "user")
+        .withWatermark("ts", "10 seconds")
+    )
+    name = f"sess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        session_window_count(stream, "ts", "user", gap="5 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch re-triggers so the advanced watermark closes sessions
+        with open(os.path.join(src, "b2.json"), "w") as f:
+            f.write(_json.dumps({"ts_s": "2024-01-02 00:00:01", "user": "flush"}) + "\n")
+        q.processAllAvailable()
+        got = {
+            (r["user"], r["count"])
+            for r in spark.sql(f"select * from {name}").collect()
+            if r["user"] != "flush"
+        }
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(rows, "ts_s string, user string").selectExpr(
+        "cast(ts_s as timestamp) as ts", "user"
+    )
+    expect = {
+        (r["user"], r["count"])
+        for r in session_window_count(batch_df, "ts", "user", gap="5 minutes").collect()
+    }
+    assert got == expect
