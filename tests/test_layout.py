@@ -1,0 +1,127 @@
+"""Write-side layout: partition pruning, row-group stat tightness,
+bucketed zero-exchange joins, and compaction file counts."""
+
+import contextlib
+import glob
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_stream_flink_user_address_spark.sources.layout import (
+    compact,
+    write_bucketed,
+    write_partitioned,
+)
+from data_stream_flink_user_address_spark.sources.tables import load_events
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan_of(df):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    events = load_events(spark, SF)
+    write_partitioned(events, out, partition_by=["event_type"], sort_by=["ts"])
+
+    # physical layout: one directory per event_type
+    dirs = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(out)
+        if d.startswith("event_type=")
+    )
+    assert len(dirs) >= 3
+
+    read = spark.read.parquet(out).filter(F.col("event_type") == dirs[0])
+    plan = _plan_of(read)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:", 1)[1].splitlines()[0]
+    assert "event_type" in seg
+    n = read.count()
+    expect = load_events(spark, SF).filter(F.col("event_type") == dirs[0]).count()
+    assert n == expect
+
+
+def test_sorted_write_tightens_rowgroup_stats(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "events_sorted")
+    events = load_events(spark, SF)
+    write_partitioned(
+        events, out, partition_by=["event_type"], sort_by=["ts"],
+        max_records_per_file=100,
+    )
+    # within one partition directory the files must cover disjoint,
+    # ordered ts ranges (per-file min/max non-overlap IS the skipping
+    # property), and the stats must actually be present -- the writer
+    # pins TIMESTAMP_MICROS because legacy INT96 writes no stats at all
+    part_dirs = glob.glob(os.path.join(out, "event_type=*"))
+    assert part_dirs
+    checked = 0
+    for d in part_dirs:
+        ranges = []
+        for fpath in glob.glob(os.path.join(d, "*.parquet")):
+            md = pq.ParquetFile(fpath).metadata
+            idx = md.schema.names.index("ts")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                assert st is not None and st.has_min_max, fpath
+                ranges.append((st.min, st.max))
+                checked += 1
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, (d, (lo1, hi1), (lo2, hi2))
+    assert checked > len(part_dirs)  # the sort produced multiple splits
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(o, "t_orders_b", "o_custkey", 4, str(tmp_path / "ob"))
+        write_bucketed(c, "t_customer_b", "c_custkey", 4, str(tmp_path / "cb"))
+        # bucketing removes the per-query shuffle for SHUFFLED joins;
+        # at this toy size the planner would broadcast instead (also
+        # shuffle-free, but then bucketing proves nothing) -- force the
+        # shuffled path the way a 100 TB fact-fact join would take it
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob = spark.table("t_orders_b")
+        cb = spark.table("t_customer_b")
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey)
+        plan = _plan_of(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == o.join(c, o.o_custkey == c.c_custkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    src = str(tmp_path / "shattered")
+    dest = str(tmp_path / "compacted")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    # simulate a streaming sink's small-file problem
+    li.repartition(64).write.parquet(src)
+    n_small = len(glob.glob(os.path.join(src, "*.parquet")))
+    assert n_small >= 64
+
+    compact(spark, src, dest, target_file_mb=128)
+    n_big = len(glob.glob(os.path.join(dest, "*.parquet")))
+    assert n_big < n_small / 8
+    assert spark.read.parquet(dest).count() == li.count()
