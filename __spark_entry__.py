@@ -56,6 +56,10 @@ from data_stream_flink_user_address_spark.functions.similarity import (
     train_ivf_centroids,
 )
 from data_stream_flink_user_address_spark.functions.semantic import semantic_dedup
+from data_stream_flink_user_address_spark.functions.quantize import (
+    quantize_int8_frame,
+    quantized_topk,
+)
 from data_stream_flink_user_address_spark.functions.curation import (
     ngram_contamination,
     pii_redact,
@@ -1290,6 +1294,47 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: codes, scale, and the
+    per-vector reconstruction MSE.  Zero-shuffle projection; the stored
+    column shrinks 4x (64 int8 codes + scale vs 64 float32), which at
+    100 TB is the difference in scan and shuffle bandwidth for every
+    downstream similarity pass."""
+    q = quantize_int8_frame(_embs(spark, sf_dir), keep_vec=True)
+    mse = (
+        F.aggregate(
+            F.zip_with(
+                F.col("vec"),
+                F.col("qvec"),
+                lambda x, c: F.pow(x.cast("double") - c * F.col("scale"), F.lit(2.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / float(_EMB_DIM)
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        "qvec",
+        F.round(mse, 9).alias("mse"),
+    )
+
+
+def _q_similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-candidate top-k with exact refine: rank by the reconstructed
+    int8 dot (4x cheaper corpus scan), keep k*4 per query, rescore the
+    survivors in float.  Exact output unless a true top-5 member fell
+    below rank 20 in quantized order -- at 64 dims int8 keeps ~0.4% max
+    relative element error, so in practice this matches brute force;
+    the oracle replicates the full two-stage pipeline, not brute force,
+    making the semantics themselves the checked contract."""
+    return quantized_topk(
+        _embs(spark, sf_dir), _queries_frame(spark, sf_dir),
+        k=5, expand=4, dim=_EMB_DIM,
+    )
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary_payload(_docs(spark, sf_dir))
     return extract_media_meta(media)
@@ -1529,6 +1574,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf_topk": _q_similarity_ivf_topk,
     "similarity_ivf_trained": _q_similarity_ivf_trained,
     "semantic_dedup": _q_semantic_dedup,
+    "embedding_quantize": _q_embedding_quantize,
+    "similarity_quantized_topk": _q_similarity_quantized_topk,
     "multimodal_meta": _q_multimodal_meta,
     "pii_redact": _q_pii_redact,
     "repetition_stats": _q_repetition_stats,
@@ -2535,6 +2582,71 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT a.vec_id, a.cid AS cluster_id, (d.vec_id IS NULL) AS keep
         FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+    # int8 symmetric quantization: scale = max|x|/127 (1e-30 guard),
+    # codes = round(x/scale) half-away-from-zero in both engines
+    "embedding_quantize": f"""
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 greatest(list_max(list_transform(embedding,
+                          x -> abs(x::DOUBLE))), 1e-30) / 127.0 AS scale
+          FROM embeddings
+        )
+        SELECT vec_id, round(scale, 9) AS scale,
+               list_transform(embedding,
+                              x -> round(x::DOUBLE / scale)::INT) AS qvec,
+               round(list_sum(list_transform(embedding,
+                     x -> pow(x::DOUBLE - round(x::DOUBLE / scale) * scale, 2)))
+                     / {_EMB_DIM}.0, 9) AS mse
+        FROM s
+    """,
+    # two-stage SQ8 search: candidate rank by reconstructed int8 dot
+    # (scale_c * scale_q * <codes>), exact float rescore of the top 20
+    "similarity_quantized_topk": """
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 greatest(list_max(list_transform(embedding,
+                          x -> abs(x::DOUBLE))), 1e-30) / 127.0 AS scale
+          FROM embeddings
+        ),
+        qz AS (
+          SELECT vec_id, embedding, scale,
+                 list_transform(embedding,
+                                x -> round(x::DOUBLE / scale)::INT) AS qvec
+          FROM s
+        ),
+        cand AS (
+          SELECT query_id, vec_id, c_emb, q_emb FROM (
+            SELECT c.vec_id AS vec_id, q.vec_id AS query_id,
+                   c.embedding AS c_emb, q.embedding AS q_emb,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY (c.scale * q.scale *
+                               list_sum(list_transform(list_zip(c.qvec, q.qvec),
+                                        p -> p[1]::DOUBLE * p[2]::DOUBLE))) DESC,
+                              c.vec_id ASC) AS crank
+            FROM qz c CROSS JOIN qz q WHERE q.vec_id < 10
+          ) WHERE crank <= 20
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+          SELECT query_id, vec_id,
+                 round(list_sum(list_transform(list_zip(c_emb, q_emb),
+                         p -> p[1]::DOUBLE * p[2]::DOUBLE))
+                       / (greatest(sqrt(list_sum(list_transform(c_emb,
+                            x -> x::DOUBLE * x::DOUBLE))), 1e-300)
+                          * greatest(sqrt(list_sum(list_transform(q_emb,
+                              x -> x::DOUBLE * x::DOUBLE))), 1e-300)), 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_sum(list_transform(list_zip(c_emb, q_emb),
+                              p -> p[1]::DOUBLE * p[2]::DOUBLE))
+                            / (greatest(sqrt(list_sum(list_transform(c_emb,
+                                 x -> x::DOUBLE * x::DOUBLE))), 1e-300)
+                               * greatest(sqrt(list_sum(list_transform(q_emb,
+                                   x -> x::DOUBLE * x::DOUBLE))), 1e-300)), 6) DESC,
+                            vec_id ASC) AS rank
+          FROM cand
+        ) WHERE rank <= 5
     """,
     "multimodal_meta": """
         SELECT doc_id AS media_id,

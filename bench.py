@@ -101,6 +101,8 @@ HEADLINE = [
     "similarity_ivf_topk",
     "similarity_ivf_trained",
     "semantic_dedup",
+    "embedding_quantize",
+    "similarity_quantized_topk",
     "multimodal_meta",
     "pii_redact",
     "repetition_stats",

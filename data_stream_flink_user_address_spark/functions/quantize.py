@@ -1,0 +1,121 @@
+"""Int8 scalar quantization for embedding columns, and quantized
+candidate-generation top-k with exact rescoring.
+
+Engine extension beyond the reference surface.  At 100 TB the embedding
+column IS the dataset: a 64-dim float32 vector is 256 bytes; symmetric
+per-vector int8 quantization stores 64 bytes + one float scale (~4x
+less scan bandwidth and shuffle width), at a recall cost the exact
+rescore pass below removes for top-k search (the standard
+"SQ8 + refine" design, e.g. FAISS ``IndexScalarQuantizer`` + refine).
+
+Determinism contract (shared with the DuckDB oracle): scale =
+max(|x|)/127 guarded to 1e-30, codes = round(x/scale) with half-away-
+from-zero rounding (both engines' ``round``), double math throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _norm
+
+
+def quantize_codes(vec: Column, scale: Column) -> Column:
+    """int codes for ``vec`` at ``scale`` (round half away from zero)."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") / scale).cast("int"))
+
+
+def quantize_int8_frame(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Per-vector symmetric int8 codes: ``(vec_id, scale, qvec[, vec])``.
+
+    One zero-shuffle projection: scale is the vector's max |x| / 127,
+    codes are ``round(x / scale)`` in [-127, 127].  Reconstruction is
+    ``code * scale``; per-element quantization error is at most
+    scale/2.  ``keep_vec`` retains the float column (for rescoring).
+    """
+    absmax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    d = emb.select(
+        F.col(id_col).alias("vec_id"),
+        (F.greatest(absmax, F.lit(1e-30)) / 127.0).alias("scale"),
+        F.col(vec_col).alias("vec"),
+    ).withColumn("qvec", quantize_codes(F.col("vec"), F.col("scale")))
+    return d if keep_vec else d.drop("vec")
+
+
+def _int_dot(a: Column, b: Column, dim: int) -> Column:
+    """Exact integer dot product unrolled for codegen (|sum| < 2^20 for
+    dim 64 int8 codes -- double-exact)."""
+    acc = a.getItem(0).cast("double") * b.getItem(0).cast("double")
+    for i in range(1, dim):
+        acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
+    return acc
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    expand: int = 4,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k cosine via int8 candidate generation + exact float rescore.
+
+    Stage 1 scans the QUANTIZED corpus (4x less bandwidth than float32
+    at scale -- the codes column is what a production table stores) and
+    ranks by the reconstructed dot ``scale_c * scale_q * <qc, qq>``,
+    keeping ``k * expand`` candidates per query (partial top-k per
+    partition via WindowGroupLimit, same shape as brute_force_topk).
+    Stage 2 joins only the surviving candidates back to the float
+    vectors and re-ranks exactly -- so ranking error from quantization
+    survives only if a true top-k member fell below rank k*expand.
+    Output schema matches ``brute_force_topk`` (query_id, vec_id,
+    cosine, rank) with EXACT cosines.
+    """
+    qc = quantize_int8_frame(corpus, corpus_id, corpus_vec, keep_vec=True)
+    qq = quantize_int8_frame(queries, query_id, query_vec, keep_vec=True).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("q_scale"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("vec").alias("q_vec"),
+    )
+    approx = qc.join(F.broadcast(qq)).withColumn(
+        "approx_dot",
+        F.col("scale") * F.col("q_scale") * _int_dot(F.col("qvec"), F.col("q_qvec"), dim),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        approx.withColumn("crank", F.row_number().over(w1))
+        .filter(F.col("crank") <= k * expand)
+        .select("query_id", "vec_id", "vec", "q_vec")
+    )
+    cn = F.greatest(_norm(F.col("vec")), F.lit(1e-300))
+    qn = F.greatest(_norm(F.col("q_vec")), F.lit(1e-300))
+    from .similarity import _dot_unrolled
+
+    exact = cand.withColumn(
+        "cosine",
+        F.round(_dot_unrolled(F.col("vec"), F.col("q_vec"), dim) / (cn * qn), round_digits),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+    )
