@@ -83,6 +83,7 @@ from data_stream_flink_user_address_spark.functions.text import (
     quality_score,
     token_count,
     tokens,
+    unigram_logprob_scores,
     winnow_fingerprint,
 )
 from data_stream_flink_user_address_spark.operators.asof import asof_join
@@ -1036,9 +1037,53 @@ def _q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_window_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth on one frame: lead/lag, ntile,
+    percent_rank, cume_dist over each customer's order history
+    (deterministic frame: orderdate then orderkey)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def _q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL front-end (the engine registers the
+    scan as a temp view and plans the query with Catalyst -- same
+    single-pass expand+aggregate as rollup/cube)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 # ===========================================================================
 # LLM-pipeline extensions
 # ===========================================================================
+
+
+def _q_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scores over the documents corpus (see
+    functions/text.py:unigram_logprob_scores for the broadcast-model
+    scale shape)."""
+    return unigram_logprob_scores(_docs(spark, sf_dir))
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1552,7 +1597,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_percentiles": _q_value_percentiles,
     "sessionization": _q_sessionization,
     "session_window_stats": _q_session_window_stats,
+    "window_function_showcase": _q_window_function_showcase,
+    "grouping_sets_revenue": _q_grouping_sets_revenue,
     # LLM-pipeline extensions
+    "unigram_quality": _q_unigram_quality,
     "text_stats": _q_text_stats,
     "lang_id_pred": _q_lang_id_pred,
     "quality_scores": _q_quality_scores,
@@ -2220,7 +2268,43 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(value), 2) AS total_value
         FROM islands GROUP BY user_id, island
     """,
+    "window_function_showcase": """
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice, 2) AS price,
+               round(lag(o_totalprice) OVER w, 2) AS prev_price,
+               round(lead(o_totalprice) OVER w, 2) AS next_price,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WHERE o_custkey % 100 = 0
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    "grouping_sets_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
     # ---------------- LLM-pipeline extensions ----------------
+    # unigram LM scoring: top-V model by (count desc, token asc), OOV
+    # scores at p = 0.5/total
+    "unigram_quality": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_sql_tokens()}) AS tok FROM documents
+        ),
+        freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        total AS (SELECT sum(cnt)::DOUBLE AS tot FROM freq),
+        top AS (SELECT tok, cnt FROM freq
+                ORDER BY cnt DESC, tok ASC LIMIT 65536)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(-log2(coalesce(t.cnt::DOUBLE, 0.5) / tot)), 6)
+                 AS logprob_score
+        FROM toks LEFT JOIN top t USING (tok) CROSS JOIN total
+        GROUP BY doc_id
+    """,
     "text_stats": f"""
         SELECT doc_id,
                len({_sql_tokens()})::BIGINT AS n_tokens,

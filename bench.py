@@ -80,6 +80,9 @@ HEADLINE = [
     "value_percentiles",
     "sessionization",
     "session_window_stats",
+    "window_function_showcase",
+    "grouping_sets_revenue",
+    "unigram_quality",
     "text_stats",
     "lang_id_pred",
     "quality_scores",

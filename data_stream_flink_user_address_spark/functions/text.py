@@ -180,3 +180,50 @@ def doc_fingerprint(text: Column | str) -> Column:
     """
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_limit: int = 65536,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Model-based quality proxy: per-doc mean negative log2 probability
+    under the corpus' OWN unigram distribution (the CCNet/KenLM-filter
+    shape with the simplest possible LM).  Low score = common, fluent
+    tokens; high score = rare/junk-heavy text.  Output
+    ``(doc_id, n_tokens, logprob_score)``.
+
+    The "model" is the top-``vocab_limit`` tokens by frequency (ties to
+    the lexicographically smaller token); out-of-vocabulary tokens score
+    at p = 0.5/total -- strictly below the rarest in-vocab token, so OOV
+    always costs more than any known token.
+
+    Scale shape: the frequency pass is a token-keyed aggregate with
+    map-side partial counts (shuffle = distinct tokens per partition,
+    never token instances); the top-V cut is ``orderBy().limit()`` --
+    Spark plans TakeOrderedAndProject, a per-partition partial top-V +
+    merge, NOT a global sort; the model (<= vocab_limit rows) then
+    BROADCASTS, so scoring each token is map-side and the only other
+    shuffle is the doc-keyed partial-sum merge.  The corpus' text never
+    crosses an exchange.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    top = freq.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(vocab_limit)
+    total = freq.agg(F.sum("cnt").cast("double").alias("__tot"))
+    scored = (
+        toks.join(F.broadcast(top), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__logp",
+            -F.log2(
+                F.coalesce(F.col("cnt").cast("double"), F.lit(0.5)) / F.col("__tot")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("__logp"), round_digits).alias("logprob_score"),
+    )
