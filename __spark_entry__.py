@@ -1306,13 +1306,26 @@ def _q_similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     each extra round costs one corpus pass for noise-level change.
     Real embedding corpora cluster, which is where Lloyd rounds pay."""
     e = _embs(spark, sf_dir)
-    cent = train_ivf_centroids(
-        e, iters=_IVF_TRAIN_ITERS, centroid_stride=_IVF_STRIDE, dim=_EMB_DIM
-    )
+    cent = _trained_centroids(spark, sf_dir)
     return ivf_topk(
         e, _queries_frame(spark, sf_dir), k=5,
         nprobe=_IVF_NPROBE, dim=_EMB_DIM, centroids=cent,
     )
+
+
+def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-trained centroid frame, marked ``cache()``: k_cent x dim
+    doubles (kilobytes), the 'train once, persist the index' pattern.
+    Every consumer in a session (trained IVF search, semantic dedup)
+    builds the IDENTICAL logical plan, so Spark's cache manager serves
+    the second and later consumers from the materialized frame instead
+    of re-running the training passes.  Lazy: nothing runs until a
+    consumer executes."""
+    cent = train_ivf_centroids(
+        _embs(spark, sf_dir),
+        iters=_IVF_TRAIN_ITERS, centroid_stride=_IVF_STRIDE, dim=_EMB_DIM,
+    )
+    return cent.cache()
 
 
 _SEMDEDUP_THRESHOLD = 0.3
@@ -1331,9 +1344,7 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-cluster near-dup pair is never examined, same recall
     contract as similarity_ivf_topk)."""
     e = _embs(spark, sf_dir)
-    cent = train_ivf_centroids(
-        e, iters=_IVF_TRAIN_ITERS, centroid_stride=_IVF_STRIDE, dim=_EMB_DIM
-    )
+    cent = _trained_centroids(spark, sf_dir)
     return semantic_dedup(
         e, cent, threshold=_SEMDEDUP_THRESHOLD, dim=_EMB_DIM
     )
