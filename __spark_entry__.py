@@ -87,6 +87,7 @@ from data_stream_flink_user_address_spark.functions.text import (
     winnow_fingerprint,
 )
 from data_stream_flink_user_address_spark.operators.asof import asof_join
+from data_stream_flink_user_address_spark.operators.scd2 import scd2_apply
 from data_stream_flink_user_address_spark.operators.interval import interval_join
 from data_stream_flink_user_address_spark.operators.join import user_address_snapshot
 from data_stream_flink_user_address_spark.operators.windows import tumbling_window_count
@@ -1057,6 +1058,51 @@ def _q_window_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintenance (operators/scd2.py) demoed on the
+    customer segment: the whole customer table is the open current
+    state; a deterministic change batch (every 7th key gets a new
+    segment, every 14th a second later change, including engineered
+    no-op changes) rebuilds per-key validity chains.  Work scales with
+    CHANGED keys only -- untouched open rows leave via an anti join."""
+    _utc(spark)
+    c = _t(spark, sf_dir, "customer")
+    current = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    base = c.filter(F.col("c_custkey") % 7 == 0)
+    ch1 = base.select(
+        F.col("c_custkey").alias("k"),
+        F.concat(F.lit("SEG_"), (F.col("c_custkey") % 4).cast("string")).alias("seg"),
+        F.expr(
+            "timestamp'1999-01-01' + make_dt_interval(c_custkey % 400)"
+        ).alias("change_ts"),
+    )
+    # second change; for keys where (k/2) % 4 == k % 4 it is a no-op
+    # and must collapse out of the lineage
+    ch2 = base.filter(F.col("c_custkey") % 14 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.concat(
+            F.lit("SEG_"), ((F.col("c_custkey") / 2).cast("long") % 4).cast("string")
+        ).alias("seg"),
+        F.expr(
+            "timestamp'1999-01-01' + make_dt_interval(c_custkey % 400 + 100)"
+        ).alias("change_ts"),
+    )
+    out = scd2_apply(current, ch1.unionByName(ch2), ["k"], ["seg"])
+    return out.select(
+        "k",
+        "seg",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
 def _q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS through the SQL front-end (the engine registers the
     scan as a temp view and plans the query with Catalyst -- same
@@ -1610,6 +1656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_window_stats": _q_session_window_stats,
     "window_function_showcase": _q_window_function_showcase,
     "grouping_sets_revenue": _q_grouping_sets_revenue,
+    "scd2_customer_segments": _q_scd2_customer_segments,
     # LLM-pipeline extensions
     "unigram_quality": _q_unigram_quality,
     "text_stats": _q_text_stats,
@@ -2298,6 +2345,57 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    # SCD2 rebuild mirror of operators/scd2.py: lineage = open seed +
+    # changes per changed key, no-op collapse via lag, close via lead
+    "scd2_customer_segments": """
+        WITH cur AS (
+          SELECT c_custkey AS k, c_mktsegment AS seg,
+                 TIMESTAMP '1995-01-01' AS valid_from,
+                 NULL::TIMESTAMP AS valid_to, true AS is_current
+          FROM customer
+        ),
+        ch AS (
+          SELECT c_custkey AS k, 'SEG_' || (c_custkey % 4) AS seg,
+                 TIMESTAMP '1999-01-01'
+                   + (c_custkey % 400) * INTERVAL 1 DAY AS change_ts
+          FROM customer WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT c_custkey, 'SEG_' || ((c_custkey / 2)::BIGINT % 4),
+                 TIMESTAMP '1999-01-01'
+                   + (c_custkey % 400 + 100) * INTERVAL 1 DAY
+          FROM customer WHERE c_custkey % 14 = 0
+        ),
+        chkeys AS (SELECT DISTINCT k FROM ch),
+        lineage AS (
+          SELECT cur.k, cur.seg, cur.valid_from AS ts, 0 AS seq
+          FROM cur JOIN chkeys ON cur.k = chkeys.k
+          UNION ALL
+          SELECT k, seg, change_ts, 1 FROM ch
+        ),
+        filtered AS (
+          SELECT k, seg, ts, seq FROM (
+            SELECT k, seg, ts, seq,
+                   lag(seg) OVER (PARTITION BY k ORDER BY ts, seq) AS prev
+            FROM lineage
+          ) WHERE prev IS NULL OR prev <> seg
+        ),
+        rebuilt AS (
+          SELECT k, seg, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY k ORDER BY ts, seq) AS valid_to
+          FROM filtered
+        ),
+        unioned AS (
+          SELECT cur.k, cur.seg, cur.valid_from, cur.valid_to FROM cur
+          WHERE cur.k NOT IN (SELECT k FROM chkeys)
+          UNION ALL
+          SELECT k, seg, valid_from, valid_to FROM rebuilt
+        )
+        SELECT k, seg,
+               strftime(valid_from, '%Y-%m-%d') AS valid_from,
+               strftime(valid_to, '%Y-%m-%d') AS valid_to,
+               (valid_to IS NULL) AS is_current
+        FROM unioned
     """,
     # ---------------- LLM-pipeline extensions ----------------
     # unigram LM scoring: top-V model by (count desc, token asc), OOV

@@ -82,6 +82,7 @@ HEADLINE = [
     "session_window_stats",
     "window_function_showcase",
     "grouping_sets_revenue",
+    "scd2_customer_segments",
     "unigram_quality",
     "text_stats",
     "lang_id_pred",
