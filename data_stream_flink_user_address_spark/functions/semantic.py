@@ -20,6 +20,18 @@ candidate rows collapse to one BEFORE the shuffle, because the
 broadcast join emits them contiguously in the map partition), one
 keyed by cluster id for the pairwise pass.
 
+MEASURED on a planted-duplicate corpus (``SEMDEDUP_RECALL.json``,
+``python bench_semantic.py``: 5,000 unit Gaussians + 500 near-copies at
+cosine ~0.99, threshold 0.9, 2 Lloyd rounds): recall 0.91-0.97 with
+ZERO false drops across k_cent 6..118, while the candidate-pair count
+falls to 16.7%..0.84% of all-pairs -- the 6x-119x compute cut that is
+the operator's reason to exist.  Recall IMPROVES with more centroids
+on this corpus (0.912 at k=6 vs 0.972 at k=118): Lloyd-trained fine
+cells give near-identical pairs larger assignment margins, so fewer
+pairs straddle a Voronoi boundary.  Pick stride for the compute budget
+first; recall is flat-to-better as clusters shrink until clusters
+approach duplicate-group size.
+
 Determinism contract (shared with the DuckDB oracle): cosines round to
 6 digits; assignment ties break to the smaller centroid id; the pruning
 rule is "drop a vector iff some SMALLER-ID vector in its cluster is
