@@ -120,3 +120,56 @@ def test_pii_counts_match_placeholders(spark, rows):
         assert r["n_ipv4"] == len(re.findall(r"\[IP\]", red))
         # redaction is complete: no raw PII token survives
         assert "@" not in red.replace("[EMAIL]", "")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 vs a sequential Python reference model
+# ---------------------------------------------------------------------------
+
+_scd2_cases = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),          # key
+        st.sampled_from(["A", "B", "C"]),              # new segment
+        st.integers(min_value=1, max_value=30),         # day offset (ts)
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: (t[0], t[2]),                   # (key, ts) unique
+)
+
+
+@settings(**_SETTINGS)
+@given(_scd2_cases)
+def test_scd2_matches_sequential_model(spark, changes):
+    from datetime import datetime, timedelta
+
+    from data_stream_flink_user_address_spark.operators.scd2 import scd2_apply
+
+    base = datetime(2020, 1, 1)
+    cur_rows = [(k, "S", base, None, True) for k in (1, 2, 3, 4)]
+    ch_rows = [(k, seg, base + timedelta(days=d)) for k, seg, d in changes]
+
+    out = scd2_apply(
+        spark.createDataFrame(
+            cur_rows,
+            "k long, seg string, valid_from timestamp, valid_to timestamp, is_current boolean",
+        ),
+        spark.createDataFrame(ch_rows, "k long, seg string, change_ts timestamp"),
+        key_cols=["k"],
+        tracked_cols=["seg"],
+    )
+    got = sorted((r.k, r.seg, r.valid_from, r.valid_to, r.is_current) for r in out.collect())
+
+    # sequential reference: replay each key's changes in ts order,
+    # skipping no-ops, closing the previous version at each survivor
+    expect = []
+    for k in (1, 2, 3, 4):
+        versions = [("S", base)]
+        for kk, seg, d in sorted(changes, key=lambda t: t[2]):
+            if kk == k and seg != versions[-1][0]:
+                versions.append((seg, base + timedelta(days=d)))
+        for (seg, ts), nxt in zip(versions, versions[1:] + [None]):
+            expect.append(
+                (k, seg, ts, nxt[1] if nxt else None, nxt is None)
+            )
+    assert got == sorted(expect)
