@@ -10,10 +10,12 @@ from .text import (
     quality_score,
     token_count,
     tokens,
+    unigram_logprob_scores,
     winnow_fingerprint,
 )
 from .dedup import (
     dedup_clusters,
+    substring_dup_spans,
     exact_dedup,
     embedding_near_dup_pairs,
     lsh_candidate_pairs,
@@ -24,7 +26,16 @@ from .dedup import (
     simhash,
     streaming_dedup,
 )
-from .similarity import brute_force_topk, cosine_sim_col, lsh_bucketed_topk, make_planes
+from .similarity import (
+    brute_force_topk,
+    cosine_sim_col,
+    ivf_topk,
+    lsh_bucketed_topk,
+    make_planes,
+    train_ivf_centroids,
+)
+from .semantic import semantic_dedup
+from .quantize import quantize_int8_frame, quantized_topk
 from .multimodal import (
     attach_binary_payload,
     extract_media_meta,
@@ -44,6 +55,7 @@ __all__ = [
     "token_count",
     "tokens",
     "winnow_fingerprint",
+    "unigram_logprob_scores",
     # dedup
     "dedup_clusters",
     "exact_dedup",
@@ -55,11 +67,17 @@ __all__ = [
     "shingles",
     "simhash",
     "streaming_dedup",
+    "substring_dup_spans",
     # similarity
     "brute_force_topk",
     "cosine_sim_col",
+    "ivf_topk",
     "lsh_bucketed_topk",
     "make_planes",
+    "train_ivf_centroids",
+    "semantic_dedup",
+    "quantize_int8_frame",
+    "quantized_topk",
     # multimodal
     "attach_binary_payload",
     "extract_media_meta",

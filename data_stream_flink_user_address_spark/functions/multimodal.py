@@ -5,9 +5,9 @@ Convention (schemas.MEDIA_SCHEMA): ``payload binary`` + typed ``meta``
 struct.  The Spark-side plumbing -- schema, partition-preserving
 mapInPandas, Arrow batch shape -- is real and tested.  Decode is real
 (pure-Python, dependency-free) for self-describing formats: PPM (P6)
-and 24-bit BMP pixels, WAV duration, JPEG dimensions (SOF marker
-walk).  Formats needing codec libraries (PNG/MP4/... and JPEG pixel
-data) raise ``NotImplementedError`` -- those libraries are not in this
+and 24-bit BMP pixels, WAV duration, JPEG/PNG/GIF dimensions (header
+walks).  Formats needing codec libraries (MP4/OGG/... and
+JPEG/PNG/GIF pixel data) raise ``NotImplementedError`` -- not in this
 container -- with ``fake_decode`` as the deterministic test stand-in.
 
 At scale: payloads ride in parquet binary columns; mapInPandas streams
@@ -160,16 +160,35 @@ def real_decode(payload: bytes, kind: str) -> dict:
     - audio: WAV/RIFF -- duration from the fmt chunk's byte rate and
       the data chunk length.
 
-    Anything else (PNG/MP4/OGG/...) requires codec libraries not
-    present in this container and raises NotImplementedError;
-    ``fake_decode`` remains the deterministic stand-in for those in
-    tests.
+    - image headers: JPEG dimensions (SOF walk), PNG dimensions (IHDR
+      fixed offsets), GIF dimensions (logical screen descriptor).
+
+    Anything else (MP4/OGG/... and PNG/GIF/JPEG pixel data) requires
+    codec libraries not present in this container and raises
+    NotImplementedError; ``fake_decode`` remains the deterministic
+    stand-in for those in tests.
     """
     if payload[:2] in (b"P6", b"BM"):
         w, h, _ = decode_image_pixels(payload)
         return {"width": w, "height": h, "duration_ms": None}
     if payload[:2] == b"\xff\xd8":
         w, h = jpeg_dimensions(payload)
+        return {"width": w, "height": h, "duration_ms": None}
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # the IHDR chunk is REQUIRED first (PNG spec 11.2.2): width and
+        # height are big-endian u32 at fixed offsets 16/20 -- header
+        # metadata only, pixel decode needs zlib+filters (codec-gated)
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            raise ValueError("PNG missing IHDR")
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return {"width": w, "height": h, "duration_ms": None}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # logical screen descriptor: little-endian u16 at offsets 6/8
+        if len(payload) < 10:
+            raise ValueError("GIF truncated before screen descriptor")
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
         return {"width": w, "height": h, "duration_ms": None}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # walk chunks: fmt_ gives byte rate, data gives payload length
@@ -192,7 +211,7 @@ def real_decode(payload: bytes, kind: str) -> dict:
     raise NotImplementedError(
         "decode for this format requires image/audio libraries not present "
         "in this environment (pure-Python path handles PPM/BMP/WAV plus "
-        "JPEG dimensions); use fake_decode for deterministic tests"
+        "JPEG/PNG/GIF dimensions); use fake_decode for deterministic tests"
     )
 
 

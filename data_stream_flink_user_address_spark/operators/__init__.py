@@ -1,6 +1,7 @@
 from .asof import asof_join
 from .interval import interval_join
 from .join import user_address_snapshot
+from .scd2 import scd2_apply
 from .skew import salted_count, salted_join
 from .windows import (
     count_by_dimension,
@@ -15,6 +16,7 @@ __all__ = [
     "asof_join",
     "interval_join",
     "user_address_snapshot",
+    "scd2_apply",
     "salted_count",
     "salted_join",
     "explode_addresses",

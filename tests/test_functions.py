@@ -199,7 +199,7 @@ def test_real_decode_ppm_bmp_pixels_and_wav_duration():
     import pytest
 
     with pytest.raises(NotImplementedError):
-        real_decode(b"\x89PNG\r\n\x1a\nrest", "image")  # needs a codec lib
+        real_decode(b"\x00\x00\x00\x18ftypmp42rest", "video")  # needs a codec lib
 
 
 def test_extract_media_meta_real_decode_through_spark(spark):
@@ -780,3 +780,25 @@ def test_mixture_sample_per_source_rates(spark):
     assert len(by_src.get("src0", set())) == 100, "fraction 1.0 keeps everything"
     assert "src2" not in by_src and "src3" not in by_src, "default 0.0 drops"
     assert 25 <= len(by_src.get("src1", set())) <= 75  # p=0.5 of 100
+
+
+def test_real_decode_png_gif_dimensions():
+    import pytest as _pytest
+
+    from data_stream_flink_user_address_spark.functions.multimodal import real_decode
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + (800).to_bytes(4, "big") + (600).to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00" + b"\x00\x00\x00\x00"
+    )
+    assert real_decode(png, "image") == {"width": 800, "height": 600, "duration_ms": None}
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00\x00\x00"
+    assert real_decode(gif, "image") == {"width": 320, "height": 200, "duration_ms": None}
+
+    with _pytest.raises(ValueError):
+        real_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8, "image")  # no IHDR
+    with _pytest.raises(NotImplementedError):
+        real_decode(b"OggS" + b"\x00" * 20, "audio")
