@@ -1415,9 +1415,14 @@ def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / float(_EMB_DIM)
     )
+    # scale is emitted RAW: absmax is an exact float32->double value and
+    # /127.0 is IEEE-deterministic, so both engines produce bit-identical
+    # doubles -- while round(scale, 9) on a ~1e-7 scale actually CREATES
+    # cross-engine mismatches at decimal-rounding boundaries (seen at
+    # sf0.1, whose corpus contains tiny-magnitude vectors)
     return q.select(
         "vec_id",
-        F.round("scale", 9).alias("scale"),
+        "scale",
         "qvec",
         F.round(mse, 9).alias("mse"),
     )
@@ -2785,7 +2790,7 @@ ORACLE_SQL: dict[str, str] = {
                           x -> abs(x::DOUBLE))), 1e-30) / 127.0 AS scale
           FROM embeddings
         )
-        SELECT vec_id, round(scale, 9) AS scale,
+        SELECT vec_id, scale,
                list_transform(embedding,
                               x -> round(x::DOUBLE / scale)::INT) AS qvec,
                round(list_sum(list_transform(embedding,
