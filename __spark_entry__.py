@@ -61,6 +61,7 @@ from data_stream_flink_user_address_spark.functions.quantize import (
     quantized_topk,
 )
 from data_stream_flink_user_address_spark.functions.curation import (
+    gopher_quality_flags,
     ngram_contamination,
     pii_redact,
     repetition_stats,
@@ -1125,6 +1126,14 @@ def _q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set quality flags over the documents corpus
+    (functions/curation.py:gopher_quality_flags) -- row-local, zero
+    shuffle; thresholds tuned so every rule fires on part of this
+    corpus (the flags are only evidence if both branches occur)."""
+    return gopher_quality_flags(_docs(spark, sf_dir))
+
+
 def _q_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scores over the documents corpus (see
     functions/text.py:unigram_logprob_scores for the broadcast-model
@@ -1664,6 +1673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_customer_segments": _q_scd2_customer_segments,
     # LLM-pipeline extensions
     "unigram_quality": _q_unigram_quality,
+    "gopher_quality": _q_gopher_quality,
     "text_stats": _q_text_stats,
     "lang_id_pred": _q_lang_id_pred,
     "quality_scores": _q_quality_scores,
@@ -2418,6 +2428,41 @@ ORACLE_SQL: dict[str, str] = {
                  AS logprob_score
         FROM toks LEFT JOIN top t USING (tok) CROSS JOIN total
         GROUP BY doc_id
+    """,
+    # Gopher word-level rules; flags evaluate on raw ratios (identical
+    # integer-division doubles), rounded copies are display-only
+    "gopher_quality": f"""
+        WITH t AS (
+          SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 len(toks) AS n,
+                 list_sum(list_transform(toks, w -> length(w)::DOUBLE))
+                   / len(toks) AS mean_wl,
+                 len(list_filter(toks, w -> regexp_full_match(w, '[A-Za-z]+')))
+                   / len(toks)::DOUBLE AS alpha_frac,
+                 list_max(list_transform(list_distinct(toks),
+                          t2 -> len(list_filter(toks, w -> w = t2))))
+                   / len(toks)::DOUBLE AS top_frac,
+                 (len(list_filter(['the', 'a', 'data'],
+                       w -> list_contains(toks, w))) >= 1) AS has_required
+          FROM t
+        )
+        SELECT doc_id,
+               n::BIGINT AS n_tokens,
+               round(mean_wl, 4) AS mean_word_len,
+               round(alpha_frac, 4) AS alpha_frac,
+               round(top_frac, 4) AS top_token_frac,
+               (n >= 30 AND n <= 90) AS ok_token_count,
+               (mean_wl >= 4.0 AND mean_wl <= 5.0) AS ok_word_len,
+               (alpha_frac >= 0.9) AS ok_alpha,
+               (top_frac <= 0.1) AS ok_top_token,
+               has_required AS ok_required_word,
+               ((n >= 30 AND n <= 90) AND (mean_wl >= 4.0 AND mean_wl <= 5.0)
+                AND alpha_frac >= 0.9 AND top_frac <= 0.1 AND has_required)
+                 AS keep
+        FROM m
     """,
     "text_stats": f"""
         SELECT doc_id,

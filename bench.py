@@ -84,6 +84,7 @@ HEADLINE = [
     "grouping_sets_revenue",
     "scd2_customer_segments",
     "unigram_quality",
+    "gopher_quality",
     "text_stats",
     "lang_id_pred",
     "quality_scores",

@@ -252,3 +252,70 @@ def ngram_contamination(
             (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 30,
+    max_tokens: int = 90,
+    min_mean_word_len: float = 4.0,
+    max_mean_word_len: float = 5.0,
+    min_alpha_frac: float = 0.9,
+    max_top_token_frac: float = 0.1,
+    required_words: tuple[str, ...] = ("the", "a", "data"),
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1)
+    restricted to the word-level subset that applies to a corpus without
+    line structure: token-count bounds, mean-word-length band,
+    alphabetic-word fraction, most-common-token fraction, and a
+    required-word presence check.  Emits the measured signals, one
+    boolean per rule, and the conjunctive ``keep``.
+
+    All signals are single-pass array expressions over the row's own
+    token array -- zero shuffle at any scale, exactly like the other
+    row-local curation gates, so the filter composes into
+    ``curation_pipeline``-style recipes for free.  The most-common-token
+    scan is O(tokens x distinct) per row -- bounded by the token-count
+    rule itself.  Rule flags evaluate on RAW ratios (bit-identical
+    integer-division doubles in both engines); the emitted copies are
+    rounded for display only.
+    """
+    toks = _toks(text_col)
+    d = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    mean_wl = F.aggregate(
+        F.col("__toks"), F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+    ) / n
+    alpha_frac = (
+        F.size(F.filter(F.col("__toks"), lambda w: w.rlike(r"^[A-Za-z]+$"))) / n
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("__toks"),
+            lambda t: F.size(F.filter(F.col("__toks"), lambda w: w == t)),
+        )
+    )
+    top_frac = top_cnt / n
+    req = [F.lit(w) for w in required_words]
+    has_required = F.size(
+        F.filter(F.array(*req), lambda w: F.array_contains(F.col("__toks"), w))
+    ) >= 1
+    ok_len = (n >= min_tokens) & (n <= max_tokens)
+    ok_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_alpha = alpha_frac >= min_alpha_frac
+    ok_top = top_frac <= max_top_token_frac
+    return d.select(
+        id_col,
+        n.cast("bigint").alias("n_tokens"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        F.round(top_frac, 4).alias("top_token_frac"),
+        ok_len.alias("ok_token_count"),
+        ok_wl.alias("ok_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_top.alias("ok_top_token"),
+        has_required.alias("ok_required_word"),
+        (ok_len & ok_wl & ok_alpha & ok_top & has_required).alias("keep"),
+    )
