@@ -60,6 +60,9 @@ from data_stream_flink_user_address_spark.functions.quantize import (
     quantize_int8_frame,
     quantized_topk,
 )
+from data_stream_flink_user_address_spark.functions.packing import (
+    sequence_pack_offsets,
+)
 from data_stream_flink_user_address_spark.functions.curation import (
     gopher_quality_flags,
     ngram_contamination,
@@ -1126,6 +1129,17 @@ def _q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk offsets for the documents corpus
+    (functions/packing.py): every doc's position in the global token
+    stream and the seq_len=512 chunks it spans, via the two-phase
+    distributed prefix sum (the single-partition window touches only
+    one row per id-bucket, never the corpus)."""
+    return sequence_pack_offsets(
+        _docs(spark, sf_dir), seq_len=512, sep_tokens=1, bucket_size=100
+    )
+
+
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-set quality flags over the documents corpus
     (functions/curation.py:gopher_quality_flags) -- row-local, zero
@@ -1674,6 +1688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # LLM-pipeline extensions
     "unigram_quality": _q_unigram_quality,
     "gopher_quality": _q_gopher_quality,
+    "sequence_pack": _q_sequence_pack,
     "text_stats": _q_text_stats,
     "lang_id_pred": _q_lang_id_pred,
     "quality_scores": _q_quality_scores,
@@ -2463,6 +2478,27 @@ ORACLE_SQL: dict[str, str] = {
                 AND alpha_frac >= 0.9 AND top_frac <= 0.1 AND has_required)
                  AS keep
         FROM m
+    """,
+    # concat-then-chunk offsets: exclusive prefix sum over (n_tokens+1)
+    # in doc_id order; chunk c covers [c*512, (c+1)*512)
+    "sequence_pack": f"""
+        WITH t AS (
+          SELECT doc_id, len({_sql_tokens()})::BIGINT AS n FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n,
+                 sum(n + 1) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS incl
+          FROM t
+        )
+        SELECT doc_id, n AS n_tokens,
+               (incl - n - 1) AS start_offset,
+               (incl - 1) AS end_offset,
+               (incl - n - 1) // 512 AS first_chunk,
+               greatest(incl - 2, incl - n - 1) // 512 AS last_chunk,
+               (greatest(incl - 2, incl - n - 1) // 512
+                - (incl - n - 1) // 512 + 1) AS n_chunks_spanned
+        FROM c
     """,
     "text_stats": f"""
         SELECT doc_id,

@@ -85,6 +85,7 @@ HEADLINE = [
     "scd2_customer_segments",
     "unigram_quality",
     "gopher_quality",
+    "sequence_pack",
     "text_stats",
     "lang_id_pred",
     "quality_scores",

@@ -36,6 +36,7 @@ from .similarity import (
 )
 from .semantic import semantic_dedup
 from .quantize import quantize_int8_frame, quantized_topk
+from .packing import sequence_pack_offsets
 from .multimodal import (
     attach_binary_payload,
     extract_media_meta,
@@ -78,6 +79,7 @@ __all__ = [
     "semantic_dedup",
     "quantize_int8_frame",
     "quantized_topk",
+    "sequence_pack_offsets",
     # multimodal
     "attach_binary_payload",
     "extract_media_meta",

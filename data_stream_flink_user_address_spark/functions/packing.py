@@ -1,0 +1,101 @@
+"""Sequence packing for LLM training: map every document into the
+global concatenated-token stream and the fixed-length chunks (GPT-style
+"concat then split every L tokens") it lands in.
+
+Engine extension beyond the reference surface.  Training-data prep ends
+by concatenating the tokenized corpus (one separator token between
+docs) and slicing it into ``seq_len``-token blocks; to shard that work,
+each document needs its OFFSET in the global stream -- an exclusive
+prefix sum over per-doc token counts in a defined order (doc id here).
+
+The naive Spark spelling -- ``sum().over(Window.orderBy(id))`` with no
+partition key -- funnels the ENTIRE corpus through one task (Spark
+plans an un-partitioned ordered window single-partition) and is exactly
+the scale killer this module exists to avoid.  Instead the classic
+two-phase distributed prefix sum:
+
+1. bucket docs by id range (``floor(id / bucket_size)``) -- per-bucket
+   windows are partition-local;
+2. aggregate one row per bucket (its token-count sum), cumulate THOSE
+   with an ordered window -- thousands of rows, not billions, so the
+   single-partition window is paid on a frame that fits one task by
+   construction;
+3. broadcast-join the bucket base offsets back and add the local
+   within-bucket prefix.
+
+Shuffle inventory: one bucket-keyed exchange for the local window, one
+kilobyte-scale broadcast back.  The corpus text itself never moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+
+def sequence_pack_offsets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    sep_tokens: int = 1,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Global stream offsets + chunk assignment per document.
+
+    Documents concatenate in ``id_col`` order, each followed by
+    ``sep_tokens`` separator token(s).  Output per doc:
+    ``(doc_id, n_tokens, start_offset, end_offset, first_chunk,
+    last_chunk, n_chunks_spanned)`` where chunk ``c`` covers global
+    offsets ``[c * seq_len, (c+1) * seq_len)`` and ``end_offset`` is
+    exclusive of the separator.  A doc with ``first_chunk !=
+    last_chunk`` crosses a block boundary (downstream either splits it
+    or masks across the seam -- both need exactly these offsets).
+    """
+    d = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+    ).withColumn("__bucket", F.floor(F.col(id_col) / bucket_size))
+    costed = d.withColumn("__cost", F.col("n_tokens") + sep_tokens)
+
+    wloc = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = costed.withColumn("__local_incl", F.sum("__cost").over(wloc))
+
+    bucket_tot = costed.groupBy("__bucket").agg(F.sum("__cost").alias("__btot"))
+    wbuck = (
+        Window.orderBy(F.col("__bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # exclusive prefix over BUCKET sums: tiny frame, single task by design
+    bases = bucket_tot.withColumn(
+        "__base", F.sum("__btot").over(wbuck) - F.col("__btot")
+    ).select("__bucket", "__base")
+
+    out = local.join(F.broadcast(bases), "__bucket").select(
+        id_col,
+        "n_tokens",
+        (F.col("__base") + F.col("__local_incl") - F.col("__cost")).alias(
+            "start_offset"
+        ),
+        (F.col("__base") + F.col("__local_incl") - sep_tokens).alias("end_offset"),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        "end_offset",
+        F.floor(F.col("start_offset") / seq_len).cast("bigint").alias("first_chunk"),
+        # last token of the doc sits at end_offset - 1; empty docs span
+        # the chunk their (zero-width) start falls in
+        F.floor(
+            F.greatest(F.col("end_offset") - 1, F.col("start_offset")) / seq_len
+        ).cast("bigint").alias("last_chunk"),
+    ).withColumn(
+        "n_chunks_spanned", (F.col("last_chunk") - F.col("first_chunk") + 1)
+    )

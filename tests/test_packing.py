@@ -1,0 +1,67 @@
+"""sequence_pack_offsets: exact prefix-sum semantics, bucket-boundary
+correctness, and the no-global-window plan shape."""
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_stream_flink_user_address_spark.functions.packing import (
+    sequence_pack_offsets,
+)
+
+
+def test_offsets_match_sequential_model(spark):
+    rows = [(i, " ".join(["w"] * (3 + i % 5))) for i in range(1, 25)]
+    # bucket_size 7 forces several buckets; seq_len 10 forces splits
+    out = sequence_pack_offsets(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        seq_len=10,
+        sep_tokens=1,
+        bucket_size=7,
+    )
+    got = {r.doc_id: r for r in out.collect()}
+
+    off = 0
+    for doc_id, text in rows:
+        n = len(text.split())
+        r = got[doc_id]
+        assert r.n_tokens == n
+        assert r.start_offset == off, doc_id
+        assert r.end_offset == off + n
+        assert r.first_chunk == off // 10
+        assert r.last_chunk == (off + n - 1) // 10
+        assert r.n_chunks_spanned == r.last_chunk - r.first_chunk + 1
+        off += n + 1  # separator
+
+
+def test_empty_doc_zero_width(spark):
+    rows = [(1, "a b c"), (2, ""), (3, "d e")]
+    out = sequence_pack_offsets(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        seq_len=4,
+        bucket_size=2,
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[2].n_tokens == 0
+    assert got[2].start_offset == got[2].end_offset == 4  # 3 tokens + sep
+    assert got[2].n_chunks_spanned == 1
+    assert got[3].start_offset == 5  # empty doc still pays its separator
+
+
+def test_no_unpartitioned_window_over_docs(spark):
+    # the corpus-wide frame must never hit a single-partition ordered
+    # window; only the bucket-sum frame (one row per bucket) may
+    df = spark.range(1000).selectExpr("id as doc_id", "'w w w' as text")
+    out = sequence_pack_offsets(df, bucket_size=100)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # every single-partition exchange must sit above the bucket
+    # aggregate (its input carries __btot), never above raw doc rows
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        inputs = seg.split("Input", 1)[1].splitlines()[0] if "Input" in seg else ""
+        assert "__btot" in inputs or "n_tokens" not in inputs, plan
