@@ -664,9 +664,11 @@ def _q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the maximum quarterly revenue.  The
-    max is a window aggregate over the revenue frame (the decorrelated
-    form of the scalar subquery); revenue rounds to 2 digits BEFORE the
-    max comparison so both engines pick identical winners."""
+    scalar max is a 1-row aggregate broadcast back over the revenue
+    frame (an empty-partition window would single-partition the whole
+    per-supplier frame -- the per-group cardinality at 100x scale makes
+    that a real funnel); revenue rounds to 2 digits BEFORE the max
+    comparison so both engines pick identical winners."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -675,8 +677,8 @@ def _q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    w = Window.partitionBy()
-    top = rev.withColumn("__mx", F.max("total_revenue").over(w)).filter(
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("__mx")
     )
     s = _t(spark, sf_dir, "supplier")

@@ -69,9 +69,21 @@ def test_interval_keyed_join_is_equi_with_residual_range(spark):
 def test_topk_queries_use_window_group_limit(spark):
     # rank<=k after row_number must become a partial top-k before the
     # shuffle (WindowGroupLimit), not a full sort of all candidates
-    for name in ("similarity_topk", "top_parts_per_brand"):
+    for name in ("similarity_topk", "top_parts_per_brand", "similarity_quantized_topk"):
         plan = _plan(spark, name)
         assert "WindowGroupLimit" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q15_scalar_max_broadcasts_not_single_partition_window(spark):
+    # the quarterly-max threshold must come back as a broadcast 1-row
+    # frame; a Window.partitionBy() spelling would funnel the whole
+    # per-supplier frame through one task
+    plan = _plan(spark, "q15_top_supplier")
+    # Catalyst may even turn the equality filter into a broadcast HASH
+    # join keyed on the scalar -- either broadcast form is fine
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
 
 
 def test_ivf_topk_broadcasts_and_never_cartesians(spark):
