@@ -61,6 +61,7 @@ from data_stream_flink_user_address_spark.functions.quantize import (
     quantized_topk,
 )
 from data_stream_flink_user_address_spark.functions.packing import (
+    chunk_manifest,
     sequence_pack_offsets,
 )
 from data_stream_flink_user_address_spark.functions.curation import (
@@ -1142,6 +1143,16 @@ def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk packing manifest (functions/packing.py:chunk_manifest):
+    which slice of which document composes each 512-token training
+    chunk.  Map-side explode over the prefix-sum offsets; output is
+    corpus-linear with a 1/seq_len constant."""
+    return chunk_manifest(
+        _docs(spark, sf_dir), seq_len=512, sep_tokens=1, bucket_size=100
+    )
+
+
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-set quality flags over the documents corpus
     (functions/curation.py:gopher_quality_flags) -- row-local, zero
@@ -1691,6 +1702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_quality": _q_unigram_quality,
     "gopher_quality": _q_gopher_quality,
     "sequence_pack": _q_sequence_pack,
+    "chunk_manifest": _q_chunk_manifest,
     "text_stats": _q_text_stats,
     "lang_id_pred": _q_lang_id_pred,
     "quality_scores": _q_quality_scores,
@@ -2501,6 +2513,35 @@ ORACLE_SQL: dict[str, str] = {
                (greatest(incl - 2, incl - n - 1) // 512
                 - (incl - n - 1) // 512 + 1) AS n_chunks_spanned
         FROM c
+    """,
+    "chunk_manifest": f"""
+        WITH t AS (
+          SELECT doc_id, len({_sql_tokens()})::BIGINT AS n FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n,
+                 sum(n + 1) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS incl
+          FROM t
+        ),
+        o AS (
+          SELECT doc_id, n,
+                 (incl - n - 1)::BIGINT AS s_off, (incl - 1)::BIGINT AS e_off,
+                 ((incl - n - 1) // 512)::BIGINT AS fc,
+                 (greatest(incl - 2, incl - n - 1) // 512)::BIGINT AS lc
+          FROM c WHERE n > 0
+        ),
+        x AS (
+          SELECT doc_id, s_off, e_off,
+                 unnest(generate_series(fc, lc)) AS ch
+          FROM o
+        )
+        SELECT ch AS chunk_id, doc_id,
+               (greatest(s_off, ch * 512) - s_off) AS doc_token_start,
+               (least(e_off, (ch + 1) * 512) - greatest(s_off, ch * 512))
+                 AS n_tokens_in_chunk
+        FROM x
+        WHERE least(e_off, (ch + 1) * 512) - greatest(s_off, ch * 512) > 0
     """,
     "text_stats": f"""
         SELECT doc_id,

@@ -86,6 +86,7 @@ HEADLINE = [
     "unigram_quality",
     "gopher_quality",
     "sequence_pack",
+    "chunk_manifest",
     "text_stats",
     "lang_id_pred",
     "quality_scores",

@@ -36,7 +36,7 @@ from .similarity import (
 )
 from .semantic import semantic_dedup
 from .quantize import quantize_int8_frame, quantized_topk
-from .packing import sequence_pack_offsets
+from .packing import chunk_manifest, sequence_pack_offsets
 from .multimodal import (
     attach_binary_payload,
     extract_media_meta,
@@ -80,6 +80,7 @@ __all__ = [
     "quantize_int8_frame",
     "quantized_topk",
     "sequence_pack_offsets",
+    "chunk_manifest",
     # multimodal
     "attach_binary_payload",
     "extract_media_meta",

@@ -99,3 +99,50 @@ def sequence_pack_offsets(
     ).withColumn(
         "n_chunks_spanned", (F.col("last_chunk") - F.col("first_chunk") + 1)
     )
+
+
+def chunk_manifest(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    sep_tokens: int = 1,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Per-chunk composition: one row per (chunk, document) overlap.
+
+    Explodes each doc's spanned-chunk range from
+    :func:`sequence_pack_offsets` into
+    ``(chunk_id, doc_id, doc_token_start, n_tokens_in_chunk)`` --
+    ``doc_token_start`` is the 0-based index WITHIN the document where
+    this chunk's slice begins.  This is the shard-able recipe a packing
+    writer consumes: group by chunk_id, slice each doc's token array,
+    concatenate.
+
+    The explode factor per doc is ``n_tokens/seq_len + 1`` -- the
+    output is ~``total_tokens/seq_len`` rows beyond the doc count, i.e.
+    linear in corpus size with a 1/seq_len constant; no shuffle beyond
+    the prefix-sum machinery it builds on (the explode is map-side).
+    Empty docs (zero tokens) contribute no manifest rows.
+    """
+    offs = sequence_pack_offsets(
+        df, text_col, id_col, seq_len=seq_len,
+        sep_tokens=sep_tokens, bucket_size=bucket_size,
+    )
+    chunk = F.explode(
+        F.sequence(F.col("first_chunk"), F.col("last_chunk"))
+    ).alias("chunk_id")
+    e = offs.filter(F.col("n_tokens") > 0).select(
+        id_col, "n_tokens", "start_offset", "end_offset", chunk
+    )
+    lo = F.greatest(F.col("start_offset"), F.col("chunk_id") * seq_len)
+    hi = F.least(F.col("end_offset"), (F.col("chunk_id") + 1) * seq_len)
+    return (
+        e.select(
+            F.col("chunk_id"),
+            F.col(id_col),
+            (lo - F.col("start_offset")).alias("doc_token_start"),
+            (hi - lo).alias("n_tokens_in_chunk"),
+        )
+        .filter(F.col("n_tokens_in_chunk") > 0)
+    )

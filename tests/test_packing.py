@@ -65,3 +65,38 @@ def test_no_unpartitioned_window_over_docs(spark):
     for seg in plan.split("Exchange SinglePartition")[1:]:
         inputs = seg.split("Input", 1)[1].splitlines()[0] if "Input" in seg else ""
         assert "__btot" in inputs or "n_tokens" not in inputs, plan
+
+
+def test_chunk_manifest_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from data_stream_flink_user_address_spark.functions.packing import (
+        chunk_manifest,
+    )
+
+    rows = [(i, " ".join(["w"] * (2 + (i * 3) % 9))) for i in range(1, 30)]
+    rows.append((30, ""))  # empty doc: no manifest rows
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    man = chunk_manifest(df, seq_len=10, sep_tokens=1, bucket_size=6).collect()
+
+    # per-doc: slices contiguous from 0 and summing to n_tokens
+    by_doc = {}
+    for r in man:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 30 not in by_doc
+    for doc_id, text in rows[:-1]:
+        n = len(text.split())
+        slices = sorted(by_doc[doc_id], key=lambda r: r.doc_token_start)
+        assert slices[0].doc_token_start == 0
+        pos = 0
+        for s in slices:
+            assert s.doc_token_start == pos
+            assert s.n_tokens_in_chunk > 0
+            pos += s.n_tokens_in_chunk
+        assert pos == n
+
+    # per-chunk: token load never exceeds seq_len
+    by_chunk = {}
+    for r in man:
+        by_chunk[r.chunk_id] = by_chunk.get(r.chunk_id, 0) + r.n_tokens_in_chunk
+    assert max(by_chunk.values()) <= 10
