@@ -452,6 +452,124 @@ def _q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (no partsupp): a supplier's "cost" for a part
+    is their minimum observed unit sale price in lineitem.  For LARGE
+    parts of size <= 15, emit the supplier(s) achieving each part's
+    global minimum -- the correlated-min subquery decorrelated into a
+    per-part aggregate joined back on (part, price)."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 15)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    offers = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        offers.join(
+            best,
+            (offers.l_partkey == best.bk) & (offers.unit_cost == best.best_cost),
+        )
+        .join(s, offers.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            "unit_cost",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
+def _q_q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp): per-part revenue from NATION_5
+    suppliers, keeping parts above 0.1% of that nation's total -- the
+    HAVING-vs-global-scalar shape, threshold broadcast as a 1-row
+    frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    val = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "part_value"
+            )
+        )
+    )
+    tot = val.agg((0.001 * F.sum("part_value")).alias("__thresh"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("__thresh"))
+        .select("l_partkey", "part_value")
+    )
+
+
+def _q_q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted: distinct-supplier counts per (brand, type,
+    size) over the supplier-part relationships OBSERVED in lineitem
+    (partsupp's role), excluding one brand and 'complaint' suppliers
+    (negative account balance plays the comment-scan exclusion)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_size").isin(1, 4, 9, 14, 19, 23))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    rel = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return rel.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("supplier_cnt")
+    )
+
+
+def _q_q20_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp availqty): NATION_6 suppliers
+    whose 1997 PROMO-part shipped quantity exceeds 22% of their total
+    1997 shipped quantity (PROMO is one of six part types, so the
+    original's one-half cut is unreachable; 22% sits at the observed
+    90th percentile and selects genuinely promo-heavy suppliers) -- per-supplier conditional aggregate feeding
+    a left-semi join on the supplier dimension."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_6")
+    per_supp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("l_quantity")).otherwise(0.0)).alias(
+                "promo_qty"
+            ),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+        .filter(F.col("promo_qty") > 0.22 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(per_supp, s.s_suppkey == per_supp.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
 def _q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 (EXISTS -> left-semi join).  The slimmed lineitem has no
     commit/receipt dates, so "late" is adapted to: some line shipped
@@ -1668,7 +1786,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": _q_customers_without_orders,
     "high_discount_orders": _q_high_discount_orders,
     "rollup_returns": _q_rollup_returns,
+    "q2_min_cost_supplier": _q_q2_min_cost_supplier,
     "q4_order_priority": _q_q4_order_priority,
+    "q11_important_part_values": _q_q11_important_part_values,
+    "q16_parts_supplier_counts": _q_q16_parts_supplier_counts,
+    "q20_promo_heavy_suppliers": _q_q20_promo_heavy_suppliers,
     "q7_volume_shipping": _q_q7_volume_shipping,
     "q8_market_share": _q_q8_market_share,
     "q9_profit_by_nation_year": _q_q9_profit_by_nation_year,
@@ -2034,6 +2156,62 @@ ORACLE_SQL: dict[str, str] = {
                round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q2_min_cost_supplier": """
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey,
+                 round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_type = 'LARGE' AND p_size <= 15
+          GROUP BY l_partkey, l_suppkey
+        ),
+        best AS (
+          SELECT l_partkey AS bk, min(unit_cost) AS best_cost
+          FROM offers GROUP BY l_partkey
+        )
+        SELECT o.l_partkey AS p_partkey, s_name, n_name, unit_cost,
+               round(s_acctbal, 2) AS s_acctbal
+        FROM offers o
+        JOIN best ON o.l_partkey = bk AND o.unit_cost = best_cost
+        JOIN supplier ON o.l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+    """,
+    "q11_important_part_values": """
+        WITH val AS (
+          SELECT l_partkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_5'
+          GROUP BY l_partkey
+        )
+        SELECT l_partkey, part_value FROM val
+        WHERE part_value > (SELECT 0.001 * sum(part_value) FROM val)
+    """,
+    "q16_parts_supplier_counts": """
+        SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt
+        FROM (
+          SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand <> 'Brand#5'
+            AND p_size IN (1, 4, 9, 14, 19, 23)
+            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_acctbal < 0)
+        ) GROUP BY p_brand, p_type, p_size
+    """,
+    "q20_promo_heavy_suppliers": """
+        SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_6'
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey
+            HAVING sum(CASE WHEN p_type = 'PROMO' THEN l_quantity
+                            ELSE 0.0 END) > 0.22 * sum(l_quantity)
+          )
     """,
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS n_orders

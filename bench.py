@@ -53,7 +53,11 @@ HEADLINE = [
     "customers_without_orders",
     "high_discount_orders",
     "rollup_returns",
+    "q2_min_cost_supplier",
     "q4_order_priority",
+    "q11_important_part_values",
+    "q16_parts_supplier_counts",
+    "q20_promo_heavy_suppliers",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",
