@@ -1,0 +1,110 @@
+"""End-to-end training-data prep: curate -> semantically dedup ->
+split -> pack -> write a partitioned, sorted dataset.
+
+Composes the round's engine extensions into the workflow an LLM data
+team actually runs, end to end on real Spark plans:
+
+1. quality gates: Gopher rule flags + the corpus-trained unigram-LM
+   score (both broadcast/row-local -- no text shuffle);
+2. semantic dedup: Lloyd-trained k-means clusters over the embeddings
+   table, within-cluster cosine prune (SemDeDup);
+3. deterministic train/valid/test split (hash-based, replay-stable);
+4. sequence packing: two-phase prefix-sum offsets + the per-chunk
+   manifest for seq_len-token training blocks;
+5. layout: the train split written partitioned by split and sorted by
+   doc_id with real row-group stats (write_partitioned).
+
+Documents pair with embeddings by id (doc_id == vec_id in the
+testdata).  Run: ``python examples/run_training_data_prep.py [sf_dir]``
+(default /root/testdata/sf0.01; writes under /tmp/spark_graft_prep).
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_stream_flink_user_address_spark.functions.curation import (
+    gopher_quality_flags,
+)
+from data_stream_flink_user_address_spark.functions.packing import (
+    chunk_manifest,
+    sequence_pack_offsets,
+)
+from data_stream_flink_user_address_spark.functions.sampling import hash_split
+from data_stream_flink_user_address_spark.functions.semantic import semantic_dedup
+from data_stream_flink_user_address_spark.functions.similarity import (
+    train_ivf_centroids,
+)
+from data_stream_flink_user_address_spark.functions.text import (
+    unigram_logprob_scores,
+)
+from data_stream_flink_user_address_spark.session import get_spark
+from data_stream_flink_user_address_spark.sources.layout import write_partitioned
+from data_stream_flink_user_address_spark.sources.tables import load_table
+
+OUT = "/tmp/spark_graft_prep"
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("training-data-prep")
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(OUT, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    embs = load_table(spark, sf_dir, "embeddings", spread=True)
+    n_all = docs.count()
+
+    # 1. quality gates ---------------------------------------------------
+    flags = gopher_quality_flags(docs).select("doc_id", "keep")
+    lm = unigram_logprob_scores(docs).select("doc_id", "logprob_score")
+    gated = (
+        docs.join(flags, "doc_id")
+        .join(lm, "doc_id")
+        .filter(F.col("keep") & (F.col("logprob_score") <= 9.0))
+        .drop("keep")
+    )
+    n_gated = gated.count()
+
+    # 2. semantic dedup over the paired embeddings -----------------------
+    cent = train_ivf_centroids(embs, iters=2, centroid_stride=31, dim=64)
+    sem = semantic_dedup(embs, cent, threshold=0.3, dim=64)
+    survivors = gated.join(
+        sem.filter("keep").select(F.col("vec_id").alias("doc_id")), "doc_id"
+    )
+    n_dedup = survivors.count()
+
+    # 3. deterministic split ---------------------------------------------
+    split = hash_split(survivors, {"train": 0.9, "valid": 0.05, "test": 0.05}, seed=13)
+
+    # 4. packing ---------------------------------------------------------
+    train = split.filter(F.col("split") == "train")
+    offs = sequence_pack_offsets(train, seq_len=512, bucket_size=1000)
+    man = chunk_manifest(train, seq_len=512, bucket_size=1000)
+    n_chunks = man.agg(F.max("chunk_id")).collect()[0][0]
+    boundary = offs.filter(F.col("n_chunks_spanned") > 1).count()
+
+    # 5. layout ----------------------------------------------------------
+    write_partitioned(
+        split.select("doc_id", "text", "lang", "source", "split"),
+        os.path.join(OUT, "dataset"),
+        partition_by=["split"],
+        sort_by=["doc_id"],
+    )
+    man.write.mode("overwrite").parquet(os.path.join(OUT, "manifest"))
+
+    per_split = {r["split"]: r["n"] for r in
+                 split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    print(f"docs: {n_all} -> quality-gated: {n_gated} -> semantically deduped: {n_dedup}")
+    print(f"splits: {per_split}")
+    print(f"train packs into {n_chunks + 1 if n_chunks is not None else 0} chunks "
+          f"of 512 tokens; {boundary} docs cross a chunk boundary")
+    print(f"dataset + manifest written under {OUT}")
+
+
+if __name__ == "__main__":
+    main()
