@@ -202,3 +202,24 @@ def test_q22_scalar_threshold_is_broadcast(spark):
     plan = _plan(spark, "q22_global_sales_opportunity")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_unigram_quality_topv_is_partial_and_text_stays_local(spark):
+    # the vocabulary cut must plan as TakeOrderedAndProject (partial
+    # per-partition top-V + driver merge), the model side must
+    # broadcast, and neither text nor token strings may cross a hash
+    # exchange (the doc-keyed merge carries numeric partials only)
+    import re
+
+    plan = _plan(spark, "unigram_quality")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"\(\d+\) Exchange\n(.*?)\n\n", plan, re.S):
+        block = m.group(1)
+        if "hashpartitioning" not in block:
+            continue
+        inputs = [l for l in block.splitlines() if l.startswith("Input")]
+        assert inputs, block
+        if "doc_id" in block.split("hashpartitioning", 1)[1][:80]:
+            assert "text#" not in inputs[0] and "tok#" not in inputs[0], inputs
