@@ -595,6 +595,7 @@ def _q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     year.  Nation dims broadcast twice under different aliases; the
     disjunctive nation-pair predicate lands after both broadcasts, so
     the big fact joins stay equi-key hash joins."""
+    _utc(spark)
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
@@ -630,6 +631,7 @@ def _q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the EUROPE customer region, by order year.  The share is a
     conditional-aggregate ratio -- one grouped pass, no second join
     against a subtotal."""
+    _utc(spark)
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(
@@ -671,6 +673,7 @@ def _q_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     half the part's retail price (profit = disc. revenue -
     0.5 * p_retailprice * l_quantity) for parts whose name contains
     'PROMO' substring filter analog (p_type = 'PROMO')."""
+    _utc(spark)
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -2649,9 +2652,11 @@ ORACLE_SQL: dict[str, str] = {
                    / len(toks) AS mean_wl,
                  len(list_filter(toks, w -> regexp_full_match(w, '[A-Za-z]+')))
                    / len(toks)::DOUBLE AS alpha_frac,
-                 list_max(list_transform(list_distinct(toks),
-                          t2 -> len(list_filter(toks, w -> w = t2))))
-                   / len(toks)::DOUBLE AS top_frac,
+                 CASE WHEN len(toks) <= 360 THEN
+                   list_max(list_transform(list_distinct(toks),
+                            t2 -> len(list_filter(toks, w -> w = t2))))
+                     / len(toks)::DOUBLE
+                 ELSE NULL END AS top_frac,
                  (len(list_filter(['the', 'a', 'data'],
                        w -> list_contains(toks, w))) >= 1) AS has_required
           FROM t
@@ -2664,11 +2669,11 @@ ORACLE_SQL: dict[str, str] = {
                (n >= 30 AND n <= 90) AS ok_token_count,
                (mean_wl >= 4.0 AND mean_wl <= 5.0) AS ok_word_len,
                (alpha_frac >= 0.9) AS ok_alpha,
-               (top_frac <= 0.1) AS ok_top_token,
+               coalesce(top_frac <= 0.1, false) AS ok_top_token,
                has_required AS ok_required_word,
                ((n >= 30 AND n <= 90) AND (mean_wl >= 4.0 AND mean_wl <= 5.0)
-                AND alpha_frac >= 0.9 AND top_frac <= 0.1 AND has_required)
-                 AS keep
+                AND alpha_frac >= 0.9 AND coalesce(top_frac <= 0.1, false)
+                AND has_required) AS keep
         FROM m
     """,
     # concat-then-chunk offsets: exclusive prefix sum over (n_tokens+1)

@@ -277,10 +277,14 @@ def gopher_quality_flags(
     token array -- zero shuffle at any scale, exactly like the other
     row-local curation gates, so the filter composes into
     ``curation_pipeline``-style recipes for free.  The most-common-token
-    scan is O(tokens x distinct) per row -- bounded by the token-count
-    rule itself.  Rule flags evaluate on RAW ratios (bit-identical
-    integer-division doubles in both engines); the emitted copies are
-    rounded for display only.
+    scan is O(tokens x distinct) per row, which is quadratic on a
+    pathological multi-million-token document, so it only RUNS for docs
+    up to ``4 * max_tokens`` (the rule flag is the lazily-evaluated
+    branch of a CASE); longer docs -- which already fail the
+    token-count rule -- report ``top_token_frac = NULL`` and
+    ``ok_top_token = false``.  Rule flags evaluate on RAW ratios
+    (bit-identical integer-division doubles in both engines); the
+    emitted copies are rounded for display only.
     """
     toks = _toks(text_col)
     d = df.select(F.col(id_col), toks.alias("__toks"))
@@ -291,13 +295,14 @@ def gopher_quality_flags(
     alpha_frac = (
         F.size(F.filter(F.col("__toks"), lambda w: w.rlike(r"^[A-Za-z]+$"))) / n
     )
+    guard = 4 * max_tokens
     top_cnt = F.array_max(
         F.transform(
             F.array_distinct("__toks"),
             lambda t: F.size(F.filter(F.col("__toks"), lambda w: w == t)),
         )
     )
-    top_frac = top_cnt / n
+    top_frac = F.when(n <= guard, top_cnt / n).otherwise(F.lit(None))
     req = [F.lit(w) for w in required_words]
     has_required = F.size(
         F.filter(F.array(*req), lambda w: F.array_contains(F.col("__toks"), w))
@@ -305,7 +310,9 @@ def gopher_quality_flags(
     ok_len = (n >= min_tokens) & (n <= max_tokens)
     ok_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
     ok_alpha = alpha_frac >= min_alpha_frac
-    ok_top = top_frac <= max_top_token_frac
+    ok_top = F.when(
+        n <= guard, top_frac <= max_top_token_frac
+    ).otherwise(F.lit(False))
     return d.select(
         id_col,
         n.cast("bigint").alias("n_tokens"),

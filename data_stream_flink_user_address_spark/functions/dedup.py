@@ -318,7 +318,9 @@ def dedup_clusters(
     # of reducers per round.
     edge_count = p.count()
     parallelism = spark.sparkContext.defaultParallelism
-    n_parts = max(8, min(edge_count // 1_000_000, 2 * parallelism))
+    # p counts undirected pairs; the frame built below (union of both
+    # directions) is ~2x that, so size width from the DIRECTED count
+    n_parts = max(8, min(2 * edge_count // 1_000_000, 2 * parallelism))
     edges = (
         p.unionByName(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

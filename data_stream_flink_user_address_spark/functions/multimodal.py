@@ -142,6 +142,11 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
             break
         seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            # the SOF payload (precision + height + width) must actually
+            # be present -- a crawl-truncated JPEG otherwise yields
+            # int.from_bytes(b'') == 0 and silent garbage dimensions
+            if pos + 9 > len(payload):
+                raise ValueError("JPEG truncated inside SOF segment")
             h = int.from_bytes(payload[pos + 5 : pos + 7], "big")
             w = int.from_bytes(payload[pos + 7 : pos + 9], "big")
             return w, h

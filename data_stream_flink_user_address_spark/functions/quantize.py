@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import _norm
+from .similarity import _dot_unrolled, _norm
 
 
 def quantize_codes(vec: Column, scale: Column) -> Column:
@@ -48,15 +48,6 @@ def quantize_int8_frame(
         F.col(vec_col).alias("vec"),
     ).withColumn("qvec", quantize_codes(F.col("vec"), F.col("scale")))
     return d if keep_vec else d.drop("vec")
-
-
-def _int_dot(a: Column, b: Column, dim: int) -> Column:
-    """Exact integer dot product unrolled for codegen (|sum| < 2^20 for
-    dim 64 int8 codes -- double-exact)."""
-    acc = a.getItem(0).cast("double") * b.getItem(0).cast("double")
-    for i in range(1, dim):
-        acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
-    return acc
 
 
 def quantized_topk(
@@ -93,7 +84,9 @@ def quantized_topk(
     )
     approx = qc.join(F.broadcast(qq)).withColumn(
         "approx_dot",
-        F.col("scale") * F.col("q_scale") * _int_dot(F.col("qvec"), F.col("q_qvec"), dim),
+        # int8 code dots are double-exact (|sum| < 2^20 at dim 64);
+        # _dot_unrolled is the shared codegen-unrolled kernel
+        F.col("scale") * F.col("q_scale") * _dot_unrolled(F.col("qvec"), F.col("q_qvec"), dim),
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("approx_dot").desc(), F.col("vec_id").asc()
@@ -105,8 +98,6 @@ def quantized_topk(
     )
     cn = F.greatest(_norm(F.col("vec")), F.lit(1e-300))
     qn = F.greatest(_norm(F.col("q_vec")), F.lit(1e-300))
-    from .similarity import _dot_unrolled
-
     exact = cand.withColumn(
         "cosine",
         F.round(_dot_unrolled(F.col("vec"), F.col("q_vec"), dim) / (cn * qn), round_digits),

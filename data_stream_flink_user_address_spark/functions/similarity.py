@@ -156,16 +156,19 @@ def train_ivf_centroids(
     the search-time metric -- spherical k-means, the right variant for
     normalized-embedding retrieval.
     """
+    # zero-norm guard (same contract as semantic_dedup / quantized_topk):
+    # a zero vector or a collapsed zero centroid gets cosine 0, never an
+    # ANSI DIVIDE_BY_ZERO mid-training
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv")
-    ).withColumn("__cn", _norm(F.col("__cv")))
+    ).withColumn("__cn", F.greatest(_norm(F.col("__cv")), F.lit(1e-300)))
     cent = c.filter(F.pmod(F.col("vec_id"), F.lit(centroid_stride)) == 0).select(
         F.col("vec_id").alias("cid"),
         F.transform(F.col("__cv"), lambda x: x.cast("double")).alias("centroid"),
     )
     for _ in range(iters):
         kf = cent.select("cid", F.col("centroid").alias("__kv")).withColumn(
-            "__kn", _norm(F.col("__kv"))
+            "__kn", F.greatest(_norm(F.col("__kv")), F.lit(1e-300))
         )
         cos = F.round(
             _dot_unrolled(F.col("__cv"), F.col("__kv"), dim)

@@ -101,7 +101,10 @@ def compact(
     partition_by: Sequence[str] | None = None,
 ) -> int:
     """Rewrite ``src_path`` parquet into ~``target_file_mb`` files at
-    ``dest_path``; returns the output file-split count.
+    ``dest_path``; returns the repartition width (== output file count
+    for an un-partitioned rewrite; with ``partition_by`` the writer
+    emits up to one file per (task, partition-value) pair, so the
+    actual file count can exceed it).
 
     Sizing uses the source's on-disk bytes (cheap driver-side listing
     via the Hadoop FS API -- no data read).  Writing to a NEW path is
@@ -114,7 +117,8 @@ def compact(
     p = jvm.org.apache.hadoop.fs.Path(src_path)
     fs = p.getFileSystem(hconf)
     total_bytes = fs.getContentSummary(p).getLength()
-    n_files = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)) + 1)
+    target = target_file_mb * 1024 * 1024
+    n_files = max(1, (int(total_bytes) + target - 1) // target)
 
     df = spark.read.parquet(src_path)
     if partition_by:

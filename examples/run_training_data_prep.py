@@ -78,8 +78,12 @@ def main() -> None:
     )
     n_dedup = survivors.count()
 
-    # 3. deterministic split ---------------------------------------------
-    split = hash_split(survivors, {"train": 0.9, "valid": 0.05, "test": 0.05}, seed=13)
+    # 3. deterministic split (cached: the gates + Lloyd training + the
+    # cluster scan above feed every remaining action -- without the
+    # cache each count/write below re-runs the whole curation plan)
+    split = hash_split(
+        survivors, {"train": 0.9, "valid": 0.05, "test": 0.05}, seed=13
+    ).cache()
 
     # 4. packing ---------------------------------------------------------
     train = split.filter(F.col("split") == "train")

@@ -800,5 +800,13 @@ def test_real_decode_png_gif_dimensions():
 
     with _pytest.raises(ValueError):
         real_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8, "image")  # no IHDR
+    # JPEG cut off inside the SOF segment: dimensions must not be
+    # fabricated from empty byte slices (int.from_bytes(b'') == 0)
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        jpeg_dimensions,
+    )
+
+    with _pytest.raises(ValueError):
+        jpeg_dimensions(b"\xff\xd8\xff\xc0" + (17).to_bytes(2, "big") + b"\x08\x01")
     with _pytest.raises(NotImplementedError):
         real_decode(b"OggS" + b"\x00" * 20, "audio")
