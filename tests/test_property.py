@@ -173,3 +173,37 @@ def test_scd2_matches_sequential_model(spark, changes):
                 (k, seg, ts, nxt[1] if nxt else None, nxt is None)
             )
     assert got == sorted(expect)
+
+
+_pack_docs = st.lists(
+    st.integers(min_value=0, max_value=40),   # token counts incl. empty docs
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(_pack_docs, st.integers(min_value=2, max_value=17))
+def test_sequence_pack_matches_sequential_prefix_sum(spark, sizes, seq_len):
+    from data_stream_flink_user_address_spark.functions.packing import (
+        sequence_pack_offsets,
+    )
+
+    # sparse, unordered doc ids exercise the bucketing
+    rows = [(i * 13 + 5, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    out = sequence_pack_offsets(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        seq_len=seq_len,
+        sep_tokens=1,
+        bucket_size=4,
+    )
+    got = {r.doc_id: r for r in out.collect()}
+
+    off = 0
+    for doc_id, text in sorted(rows):
+        n = len(text.split()) if text else 0
+        r = got[doc_id]
+        assert (r.n_tokens, r.start_offset, r.end_offset) == (n, off, off + n)
+        assert r.first_chunk == off // seq_len
+        assert r.last_chunk == (max(off + n - 1, off)) // seq_len
+        off += n + 1
