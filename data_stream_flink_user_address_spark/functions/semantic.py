@@ -57,6 +57,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     dim: int = 64,
+    max_cluster_rows: int | None = None,
 ) -> DataFrame:
     """Cluster-then-prune semantic dedup: ``(vec_id, cluster_id, keep)``.
 
@@ -78,6 +79,18 @@ def semantic_dedup(
     O(sum over clusters of size^2) BLAS flops: the k-means step is what
     turns global O(n^2) into that bounded sum, which is the entire
     SemDeDup argument.
+
+    ``max_cluster_rows`` is the skew fuse: k-means owes you nothing
+    about balance, and ONE runaway cluster (a boilerplate-heavy crawl
+    segment) otherwise lands its whole quadratic matrix on one task.
+    When set, any cluster larger than the cap deterministically
+    sub-splits by ``pmod(xxhash64(vec_id), ceil(size/cap))`` -- cluster
+    sizes come from one aggregate on the (already tiny) assignment
+    keys, broadcast back -- and pruning runs within sub-clusters only.
+    Like every bucketing escape hatch in this engine it trades recall
+    (a pair split across salts is never compared, never precision), so
+    the default is off and the right first move at scale is more
+    centroids; the fuse is for the cluster you did not predict.
     """
     import numpy as np
     import pandas as pd
@@ -112,6 +125,18 @@ def semantic_dedup(
         )
     )
 
+    group_keys = ["cluster_id"]
+    if max_cluster_rows is not None:
+        sizes = assigned.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("__csize")
+        )
+        n_sub = F.ceil(F.col("__csize") / max_cluster_rows)
+        assigned = assigned.join(F.broadcast(sizes), "cluster_id").withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("vec_id")), n_sub).cast("int"),
+        ).drop("__csize")
+        group_keys = ["cluster_id", "__salt"]
+
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
@@ -135,6 +160,6 @@ def semantic_dedup(
             }
         )
 
-    return assigned.groupBy("cluster_id").applyInPandas(
+    return assigned.groupBy(*group_keys).applyInPandas(
         per_cluster, schema="vec_id long, cluster_id long, keep boolean"
     )

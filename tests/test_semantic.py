@@ -87,3 +87,31 @@ def test_zero_vector_never_duplicates(spark, centroids):
     e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = semantic_dedup(e, centroids, threshold=0.1, dim=DIM)
     assert all(r.keep for r in out.collect())
+
+
+def test_max_cluster_rows_salt_splits_oversized_cluster(spark, centroids):
+    from pyspark.sql import functions as F
+
+    # 12 identical vectors -> one cluster; cap 5 -> 3 deterministic
+    # sub-groups, one survivor per non-empty sub-group (instead of a
+    # single survivor without the fuse)
+    rows = [(i, _vec(1, 0)) for i in range(1, 13)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = semantic_dedup(e, centroids, threshold=0.9, dim=DIM)
+    assert sum(r.keep for r in base.collect()) == 1
+
+    salted = semantic_dedup(
+        e, centroids, threshold=0.9, dim=DIM, max_cluster_rows=5
+    )
+    rows_out = salted.collect()
+    kept = [r.vec_id for r in rows_out if r.keep]
+    # every row still reported exactly once, in the original cluster
+    assert sorted(r.vec_id for r in rows_out) == list(range(1, 13))
+    assert all(r.cluster_id == 10 for r in rows_out)
+    # survivors = one per salt group: more than 1, at most ceil(12/5)
+    assert 1 < len(kept) <= 3
+    # determinism: same salt assignment every run
+    again = [r.vec_id for r in semantic_dedup(
+        e, centroids, threshold=0.9, dim=DIM, max_cluster_rows=5
+    ).collect() if r.keep]
+    assert sorted(again) == sorted(kept)
