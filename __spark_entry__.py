@@ -55,7 +55,13 @@ from data_stream_flink_user_address_spark.functions.similarity import (
     make_planes,
     train_ivf_centroids,
 )
-from data_stream_flink_user_address_spark.functions.semantic import semantic_dedup
+from data_stream_flink_user_address_spark.functions.semantic import (
+    assign_to_centroids,
+    semantic_dedup,
+)
+from data_stream_flink_user_address_spark.functions.sampling import (
+    cluster_stratified_sample,
+)
 from data_stream_flink_user_address_spark.functions.quantize import (
     quantize_int8_frame,
     quantized_topk,
@@ -1264,6 +1270,19 @@ def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced data diet: assign embeddings to the trained
+    centroids (shared argmax kernel), then deterministically downsample
+    each cluster toward the mean cluster size
+    (functions/sampling.py:cluster_stratified_sample).  Thresholds from
+    one aggregate over assignment keys broadcast back; each row decides
+    locally -- no second corpus scan, replay-stable."""
+    e = _embs(spark, sf_dir)
+    cent = _trained_centroids(spark, sf_dir)
+    assigned = assign_to_centroids(e, cent, dim=_EMB_DIM)
+    return cluster_stratified_sample(assigned, "cluster_id", key_col="vec_id")
+
+
 def _q_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-chunk packing manifest (functions/packing.py:chunk_manifest):
     which slice of which document composes each 512-token training
@@ -1828,6 +1847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": _q_gopher_quality,
     "sequence_pack": _q_sequence_pack,
     "chunk_manifest": _q_chunk_manifest,
+    "cluster_balanced_sample": _q_cluster_balanced_sample,
     "text_stats": _q_text_stats,
     "lang_id_pred": _q_lang_id_pred,
     "quality_scores": _q_quality_scores,
@@ -2696,6 +2716,33 @@ ORACLE_SQL: dict[str, str] = {
                (greatest(incl - 2, incl - n - 1) // 512
                 - (incl - n - 1) // 512 + 1) AS n_chunks_spanned
         FROM c
+    """,
+    # trained-centroid assignment + mean-size flattening; md5 hash
+    # threshold identical to the other samplers
+    "cluster_balanced_sample": f"""
+        WITH {_sql_ivf_trained_ctes(_IVF_TRAIN_ITERS)},
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT c.vec_id, k.cid,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY round({_sql_cosine("c.embedding", "k.cvec")}, 6) DESC,
+                              k.cid ASC) AS rn
+            FROM embeddings c CROSS JOIN cent{_IVF_TRAIN_ITERS} k
+          ) WHERE rn = 1
+        ),
+        sizes AS (SELECT cid, count(*) AS csize FROM assign GROUP BY cid),
+        stats AS (SELECT sum(csize)::DOUBLE / count(*) AS target FROM sizes),
+        thr AS (
+          SELECT cid,
+                 CAST(round(least(1.0, target / csize) * 1000000, 0) AS BIGINT)
+                   AS t
+          FROM sizes CROSS JOIN stats
+        )
+        SELECT a.vec_id, a.cid AS cluster_id
+        FROM assign a JOIN thr USING (cid)
+        WHERE ('0x' || substr(md5(a.vec_id::VARCHAR || '|42'), 1, 15))::BIGINT
+                % 1000000 < t
     """,
     "chunk_manifest": f"""
         WITH t AS (

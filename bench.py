@@ -91,6 +91,7 @@ HEADLINE = [
     "gopher_quality",
     "sequence_pack",
     "chunk_manifest",
+    "cluster_balanced_sample",
     "text_stats",
     "lang_id_pred",
     "quality_scores",

@@ -34,7 +34,7 @@ from .similarity import (
     make_planes,
     train_ivf_centroids,
 )
-from .semantic import semantic_dedup
+from .semantic import assign_to_centroids, semantic_dedup
 from .quantize import quantize_int8_frame, quantized_topk
 from .packing import chunk_manifest, sequence_pack_offsets
 from .multimodal import (
@@ -76,6 +76,7 @@ __all__ = [
     "lsh_bucketed_topk",
     "make_planes",
     "train_ivf_centroids",
+    "assign_to_centroids",
     "semantic_dedup",
     "quantize_int8_frame",
     "quantized_topk",

@@ -116,3 +116,54 @@ def mixture_sample(
         else thr.otherwise(int(round(default_fraction * _RESOLUTION)))
     )
     return df.filter(hash_bucket(F.col(key_col), seed) < thr)
+
+
+def cluster_stratified_sample(
+    df: DataFrame,
+    cluster_col: str = "cluster_id",
+    key_col: str = "doc_id",
+    target_per_cluster: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Balance a corpus across clusters: per-cluster keep rate
+    ``min(1, target / size_c)``, decided row-locally by the same
+    deterministic hash the other samplers use.
+
+    This is the cluster-balanced "data diet": pair it with
+    :func:`..functions.semantic.assign_to_centroids` to downsample
+    over-represented embedding clusters (boilerplate-heavy topics)
+    while keeping rare clusters whole.  ``target_per_cluster`` defaults
+    to the MEAN cluster size, i.e. flatten toward uniform mass per
+    cluster.
+
+    Scale shape: cluster sizes come from one aggregate over the (tiny)
+    assignment keys; the per-cluster thresholds broadcast back, and
+    every row then decides locally from ``hash(key)`` -- replay-stable,
+    no rand(), no second scan of the corpus.  Expected kept count per
+    cluster is ``size_c * rate_c`` (hash sampling is Bernoulli, not
+    exact-k: at training-corpus sizes the relative deviation is
+    O(1/sqrt(target)), and determinism matters more than exactness).
+    """
+    sizes = df.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("__csize"))
+    if target_per_cluster is None:
+        stats = sizes.agg(
+            (F.sum("__csize") / F.count(F.lit(1))).alias("__target")
+        )
+        sizes = sizes.crossJoin(F.broadcast(stats))
+    else:
+        sizes = sizes.withColumn(
+            "__target", F.lit(float(target_per_cluster))
+        )
+    thr = sizes.select(
+        cluster_col,
+        F.round(
+            F.least(F.lit(1.0), F.col("__target") / F.col("__csize"))
+            * _RESOLUTION,
+            0,
+        ).cast("bigint").alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thr), cluster_col)
+        .filter(hash_bucket(F.col(key_col), seed) < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -115,3 +115,26 @@ def test_max_cluster_rows_salt_splits_oversized_cluster(spark, centroids):
         e, centroids, threshold=0.9, dim=DIM, max_cluster_rows=5
     ).collect() if r.keep]
     assert sorted(again) == sorted(kept)
+
+
+def test_cluster_stratified_sample_flattens(spark):
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        cluster_stratified_sample,
+    )
+
+    # one huge cluster (900 rows), one small (20): target = mean = 460
+    # -> small cluster kept whole, huge cluster cut to ~51%
+    rows = [(i, 1) for i in range(900)] + [(i, 2) for i in range(900, 920)]
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id int")
+    out = cluster_stratified_sample(df).collect()
+    by_c = {}
+    for r in out:
+        by_c[r.cluster_id] = by_c.get(r.cluster_id, 0) + 1
+    assert by_c[2] == 20                      # rate 1.0: all kept
+    assert 0.4 * 900 < by_c[1] < 0.62 * 900   # rate 460/900 ~ 0.51
+    # replay-stable
+    again = cluster_stratified_sample(df).count()
+    assert again == len(out)
+    # explicit target overrides the mean
+    tiny = cluster_stratified_sample(df, target_per_cluster=10).collect()
+    assert len(tiny) < 40
