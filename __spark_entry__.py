@@ -1511,13 +1511,19 @@ def _q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_TRAIN_ITERS = 2
+# 1 round, not 2: the r7 iteration scan (docstring below) measured
+# recall 0.50/0.48/0.50/0.50 at 1/2/4/6 rounds -- the plateau starts at
+# the FIRST round on this corpus, so each extra round is one full
+# corpus pass (plus a broadcast) for noise-level change.  Three queries
+# consume the trained frame; dropping the second round saves that pass
+# in each.
+_IVF_TRAIN_ITERS = 1
 
 
 def _q_similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with Lloyd-trained coarse centroids: same stride-31
-    init and nprobe as similarity_ivf_topk, plus 2 spherical-k-means
-    rounds (assign = broadcast argmax-cosine; update = per-dim avg,
+    init and nprobe as similarity_ivf_topk, plus spherical-k-means
+    rounds (_IVF_TRAIN_ITERS) (assign = broadcast argmax-cosine; update = per-dim avg,
     rounded so both engines train bit-identical centroids).
 
     Recall@5 vs brute force at sf0.1 (TOPK_RECALL.json): 0.48 trained
@@ -1555,7 +1561,7 @@ _SEMDEDUP_THRESHOLD = 0.3
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) on the trained IVF centroids:
-    cluster with 2 Lloyd rounds, then prune within clusters only --
+    cluster with Lloyd-trained centroids (_IVF_TRAIN_ITERS rounds), then prune within clusters only --
     a vector is dropped iff a smaller-id cluster-mate sits at
     cosine >= 0.3 (deterministic representative rule; see
     functions/semantic.py for the 100 TB shape: broadcast centroids,
