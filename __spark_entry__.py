@@ -1526,13 +1526,15 @@ def _q_similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds (_IVF_TRAIN_ITERS) (assign = broadcast argmax-cosine; update = per-dim avg,
     rounded so both engines train bit-identical centroids).
 
-    Recall@5 vs brute force at sf0.1 (TOPK_RECALL.json): 0.48 trained
-    vs 0.44 untrained at identical nprobe/probed fraction.  An iteration
-    scan (1/2/4/6 rounds -> 0.50/0.48/0.50/0.50) shows the plateau is
-    ~0.50 from the FIRST round: the synthetic corpus is near-uniform, so
-    training recovers what little cluster structure exists immediately;
-    each extra round costs one corpus pass for noise-level change.
-    Real embedding corpora cluster, which is where Lloyd rounds pay."""
+    Recall@5 vs brute force (TOPK_RECALL.json, at the shipped 1-round
+    config): 0.50 trained vs 0.44 untrained at sf0.1, 0.66 vs 0.62 at
+    sf0.01, identical nprobe/probed fraction.  The iteration scan
+    (1/2/4/6 rounds -> 0.50/0.48/0.50/0.50) shows the plateau starts at
+    the FIRST round: the synthetic corpus is near-uniform, so training
+    recovers what little cluster structure exists immediately; each
+    extra round costs one corpus pass for noise-level change -- hence
+    _IVF_TRAIN_ITERS = 1.  Real embedding corpora cluster, which is
+    where more Lloyd rounds pay."""
     e = _embs(spark, sf_dir)
     cent = _trained_centroids(spark, sf_dir)
     return ivf_topk(

@@ -33,6 +33,7 @@ from data_stream_flink_user_address_spark.functions.similarity import (
     lsh_bucketed_topk,
     train_ivf_centroids,
 )
+import __spark_entry__ as em
 from data_stream_flink_user_address_spark.session import get_spark
 from data_stream_flink_user_address_spark.sources.tables import load_table
 
@@ -76,7 +77,9 @@ def main() -> None:
         trained = _topk_sets(
             ivf_topk(
                 e, q, k=K, nprobe=3, dim=64,
-                centroids=train_ivf_centroids(e, iters=2, centroid_stride=31, dim=64),
+                centroids=train_ivf_centroids(
+                    e, iters=em._IVF_TRAIN_ITERS, centroid_stride=31, dim=64
+                ),
             )
         )
         out["sfs"][sf_dir] = {
@@ -85,7 +88,7 @@ def main() -> None:
             "lsh_avg_candidates": round(n / 2 ** 6, 1),
             "ivf_recall_at_5": _recall(ivf, exact),
             "ivf_trained_recall_at_5": _recall(trained, exact),
-            "ivf_train_iters": 2,
+            "ivf_train_iters": em._IVF_TRAIN_ITERS,
             "ivf_probed_fraction": round(3 / max(1, n // 31), 4),
         }
     with open(
