@@ -473,7 +473,11 @@ def _q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     offers = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost"))
+        # unit_cost stays RAW: the division produces bit-identical
+        # doubles in both engines, and rounding to 4 decimals put
+        # boundary values (x.xxxx4999...) on different sides of the
+        # engines' decimal-rounding implementations at sf0.1
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
     best = offers.groupBy(F.col("l_partkey").alias("bk")).agg(
         F.min("unit_cost").alias("best_cost")
@@ -2191,7 +2195,7 @@ ORACLE_SQL: dict[str, str] = {
     "q2_min_cost_supplier": """
         WITH offers AS (
           SELECT l_partkey, l_suppkey,
-                 round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+                 min(l_extendedprice / l_quantity) AS unit_cost
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE p_type = 'LARGE' AND p_size <= 15
           GROUP BY l_partkey, l_suppkey
