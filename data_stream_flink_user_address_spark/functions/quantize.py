@@ -61,21 +61,37 @@ def quantized_topk(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     round_digits: int = 6,
+    corpus_quantized: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k cosine via int8 candidate generation + exact float rescore.
 
-    Stage 1 scans the QUANTIZED corpus (4x less bandwidth than float32
-    at scale -- the codes column is what a production table stores) and
-    ranks by the reconstructed dot ``scale_c * scale_q * <qc, qq>``,
-    keeping ``k * expand`` candidates per query (partial top-k per
-    partition via WindowGroupLimit, same shape as brute_force_topk).
-    Stage 2 joins only the surviving candidates back to the float
-    vectors and re-ranks exactly -- so ranking error from quantization
-    survives only if a true top-k member fell below rank k*expand.
-    Output schema matches ``brute_force_topk`` (query_id, vec_id,
-    cosine, rank) with EXACT cosines.
+    Stage 1 ranks the quantized corpus by the reconstructed dot
+    ``scale_c * scale_q * <qc, qq>``, keeping ``k * expand`` candidates
+    per query (partial top-k per partition via WindowGroupLimit, same
+    shape as brute_force_topk).  Stage 2 re-ranks only the survivors
+    with exact float cosine -- quantization error survives only if a
+    true top-k member fell below rank k*expand.  Output schema matches
+    ``brute_force_topk`` (query_id, vec_id, cosine, rank) with EXACT
+    cosines.
+
+    Two corpus layouts:
+
+    - ``corpus_quantized=None`` (default): quantize ``corpus`` on the
+      fly in the same scan that carries the float vectors -- right when
+      the source only stores floats.
+    - ``corpus_quantized`` given (``(vec_id, scale, qvec)``, i.e. a
+      persisted :func:`quantize_int8_frame` table): stage 1 scans ONLY
+      the 4x-narrower codes table; the float ``corpus`` is touched in
+      stage 2 alone, via a broadcast join against the (queries x
+      k*expand)-row candidate set -- map-side, and with an id-sorted
+      float layout (``sources/layout.py``) the row-group stats skip
+      most of it.  This is the production shape the stored codes column
+      exists for.
     """
-    qc = quantize_int8_frame(corpus, corpus_id, corpus_vec, keep_vec=True)
+    if corpus_quantized is None:
+        qc = quantize_int8_frame(corpus, corpus_id, corpus_vec, keep_vec=True)
+    else:
+        qc = corpus_quantized.select("vec_id", "scale", "qvec")
     qq = quantize_int8_frame(queries, query_id, query_vec, keep_vec=True).select(
         F.col("vec_id").alias("query_id"),
         F.col("scale").alias("q_scale"),
@@ -91,11 +107,19 @@ def quantized_topk(
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("approx_dot").desc(), F.col("vec_id").asc()
     )
+    cand_cols = ["query_id", "vec_id", "q_vec"] + (
+        ["vec"] if corpus_quantized is None else []
+    )
     cand = (
         approx.withColumn("crank", F.row_number().over(w1))
         .filter(F.col("crank") <= k * expand)
-        .select("query_id", "vec_id", "vec", "q_vec")
+        .select(*cand_cols)
     )
+    if corpus_quantized is not None:
+        floats = corpus.select(
+            F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("vec")
+        )
+        cand = floats.join(F.broadcast(cand), "vec_id")
     cn = F.greatest(_norm(F.col("vec")), F.lit(1e-300))
     qn = F.greatest(_norm(F.col("q_vec")), F.lit(1e-300))
     exact = cand.withColumn(

@@ -63,3 +63,35 @@ def test_quantized_topk_matches_brute_force(spark):
     # int8 at 64 dims: the refine stage recovers the exact ranking
     overlap = len(a & b) / len(a)
     assert overlap >= 0.95, overlap
+
+
+def test_prequantized_table_path_matches_on_the_fly(spark, tmp_path):
+    """The production layout -- stage 1 over a persisted codes table,
+    floats touched only for the refine -- returns the identical result,
+    and its stage-1 scan never reads the float column."""
+    import contextlib
+    import io
+
+    e = _embs(spark)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codes_path = str(tmp_path / "codes")
+    quantize_int8_frame(e).write.parquet(codes_path)
+    codes = spark.read.parquet(codes_path)
+
+    a = quantized_topk(e, q, k=5, expand=4)
+    b = quantized_topk(e, q, k=5, expand=4, corpus_quantized=codes)
+    ra = sorted((r.query_id, r.vec_id, r.cosine, r.rank) for r in a.collect())
+    rb = sorted((r.query_id, r.vec_id, r.cosine, r.rank) for r in b.collect())
+    assert ra == rb
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        b.explain("formatted")
+    plan = buf.getvalue()
+    # the codes-table scan must not read a float 'embedding' column
+    for seg in plan.split("Scan parquet")[1:]:
+        schema = seg.split("ReadSchema:", 1)[1].splitlines()[0] if "ReadSchema:" in seg else ""
+        if "qvec" in schema:
+            assert "embedding" not in schema, schema
