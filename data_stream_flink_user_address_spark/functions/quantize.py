@@ -86,7 +86,11 @@ def quantized_topk(
       k*expand)-row candidate set -- map-side, and with an id-sorted
       float layout (``sources/layout.py``) the row-group stats skip
       most of it.  This is the production shape the stored codes column
-      exists for.
+      exists for.  The frame must carry the exact
+      ``quantize_int8_frame`` output names (``vec_id, scale, qvec``)
+      regardless of what ``corpus_id`` the floats use -- the quantizer
+      normalizes the id name on write, so a persisted table always has
+      them; a renamed frame fails fast with an AnalysisException.
     """
     if corpus_quantized is None:
         qc = quantize_int8_frame(corpus, corpus_id, corpus_vec, keep_vec=True)

@@ -162,8 +162,14 @@ def cluster_stratified_sample(
             0,
         ).cast("bigint").alias("__thr"),
     )
+    # null-safe join: an unassigned stratum (cluster_col NULL -- e.g.
+    # rows a left join failed to assign) is a real group for groupBy and
+    # must sample like any other; a plain equi-join would silently drop
+    # every such row
+    cond = df[cluster_col].eqNullSafe(thr[cluster_col])
     return (
-        df.join(F.broadcast(thr), cluster_col)
-        .filter(hash_bucket(F.col(key_col), seed) < F.col("__thr"))
+        df.join(F.broadcast(thr), cond)
+        .filter(hash_bucket(df[key_col], seed) < F.col("__thr"))
+        .drop(thr[cluster_col])
         .drop("__thr")
     )

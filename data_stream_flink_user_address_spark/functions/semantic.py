@@ -47,51 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _dot_unrolled, _norm
-
-
-def assign_to_centroids(
-    emb: DataFrame,
-    centroids: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-    keep_vec: bool = False,
-) -> DataFrame:
-    """Argmax-cosine centroid assignment: ``(vec_id, cluster_id[, __cv])``.
-
-    The shared deterministic-assignment kernel (6-digit cosine
-    rounding, ties to the smaller centroid id, 1e-300 zero-norm guard)
-    used by :func:`semantic_dedup` and cluster-stratified sampling --
-    the same contract ``train_ivf_centroids``' Lloyd rounds and the
-    DuckDB oracle CTEs implement.  Broadcast join + map-side-combined
-    ``max_by``: the corpus crosses one fixed-width exchange keyed by
-    vec_id.
-    """
-    c = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("__cn", F.greatest(_norm(F.col("__cv")), F.lit(1e-300)))
-    kf = centroids.select("cid", F.col("centroid").alias("__kv")).withColumn(
-        "__kn", F.greatest(_norm(F.col("__kv")), F.lit(1e-300))
-    )
-    cos = F.round(
-        _dot_unrolled(F.col("__cv"), F.col("__kv"), dim)
-        / (F.col("__cn") * F.col("__kn")),
-        6,
-    )
-    aggs = [
-        F.max_by(
-            "cid", F.struct(F.col("__kcos"), (-F.col("cid")).alias("__t"))
-        ).alias("cluster_id")
-    ]
-    if keep_vec:
-        aggs.append(F.first("__cv").alias("__cv"))
-    return (
-        c.join(F.broadcast(kf))
-        .select("vec_id", "__cv", "cid", cos.alias("__kcos"))
-        .groupBy("vec_id")
-        .agg(*aggs)
-    )
+from .similarity import assign_to_centroids  # noqa: F401  (re-export; kernel lives with its siblings)
 
 
 def semantic_dedup(

@@ -122,6 +122,51 @@ def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def assign_to_centroids(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Argmax-cosine centroid assignment: ``(vec_id, cluster_id[, __cv])``.
+
+    THE deterministic-assignment kernel (6-digit cosine rounding, ties
+    to the smaller centroid id, 1e-300 zero-norm guard) shared by
+    ``train_ivf_centroids``' Lloyd rounds, ``semantic_dedup``, and
+    cluster-stratified sampling -- and mirrored by the DuckDB oracle
+    CTEs.  Broadcast join + map-side-combined ``max_by``: the corpus
+    crosses one fixed-width exchange keyed by vec_id.  (``ivf_topk``
+    keeps an inline variant because its assignment also threads the
+    precomputed norm through for the scoring stage.)
+    """
+    c = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", F.greatest(_norm(F.col("__cv")), F.lit(1e-300)))
+    kf = centroids.select("cid", F.col("centroid").alias("__kv")).withColumn(
+        "__kn", F.greatest(_norm(F.col("__kv")), F.lit(1e-300))
+    )
+    cos = F.round(
+        _dot_unrolled(F.col("__cv"), F.col("__kv"), dim)
+        / (F.col("__cn") * F.col("__kn")),
+        6,
+    )
+    aggs = [
+        F.max_by(
+            "cid", F.struct(F.col("__kcos"), (-F.col("cid")).alias("__t"))
+        ).alias("cluster_id")
+    ]
+    if keep_vec:
+        aggs.append(F.first("__cv").alias("__cv"))
+    return (
+        c.join(F.broadcast(kf))
+        .select("vec_id", "__cv", "cid", cos.alias("__kcos"))
+        .groupBy("vec_id")
+        .agg(*aggs)
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     iters: int = 2,
@@ -167,25 +212,11 @@ def train_ivf_centroids(
         F.transform(F.col("__cv"), lambda x: x.cast("double")).alias("centroid"),
     )
     for _ in range(iters):
-        kf = cent.select("cid", F.col("centroid").alias("__kv")).withColumn(
-            "__kn", F.greatest(_norm(F.col("__kv")), F.lit(1e-300))
-        )
-        cos = F.round(
-            _dot_unrolled(F.col("__cv"), F.col("__kv"), dim)
-            / (F.col("__cn") * F.col("__kn")),
-            6,
-        )
-        assigned = (
-            c.join(F.broadcast(kf))
-            .select("vec_id", "__cv", "cid", cos.alias("__kcos"))
-            .groupBy("vec_id")
-            .agg(
-                F.max_by(
-                    "cid", F.struct(F.col("__kcos"), (-F.col("cid")).alias("__t"))
-                ).alias("cid"),
-                F.first("__cv").alias("__cv"),
-            )
-        )
+        # the shared kernel re-derives the corpus frame per round, which
+        # is plan-identical to reusing `c` (everything here is lazy)
+        assigned = assign_to_centroids(
+            corpus, cent, corpus_id, corpus_vec, dim, keep_vec=True
+        ).withColumnRenamed("cluster_id", "cid")
         cent = (
             assigned.groupBy("cid")
             .agg(
@@ -267,14 +298,15 @@ def ivf_topk(
         # pre-trained (cid, centroid) frame, e.g. from train_ivf_centroids
         cent = centroids.select(
             F.col("cid"), F.col("centroid").alias("__kv")
-        ).withColumn("__kn", _norm(F.col("__kv")))
+        ).withColumn("__kn", F.greatest(_norm(F.col("__kv")), F.lit(1e-300)))
     else:
         cent = (
             c.filter(F.pmod(F.col("vec_id"), F.lit(centroid_stride)) == 0)
             .select(F.col("vec_id").alias("cid"), F.col("__cv").alias("__kv"))
-            .withColumn("__kn", _norm(F.col("__kv")))
+            .withColumn("__kn", F.greatest(_norm(F.col("__kv")), F.lit(1e-300)))
         )
-    c = c.withColumn("__cn", _norm(F.col("__cv")))
+    # zero-norm guard: same contract as assign_to_centroids
+    c = c.withColumn("__cn", F.greatest(_norm(F.col("__cv")), F.lit(1e-300)))
     cent_cos = F.round(
         _dot_unrolled(F.col("__cv"), F.col("__kv"), dim) / (F.col("__cn") * F.col("__kn")),
         6,
@@ -291,7 +323,7 @@ def ivf_topk(
     )
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
-    ).withColumn("__qn", _norm(F.col("__qv")))
+    ).withColumn("__qn", F.greatest(_norm(F.col("__qv")), F.lit(1e-300)))
     q_cos = F.round(
         _dot_unrolled(F.col("__qv"), F.col("__kv"), dim) / (F.col("__qn") * F.col("__kn")),
         6,

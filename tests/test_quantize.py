@@ -90,8 +90,20 @@ def test_prequantized_table_path_matches_on_the_fly(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         b.explain("formatted")
     plan = buf.getvalue()
-    # the codes-table scan must not read a float 'embedding' column
-    for seg in plan.split("Scan parquet")[1:]:
-        schema = seg.split("ReadSchema:", 1)[1].splitlines()[0] if "ReadSchema:" in seg else ""
-        if "qvec" in schema:
-            assert "embedding" not in schema, schema
+    # stage 1 must rank over the codes table alone: exactly one scan
+    # reads qvec, embedding scans exist only for the (tiny, filtered)
+    # query side and the refine lookup, and the candidate-ranking
+    # Window's input must NOT carry the corpus float column ("vec" --
+    # a regression that drags floats through stage 1 puts it there)
+    import re
+
+    schemas = [
+        seg.split("ReadSchema:", 1)[1].splitlines()[0]
+        for seg in plan.split("Scan parquet")[1:]
+        if "ReadSchema:" in seg
+    ]
+    assert sum("qvec" in s for s in schemas) == 1, schemas
+    for seg in plan.split(") Window")[1:]:
+        inputs = [l for l in seg.splitlines() if l.startswith("Input")]
+        if inputs and "approx_dot" in inputs[0]:
+            assert not re.search(r"[\[, ]vec#", inputs[0]), inputs[0]

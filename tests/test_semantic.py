@@ -138,3 +138,18 @@ def test_cluster_stratified_sample_flattens(spark):
     # explicit target overrides the mean
     tiny = cluster_stratified_sample(df, target_per_cluster=10).collect()
     assert len(tiny) < 40
+
+
+def test_cluster_stratified_sample_keeps_null_stratum(spark):
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        cluster_stratified_sample,
+    )
+
+    # unassigned rows (NULL cluster) are a real stratum: they must
+    # sample like any other group, not silently vanish in the join
+    rows = [(i, 1) for i in range(10)] + [(i, None) for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id int")
+    out = cluster_stratified_sample(df).collect()
+    assert any(r.cluster_id is None for r in out)
+    # mean target = 10 -> both strata kept whole
+    assert len(out) == 20
