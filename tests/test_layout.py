@@ -125,3 +125,23 @@ def test_compact_reduces_file_count(spark, tmp_path):
     n_big = len(glob.glob(os.path.join(dest, "*.parquet")))
     assert n_big < n_small / 8
     assert spark.read.parquet(dest).count() == li.count()
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Appending batches that gained a column is the normal life of a
+    100 TB table; mergeSchema reads the union, old rows NULL-fill, and
+    a plain read still prunes to whichever file's schema it sampled."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, payload string"
+    ).write.parquet(out)
+    spark.createDataFrame(
+        [(3, "c", "en"), (4, "d", "fr")], "id long, payload string, lang string"
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "payload", "lang"}
+    rows = {r.id: r.lang for r in merged.collect()}
+    assert rows[1] is None and rows[3] == "en"
+    # the new column filters fine across old files (NULL never matches)
+    assert merged.filter(F.col("lang") == "en").count() == 1
