@@ -310,8 +310,10 @@ def gopher_quality_flags(
     ok_len = (n >= min_tokens) & (n <= max_tokens)
     ok_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
     ok_alpha = alpha_frac >= min_alpha_frac
+    # coalesce: a zero-token doc has top_frac NULL (0/0); the flag must
+    # be false, not NULL, to match the oracle's coalesce(..., false)
     ok_top = F.when(
-        n <= guard, top_frac <= max_top_token_frac
+        n <= guard, F.coalesce(top_frac <= max_top_token_frac, F.lit(False))
     ).otherwise(F.lit(False))
     return d.select(
         id_col,

@@ -809,6 +809,7 @@ def embedding_near_dup_pairs(
     from ..shipping import ensure_package_on_workers
 
     ensure_package_on_workers(emb.sparkSession)
+    from .similarity import round_half_away
 
     if lsh_planes is not None:
         if dim is None:
@@ -836,11 +837,11 @@ def embedding_near_dup_pairs(
             norms = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
             # in-place: peak memory is 2 b x b matrices (product + the
             # norm outer), not 4 -- matters when 32 workers each hold a
-            # hot bucket's matrix at once.  Same arithmetic as
-            # round((m@m.T)/outer(...), 6) bit-for-bit.
+            # hot bucket's matrix at once.  Rounding is half-away-from-
+            # zero to match F.round and the DuckDB oracle.
             cos = m @ m.T
             cos /= np.outer(norms, norms)
-            np.round(cos, 6, out=cos)
+            round_half_away(cos, 6)
             ii, jj = np.where(cos >= threshold)
             keep = ids[ii] < ids[jj]
             return pd.DataFrame(
@@ -887,10 +888,10 @@ def embedding_near_dup_pairs(
         ln = np.maximum(np.linalg.norm(lm, axis=1), 1e-300)
         rn = np.maximum(np.linalg.norm(rm, axis=1), 1e-300)
         # in-place (see per_bucket): 2 matrices peak instead of 4,
-        # arithmetic identical to round((lm@rm.T)/outer(...), 6)
+        # half-away-from-zero rounding shared with F.round / the oracle
         cos = lm @ rm.T
         cos /= np.outer(ln, rn)
-        np.round(cos, 6, out=cos)
+        round_half_away(cos, 6)
         ii, jj = np.where(cos >= threshold)
         ida, idb = li[ii], ri[jj]
         if pdf["ba"].iloc[0] == pdf["bb"].iloc[0]:

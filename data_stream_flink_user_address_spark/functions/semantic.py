@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import assign_to_centroids  # noqa: F401  (re-export; kernel lives with its siblings)
+from .similarity import round_half_away
 
 
 def semantic_dedup(
@@ -125,7 +126,9 @@ def semantic_dedup(
         norms = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
         cosm = m @ m.T
         cosm /= np.outer(norms, norms)
-        np.round(cosm, 6, out=cosm)
+        # half-away-from-zero, matching F.round / the DuckDB oracle
+        # (np.round is half-to-even -- ADVICE r8)
+        round_half_away(cosm, 6)
         # upper triangle (k=1): entry [i, j] with i < j pairs a smaller
         # id (ids are sorted) with a larger one; column j any-reduces to
         # "j has a smaller-id near neighbor" -> dropped

@@ -43,6 +43,31 @@ def _dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     return acc
 
 
+def round_half_away(arr, digits: int = 6):
+    """Round a numpy array half-AWAY-from-zero, in place when possible.
+
+    Spark's ``F.round`` (HALF_UP) and DuckDB's ``round()`` both round
+    halves away from zero; ``np.round`` rounds half-to-even.  Every
+    numpy cosine kernel (semantic_dedup, embedding_near_dup,
+    embedding_near_dup_lsh) must use THIS helper so a cosine landing
+    exactly on a 1e-6 half-boundary cannot flip keep/drop between the
+    engine and the oracle.
+    """
+    import numpy as np
+
+    scale = 10.0 ** digits
+    # |x| -> floor(|x|*scale + 0.5)/scale, sign restored at the end;
+    # the only temporary is a bool mask (1/8 the float64 footprint)
+    neg = np.signbit(arr)
+    np.abs(arr, out=arr)
+    arr *= scale
+    arr += 0.5
+    np.floor(arr, out=arr)
+    arr /= scale
+    np.negative(arr, where=neg, out=arr)
+    return arr
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))

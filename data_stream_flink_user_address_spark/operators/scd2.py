@@ -47,7 +47,18 @@ def scd2_apply(
     valid_to: str = "valid_to",
     current_flag: str = "is_current",
 ) -> DataFrame:
-    """New SCD2 state of ``current`` after applying ``changes``."""
+    """New SCD2 state of ``current`` after applying ``changes``.
+
+    Precondition: every change row's ``ts_col`` must be >= the open
+    row's ``valid_from`` for that key (and (key, ts) pairs unique).  A
+    change timestamped BEFORE the open row's ``valid_from`` is
+    out-of-order history: the lineage window would order it ahead of
+    the seed, making the pre-existing attributes the "latest" version
+    and potentially overlapping closed history.  Late-arriving history
+    rewrites need a full-history rebuild (seed from ALL versions, not
+    just the open row), which is a different, corpus-wide operation --
+    this operator is the incremental path and assumes in-order feeds.
+    """
     key_cols = list(key_cols)
     tracked_cols = list(tracked_cols)
     out_cols = key_cols + tracked_cols + [valid_from, valid_to, current_flag]

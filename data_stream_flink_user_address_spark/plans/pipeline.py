@@ -14,6 +14,30 @@ Differences from the reference, by design (SURVEY.md SS7 item 8):
   for the Mongo connector in production;
 - counts are driven by an explicit ingest-time column, making the
   reference's processing-time behavior reproducible in tests.
+
+Execution modes
+---------------
+``mode="shared"`` (default): ONE streaming query runs the stateful
+join; its ``foreachBatch`` multiplexes each joined micro-batch to all
+three upserts.  Structured Streaming has no cross-query plan sharing,
+so the previous layout (one query per sink) executed the join -- the
+expensive stateful operator -- three times per micro-batch and kept
+three copies of its keyed state.  Sharing the join is the Flink-graph
+behavior (Main.java wires one joined stream into all three sinks) and
+roughly triples effective join throughput.
+
+In shared mode the windowed counts are accumulated in the sink tables
+themselves (per key: latest window_start, running count, last applied
+epoch) instead of in a checkpointed streaming aggregation.  Replay
+safety: a micro-batch retry re-runs ``foreachBatch`` with the same
+``epoch_id``; count rows whose stored ``__epoch`` equals the incoming
+epoch already contain this batch's contribution and are skipped, so the
+add-merge stays exactly-once per (key, epoch) on both sink backends.
+
+``mode="per_sink"``: the previous three-query layout (join re-executed
+per sink, window counts in Spark agg state).  Kept for comparison
+benchmarks (bench_stream.py) and as the fallback shape if a deployment
+needs per-sink checkpoint isolation.
 """
 
 from __future__ import annotations
@@ -22,6 +46,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from ..streaming.sinks import KeyedUpsertSink, TransactionalKeyedUpsertSink
 from ..streaming.stateful_join import stateful_user_address_join
@@ -47,11 +72,15 @@ class ReferencePipeline:
         window: str = "1 minute",
         seq_col: str | None = "seq",
         transactional: bool = True,
+        mode: str = "shared",
     ):
+        if mode not in ("shared", "per_sink"):
+            raise ValueError(f"mode must be 'shared' or 'per_sink', got {mode!r}")
         self.spark = spark
         self.out_dir = out_dir
         self.checkpoint_dir = checkpoint_dir
         self.window = window
+        self.mode = mode
         # The commit-log backend (cross-bucket crash atomicity,
         # multi-writer safe) is the default; transactional=False selects
         # the simpler parquet-directory store -- same upsert semantics,
@@ -61,24 +90,103 @@ class ReferencePipeline:
         self.queries = []
         self.sinks: dict[str, KeyedUpsertSink | TransactionalKeyedUpsertSink] = {}
 
-    def start(self):
-        """Start the three sink queries off the shared joined stream."""
-        joined = self.joined.withColumn("ingest_time", F.current_timestamp())
+    # ------------------------------------------------------------------
+    # shared-join mode
+    # ------------------------------------------------------------------
 
+    def _merge_window_counts(self, sink, batch: DataFrame, dim: str, epoch_id: int) -> None:
+        """Fold one joined micro-batch into a windowed-count sink table.
+
+        Table row per ``dim`` value: (dim, count, window_start, __epoch).
+        The batch's (window x dim) increments are added to the stored
+        count when the window matches, or start a fresh count when the
+        batch has entered a newer window -- the row always holds the
+        LATEST window's running total, which is what the per_sink mode's
+        update-mode aggregation + upsert produced at every trigger.
+        Rows whose stored __epoch equals ``epoch_id`` were written by a
+        previous attempt of this very batch (micro-batch retry); their
+        increments are dropped so replay cannot double-count.
+        """
+        inc = (
+            batch.withColumn("addr", F.explode("addresses"))
+            .groupBy(
+                F.window("ingest_time", self.window).alias("win"),
+                F.col(f"addr.{dim}").alias(dim),
+            )
+            .agg(F.count(F.lit(1)).alias("count"))
+            .select(dim, "count", F.col("win.start").alias("window_start"))
+        )
+        cur = sink.read()
+        if cur is not None:
+            touched = cur.join(inc.select(dim).distinct(), dim, "left_semi")
+            already = touched.filter(F.col("__epoch") == F.lit(epoch_id))
+            prior = touched.filter(F.col("__epoch") != F.lit(epoch_id)).select(
+                dim, "count", "window_start"
+            )
+            # keys already holding this epoch's contribution are left
+            # out of the upsert entirely (sink.apply only rewrites
+            # incoming keys, so absence = untouched)
+            inc = inc.join(already.select(dim), dim, "left_anti").unionByName(prior)
+        totals = inc.groupBy(dim, "window_start").agg(F.sum("count").alias("count"))
+        w = Window.partitionBy(dim).orderBy(F.col("window_start").desc())
+        final = (
+            totals.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(dim, "count", "window_start", F.lit(epoch_id).alias("__epoch"))
+        )
+        sink.apply(final)
+
+    def _shared_foreach_batch(self):
+        ua_sink = self.sinks["userAddress"]
+        st_sink = self.sinks["userCountByState"]
+        co_sink = self.sinks["userCountByCountry"]
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            # one materialization of the joined batch feeds all three
+            # sinks; without the persist each sink action would re-run
+            # the (already computed, but re-planned) batch lineage
+            batch = batch_df.withColumn("ingest_time", F.current_timestamp()).persist()
+            try:
+                ua_sink.apply(batch)
+                self._merge_window_counts(st_sink, batch, "state", epoch_id)
+                self._merge_window_counts(co_sink, batch, "country", epoch_id)
+            finally:
+                batch.unpersist()
+
+        return fn
+
+    # ------------------------------------------------------------------
+
+    def start(self):
+        """Start the sink queries (one in shared mode, three in per_sink)."""
         ua_sink = self.sink_cls(
             self.spark, os.path.join(self.out_dir, "userAddress"), key="userId", order_col="seq"
         )
         self.sinks["userAddress"] = ua_sink
+        for dim, table in (("state", "userCountByState"), ("country", "userCountByCountry")):
+            self.sinks[table] = self.sink_cls(
+                self.spark, os.path.join(self.out_dir, table), key=dim
+            )
+
+        if self.mode == "shared":
+            self.queries.append(
+                self.joined.writeStream.outputMode("append")
+                .option("checkpointLocation", os.path.join(self.checkpoint_dir, "shared"))
+                .foreachBatch(self._shared_foreach_batch())
+                .start()
+            )
+            return self.queries
+
+        # --- per_sink: the legacy three-query layout ---
+        joined = self.joined.withColumn("ingest_time", F.current_timestamp())
         self.queries.append(
             joined.writeStream.outputMode("append")
             .option("checkpointLocation", os.path.join(self.checkpoint_dir, "ua"))
             .foreachBatch(ua_sink.foreach_batch())
             .start()
         )
-
         for dim, table in (("state", "userCountByState"), ("country", "userCountByCountry")):
-            sink = self.sink_cls(self.spark, os.path.join(self.out_dir, table), key=dim)
-            self.sinks[table] = sink
+            sink = self.sinks[table]
             exploded = joined.withColumn("addr", F.explode("addresses"))
             counted = (
                 exploded.groupBy(

@@ -45,6 +45,14 @@ def write_partitioned(
     ``sortWithinPartitions`` first, so each output file covers one
     partition value and a contiguous sort range -- maximal row-group
     stat tightness for range predicates on the sort column(s).
+
+    NOT thread-safe: the write pins the session-global
+    ``spark.sql.parquet.outputTimestampType`` conf for its duration
+    (Spark has no per-write option for it) and restores it after.  A
+    concurrent writer on the SAME SparkSession in another thread can
+    observe the pinned value or the mid-restore state.  Serialize calls
+    per session, or give concurrent writers their own sessions
+    (``spark.newSession()`` isolates runtime conf).
     """
     out = df
     if sort_by:

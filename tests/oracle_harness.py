@@ -35,6 +35,90 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# --- dtype family canonicalization -----------------------------------------
+#
+# The driver's value hash is type-sensitive: r08's only red row
+# (q12_late_shipments) had identical VALUES on both engines but DuckDB
+# returned HUGEINT where Spark returned bigint.  The local gate therefore
+# maps both engines' result dtypes onto one family vocabulary and flags
+# any per-column mismatch before the driver can.
+
+_SPARK_FAMILY = {
+    "tinyint": "i8",
+    "smallint": "i16",
+    "int": "i32",
+    "integer": "i32",
+    "bigint": "i64",
+    "long": "i64",
+    "float": "f32",
+    "double": "f64",
+    "string": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+    "binary": "bin",
+}
+
+_DUCK_FAMILY = {
+    "TINYINT": "i8",
+    "SMALLINT": "i16",
+    "INTEGER": "i32",
+    "BIGINT": "i64",
+    "HUGEINT": "i128",
+    "UTINYINT": "u8",
+    "USMALLINT": "u16",
+    "UINTEGER": "u32",
+    "UBIGINT": "u64",
+    "FLOAT": "f32",
+    "REAL": "f32",
+    "DOUBLE": "f64",
+    "VARCHAR": "str",
+    "BOOLEAN": "bool",
+    "DATE": "date",
+    "TIMESTAMP": "ts",
+    "TIMESTAMP WITH TIME ZONE": "ts",
+    "BLOB": "bin",
+}
+
+
+def _spark_family(simple: str) -> str:
+    simple = simple.strip()
+    if simple.startswith("array<") and simple.endswith(">"):
+        return f"arr<{_spark_family(simple[6:-1])}>"
+    if simple.startswith("decimal("):
+        return "dec" + simple[len("decimal"):]
+    return _SPARK_FAMILY.get(simple, simple)
+
+
+def _duck_family(t: str) -> str:
+    t = t.strip()
+    if t.endswith("[]"):
+        return f"arr<{_duck_family(t[:-2])}>"
+    if t.startswith("DECIMAL("):
+        return "dec" + t[len("DECIMAL"):].replace(" ", "")
+    return _DUCK_FAMILY.get(t, t)
+
+
+def compare_dtypes(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?") -> list[str]:
+    """Per-column dtype-family mismatches between Spark and DuckDB results.
+
+    Exact-family match is required (i64 != i128, i32 != i64, f32 != f64,
+    dec(p,s) compared literally) -- this is the class of parity bug the
+    canonical value comparison below cannot see but the driver's hash can.
+    """
+    problems: list[str] = []
+    rel = con.sql(sql)
+    d_types = {c: _duck_family(str(t)) for c, t in zip(rel.columns, rel.types)}
+    s_types = {f.name: _spark_family(f.dataType.simpleString()) for f in spark_df.schema.fields}
+    for col in sorted(set(s_types) & set(d_types)):
+        if s_types[col] != d_types[col]:
+            problems.append(
+                f"{name}.{col}: dtype spark={s_types[col]} duckdb={d_types[col]}"
+            )
+    return problems
+
+
 def _canon(v) -> str:
     if v is None:
         return "NULL"
@@ -67,6 +151,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"{name}: columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
         return problems
+    problems.extend(compare_dtypes(spark_df, con, sql, name))
     if len(s_rows) != len(d_rows):
         problems.append(f"{name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
 

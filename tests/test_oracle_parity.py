@@ -39,6 +39,21 @@ def test_every_query_has_oracle_or_is_flagged():
     assert not missing, f"oracle_sql keys without queries: {missing}"
 
 
+def test_dtype_gate_catches_uncast_hugeint(spark, con):
+    """The r08 q12 red row: identical values, DuckDB HUGEINT vs Spark
+    bigint.  The dtype gate must flag exactly this class of drift."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.sum(F.when(F.col("id") > 0, 1).otherwise(0)).alias("cnt")
+    )
+    bad = "SELECT sum(CASE WHEN range > 0 THEN 1 ELSE 0 END) AS cnt FROM range(3)"
+    good = bad.replace("END)", "END)::BIGINT")
+    problems = compare(df, con, bad, "uncast")
+    assert any("dtype" in p and "i128" in p for p in problems), problems
+    assert not compare(df, con, good, "cast")
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_parity(spark, con, name):
     qs = entrymod.queries()
