@@ -51,6 +51,115 @@ def make_corpus(seed: int = 7):
     return vecs, src
 
 
+
+
+# ---------------------------------------------------------------------------
+# skew-fuse measurement: ONE runaway cluster (VERDICT r8 ask #5)
+# ---------------------------------------------------------------------------
+
+N_HOT = 3000          # boilerplate mode: all land in one k-means cluster
+N_COLD = 2500
+HOT_DUP = 300
+COLD_DUP = 200
+HOT_SPREAD = 0.07     # tight mode (hot-pair cosine ~0.76: clustered, not dup)
+
+
+def make_runaway_corpus(seed: int = 11):
+    """A corpus with one dominant tight mode (the "boilerplate crawl
+    segment" of the semantic_dedup docstring) plus spread vectors, and
+    planted near-copies of both populations."""
+    rng = np.random.default_rng(seed)
+    hub = rng.standard_normal(DIM)
+    hub /= np.linalg.norm(hub)
+    hot = hub + HOT_SPREAD * rng.standard_normal((N_HOT, DIM))
+    hot /= np.linalg.norm(hot, axis=1, keepdims=True)
+    cold = rng.standard_normal((N_COLD, DIM))
+    cold /= np.linalg.norm(cold, axis=1, keepdims=True)
+    base = np.vstack([hot, cold])
+    src = np.concatenate([
+        rng.integers(0, N_HOT, size=HOT_DUP),
+        rng.integers(N_HOT, N_HOT + N_COLD, size=COLD_DUP),
+    ])
+    dup = base[src] + SIGMA * rng.standard_normal((len(src), DIM))
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    return np.vstack([base, dup]).astype(np.float32)
+
+
+def runaway_case(spark) -> dict:
+    """semantic_dedup on the runaway corpus, fuse off vs on.
+
+    Reports per setting: wall, recall on planted copies, false drops,
+    and max_task_rows -- the largest applyInPandas group (the quadratic
+    matrix one task must hold).  The fuse bounds max_task_rows at the
+    cost of recall (a pair split across salt buckets is never compared);
+    the artifact quantifies that trade so the 100 TB guidance ("more
+    centroids first, fuse for the cluster you did not predict") has a
+    measured basis.
+    """
+    from pyspark.sql import functions as F
+
+    vecs = make_runaway_corpus()
+    n_base = N_HOT + N_COLD
+    n_dup = HOT_DUP + COLD_DUP
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    emb.count()
+    # large stride -> few centroids: Lloyd cannot afford to split the
+    # hot mode, so one cluster swallows all of it (the planted runaway)
+    cent = train_ivf_centroids(emb, iters=ITERS, centroid_stride=1999, dim=DIM).cache()
+    k_cent = cent.count()
+
+    out_rows = []
+    for cap in (None, 1500, 500):
+        t0 = time.time()
+        out = semantic_dedup(
+            emb, cent, threshold=THRESHOLD, dim=DIM, max_cluster_rows=cap
+        ).cache()
+        collected = out.collect()
+        wall = time.time() - t0
+
+        dropped = {r.vec_id for r in collected if not r.keep}
+        planted = set(range(n_base, n_base + n_dup))
+        recall = len(dropped & planted) / n_dup
+        false_drop = len(dropped - planted) / n_base
+
+        # reproduce the fuse's salt expression to measure the largest
+        # group a single task actually received
+        csize = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
+        if cap is None:
+            max_task = csize.agg(F.max("csize")).collect()[0][0]
+        else:
+            n_sub = F.ceil(F.col("csize") / cap)
+            bucketed = (
+                out.join(csize, "cluster_id")
+                .withColumn("__salt", F.pmod(F.xxhash64("vec_id"), n_sub))
+                .groupBy("cluster_id", "__salt")
+                .agg(F.count(F.lit(1)).alias("bsize"))
+            )
+            max_task = bucketed.agg(F.max("bsize")).collect()[0][0]
+        out.unpersist()
+        out_rows.append(
+            {
+                "max_cluster_rows": cap,
+                "k_cent": k_cent,
+                "recall": round(recall, 4),
+                "false_drop": round(false_drop, 6),
+                "max_task_rows": int(max_task),
+                "wall_s": round(wall, 2),
+            }
+        )
+        print(out_rows[-1])
+    cent.unpersist()
+    emb.unpersist()
+    return {
+        "n_hot": N_HOT,
+        "n_cold": N_COLD,
+        "n_dup": n_dup,
+        "hot_spread": HOT_SPREAD,
+        "results": out_rows,
+    }
+
+
 def main() -> None:
     spark = get_spark("bench-semantic")
     vecs, src = make_corpus()
@@ -91,6 +200,8 @@ def main() -> None:
         )
         print(results[-1])
 
+    runaway = runaway_case(spark)
+
     artifact = {
         "n_base": N_BASE,
         "n_dup": N_DUP,
@@ -99,6 +210,7 @@ def main() -> None:
         "threshold": THRESHOLD,
         "lloyd_iters": ITERS,
         "results": results,
+        "runaway_cluster": runaway,
     }
     with open("SEMDEDUP_RECALL.json", "w") as f:
         json.dump(artifact, f, indent=1)

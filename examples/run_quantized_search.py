@@ -1,0 +1,86 @@
+"""Persisted-codes SQ8 similarity search, end to end.
+
+The production layout for embedding search at 100 TB (quantize.py):
+
+1. one-time prep -- quantize the float corpus to int8 codes
+   (``quantize_int8_frame``: 64 B codes + 1 float scale per vector vs
+   256 B floats) and persist BOTH tables id-sorted
+   (``sortWithinPartitions`` -> tight row-group vec_id stats);
+2. query time -- ``quantized_topk(corpus_quantized=codes)``: candidate
+   generation scans ONLY the 4x-narrower codes table, then the float
+   table is touched just for the (queries x k*expand)-row rescore via a
+   broadcast join, where the id-sorted layout lets row-group stats skip
+   most of it.
+
+The plan contract (codes scan carries no float column) is pinned by
+tests/test_layout.py::test_persisted_codes_quantized_search_scans_only_codes.
+
+Usage: python examples/run_quantized_search.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_stream_flink_user_address_spark.functions.quantize import (
+    quantize_int8_frame,
+    quantized_topk,
+)
+from data_stream_flink_user_address_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("quantized-search")
+    work = tempfile.mkdtemp(prefix="sq8_")
+    floats_path = os.path.join(work, "emb_floats")
+    codes_path = os.path.join(work, "emb_codes")
+    try:
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+        # --- one-time prep: persist id-sorted float + codes tables ---
+        t0 = time.time()
+        emb.repartition(8).sortWithinPartitions("vec_id").write.parquet(floats_path)
+        quantize_int8_frame(emb).repartition(8).sortWithinPartitions(
+            "vec_id"
+        ).write.parquet(codes_path)
+        prep_s = time.time() - t0
+
+        floats = spark.read.parquet(floats_path)
+        codes = spark.read.parquet(codes_path)
+        queries = (
+            floats.filter(F.col("vec_id") < 10)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+        )
+
+        # --- query time: stage 1 on codes only, stage 2 rescores ---
+        t0 = time.time()
+        topk = quantized_topk(floats, queries, k=10, dim=64, corpus_quantized=codes)
+        rows = topk.collect()
+        query_s = time.time() - t0
+
+        n = floats.count()
+        print(
+            f"corpus={n} vectors  prep={prep_s:.2f}s  "
+            f"search={query_s:.2f}s  results={len(rows)} rows "
+            f"({len({r.query_id for r in rows})} queries x top-10, exact cosines)"
+        )
+        for r in rows[:5]:
+            print(f"  q{r.query_id} rank{r.rank}: vec {r.vec_id} cosine {r.cosine}")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

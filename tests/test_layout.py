@@ -145,3 +145,65 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert rows[1] is None and rows[3] == "en"
     # the new column filters fine across old files (NULL never matches)
     assert merged.filter(F.col("lang") == "en").count() == 1
+
+
+def test_persisted_codes_quantized_search_scans_only_codes(spark, tmp_path):
+    """Production SQ8 layout (VERDICT r8 ask #6): candidate generation
+    must scan ONLY the persisted int8 codes table; the float corpus is
+    read solely in the rescore stage, joined against the broadcast
+    candidate set.
+
+    Plan assertions: the codes-table FileScan's ReadSchema carries
+    qvec/scale and NO float embedding column, the float FileScan feeds
+    a broadcast join, and the whole plan never cartesians.
+    """
+    from data_stream_flink_user_address_spark.functions.quantize import (
+        quantize_int8_frame,
+        quantized_topk,
+    )
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    floats_path = str(tmp_path / "emb_floats")
+    codes_path = str(tmp_path / "emb_codes")
+    # id-sorted float layout: rescore probes by vec_id ranges, so tight
+    # row-group id stats are what lets the scan skip most of the table
+    emb.repartition(4).sortWithinPartitions("vec_id").write.parquet(floats_path)
+    quantize_int8_frame(emb).repartition(4).sortWithinPartitions(
+        "vec_id"
+    ).write.parquet(codes_path)
+
+    floats = spark.read.parquet(floats_path)
+    codes = spark.read.parquet(codes_path)
+    queries = floats.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = quantized_topk(
+        floats, queries, k=5, dim=64, corpus_quantized=codes
+    )
+    plan = _plan_of(topk)
+
+    # split the formatted plan into FileScan blocks and locate each table's
+    scans = [b for b in plan.split("\n\n") if "Scan parquet" in b]
+    codes_scans = [b for b in scans if "emb_codes" in b]
+    float_scans = [b for b in scans if "emb_floats" in b]
+    assert codes_scans, plan
+    assert float_scans, plan
+    for b in codes_scans:
+        schema_line = b.split("ReadSchema:", 1)[1].splitlines()[0]
+        assert "qvec" in schema_line and "scale" in schema_line, schema_line
+        assert "embedding" not in schema_line, (
+            "stage 1 must not read the float column: " + schema_line
+        )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    # and the result is the exact float top-k (codes only generate
+    # candidates; rescore must restore exact cosines)
+    from data_stream_flink_user_address_spark.functions.similarity import (
+        brute_force_topk,
+    )
+    expect = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in brute_force_topk(floats, queries, k=5, dim=64).collect()
+    }
+    got = {(r.query_id, r.rank): (r.vec_id, r.cosine) for r in topk.collect()}
+    assert got == expect

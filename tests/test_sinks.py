@@ -129,3 +129,92 @@ def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
 
     got = {r["k"]: r["v"] for r in sink.read().collect()}
     assert got["key0"] == 999 and len(got) == 40
+
+
+def _write_workload(tmp_path, n_users=8):
+    udir, adir = str(tmp_path / "u"), str(tmp_path / "a")
+    os.makedirs(udir, exist_ok=True)
+    os.makedirs(adir, exist_ok=True)
+    seq = 0
+    with open(os.path.join(udir, "u.json"), "w") as fu, \
+         open(os.path.join(adir, "a.json"), "w") as fa:
+        for i in range(n_users):
+            seq += 1
+            fu.write(json.dumps({"id": f"u{i}", "name": f"name{i}",
+                                 "email": f"e{i}@x.com", "genre": "F",
+                                 "registerDate": None, "seq": seq}) + "\n")
+            for j in range(3):
+                seq += 1
+                fa.write(json.dumps({"userId": f"u{i}", "address": f"addr{i}-{j}",
+                                     "city": "c", "state": f"S{j}", "zipCode": "z",
+                                     "country": f"C{i % 2}", "seq": seq}) + "\n")
+    return udir, adir
+
+
+def _run_pipeline(spark, tmp_path, mode):
+    udir, adir = _write_workload(tmp_path / mode)
+    out = str(tmp_path / mode / "out")
+    users = spark.readStream.schema(USER_SEQ).json(udir)
+    addresses = spark.readStream.schema(ADDR_SEQ).json(adir)
+    pipe = ReferencePipeline(spark, users, addresses, out,
+                             str(tmp_path / mode / "ckpt"),
+                             window="365 days", transactional=False, mode=mode)
+    pipe.start()
+    try:
+        pipe.process_all()
+    finally:
+        pipe.stop()
+    return pipe
+
+
+def test_shared_mode_matches_per_sink_mode(spark, tmp_path):
+    """The shared-join foreachBatch multiplexer (one join execution)
+    must land the same three final tables as the legacy three-query
+    layout (join executed per sink)."""
+    shared = _run_pipeline(spark, tmp_path, "shared")
+    legacy = _run_pipeline(spark, tmp_path, "per_sink")
+
+    for table, key in (("userAddress", "userId"),
+                       ("userCountByState", "state"),
+                       ("userCountByCountry", "country")):
+        s = {r[key]: r for r in shared.sinks[table].read().collect()}
+        l = {r[key]: r for r in legacy.sinks[table].read().collect()}
+        assert set(s) == set(l), table
+        if table == "userAddress":
+            for k in s:
+                assert [a["address"] for a in s[k]["addresses"]] == \
+                       [a["address"] for a in l[k]["addresses"]]
+        else:
+            assert {k: v["count"] for k, v in s.items()} == \
+                   {k: v["count"] for k, v in l.items()}, table
+
+
+def test_shared_mode_epoch_replay_guard(spark, tmp_path):
+    """Re-running a micro-batch with the same epoch id (Structured
+    Streaming retry) must not double-count the windowed totals."""
+    from pyspark.sql import functions as F
+    from data_stream_flink_user_address_spark.plans.pipeline import ReferencePipeline as RP
+
+    out = str(tmp_path / "out")
+    pipe = RP.__new__(RP)  # only _merge_window_counts is exercised
+    pipe.window = "365 days"
+    sink = KeyedUpsertSink(spark, os.path.join(out, "c"), key="state")
+
+    batch = spark.createDataFrame(
+        [("u1", [("a1", "c", "S0", "z", "C0")]),
+         ("u2", [("a2", "c", "S0", "z", "C0"), ("a3", "c", "S1", "z", "C0")])],
+        "userId string, addresses array<struct<address:string,city:string,state:string,zipCode:string,country:string>>",
+    ).withColumn("ingest_time", F.current_timestamp())
+
+    pipe._merge_window_counts(sink, batch, "state", epoch_id=0)
+    first = {r["state"]: r["count"] for r in sink.read().collect()}
+    assert first == {"S0": 2, "S1": 1}
+
+    # replay of epoch 0: counts must be unchanged
+    pipe._merge_window_counts(sink, batch, "state", epoch_id=0)
+    assert {r["state"]: r["count"] for r in sink.read().collect()} == first
+
+    # a genuine next batch (epoch 1) accumulates within the same window
+    pipe._merge_window_counts(sink, batch, "state", epoch_id=1)
+    assert {r["state"]: r["count"] for r in sink.read().collect()} == \
+        {"S0": 4, "S1": 2}
