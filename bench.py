@@ -123,6 +123,7 @@ HEADLINE = [
     "semantic_dedup",
     "embedding_quantize",
     "similarity_quantized_topk",
+    "similarity_pq_topk",
     "multimodal_meta",
     "pii_redact",
     "repetition_stats",

@@ -6,7 +6,9 @@ top-k ANN variants document theirs here.  For each sf dir, recall@5 of
 - ``lsh_bucketed_topk`` (6 hyperplanes, seed 42 -- the headline
   ``similarity_lsh_topk`` configuration), and
 - ``ivf_topk`` (stride-31 coarse centroids, nprobe=3 -- the headline
-  ``similarity_ivf_topk`` configuration)
+  ``similarity_ivf_topk`` configuration), and
+- ``pq_topk`` (8x8 PQ, 32-entry codebooks, expand=16 -- the headline
+  ``similarity_pq_topk`` configuration; candidates from 8-byte codes)
 
 against ``brute_force_topk`` ground truth on the same 10 query vectors:
 
@@ -27,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+from data_stream_flink_user_address_spark.functions.pq import pq_topk
 from data_stream_flink_user_address_spark.functions.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -82,6 +85,14 @@ def main() -> None:
                 ),
             )
         )
+        # PQ-ADC (headline similarity_pq_topk configuration): candidate
+        # generation reads 8-byte codes; recall governed by expand
+        pq = _topk_sets(
+            pq_topk(
+                e, q, k=K, expand=em._PQ_EXPAND, m=em._PQ_M,
+                k_sub=em._PQ_KSUB, stride=em._PQ_STRIDE, dim=64,
+            )
+        )
         out["sfs"][sf_dir] = {
             "n_vectors": n,
             "lsh_recall_at_5": _recall(lsh, exact),
@@ -90,6 +101,8 @@ def main() -> None:
             "ivf_trained_recall_at_5": _recall(trained, exact),
             "ivf_train_iters": em._IVF_TRAIN_ITERS,
             "ivf_probed_fraction": round(3 / max(1, n // 31), 4),
+            "pq_recall_at_5": _recall(pq, exact),
+            "pq_bytes_per_vector": em._PQ_M,
         }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "TOPK_RECALL.json"),

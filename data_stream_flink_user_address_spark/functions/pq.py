@@ -1,0 +1,269 @@
+"""Product quantization (PQ) with asymmetric-distance top-k search.
+
+Engine extension beyond the reference surface, next to the SQ8 path
+(quantize.py).  Where SQ8 compresses 4x and still dots full vectors,
+PQ splits each ``dim``-vector into ``m`` subvectors and stores one
+codebook index per subvector: at m=8, k_sub<=256 a 64-dim float32
+vector (256 B) becomes 8 bytes -- 32x less scan bandwidth.  Search is
+ADC (asymmetric distance computation, the FAISS ``IndexPQ`` scan): per
+query build an m x k_sub lookup table of subvector inner products, then
+score every corpus row by summing m table entries -- no float vector is
+touched until the exact rescore of the survivors.
+
+Everything is JVM-side DataFrame expressions: codebook seeding is the
+same deterministic stride sample as ``ivf_topk``, encoding is the
+broadcast-join + ``max_by`` argmin kernel of ``assign_to_centroids``
+run once per subspace, and the ADC scan is a zip_with/aggregate lambda
+over the codes array -- zero Python workers, zero corpus shuffle before
+the partial top-k.
+
+Determinism contract (shared with the DuckDB oracle): all ranking
+quantities are FIXED-POINT BIGINTs -- subvector L2 distances and LUT
+partials are ``round(x * 1e6)::BIGINT`` -- so sums are exact integer
+arithmetic whose result cannot depend on accumulation order (the same
+trick quantized_topk gets for free from int8 code dots).  Argmin ties
+break to the smaller code, candidate ties to the smaller vec_id, and
+the final cosines are exact floats rounded to ``round_digits``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _dot_unrolled, _norm
+
+_FP = 1_000_000  # fixed-point scale for distances / LUT partials
+
+
+def _sub_l2sq_fp(vec: Column, cvec: Column, s: int, d_sub: int) -> Column:
+    """round(1e6 * ||vec[s*d : (s+1)*d] - cvec||^2) as BIGINT, unrolled."""
+    acc = None
+    for i in range(d_sub):
+        diff = vec.getItem(s * d_sub + i).cast("double") - cvec.getItem(i).cast("double")
+        term = diff * diff
+        acc = term if acc is None else acc + term
+    return F.round(acc * _FP).cast("bigint")
+
+
+def _sub_dot_fp(vec: Column, cvec: Column, s: int, d_sub: int) -> Column:
+    """round(1e6 * <vec[s*d : (s+1)*d], cvec>) as BIGINT, unrolled."""
+    acc = None
+    for i in range(d_sub):
+        term = vec.getItem(s * d_sub + i).cast("double") * cvec.getItem(i).cast("double")
+        acc = term if acc is None else acc + term
+    return F.round(acc * _FP).cast("bigint")
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k_sub: int = 16,
+    stride: int = 31,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Deterministic subvector codebooks: ``(s, code, cvec)``.
+
+    Seeds are the first ``k_sub`` corpus rows with ``vec_id % stride ==
+    0`` (the ``ivf_topk`` init convention: sampling IS the standard
+    k-means init, and the exact rescore downstream absorbs codebook
+    suboptimality).  ``code`` is the seed's dense rank by vec_id --
+    0..k'-1 even when ids have gaps -- because the ADC LUT is indexed
+    positionally.  The filter bounds the frame to <= k_sub rows before
+    the rank window, so the single-partition window touches k_sub rows,
+    never the corpus.
+    """
+    d_sub = dim // m
+    seeds = (
+        corpus.filter(
+            (F.pmod(F.col(corpus_id), F.lit(stride)) == 0)
+            & (F.col(corpus_id) < stride * k_sub)
+        )
+        .select(
+            F.col(corpus_id).alias("__sid"),
+            F.transform(F.col(corpus_vec), lambda x: x.cast("double")).alias("__sv"),
+        )
+        .withColumn(
+            "code",
+            (F.row_number().over(Window.orderBy(F.col("__sid"))) - 1).cast("int"),
+        )
+    )
+    per_space = [
+        seeds.select(
+            F.lit(s).cast("int").alias("s"),
+            "code",
+            F.slice("__sv", s * d_sub + 1, d_sub).alias("cvec"),
+        )
+        for s in range(m)
+    ]
+    out = per_space[0]
+    for p in per_space[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Codes table ``(vec_id, codes: array<int>)`` -- the 8-byte layout.
+
+    One broadcast join against the (m x k_sub)-row codebook frame and
+    one ``groupBy(vec_id)`` whose ``max_by`` aggregates collapse the
+    m*k_sub candidate rows map-side (partial agg), so the exchange
+    carries exactly one narrow row per vector.  Argmin ordering is the
+    integer ``dist_fp * 1024 + code`` (k_sub <= 1024), i.e. smallest
+    6-digit-rounded L2 first, ties to the smaller code -- mirrored
+    verbatim by the oracle's row_number ORDER BY.
+    """
+    d_sub = dim // m
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv")
+    )
+    j = c.join(F.broadcast(codebooks))
+    dist_fp = None
+    for s in range(m):
+        d = _sub_l2sq_fp(F.col("__cv"), F.col("cvec"), s, d_sub)
+        dist_fp = F.when(F.col("s") == s, d) if dist_fp is None else dist_fp.when(
+            F.col("s") == s, d
+        )
+    j = j.withColumn("__ord", dist_fp * 1024 + F.col("code"))
+    aggs = [
+        F.max_by(
+            F.when(F.col("s") == s, F.col("code")),
+            F.when(F.col("s") == s, -F.col("__ord")),
+        ).alias(f"__c{s}")
+        for s in range(m)
+    ]
+    return (
+        j.groupBy("vec_id")
+        .agg(*aggs)
+        .select(
+            "vec_id", F.array(*[F.col(f"__c{s}") for s in range(m)]).alias("codes")
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    expand: int = 4,
+    m: int = 8,
+    k_sub: int = 16,
+    stride: int = 31,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    round_digits: int = 6,
+    corpus_codes: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k cosine via PQ-ADC candidate generation + exact rescore.
+
+    Stage 1 (ADC): per query an m x k_sub LUT of fixed-point subvector
+    inner products is built from the codebooks (a q*m*k_sub-row frame,
+    collapsed to one nested array per query) and broadcast; every
+    corpus CODES row is scored by ``aggregate(zip_with(lut, codes,
+    (l, c) -> l[c+1]))`` -- integer adds over an 8-int array, zero
+    shuffle -- and the per-partition WindowGroupLimit keeps k*expand
+    candidates per query before the only exchange.  Stage 2 rescores
+    survivors with exact float cosine exactly like ``quantized_topk``.
+    Output schema matches ``brute_force_topk``.
+
+    ``corpus_codes`` (a persisted :func:`pq_encode` table) makes stage 1
+    scan ONLY the 8-byte codes -- the production layout; the float
+    corpus then enters in stage 2 alone via a broadcast candidate join.
+    When it is given, ``codebooks`` must be the same frame the codes
+    were encoded with.
+    """
+    d_sub = dim // m
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, m, k_sub, stride, dim, corpus_id, corpus_vec)
+    codes = (
+        corpus_codes.select("vec_id", "codes")
+        if corpus_codes is not None
+        else pq_encode(corpus, codebooks, m, dim, corpus_id, corpus_vec)
+    )
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    # LUT rows: (query_id, s, code, partial_fp)
+    lj = q.join(F.broadcast(codebooks))
+    part_fp = None
+    for s in range(m):
+        p = _sub_dot_fp(F.col("__qv"), F.col("cvec"), s, d_sub)
+        part_fp = F.when(F.col("s") == s, p) if part_fp is None else part_fp.when(
+            F.col("s") == s, p
+        )
+    lut_rows = lj.select("query_id", "s", "code", part_fp.alias("p"))
+    # collapse to one (m x k_sub) nested array per query; codes are
+    # dense 0..k'-1 per subspace by construction, so positional sort
+    # equals code order
+    lut = (
+        lut_rows.groupBy("query_id", "s")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("code", "p"))), lambda x: x["p"]
+            ).alias("lut_s")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("s", "lut_s"))),
+                lambda x: x["lut_s"],
+            ).alias("lutarr")
+        )
+    )
+
+    approx = codes.join(F.broadcast(lut)).withColumn(
+        "approx_fp",
+        F.aggregate(
+            F.zip_with("lutarr", "codes", lambda l, c: F.element_at(l, c + 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_fp").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        approx.withColumn("crank", F.row_number().over(w1))
+        .filter(F.col("crank") <= k * expand)
+        .select("query_id", "vec_id")
+    )
+
+    floats = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("vec")
+    )
+    qf = q.withColumnRenamed("__qv", "q_vec")
+    paired = floats.join(F.broadcast(cand), "vec_id").join(
+        F.broadcast(qf), "query_id"
+    )
+    cn = F.greatest(_norm(F.col("vec")), F.lit(1e-300))
+    qn = F.greatest(_norm(F.col("q_vec")), F.lit(1e-300))
+    exact = paired.withColumn(
+        "cosine",
+        F.round(
+            _dot_unrolled(F.col("vec"), F.col("q_vec"), dim) / (cn * qn), round_digits
+        ),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+        )
+    )

@@ -85,7 +85,8 @@ def test_driver_window_covers_llm_and_parity():
         "gopher_quality", "sequence_pack", "chunk_manifest",
         "cluster_balanced_sample", "substring_dup_spans",
         "similarity_ivf_trained", "semantic_dedup", "embedding_quantize",
-        "similarity_quantized_topk", "dataset_split", "curation_pipeline",
+        "similarity_quantized_topk", "similarity_pq_topk",
+        "dataset_split", "curation_pipeline",
         "text_stats", "lang_id_pred", "quality_scores", "bpe_token_counts",
         "winnow_fingerprints", "corpus_curation", "dedup_exact",
         "minhash_lsh_pairs", "dedup_clusters", "ngram_jaccard_pairs",

@@ -1,0 +1,98 @@
+"""Product-quantization search (functions/pq.py): codes, determinism,
+persisted-codes path, and plan shape."""
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_stream_flink_user_address_spark.functions.pq import (
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
+)
+from data_stream_flink_user_address_spark.functions.similarity import (
+    brute_force_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+
+def _queries(spark):
+    e = _emb(spark)
+    return e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_codebooks_dense_codes_per_subspace(spark):
+    cb = pq_codebooks(_emb(spark), m=8, k_sub=16, stride=31).collect()
+    by_s = {}
+    for r in cb:
+        by_s.setdefault(r.s, []).append(r.code)
+        assert len(r.cvec) == 8
+    assert set(by_s) == set(range(8))
+    for s, codes in by_s.items():
+        assert sorted(codes) == list(range(16)), s  # dense 0..k-1
+
+
+def test_encode_emits_one_codes_row_per_vector(spark):
+    e = _emb(spark)
+    cb = pq_codebooks(e, m=8, k_sub=16, stride=31)
+    codes = pq_encode(e, cb, m=8).collect()
+    assert len(codes) == e.count()
+    for r in codes:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_pq_topk_high_recall_with_expand(spark):
+    e = _emb(spark)
+    q = _queries(spark)
+    exact = {
+        (r.query_id, r.vec_id) for r in brute_force_topk(e, q, k=10).collect()
+    }
+    got_rows = pq_topk(e, q, k=10, expand=16, k_sub=32, stride=15).collect()
+    got = {(r.query_id, r.vec_id) for r in got_rows}
+    # survivors are EXACT-rescored, so every returned pair that is in
+    # the true top-10 carries the true cosine; recall just has to clear
+    # a sane bar on this uniform-random (hardest-case) corpus
+    assert len(got & exact) / len(exact) >= 0.8
+    # self-match must always survive candidate generation
+    for r in got_rows:
+        if r.query_id == r.vec_id:
+            assert r.rank == 1 and r.cosine == 1.0
+
+
+def test_persisted_codes_path_matches_on_the_fly(spark, tmp_path):
+    e = _emb(spark)
+    q = _queries(spark)
+    cb = pq_codebooks(e, m=8, k_sub=16, stride=31)
+    codes_path = str(tmp_path / "pq_codes")
+    pq_encode(e, cb, m=8).write.parquet(codes_path)
+    codes = spark.read.parquet(codes_path)
+
+    fly = pq_topk(e, q, k=5, expand=8, k_sub=16, stride=31).collect()
+    persisted = pq_topk(
+        e, q, k=5, expand=8, k_sub=16, stride=31,
+        corpus_codes=codes, codebooks=cb,
+    ).collect()
+    assert {tuple(r) for r in fly} == {tuple(r) for r in persisted}
+
+
+def test_pq_plan_no_cartesian_and_partial_topk(spark):
+    buf = io.StringIO()
+    topk = pq_topk(_emb(spark), _queries(spark), k=5, expand=8)
+    with contextlib.redirect_stdout(buf):
+        topk.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # partial per-partition top-k
