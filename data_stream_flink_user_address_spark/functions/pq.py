@@ -267,3 +267,160 @@ def pq_topk(
             "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    expand: int = 8,
+    nprobe: int = 3,
+    centroid_stride: int = 31,
+    m: int = 8,
+    k_sub: int = 16,
+    stride: int = 15,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    round_digits: int = 6,
+    corpus_index: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: coarse-probe then ADC -- the billion-vector configuration.
+
+    Composes the engine's two ANN layers the way FAISS ``IndexIVFPQ``
+    does: each query probes its ``nprobe`` argmax-cosine coarse
+    centroids (the ``ivf_topk`` convention: 6-digit rounding, ties to
+    the smaller cid), and the integer-LUT ADC scan of :func:`pq_topk`
+    runs ONLY over vectors assigned to the probed cells -- per-query
+    scoring work drops from n to ~n*nprobe/k_cent 8-int adds, on
+    8-byte codes.  Survivors get the exact float rescore.
+
+    ``corpus_index`` is the production layout: a persisted
+    ``(vec_id, cid, codes)`` frame -- the inverted index WITH the codes
+    inline, written once, partitioned by ``cid`` so a probe prunes
+    whole partitions.  When absent it is derived on the fly (one
+    narrow vec_id-keyed join of the assignment and codes frames; at
+    scale you persist instead).  ``codebooks`` must accompany a given
+    ``corpus_index`` (same frame the codes were encoded with).
+    """
+    from .similarity import assign_to_centroids
+
+    d_sub = dim // m
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, m, k_sub, stride, dim, corpus_id, corpus_vec)
+
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv")
+    )
+    cent = (
+        c.filter(F.pmod(F.col("vec_id"), F.lit(centroid_stride)) == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("__cv").alias("__kv"))
+        .withColumn("__kn", F.greatest(_norm(F.col("__kv")), F.lit(1e-300)))
+    )
+    if corpus_index is None:
+        assigned = assign_to_centroids(
+            corpus,
+            cent.select("cid", F.col("__kv").alias("centroid")),
+            corpus_id,
+            corpus_vec,
+            dim,
+        ).withColumnRenamed("cluster_id", "cid")
+        codes = pq_encode(corpus, codebooks, m, dim, corpus_id, corpus_vec)
+        index = assigned.join(codes, "vec_id")
+    else:
+        index = corpus_index.select("vec_id", "cid", "codes")
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    ).withColumn("__qn", F.greatest(_norm(F.col("__qv")), F.lit(1e-300)))
+    q_cos = F.round(
+        _dot_unrolled(F.col("__qv"), F.col("__kv"), dim)
+        / (F.col("__qn") * F.col("__kn")),
+        6,
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("__kcos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "cid", q_cos.alias("__kcos"))
+        .withColumn("__pr", F.row_number().over(pw))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "cid")
+    )
+
+    # per-query LUT, identical construction to pq_topk
+    lj = q.join(F.broadcast(codebooks))
+    part_fp = None
+    for s in range(m):
+        p = _sub_dot_fp(F.col("__qv"), F.col("cvec"), s, d_sub)
+        part_fp = F.when(F.col("s") == s, p) if part_fp is None else part_fp.when(
+            F.col("s") == s, p
+        )
+    lut = (
+        lj.select("query_id", "s", "code", part_fp.alias("p"))
+        .groupBy("query_id", "s")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("code", "p"))), lambda x: x["p"]
+            ).alias("lut_s")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("s", "lut_s"))),
+                lambda x: x["lut_s"],
+            ).alias("lutarr")
+        )
+    )
+
+    # ADC only inside probed cells: the (query_id, cid) probe pairs and
+    # the LUTs broadcast; the index never shuffles
+    approx = (
+        index.join(F.broadcast(probes), "cid")
+        .join(F.broadcast(lut), "query_id")
+        .withColumn(
+            "approx_fp",
+            F.aggregate(
+                F.zip_with("lutarr", "codes", lambda l, c: F.element_at(l, c + 1)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_fp").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        approx.withColumn("crank", F.row_number().over(w1))
+        .filter(F.col("crank") <= k * expand)
+        .select("query_id", "vec_id")
+    )
+
+    floats = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("vec")
+    )
+    paired = floats.join(F.broadcast(cand), "vec_id").join(
+        F.broadcast(q.select("query_id", F.col("__qv").alias("q_vec"))), "query_id"
+    )
+    cn = F.greatest(_norm(F.col("vec")), F.lit(1e-300))
+    qn = F.greatest(_norm(F.col("q_vec")), F.lit(1e-300))
+    exact = paired.withColumn(
+        "cosine",
+        F.round(
+            _dot_unrolled(F.col("vec"), F.col("q_vec"), dim) / (cn * qn), round_digits
+        ),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+        )
+    )

@@ -96,3 +96,53 @@ def test_pq_plan_no_cartesian_and_partial_topk(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan  # partial per-partition top-k
+
+
+def test_ivfpq_recall_not_below_probe_set(spark):
+    """IVF-PQ's exact rescore must recover IVF-flat's recall at the same
+    probes whenever expand covers the probed candidate pool."""
+    from data_stream_flink_user_address_spark.functions.pq import ivfpq_topk
+    from data_stream_flink_user_address_spark.functions.similarity import ivf_topk
+
+    e = _emb(spark)
+    q = _queries(spark)
+    flat = {(r.query_id, r.vec_id) for r in
+            ivf_topk(e, q, k=10, centroid_stride=31, nprobe=3).collect()}
+    # expand large enough that every probed vector survives ADC ranking
+    got = {(r.query_id, r.vec_id) for r in
+           ivfpq_topk(e, q, k=10, expand=50, nprobe=3, centroid_stride=31,
+                      k_sub=16, stride=31).collect()}
+    assert got == flat
+
+
+def test_ivfpq_persisted_index_matches_on_the_fly(spark, tmp_path):
+    from data_stream_flink_user_address_spark.functions.pq import ivfpq_topk
+    from data_stream_flink_user_address_spark.functions.similarity import (
+        assign_to_centroids,
+    )
+
+    e = _emb(spark)
+    q = _queries(spark)
+    cb = pq_codebooks(e, m=8, k_sub=16, stride=31)
+    cent = (
+        e.filter(F.col("vec_id") % 31 == 0)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    index = (
+        assign_to_centroids(e, cent, "vec_id", "embedding", 64)
+        .withColumnRenamed("cluster_id", "cid")
+        .join(pq_encode(e, cb, m=8), "vec_id")
+    )
+    path = str(tmp_path / "ivfpq_index")
+    index.write.partitionBy("cid").parquet(path)
+    persisted = spark.read.parquet(path)
+
+    fly = ivfpq_topk(e, q, k=5, expand=8, nprobe=3, centroid_stride=31,
+                     k_sub=16, stride=31).collect()
+    per = ivfpq_topk(e, q, k=5, expand=8, nprobe=3, centroid_stride=31,
+                     k_sub=16, stride=31,
+                     corpus_index=persisted, codebooks=cb).collect()
+    assert {tuple(r) for r in fly} == {tuple(r) for r in per}
