@@ -29,7 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
-from data_stream_flink_user_address_spark.functions.pq import ivfpq_topk, pq_topk
+from data_stream_flink_user_address_spark.functions.pq import (
+    ivfpq_topk,
+    pq_topk,
+    train_pq_codebooks,
+)
 from data_stream_flink_user_address_spark.functions.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -93,6 +97,19 @@ def main() -> None:
                 k_sub=em._PQ_KSUB, stride=em._PQ_STRIDE, dim=64,
             )
         )
+        # Lloyd-trained PQ codebooks (1 round -- the measured plateau,
+        # same finding as IVF training): identical search cost, recall
+        # delta is purely the training
+        pq_tr = _topk_sets(
+            pq_topk(
+                e, q, k=K, expand=em._PQ_EXPAND, m=em._PQ_M,
+                k_sub=em._PQ_KSUB, stride=em._PQ_STRIDE, dim=64,
+                codebooks=train_pq_codebooks(
+                    e, iters=1, m=em._PQ_M, k_sub=em._PQ_KSUB,
+                    stride=em._PQ_STRIDE, dim=64,
+                ),
+            )
+        )
         ivfpq = _topk_sets(
             ivfpq_topk(
                 e, q, k=K, expand=8, nprobe=3, centroid_stride=31,
@@ -110,6 +127,8 @@ def main() -> None:
             "pq_recall_at_5": _recall(pq, exact),
             "pq_bytes_per_vector": em._PQ_M,
             "ivfpq_recall_at_5": _recall(ivfpq, exact),
+            "pq_trained_recall_at_5": _recall(pq_tr, exact),
+            "pq_train_iters": 1,
         }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "TOPK_RECALL.json"),

@@ -424,3 +424,76 @@ def ivfpq_topk(
             "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
         )
     )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    iters: int = 1,
+    m: int = 8,
+    k_sub: int = 16,
+    stride: int = 31,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lloyd-refined PQ codebooks as pure DataFrame aggregations.
+
+    The subvector analogue of ``train_ivf_centroids``: init from the
+    deterministic :func:`pq_codebooks` stride sample, then per round
+    (1) encode the corpus against the current codebooks (fixed-point L2
+    argmin, the :func:`pq_encode` kernel) and (2) recompute each
+    (subspace, code) centroid as the mean of its assigned subvectors --
+    one ``posexplode`` to (vec_id, s, code) rows and ONE ``groupBy(s,
+    code)`` whose d_sub ``avg`` columns combine map-side, so the
+    exchange carries m*k_sub x d_sub doubles, never subvector data.
+    Means round to ``round_digits`` for cross-run reproducibility.
+    Codes that lose all members drop out (codes stay dense only if
+    every cell keeps members; the ADC LUT is built positionally from
+    whatever codes survive, so search remains consistent).  Everything
+    stays lazy; each round adds one broadcast of the (m x k_sub x
+    d_sub) codebook frame.
+
+    Measured (TOPK_RECALL.json, k_sub=32, expand=16): one round lifts
+    pq_topk recall@5 from 0.82 to 0.90 (n=500) and 0.70 to 0.80
+    (n=2000); a second round regresses slightly on this corpus -- the
+    same 1-round plateau train_ivf_centroids showed, so iters=1 is the
+    default.
+    """
+    d_sub = dim // m
+    cb = pq_codebooks(corpus, m, k_sub, stride, dim, corpus_id, corpus_vec)
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv")
+    )
+    for _ in range(iters):
+        enc = pq_encode(corpus, cb, m, dim, corpus_id, corpus_vec)
+        exploded = (
+            c.join(enc, "vec_id")
+            .select("vec_id", "__cv", F.posexplode("codes").alias("s", "code"))
+            .select(
+                "s",
+                "code",
+                F.slice(
+                    F.transform("__cv", lambda x: x.cast("double")),
+                    F.col("s") * d_sub + 1,
+                    d_sub,
+                ).alias("subvec"),
+            )
+        )
+        cb = (
+            exploded.groupBy("s", "code")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("subvec").getItem(i)), round_digits).alias(
+                        f"__m{i}"
+                    )
+                    for i in range(d_sub)
+                ]
+            )
+            .select(
+                "s",
+                "code",
+                F.array(*[F.col(f"__m{i}") for i in range(d_sub)]).alias("cvec"),
+            )
+        )
+    return cb

@@ -146,3 +146,22 @@ def test_ivfpq_persisted_index_matches_on_the_fly(spark, tmp_path):
                      k_sub=16, stride=31,
                      corpus_index=persisted, codebooks=cb).collect()
     assert {tuple(r) for r in fly} == {tuple(r) for r in per}
+
+
+def test_trained_codebooks_shape_and_determinism(spark):
+    from data_stream_flink_user_address_spark.functions.pq import (
+        train_pq_codebooks,
+    )
+
+    e = _emb(spark)
+    cb1 = train_pq_codebooks(e, iters=1, m=8, k_sub=16, stride=31)
+    rows = cb1.collect()
+    assert all(len(r.cvec) == 8 for r in rows)
+    by_s = {}
+    for r in rows:
+        by_s.setdefault(r.s, set()).add(r.code)
+    assert set(by_s) == set(range(8))
+    # rounded means -> bit-identical across runs
+    again = {(r.s, r.code): tuple(r.cvec) for r in
+             train_pq_codebooks(e, iters=1, m=8, k_sub=16, stride=31).collect()}
+    assert {(r.s, r.code): tuple(r.cvec) for r in rows} == again
