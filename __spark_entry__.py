@@ -1621,7 +1621,11 @@ def _q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replicates coarse assignment + probe + codebook encode + ADC
     + rescore, so the composed semantics are the checked contract.
     Measured recall equals IVF-flat at the same probes (candidate loss
-    from 8-byte codes is recovered by the rescore): 0.43 at sf0.01."""
+    from 8-byte codes is recovered by the rescore): 0.43 at sf0.01.
+    Small-n wall time (6.5 s at sf0.1) is stage-count-bound like
+    similarity_ivf_trained -- ~10 tiny stages of fixed overhead, not
+    compute; the nprobe/k_cent corpus-fraction win is the 10^6+ regime
+    (ANN_SCALE.json's measured crossover shape)."""
     return ivfpq_topk(
         _embs(spark, sf_dir), _queries_frame(spark, sf_dir),
         k=10, expand=8, nprobe=_IVF_NPROBE, centroid_stride=_IVF_STRIDE,

@@ -118,6 +118,11 @@ class ReferencePipeline:
         )
         cur = sink.read()
         if cur is not None:
+            if "__epoch" not in cur.columns:
+                # table written by per_sink mode (no epoch column): treat
+                # every stored row as a prior-epoch total so a mode
+                # switch on an existing out_dir keeps accumulating
+                cur = cur.withColumn("__epoch", F.lit(-1).cast("long"))
             touched = cur.join(inc.select(dim).distinct(), dim, "left_semi")
             already = touched.filter(F.col("__epoch") == F.lit(epoch_id))
             prior = touched.filter(F.col("__epoch") != F.lit(epoch_id)).select(

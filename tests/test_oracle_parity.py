@@ -121,3 +121,37 @@ def test_round_half_away_matches_oracle_round():
     assert round_half_away(np.array([0.1234565]), 6)[0] != np.round(
         np.array([0.1234565]), 6
     )[0]
+
+
+def test_round_half_away_property_fuzz():
+    """round_half_away == decimal ROUND_HALF_UP on arbitrary doubles
+    (the DuckDB/Spark round() contract), fuzzed."""
+    import decimal
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_stream_flink_user_address_spark.functions.similarity import (
+        round_half_away,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.floats(
+            min_value=-2.0, max_value=2.0, allow_nan=False, allow_infinity=False
+        )
+    )
+    def check(x):
+        got = float(round_half_away(np.array([x], dtype=np.float64), 6)[0])
+        # the helper operates on scaled doubles, so the reference must
+        # round the same scaled double (not the shortest-repr decimal):
+        # floor(|x|*1e6 + 0.5) with the sign restored
+        scaled = abs(x) * 1e6
+        want = float(
+            decimal.Decimal(scaled).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        ) / 1e6
+        want = -want if x < 0 else want
+        assert got == want, (x, got, want)
+
+    check()
