@@ -165,3 +165,36 @@ def test_trained_codebooks_shape_and_determinism(spark):
     again = {(r.s, r.code): tuple(r.cvec) for r in
              train_pq_codebooks(e, iters=1, m=8, k_sub=16, stride=31).collect()}
     assert {(r.s, r.code): tuple(r.cvec) for r in rows} == again
+
+
+def test_persisted_codes_scan_reads_no_float_column(spark, tmp_path):
+    """With a persisted codes table, ADC candidate generation must scan
+    only (vec_id, codes) -- the 8-byte layout; floats enter in the
+    rescore scan alone (same contract as the SQ8 layout test)."""
+    e = _emb(spark)
+    floats_path = str(tmp_path / "pq_floats")
+    codes_path = str(tmp_path / "pq_codes")
+    e.write.parquet(floats_path)
+    cb = pq_codebooks(e, m=8, k_sub=16, stride=31)
+    pq_encode(e, cb, m=8).write.parquet(codes_path)
+
+    floats = spark.read.parquet(floats_path)
+    codes = spark.read.parquet(codes_path)
+    q = floats.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = pq_topk(floats, q, k=5, expand=8, k_sub=16, stride=31,
+                   corpus_codes=codes, codebooks=cb)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        topk.explain("formatted")
+    plan = buf.getvalue()
+    scans = [b for b in plan.split("\n\n") if "Scan parquet" in b]
+    codes_scans = [b for b in scans if "pq_codes" in b]
+    assert codes_scans, plan
+    for b in codes_scans:
+        schema_line = b.split("ReadSchema:", 1)[1].splitlines()[0]
+        assert "codes" in schema_line, schema_line
+        assert "embedding" not in schema_line, (
+            "ADC stage must not read the float column: " + schema_line
+        )
