@@ -55,6 +55,24 @@ def _sub_dot_fp(vec: Column, cvec: Column, s: int, d_sub: int) -> Column:
     return F.round(acc * _FP).cast("bigint")
 
 
+
+def _adc_sum(m: int) -> Column:
+    """Unrolled ADC score: sum_s lutarr[s][codes[s]] as fixed BIGINT adds.
+
+    Written as m literal-indexed getItem/element_at terms instead of an
+    aggregate(zip_with(...)) lambda chain: higher-order functions are
+    interpreted per row, while this unrolled form stays inside
+    whole-stage codegen -- the ADC scan is the per-row hot loop, so the
+    difference is the whole ballgame at corpus scale.  Integer adds in
+    any arrangement are exact, so candidates are unchanged.
+    """
+    acc = None
+    for s in range(m):
+        term = F.element_at(F.col("lutarr").getItem(s), F.col("codes").getItem(s) + 1)
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def pq_codebooks(
     corpus: DataFrame,
     m: int = 8,
@@ -225,14 +243,7 @@ def pq_topk(
         )
     )
 
-    approx = codes.join(F.broadcast(lut)).withColumn(
-        "approx_fp",
-        F.aggregate(
-            F.zip_with("lutarr", "codes", lambda l, c: F.element_at(l, c + 1)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ),
-    )
+    approx = codes.join(F.broadcast(lut)).withColumn("approx_fp", _adc_sum(m))
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("approx_fp").desc(), F.col("vec_id").asc()
     )
@@ -382,14 +393,7 @@ def ivfpq_topk(
     approx = (
         index.join(F.broadcast(probes), "cid")
         .join(F.broadcast(lut), "query_id")
-        .withColumn(
-            "approx_fp",
-            F.aggregate(
-                F.zip_with("lutarr", "codes", lambda l, c: F.element_at(l, c + 1)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ),
-        )
+        .withColumn("approx_fp", _adc_sum(m))
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("approx_fp").desc(), F.col("vec_id").asc()
