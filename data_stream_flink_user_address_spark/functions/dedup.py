@@ -911,3 +911,71 @@ def embedding_near_dup_pairs(
     return tagged.groupBy("ba", "bb").applyInPandas(
         per_block_pair, schema="vec_a long, vec_b long, cosine double"
     )
+
+
+def streaming_embedding_near_dup(
+    stream: DataFrame,
+    corpus: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+    expand: int = 16,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Gate a streaming embedding feed against a persisted corpus index.
+
+    The continuous-ingestion half of near-dup dedup: each micro-batch of
+    incoming vectors is searched (top-1, PQ-ADC candidates + exact float
+    rescore -- ``functions/pq.py:pq_topk``) against the EXISTING corpus;
+    rows whose best corpus cosine reaches ``threshold`` are dropped,
+    survivors append to ``out_path``.  This is how a crawl pipeline
+    keeps admitting only novel documents without ever re-scanning what
+    it already holds: per batch the work is (batch x corpus-codes ADC)
+    on 8-byte rows plus an exact rescore of k*expand survivors, and the
+    corpus index is the same persisted artifact the batch dedup and
+    search paths use.
+
+    Scope: gates against the STATIC corpus only.  Batch-internal
+    duplicates pass together (dedupe the feed first with
+    :func:`streaming_dedup` / MinHash on content), and admitted rows do
+    not extend the index mid-run -- rebuild/append the index on your
+    compaction cadence, the same trade every ANN system makes between
+    index freshness and build cost.
+
+    Returns the started ``StreamingQuery``.
+    """
+    from .pq import pq_topk
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        q = batch_df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        )
+        top1 = pq_topk(
+            corpus,
+            q,
+            k=1,
+            expand=expand,
+            m=m,
+            dim=dim,
+            corpus_id=id_col,
+            corpus_vec=vec_col,
+            corpus_codes=corpus_codes,
+            codebooks=codebooks,
+        )
+        dup_ids = top1.filter(F.col("cosine") >= threshold).select(
+            F.col("query_id").alias(id_col)
+        )
+        kept = batch_df.join(dup_ids, id_col, "left_anti")
+        kept.write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fb)
+        .start()
+    )

@@ -198,3 +198,59 @@ def test_persisted_codes_scan_reads_no_float_column(spark, tmp_path):
         assert "embedding" not in schema_line, (
             "ADC stage must not read the float column: " + schema_line
         )
+
+
+def test_streaming_embedding_near_dup_gates_against_corpus(spark, tmp_path):
+    """Incoming near-copies of corpus vectors are dropped; novel vectors
+    are admitted -- across micro-batches, via the persisted PQ index."""
+    import json as _json
+
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        streaming_embedding_near_dup,
+    )
+
+    e = _emb(spark)
+    cb = pq_codebooks(e, m=8, k_sub=16, stride=31)
+    codes_path = str(tmp_path / "codes")
+    pq_encode(e, cb, m=8).write.parquet(codes_path)
+    codes = spark.read.parquet(codes_path)
+
+    # feed: ids 10000+ -- exact copies of corpus vectors 0..4 (dups)
+    # plus 5 alternating-sign novel vectors nothing in the corpus matches
+    corpus_rows = {r.vec_id: list(r.embedding) for r in e.filter(F.col("vec_id") < 5).collect()}
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    batch1 = [
+        {"vec_id": 10000 + i, "embedding": corpus_rows[i]} for i in range(3)
+    ] + [
+        {"vec_id": 10100 + i, "embedding": [(1.0 if (j + i) % 2 else -1.0) for j in range(64)]}
+        for i in range(2)
+    ]
+    batch2 = [
+        {"vec_id": 10003 + i, "embedding": corpus_rows[3 + i]} for i in range(2)
+    ] + [
+        {"vec_id": 10200 + i, "embedding": [(1.0 if (j + i) % 2 else -1.0) * (1 + j / 64.0) for j in range(64)]}
+        for i in range(3)
+    ]
+    with open(feed_dir / "b1.json", "w") as f:
+        for r in batch1:
+            f.write(_json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(feed_dir))
+    out = str(tmp_path / "kept")
+    q = streaming_embedding_near_dup(
+        stream, e, codes, cb, out, str(tmp_path / "ckpt"), threshold=0.99
+    )
+    try:
+        q.processAllAvailable()
+        with open(feed_dir / "b2.json", "w") as f:
+            for r in batch2:
+                f.write(_json.dumps(r) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert kept == {10100, 10101, 10200, 10201, 10202}, kept
