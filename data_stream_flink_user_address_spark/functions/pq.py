@@ -315,7 +315,10 @@ def ivfpq_topk(
     whole partitions.  When absent it is derived on the fly (one
     narrow vec_id-keyed join of the assignment and codes frames; at
     scale you persist instead).  ``codebooks`` must accompany a given
-    ``corpus_index`` (same frame the codes were encoded with).
+    ``corpus_index`` (same frame the codes were encoded with), and
+    ``centroid_stride`` must equal the value the index was built with --
+    probe centroids are re-derived from the corpus by stride, so a
+    mismatch probes cells the index never assigned.
     """
     from .similarity import assign_to_centroids
 
