@@ -43,6 +43,7 @@ needs per-sink checkpoint isolation.
 from __future__ import annotations
 
 import os
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -147,10 +148,17 @@ class ReferencePipeline:
         co_sink = self.sinks["userCountByCountry"]
 
         def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            # ingest_time is a CONCRETE literal stamped once per batch,
+            # not current_timestamp(): a cache-evicted partition would
+            # recompute current_timestamp() at a later wall time and
+            # could land rows of one batch in two different windows
+            stamp = datetime.now(timezone.utc).replace(tzinfo=None)
             # one materialization of the joined batch feeds all three
             # sinks; without the persist each sink action would re-run
             # the (already computed, but re-planned) batch lineage
-            batch = batch_df.withColumn("ingest_time", F.current_timestamp()).persist()
+            batch = batch_df.withColumn(
+                "ingest_time", F.lit(stamp).cast("timestamp")
+            ).persist()
             try:
                 ua_sink.apply(batch)
                 self._merge_window_counts(st_sink, batch, "state", epoch_id)
