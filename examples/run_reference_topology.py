@@ -77,7 +77,8 @@ def main(n_users: int = 10) -> None:
     # both the commit-log default and the parquet-directory backend)
     for table in ("userAddress", "userCountByState", "userCountByCountry"):
         print(f"\n=== {table} ===")
-        t = pipe.sinks[table].read().drop("__bucket")  # sink-internal partition key
+        # __bucket / __epoch are sink-internal (partition key, replay guard)
+        t = pipe.sinks[table].read().drop("__bucket", "__epoch")
         t.orderBy(t.columns[0]).show(10, truncate=60)
 
     shutil.rmtree(work)
