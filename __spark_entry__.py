@@ -67,6 +67,7 @@ from data_stream_flink_user_address_spark.functions.quantize import (
     quantized_topk,
 )
 from data_stream_flink_user_address_spark.functions.pq import ivfpq_topk, pq_topk
+from data_stream_flink_user_address_spark.functions.retrieval import bm25_topk
 from data_stream_flink_user_address_spark.functions.packing import (
     chunk_manifest,
     sequence_pack_offsets,
@@ -129,6 +130,7 @@ _PQ_M = 8
 _PQ_KSUB = 32
 _PQ_STRIDE = 15
 _PQ_EXPAND = 16
+_BM25_TERMS = ["hash", "join", "scan"]
 _IVF_NPROBE = 3
 # Stop-shingle pruning for the declared ngram-Jaccard query: shingles in
 # more than this many docs are dropped from CANDIDATE GENERATION (the
@@ -1633,6 +1635,16 @@ def _q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance search (functions/retrieval.py): top-20 docs for
+    the query terms _BM25_TERMS.  Postings are filtered to the query's terms
+    before any group/join (map-side prune), corpus stats and per-term
+    document frequencies broadcast, and per-term contributions are
+    fixed-point BIGINTs so the per-doc sum is order-independent --
+    the oracle replicates the identical scoring arithmetic."""
+    return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=20)
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary_payload(_docs(spark, sf_dir))
     return extract_media_meta(media)
@@ -1827,6 +1839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_quantized_topk": _q_similarity_quantized_topk,
     "similarity_pq_topk": _q_similarity_pq_topk,
     "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
+    "bm25_search": _q_bm25_search,
     "dataset_split": _q_dataset_split,
     "curation_pipeline": _q_curation_pipeline,
     # LLM pipeline: last driver-green r07 (21)
@@ -1853,7 +1866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": _q_mixture_sample,
     # LLM pipeline: driver-green r08
     "unigram_quality": _q_unigram_quality,
-    # rotating relational slots (8); q12 carries the r09 oracle cast fix,
+    # rotating relational slots (7); q12 carries the r09 oracle cast fix,
     # session_window_stats the r09 exact-gap boundary fix
     "q12_late_shipments": _q_q12_late_shipments,
     "session_window_stats": _q_session_window_stats,
@@ -1861,9 +1874,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity_revenue": _q_q17_small_quantity_revenue,
     "q21_sole_blame_supplier": _q_q21_sole_blame_supplier,
     "asof_purchase_view": _q_asof_purchase_view,
-    "interval_view_purchase": _q_interval_view_purchase,
     "value_percentiles": _q_value_percentiles,
     # --- below the 50-row window: relational, all driver-green r08 ---
+    "interval_view_purchase": _q_interval_view_purchase,
     "pivot_priority_status": _q_pivot_priority_status,
     "window_function_showcase": _q_window_function_showcase,
     "q1_pricing_summary": _q_q1_pricing_summary,
@@ -3336,6 +3349,41 @@ ORACLE_SQL: dict[str, str] = {
           JOIN embeddings e ON cd.vec_id = e.vec_id
           JOIN embeddings q ON cd.query_id = q.vec_id
         ) WHERE rank <= 10
+    """,
+    # BM25 (Lucene +1-smoothed idf, k1=1.2 b=0.75); per-term
+    # contributions fixed-point BIGINT so sums are order-independent
+    "bm25_search": """
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+        stats AS (
+          SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dd
+        ),
+        posts AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf, min(dl) AS dl
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+          WHERE term IN ('hash', 'join', 'scan')
+          GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*)::BIGINT AS df FROM posts GROUP BY term),
+        scored AS (
+          SELECT p.doc_id,
+                 sum(CAST(round(
+                   ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+                   * 1000000000) AS BIGINT)) AS score_fp
+          FROM posts p JOIN dfreq f USING (term) CROSS JOIN stats s
+          GROUP BY p.doc_id
+        )
+        SELECT doc_id, round(score_fp / 1000000000.0, 6) AS score,
+               row_number() OVER (ORDER BY round(score_fp / 1000000000.0, 6) DESC,
+                                  doc_id ASC) AS rank
+        FROM scored
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 20
     """,
     "multimodal_meta": """
         SELECT doc_id AS media_id,

@@ -125,6 +125,7 @@ HEADLINE = [
     "similarity_quantized_topk",
     "similarity_pq_topk",
     "similarity_ivfpq_topk",
+    "bm25_search",
     "multimodal_meta",
     "pii_redact",
     "repetition_stats",

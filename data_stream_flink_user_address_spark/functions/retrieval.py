@@ -1,0 +1,102 @@
+"""BM25 full-text retrieval over a document table.
+
+Engine extension beyond the reference surface: the classic
+probabilistic relevance function (Robertson et al., Okapi BM25; the
+(k1+1) tf normalization and the +1-smoothed idf are the Lucene
+variant) as one declarative plan -- the retrieval primitive a
+training-data pipeline uses for curation-by-search, contamination
+hunting, and hard-negative mining.
+
+Scale shape: the exploded postings are filtered to the QUERY'S terms
+before anything groups or joins, so only matching postings survive the
+map side -- corpus work is one scan + one doc-keyed aggregation of the
+(usually tiny) matching subset.  Corpus statistics (N, avgdl) ride a
+one-row broadcast; per-term document frequencies are a <=|query|-row
+broadcast.  Nothing corpus-wide crosses an exchange except the matched
+postings.
+
+Determinism contract (shared with the DuckDB oracle): per-term score
+contributions are fixed-point BIGINTs (round(x * 1e9)), so the per-doc
+sum is exact integer arithmetic independent of accumulation order; the
+final score divides back and rounds to ``round_digits``.  Ties break
+on the smaller doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_FP = 1_000_000_000  # fixed-point scale for per-term contributions
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k docs by BM25: ``(doc_id, score, rank)``.
+
+    ``query_terms`` are matched against lowercased whitespace tokens
+    (compose with a real analyzer upstream if needed).  idf uses the
+    +1-smoothed Lucene form ``ln(1 + (N - df + 0.5) / (df + 0.5))`` --
+    always positive, so a term in most docs down-weights rather than
+    flipping sign.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    ).withColumn("dl", F.size("__toks"))
+
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    term_lit = F.array(*[F.lit(t) for t in terms])
+    posts = (
+        d.select("doc_id", "dl", F.explode("__toks").alias("term"))
+        .filter(F.array_contains(term_lit, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = posts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    contrib_fp = F.round(idf * tf_norm * _FP).cast("bigint")
+
+    scored = (
+        posts.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .select("doc_id", contrib_fp.alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.sum("__c").alias("__score_fp"))
+        .select(
+            "doc_id",
+            F.round(F.col("__score_fp") / _FP, round_digits).alias("score"),
+        )
+    )
+    # TakeOrderedAndProject (per-partition partial top-k, merged on the
+    # driver) -- NOT a global row_number window, which would drag every
+    # matched doc through one partition; the rank window then runs over
+    # the k survivors only
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("bigint").alias("rank")
+    )

@@ -86,7 +86,7 @@ def test_driver_window_covers_llm_and_parity():
         "cluster_balanced_sample", "substring_dup_spans",
         "similarity_ivf_trained", "semantic_dedup", "embedding_quantize",
         "similarity_quantized_topk", "similarity_pq_topk",
-        "similarity_ivfpq_topk",
+        "similarity_ivfpq_topk", "bm25_search",
         "dataset_split", "curation_pipeline",
         "text_stats", "lang_id_pred", "quality_scores", "bpe_token_counts",
         "winnow_fingerprints", "corpus_curation", "dedup_exact",
