@@ -1383,6 +1383,24 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def _q_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup KEEP rule -- the pipeline deliverable the cluster
+    map exists for: each MinHash-LSH connected component keeps its
+    smallest doc_id (the min-label IS the representative, so "keep" is
+    simply cluster_id == doc_id) and every unclustered doc survives.
+    One anti-join of the corpus against the (tiny) non-representative
+    set; document bodies never shuffle."""
+    d = _docs(spark, sf_dir)
+    sigs = minhash_signatures_text(d, n=5, num_hashes=_MINHASH_K)
+    pairs = lsh_candidate_pairs(sigs, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS)
+    dropped = (
+        dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return d.join(dropped, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-score ngram Jaccard with stop-shingle candidate pruning.
 
@@ -1852,6 +1870,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": _q_dedup_exact,
     "minhash_lsh_pairs": _q_minhash_lsh_pairs,
     "dedup_clusters": _q_dedup_clusters,
+    "fuzzy_dedup_keep": _q_fuzzy_dedup_keep,
     "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
     "simhash_docs": _q_simhash_docs,
     "embedding_near_dup": _q_embedding_near_dup,
@@ -1866,7 +1885,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": _q_mixture_sample,
     # LLM pipeline: driver-green r08
     "unigram_quality": _q_unigram_quality,
-    # rotating relational slots (7); q12 carries the r09 oracle cast fix,
+    # rotating relational slots (6); q12 carries the r09 oracle cast fix,
     # session_window_stats the r09 exact-gap boundary fix
     "q12_late_shipments": _q_q12_late_shipments,
     "session_window_stats": _q_session_window_stats,
@@ -1874,8 +1893,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity_revenue": _q_q17_small_quantity_revenue,
     "q21_sole_blame_supplier": _q_q21_sole_blame_supplier,
     "asof_purchase_view": _q_asof_purchase_view,
-    "value_percentiles": _q_value_percentiles,
     # --- below the 50-row window: relational, all driver-green r08 ---
+    "value_percentiles": _q_value_percentiles,
     "interval_view_purchase": _q_interval_view_purchase,
     "pivot_priority_status": _q_pivot_priority_status,
     "window_function_showcase": _q_window_function_showcase,
@@ -3384,6 +3403,29 @@ ORACLE_SQL: dict[str, str] = {
         FROM scored
         ORDER BY score DESC, doc_id ASC
         LIMIT 20
+    """,
+    # keep rule over the same recursive-CC clusters: representative =
+    # min label == own id; unclustered docs all survive
+    "fuzzy_dedup_keep": f"""
+        WITH RECURSIVE {_MINHASH_PAIR_CTES},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        comp(doc_id, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, c.lab FROM edges e JOIN comp c ON c.doc_id = e.dst
+        ),
+        dropped AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, min(lab) AS cluster_id FROM comp GROUP BY doc_id
+          ) WHERE doc_id != cluster_id
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d LEFT JOIN dropped x ON d.doc_id = x.doc_id
+        WHERE x.doc_id IS NULL
     """,
     "multimodal_meta": """
         SELECT doc_id AS media_id,

@@ -112,6 +112,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "dedup_clusters",
+    "fuzzy_dedup_keep",
     "simhash_docs",
     "substring_dup_spans",
     "embedding_near_dup",
