@@ -979,3 +979,63 @@ def streaming_embedding_near_dup(
         .foreachBatch(fb)
         .start()
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    keep_empty: bool = False,
+) -> DataFrame:
+    """Cross-document paragraph-level dedup (the Dolma/CCNet primitive):
+    ``(doc_id, text, n_paras, n_kept)`` with every REPEATED paragraph
+    removed corpus-wide, keeping only its first occurrence (smallest
+    ``(doc_id, position)``), then documents reassembled in original
+    paragraph order.
+
+    Finer-grained than doc-level dedup (kills boilerplate headers /
+    footers / navboxes shared across pages), coarser than
+    :func:`substring_dup_spans` (no token-gram islands, so no span
+    bookkeeping).  Shape: paragraphs explode once; the keep decision is
+    one groupBy on the 32-byte paragraph fingerprint carrying only
+    (fingerprint, doc_id, pos) -- paragraph BODIES do not ride the
+    dedup shuffle -- and reassembly regroups each doc's surviving
+    paragraphs by id.  Docs whose every paragraph was seen earlier
+    come back with empty text (dropped unless ``keep_empty``).
+    """
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn(
+        "__fp", F.md5(F.regexp_replace(F.trim(F.col("para")), r"\s+", " "))
+    )
+    # first global occurrence per fingerprint: min (doc_id, pos) struct
+    firsts = paras.groupBy("__fp").agg(
+        F.min(F.struct("doc_id", "pos")).alias("__first")
+    )
+    kept = paras.join(firsts, "__fp").filter(
+        (F.col("doc_id") == F.col("__first.doc_id"))
+        & (F.col("pos") == F.col("__first.pos"))
+    )
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "para"))),
+                    lambda x: x["para"],
+                ),
+            ).alias("text"),
+        )
+    )
+    counts = paras.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    out = counts.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+    return out if keep_empty else out.filter(F.col("n_kept") > 0)

@@ -103,3 +103,42 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
     rows = spark.sql(f"SELECT k FROM {name}").collect()
     assert sorted(r["k"] for r in rows) == ["a", "b", "c"]
+
+
+class TestParagraphDedup:
+    def _docs(self, spark):
+        from pyspark.sql import Row
+        sep = "\n\n"
+        return spark.createDataFrame([
+            Row(doc_id=0, text=sep.join(["intro zero", "SHARED FOOTER"])),
+            Row(doc_id=1, text=sep.join(["body one", "SHARED FOOTER", "tail one"])),
+            Row(doc_id=2, text=sep.join(["SHARED FOOTER"])),          # nothing novel
+            Row(doc_id=3, text=sep.join(["dup", "dup", "after dups"])),  # within-doc dup
+        ])
+
+    def test_cross_doc_repeats_keep_first_occurrence(self, spark):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            paragraph_dedup,
+        )
+        out = {r.doc_id: r for r in paragraph_dedup(self._docs(spark)).collect()}
+        assert out[0].text == "intro zero\n\nSHARED FOOTER"
+        assert out[1].text == "body one\n\ntail one"
+        assert 2 not in out  # all paragraphs seen earlier -> dropped
+        assert out[3].text == "dup\n\nafter dups"  # within-doc dup collapses too
+        assert (out[1].n_paras, out[1].n_kept) == (3, 2)
+
+    def test_keep_empty_retains_fully_deduped_doc(self, spark):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            paragraph_dedup,
+        )
+        out = {r.doc_id: r for r in
+               paragraph_dedup(self._docs(spark), keep_empty=True).collect()}
+        assert out[2].text == "" and out[2].n_kept == 0 and out[2].n_paras == 1
+
+    def test_idempotent(self, spark):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            paragraph_dedup,
+        )
+        once = paragraph_dedup(self._docs(spark)).select("doc_id", "text")
+        twice = paragraph_dedup(once).select("doc_id", "text")
+        assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
