@@ -1317,6 +1317,59 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card -- the composition summary every
+    curation pipeline publishes: doc/token volume, mean quality,
+    English share, exact-dup rate.  ONE projection computes every
+    per-doc signal, then one groupBy(source); determinism via integer
+    arithmetic (quality is 4-digit-rounded, so quality*10000 sums as
+    exact BIGINTs; shares are ratios of counts)."""
+    d = _docs(spark, sf_dir).withColumn("__toks", tokens("text"))
+    sig = d.select(
+        "source",
+        token_count("text").alias("__nt"),
+        F.round(quality_score("text") * 10000).cast("bigint").alias("__q4"),
+        (language_id("text") == "en").cast("int").alias("__en"),
+        doc_fingerprint("text").alias("__fp"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        sig.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("__nt").alias("total_tokens"),
+            F.round(F.sum("__q4") / (n * 10000.0), 6).alias("mean_quality"),
+            F.round(F.sum("__en") / n, 6).alias("en_share"),
+            F.round((n - F.countDistinct("__fp")) / n, 6).alias("dup_rate"),
+        )
+    )
+
+
+def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token merge-pair frequencies, top 50 -- the counting
+    primitive of a BPE/WordPiece merge round, at whitespace-token
+    granularity.  Two-phase hash agg (map-side partials) then a global
+    TakeOrderedAndProject top-k; ties break on the pair string."""
+    d = _docs(spark, sf_dir).withColumn("__toks", tokens("text"))
+    pairs = d.select(
+        F.explode(
+            F.when(
+                F.size("__toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.col("__toks").getItem(i),
+                        F.col("__toks").getItem(i + 1),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    return counted.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(50)
+
+
 def _q_lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).withColumn("__toks", tokens("text"))
     return d.select("doc_id", language_id("text").alias("lang_pred"))
@@ -1862,6 +1915,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": _q_curation_pipeline,
     # LLM pipeline: last driver-green r07 (21)
     "text_stats": _q_text_stats,
+    "corpus_report": _q_corpus_report,
+    "bpe_pair_counts": _q_bpe_pair_counts,
     "lang_id_pred": _q_lang_id_pred,
     "quality_scores": _q_quality_scores,
     "bpe_token_counts": _q_bpe_token_counts,
@@ -1885,15 +1940,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": _q_mixture_sample,
     # LLM pipeline: driver-green r08
     "unigram_quality": _q_unigram_quality,
-    # rotating relational slots (6); q12 carries the r09 oracle cast fix,
+    # rotating relational slots (4); q12 carries the r09 oracle cast fix,
     # session_window_stats the r09 exact-gap boundary fix
     "q12_late_shipments": _q_q12_late_shipments,
     "session_window_stats": _q_session_window_stats,
     "q2_min_cost_supplier": _q_q2_min_cost_supplier,
-    "q17_small_quantity_revenue": _q_q17_small_quantity_revenue,
-    "q21_sole_blame_supplier": _q_q21_sole_blame_supplier,
     "asof_purchase_view": _q_asof_purchase_view,
     # --- below the 50-row window: relational, all driver-green r08 ---
+    "q17_small_quantity_revenue": _q_q17_small_quantity_revenue,
+    "q21_sole_blame_supplier": _q_q21_sole_blame_supplier,
     "value_percentiles": _q_value_percentiles,
     "interval_view_purchase": _q_interval_view_purchase,
     "pivot_priority_status": _q_pivot_priority_status,
@@ -3426,6 +3481,55 @@ ORACLE_SQL: dict[str, str] = {
         SELECT d.doc_id, d.lang, d.source
         FROM documents d LEFT JOIN dropped x ON d.doc_id = x.doc_id
         WHERE x.doc_id IS NULL
+    """,
+    # report card: integer-deterministic (quality*10000 sums as BIGINT)
+    "corpus_report": f"""
+        WITH t AS (
+          SELECT doc_id, source, text, {_sql_tokens()} AS toks FROM documents
+        ),
+        h AS (
+          SELECT doc_id,
+                 {", ".join(f"{_sql_hits('toks', STOPWORDS[lang])} AS h_{lang}" for lang in STOPWORDS)}
+          FROM t
+        ),
+        l AS (SELECT doc_id, {_sql_lang_case()} AS lang FROM h),
+        m AS (
+          SELECT t.source,
+                 len(t.toks)::BIGINT AS nt,
+                 CAST(round(
+                   (0.25 * least(1.0, len(t.toks)::DOUBLE / 64.0)
+                    + 0.25 * least(1.0, (CASE WHEN len(t.toks) > 0
+                        THEN list_sum(list_transform(t.toks, x -> length(x)))::DOUBLE / len(t.toks)
+                        ELSE 0.0 END) / 8.0)
+                    + 0.25 * (1.0 - least(1.0, (CASE WHEN length(t.text) > 0
+                        THEN (length(t.text) - length(regexp_replace(t.text, '[.,!?;:]', '', 'g')))::DOUBLE / length(t.text)
+                        ELSE 0.0 END) * 10.0))
+                    + 0.25 * least(1.0, (CASE WHEN len(t.toks) > 0
+                        THEN len(list_filter(t.toks, x -> x IN ({_STOP_IN})))::DOUBLE / len(t.toks)
+                        ELSE 0.0 END) * 4.0)) * 10000, 0) AS BIGINT) AS q4,
+                 l.lang,
+                 md5({_sql_norm("t.text")}) AS fp
+          FROM t JOIN l USING (doc_id)
+        )
+        SELECT source,
+               count(*)::BIGINT AS n_docs,
+               sum(nt)::BIGINT AS total_tokens,
+               round(sum(q4) / (count(*) * 10000.0), 6) AS mean_quality,
+               round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS en_share,
+               round((count(*) - count(DISTINCT fp)) / count(*)::DOUBLE, 6) AS dup_rate
+        FROM m GROUP BY source
+    """,
+    "bpe_pair_counts": f"""
+        WITH t AS (SELECT {_sql_tokens()} AS toks FROM documents),
+        p AS (
+          SELECT toks[i] || ' ' || toks[i + 1] AS pair
+          FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+          WHERE len(toks) >= 2
+        )
+        SELECT pair, count(*)::BIGINT AS cnt
+        FROM p GROUP BY pair
+        ORDER BY cnt DESC, pair ASC
+        LIMIT 50
     """,
     "multimodal_meta": """
         SELECT doc_id AS media_id,

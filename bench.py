@@ -103,6 +103,8 @@ HEADLINE = [
     "chunk_manifest",
     "cluster_balanced_sample",
     "text_stats",
+    "corpus_report",
+    "bpe_pair_counts",
     "lang_id_pred",
     "quality_scores",
     "bpe_token_counts",

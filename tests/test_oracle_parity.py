@@ -88,7 +88,8 @@ def test_driver_window_covers_llm_and_parity():
         "similarity_quantized_topk", "similarity_pq_topk",
         "similarity_ivfpq_topk", "bm25_search",
         "dataset_split", "curation_pipeline",
-        "text_stats", "lang_id_pred", "quality_scores", "bpe_token_counts",
+        "text_stats", "corpus_report", "bpe_pair_counts",
+        "lang_id_pred", "quality_scores", "bpe_token_counts",
         "winnow_fingerprints", "corpus_curation", "dedup_exact",
         "minhash_lsh_pairs", "dedup_clusters", "fuzzy_dedup_keep",
         "ngram_jaccard_pairs",
