@@ -45,6 +45,7 @@ from data_stream_flink_user_address_spark.functions.dedup import (
     minhash_signatures_text,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_dup_pairs,
     substring_dup_spans,
     embedding_near_dup_pairs,
 )
@@ -1474,6 +1475,18 @@ def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), bits=_SIMHASH_BITS)
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance 3: banding into
+    max_hamming+1 slices makes the candidate set EXACT by pigeonhole
+    (<=3 differing bits cannot touch all 4 bands), then the popcount of
+    the XOR verifies.  Completes the SimHash operator: signatures were
+    oracle-checked since r5; this is the pair stage they exist for."""
+    sigs = simhash(_docs(spark, sf_dir), bits=_SIMHASH_BITS)
+    return simhash_near_dup_pairs(
+        sigs, max_hamming=3, bits=_SIMHASH_BITS
+    )
+
+
 def _q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-substring spans (suffix-array-dedup surrogate,
     Lee et al. 2022): maximal token ranges covered by globally
@@ -1928,6 +1941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_dedup_keep": _q_fuzzy_dedup_keep,
     "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
     "simhash_docs": _q_simhash_docs,
+    "simhash_pairs": _q_simhash_pairs,
     "embedding_near_dup": _q_embedding_near_dup,
     "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
     "similarity_topk": _q_similarity_topk,
@@ -1940,13 +1954,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": _q_mixture_sample,
     # LLM pipeline: driver-green r08
     "unigram_quality": _q_unigram_quality,
-    # rotating relational slots (4); q12 carries the r09 oracle cast fix,
+    # rotating relational slots (3); q12 carries the r09 oracle cast fix,
     # session_window_stats the r09 exact-gap boundary fix
     "q12_late_shipments": _q_q12_late_shipments,
     "session_window_stats": _q_session_window_stats,
-    "q2_min_cost_supplier": _q_q2_min_cost_supplier,
     "asof_purchase_view": _q_asof_purchase_view,
     # --- below the 50-row window: relational, all driver-green r08 ---
+    "q2_min_cost_supplier": _q_q2_min_cost_supplier,
     "q17_small_quantity_revenue": _q_q17_small_quantity_revenue,
     "q21_sole_blame_supplier": _q_q21_sole_blame_supplier,
     "value_percentiles": _q_value_percentiles,
@@ -3530,6 +3544,35 @@ ORACLE_SQL: dict[str, str] = {
         FROM p GROUP BY pair
         ORDER BY cnt DESC, pair ASC
         LIMIT 50
+    """,
+    # banded simhash pairs: bands = max_hamming+1 (exact by pigeonhole),
+    # verified with popcount(xor)
+    "simhash_pairs": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split({_sql_norm()}, ' ')) AS tok FROM documents
+        ),
+        h AS (SELECT doc_id, {_sql_md5_long("tok")} AS h FROM toks),
+        perbit AS (
+          SELECT doc_id, b.bit AS bit,
+                 sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h CROSS JOIN range({_SIMHASH_BITS}) b(bit)
+          GROUP BY doc_id, b.bit
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sig
+          FROM perbit GROUP BY doc_id
+        ),
+        sliced AS (
+          SELECT doc_id, sig, b.band AS band,
+                 (sig >> (b.band * 8)) & 255 AS val
+          FROM sigs CROSS JOIN range(4) b(band)
+        )
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               bit_count(xor(l.sig, r.sig))::INT AS hamming
+        FROM sliced l JOIN sliced r
+          ON l.band = r.band AND l.val = r.val AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.sig, r.sig)) <= 3
     """,
     "multimodal_meta": """
         SELECT doc_id AS media_id,

@@ -116,6 +116,7 @@ HEADLINE = [
     "dedup_clusters",
     "fuzzy_dedup_keep",
     "simhash_docs",
+    "simhash_pairs",
     "substring_dup_spans",
     "embedding_near_dup",
     "embedding_near_dup_lsh",

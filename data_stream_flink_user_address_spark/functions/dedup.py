@@ -746,6 +746,64 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return d.select(id_col, sig.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    bands: int | None = None,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """All signature pairs within ``max_hamming`` bits: ``(doc_a, doc_b,
+    hamming)`` -- the candidate+verify stage SimHash exists for.
+
+    Banding with ``bands = max_hamming + 1`` slices makes the result
+    EXACT by pigeonhole, not probabilistic: a pair differing in at most
+    ``max_hamming`` bits differs in at most that many bands, so at
+    least one band is bit-identical and the pair meets in that band's
+    bucket.  Candidates then verify with the exact popcount of the
+    XOR.  Shuffle shape mirrors the MinHash banding: only (band, value)
+    collisions join, never all-pairs; each signature contributes
+    ``bands`` 8-byte rows.
+    """
+    bands = bands or (max_hamming + 1)
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    w = bits // bands
+    mask = (1 << w) - 1
+    slices = F.array(
+        *[
+            F.shiftright(F.col(sig_col), i * w).bitwiseAND(F.lit(mask)).cast("bigint")
+            for i in range(bands)
+        ]
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.posexplode(slices).alias("band", "val"),
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("doc_a"),
+            F.col("r.id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.sig").bitwiseXOR(F.col("r.sig"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

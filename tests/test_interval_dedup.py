@@ -142,3 +142,45 @@ class TestParagraphDedup:
         once = paragraph_dedup(self._docs(spark)).select("doc_id", "text")
         twice = paragraph_dedup(once).select("doc_id", "text")
         assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+class TestSimhashPairs:
+    def test_banding_is_exact_for_max_hamming(self, spark):
+        """bands = max_hamming+1 must find EVERY pair within the
+        distance (pigeonhole), verified against brute force."""
+        import itertools
+
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            simhash_near_dup_pairs,
+        )
+
+        sigs = [
+            (0, 0b10110010101100101011001010110010),
+            (1, 0b10110010101100101011001010110011),  # d(0,1)=1
+            (2, 0b10110010101100101011001010000010),  # d(0,2)=3
+            (3, 0b01001101010011010100110101001101),  # far from all
+            (4, 0b10110010101100101011001010110010),  # d(0,4)=0
+            (5, 0b10110010101110101011001110110110),  # d(0,5)=4 -> out
+        ]
+        df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+        got = {(r.doc_a, r.doc_b): r.hamming
+               for r in simhash_near_dup_pairs(df, max_hamming=3, bits=32).collect()}
+        want = {}
+        for (a, sa), (b, sb) in itertools.combinations(sigs, 2):
+            d = bin(sa ^ sb).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+        assert got == want
+        assert (0, 4) in got and got[(0, 4)] == 0
+        assert all(v != 4 for v in got.values())
+
+    def test_rejects_indivisible_band_width(self, spark):
+        import pytest
+
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            simhash_near_dup_pairs,
+        )
+
+        df = spark.createDataFrame([(0, 1)], "doc_id long, simhash long")
+        with pytest.raises(ValueError):
+            simhash_near_dup_pairs(df, max_hamming=3, bits=32, bands=5)

@@ -93,7 +93,8 @@ def test_driver_window_covers_llm_and_parity():
         "winnow_fingerprints", "corpus_curation", "dedup_exact",
         "minhash_lsh_pairs", "dedup_clusters", "fuzzy_dedup_keep",
         "ngram_jaccard_pairs",
-        "simhash_docs", "embedding_near_dup", "embedding_near_dup_lsh",
+        "simhash_docs", "simhash_pairs", "embedding_near_dup",
+        "embedding_near_dup_lsh",
         "similarity_topk", "similarity_lsh_topk", "similarity_ivf_topk",
         "multimodal_meta", "pii_redact", "repetition_stats",
         "contamination_check", "mixture_sample", "unigram_quality",
