@@ -1661,10 +1661,18 @@ def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doubles -- while round(scale, 9) on a ~1e-7 scale actually CREATES
     # cross-engine mismatches at decimal-rounding boundaries (seen at
     # sf0.1, whose corpus contains tiny-magnitude vectors)
+    # qvec is serialized to a comma-joined string: the driver's
+    # canonicalizer sorts result frames through pandas, which cannot
+    # hash a raw array column (r09's one red row).  The int8 values
+    # themselves stay fully checked -- the string is a lossless,
+    # order-preserving rendering -- and the local parity test keeps
+    # asserting the numeric reconstruction MSE.
     return q.select(
         "vec_id",
         "scale",
-        "qvec",
+        F.concat_ws(
+            ",", F.transform(F.col("qvec"), lambda x: x.cast("string"))
+        ).alias("qvec"),
         F.round(mse, 9).alias("mse"),
     )
 
@@ -3243,8 +3251,8 @@ ORACLE_SQL: dict[str, str] = {
           FROM embeddings
         )
         SELECT vec_id, scale,
-               list_transform(embedding,
-                              x -> round(x::DOUBLE / scale)::INT) AS qvec,
+               array_to_string(list_transform(embedding,
+                              x -> round(x::DOUBLE / scale)::INT), ',') AS qvec,
                round(list_sum(list_transform(embedding,
                      x -> pow(x::DOUBLE - round(x::DOUBLE / scale) * scale, 2)))
                      / {_EMB_DIM}.0, 9) AS mse

@@ -298,6 +298,7 @@ def ivfpq_topk(
     round_digits: int = 6,
     corpus_index: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: coarse-probe then ADC -- the billion-vector configuration.
 
@@ -315,10 +316,16 @@ def ivfpq_topk(
     whole partitions.  When absent it is derived on the fly (one
     narrow vec_id-keyed join of the assignment and codes frames; at
     scale you persist instead).  ``codebooks`` must accompany a given
-    ``corpus_index`` (same frame the codes were encoded with), and
-    ``centroid_stride`` must equal the value the index was built with --
-    probe centroids are re-derived from the corpus by stride, so a
-    mismatch probes cells the index never assigned.
+    ``corpus_index`` (same frame the codes were encoded with).
+
+    ``centroids`` (a ``(cid, centroid)`` frame, e.g. Lloyd-trained
+    ``train_ivf_centroids`` output or the frame persisted next to a
+    :func:`build_ivfpq_index` index) overrides the stride derivation
+    for BOTH probing and on-the-fly assignment.  When ``corpus_index``
+    is persisted, pass the SAME centroids the index was built with --
+    probe centroids must match assignment centroids or probes hit
+    cells the index never filled (with stride derivation that means
+    ``centroid_stride`` must equal the build-time value).
     """
     from .similarity import assign_to_centroids
 
@@ -329,11 +336,16 @@ def ivfpq_topk(
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv")
     )
-    cent = (
-        c.filter(F.pmod(F.col("vec_id"), F.lit(centroid_stride)) == 0)
-        .select(F.col("vec_id").alias("cid"), F.col("__cv").alias("__kv"))
-        .withColumn("__kn", F.greatest(_norm(F.col("__kv")), F.lit(1e-300)))
-    )
+    if centroids is not None:
+        cent = centroids.select(
+            "cid", F.col("centroid").alias("__kv")
+        ).withColumn("__kn", F.greatest(_norm(F.col("__kv")), F.lit(1e-300)))
+    else:
+        cent = (
+            c.filter(F.pmod(F.col("vec_id"), F.lit(centroid_stride)) == 0)
+            .select(F.col("vec_id").alias("cid"), F.col("__cv").alias("__kv"))
+            .withColumn("__kn", F.greatest(_norm(F.col("__kv")), F.lit(1e-300)))
+        )
     if corpus_index is None:
         assigned = assign_to_centroids(
             corpus,
@@ -455,11 +467,17 @@ def train_pq_codebooks(
     code)`` whose d_sub ``avg`` columns combine map-side, so the
     exchange carries m*k_sub x d_sub doubles, never subvector data.
     Means round to ``round_digits`` for cross-run reproducibility.
-    Codes that lose all members drop out (codes stay dense only if
-    every cell keeps members; the ADC LUT is built positionally from
-    whatever codes survive, so search remains consistent).  Everything
-    stays lazy; each round adds one broadcast of the (m x k_sub x
-    d_sub) codebook frame.
+
+    Codes that lose all members drop out of the aggregation, so after
+    each round surviving codes are RE-DENSIFIED (re-ranked 0..k'-1 per
+    subspace by old code order).  This is load-bearing, not cosmetic:
+    the ADC LUT in :func:`pq_topk` is packed positionally
+    (``lutarr[s][code+1]``), so a gap in the code domain would make
+    every later code read its neighbour's LUT entry and the largest
+    code read past the array (NULL score) -- silently corrupted
+    rankings.  The re-rank window partitions by ``s`` over <= k_sub
+    rows, never corpus data.  Everything stays lazy; each round adds
+    one broadcast of the (m x k_sub x d_sub) codebook frame.
 
     Measured (TOPK_RECALL.json, k_sub=32, expand=16): one round lifts
     pq_topk recall@5 from 0.82 to 0.90 (n=500) and 0.70 to 0.80
@@ -501,6 +519,18 @@ def train_pq_codebooks(
                 "s",
                 "code",
                 F.array(*[F.col(f"__m{i}") for i in range(d_sub)]).alias("cvec"),
+            )
+            # re-densify: emptied cells leave gaps in the code domain,
+            # which the positional ADC LUT cannot tolerate (see
+            # docstring).  <= k_sub rows per subspace partition.
+            .withColumn(
+                "code",
+                (
+                    F.row_number().over(
+                        Window.partitionBy("s").orderBy(F.col("code").asc())
+                    )
+                    - 1
+                ).cast("int"),
             )
         )
     return cb

@@ -142,6 +142,20 @@ def _rows_to_multiset(rows, col_order):
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?") -> list[str]:
     """Return a list of mismatch descriptions (empty = parity)."""
     problems: list[str] = []
+    # The driver's canonicalizer sorts the result through
+    # pandas.sort_values, which raises "unhashable type: 'list'" on any
+    # complex-typed column (r09's one red row, embedding_quantize's raw
+    # qvec array).  Mirror that limit here: oracle-checked queries must
+    # serialize arrays/maps/structs to scalars before returning.
+    for f in spark_df.schema.fields:
+        simple = f.dataType.simpleString()
+        if simple.startswith(("array<", "map<", "struct<")):
+            problems.append(
+                f"{name}.{f.name}: complex type {simple} breaks the "
+                "driver canonicalizer -- serialize (concat_ws/md5) first"
+            )
+    if problems:
+        return problems
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     d = con.execute(sql)

@@ -167,6 +167,61 @@ def test_trained_codebooks_shape_and_determinism(spark):
     assert {(r.s, r.code): tuple(r.cvec) for r in rows} == again
 
 
+def test_trained_codebooks_redensify_after_cell_drop(spark):
+    """A codebook cell that loses all members must not leave a gap in
+    the code domain: the ADC LUT is packed positionally, so a gap makes
+    every later code read the wrong LUT entry and the largest code read
+    past the array (NULL approx score) -- the ADVICE r9 finding.
+
+    Seeds 0 and 1 are identical vectors, so code 1 never wins an argmin
+    (ties break to the smaller code) and drops after one Lloyd round;
+    post-fix the surviving codes re-densify to 0..k'-1."""
+    from data_stream_flink_user_address_spark.functions.pq import (
+        train_pq_codebooks,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # duplicate seed -> code 1 starves
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 1.0]),
+        (4, [0.9, 0.1, 0.0, 0.0]),
+        (5, [0.1, 0.9, 0.0, 0.0]),
+        (6, [0.0, 0.1, 0.9, 1.0]),
+        (7, [0.2, 0.8, 0.1, 0.0]),
+    ]
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    cb = train_pq_codebooks(corpus, iters=1, m=2, k_sub=4, stride=1, dim=4)
+    by_s = {}
+    for r in cb.collect():
+        by_s.setdefault(r.s, []).append(r.code)
+    for s, codes in by_s.items():
+        assert sorted(codes) == list(range(len(codes))), (s, codes)
+        assert len(codes) < 4, "cell drop did not occur; test is vacuous"
+
+    # encode against the trained books: every emitted code must index a
+    # live LUT slot (code < k' for its subspace) -- fails pre-fix
+    enc = pq_encode(corpus, cb, m=2, dim=4).collect()
+    for r in enc:
+        for s, c in enumerate(r.codes):
+            assert 0 <= c < len(by_s[s]), (r.vec_id, s, c, by_s[s])
+
+    # end-to-end: ADC with the trained books must keep self-matches
+    q = corpus.limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = pq_topk(
+        corpus, q, k=2, expand=2, m=2, k_sub=4, stride=1, dim=4, codebooks=cb
+    ).collect()
+    self_ranks = {r.query_id: r.rank for r in got if r.query_id == r.vec_id}
+    for qid, rank in self_ranks.items():
+        assert rank <= 2, (qid, rank)
+    assert all(r.cosine is not None for r in got)
+
+
 def test_persisted_codes_scan_reads_no_float_column(spark, tmp_path):
     """With a persisted codes table, ADC candidate generation must scan
     only (vec_id, codes) -- the 8-byte layout; floats enter in the
