@@ -1061,25 +1061,46 @@ def paragraph_dedup(
     dedup shuffle -- and reassembly regroups each doc's surviving
     paragraphs by id.  Docs whose every paragraph was seen earlier
     come back with empty text (dropped unless ``keep_empty``).
+
+    ``sep`` is a LITERAL separator (quoted before hitting Java regex
+    ``split``), so ``'. '`` or ``'|'`` split where the user expects.
+    Whitespace-only paragraphs are NEVER fingerprinted: they all share
+    ``md5('')``, so deduping them would silently rewrite the spacing of
+    every document after the first.  They pass straight through to
+    reassembly and are excluded from ``n_kept`` (which therefore counts
+    surviving paragraphs with content).
     """
+    quoted_sep = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), quoted_sep)).alias("pos", "para"),
     ).withColumn(
-        "__fp", F.md5(F.regexp_replace(F.trim(F.col("para")), r"\s+", " "))
+        "__norm", F.regexp_replace(F.trim(F.col("para")), r"\s+", " ")
+    )
+    nonempty = paras.filter(F.col("__norm") != "").withColumn(
+        "__fp", F.md5(F.col("__norm"))
     )
     # first global occurrence per fingerprint: min (doc_id, pos) struct
-    firsts = paras.groupBy("__fp").agg(
+    firsts = nonempty.groupBy("__fp").agg(
         F.min(F.struct("doc_id", "pos")).alias("__first")
     )
-    kept = paras.join(firsts, "__fp").filter(
-        (F.col("doc_id") == F.col("__first.doc_id"))
-        & (F.col("pos") == F.col("__first.pos"))
+    kept = (
+        nonempty.join(firsts, "__fp")
+        .filter(
+            (F.col("doc_id") == F.col("__first.doc_id"))
+            & (F.col("pos") == F.col("__first.pos"))
+        )
+        .select("doc_id", "pos", "para", F.lit(1).alias("__content"))
+        .unionByName(
+            paras.filter(F.col("__norm") == "").select(
+                "doc_id", "pos", "para", F.lit(0).alias("__content")
+            )
+        )
     )
     rebuilt = (
         kept.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("__content").alias("n_kept"),
             F.concat_ws(
                 sep,
                 F.transform(

@@ -143,6 +143,42 @@ class TestParagraphDedup:
         twice = paragraph_dedup(once).select("doc_id", "text")
         assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
+    def test_separator_is_literal_not_regex(self, spark):
+        """ADVICE r10: '. ' (dot = any char) and '|' (alternation =
+        empty pattern, splits every char) must split ONLY on the literal
+        separator."""
+        from pyspark.sql import Row
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            paragraph_dedup,
+        )
+        docs = spark.createDataFrame([
+            Row(doc_id=0, text="alpha beta. gamma delta"),
+            Row(doc_id=1, text="x|y"),
+        ])
+        dot = {r.doc_id: r for r in paragraph_dedup(docs, sep=". ").collect()}
+        assert dot[0].n_paras == 2
+        assert dot[0].text == "alpha beta. gamma delta"
+        pipe = {r.doc_id: r for r in paragraph_dedup(docs, sep="|").collect()}
+        assert pipe[1].n_paras == 2
+        assert pipe[1].text == "x|y"
+
+    def test_empty_paragraphs_pass_through_unfingerprinted(self, spark):
+        """ADVICE r10: all empty paragraphs share md5(''), so deduping
+        them silently rewrote spacing in every doc after the first.
+        They must survive everywhere and not count toward n_kept."""
+        from pyspark.sql import Row
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            paragraph_dedup,
+        )
+        docs = spark.createDataFrame([
+            Row(doc_id=0, text="a\n\n\n\nb"),
+            Row(doc_id=1, text="c\n\n\n\nd"),
+        ])
+        out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+        assert out[0].text == "a\n\n\n\nb"
+        assert out[1].text == "c\n\n\n\nd"  # doc 1's blank para not stolen by doc 0
+        assert (out[0].n_paras, out[0].n_kept) == (3, 2)
+
 
 class TestSimhashPairs:
     def test_banding_is_exact_for_max_hamming(self, spark):
