@@ -1005,37 +1005,78 @@ def streaming_embedding_near_dup(
     compaction cadence, the same trade every ANN system makes between
     index freshness and build cost.
 
+    Replay-idempotent: ``foreachBatch`` re-runs an epoch whenever the
+    sink write lands but the checkpoint commit does not (executor loss,
+    driver restart), and a plain append would re-admit the same
+    survivors -- duplicates from the dedup operator itself.  Survivors
+    are therefore written under an ``__epoch=<id>`` partition with
+    DYNAMIC partition overwrite, so a replayed epoch replaces exactly
+    its own partition and leaves every other epoch untouched.  Readers
+    of ``out_path`` see the extra ``__epoch`` column.
+
     Returns the started ``StreamingQuery``.
     """
-    from .pq import pq_topk
 
     def fb(batch_df: DataFrame, epoch_id: int) -> None:
-        q = batch_df.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        _near_dup_gate_batch(
+            batch_df, epoch_id, corpus, corpus_codes, codebooks, out_path,
+            threshold=threshold, expand=expand, m=m, dim=dim,
+            id_col=id_col, vec_col=vec_col,
         )
-        top1 = pq_topk(
-            corpus,
-            q,
-            k=1,
-            expand=expand,
-            m=m,
-            dim=dim,
-            corpus_id=id_col,
-            corpus_vec=vec_col,
-            corpus_codes=corpus_codes,
-            codebooks=codebooks,
-        )
-        dup_ids = top1.filter(F.col("cosine") >= threshold).select(
-            F.col("query_id").alias(id_col)
-        )
-        kept = batch_df.join(dup_ids, id_col, "left_anti")
-        kept.write.mode("append").parquet(out_path)
 
     return (
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(fb)
         .start()
+    )
+
+
+def _near_dup_gate_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    corpus: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: DataFrame,
+    out_path: str,
+    threshold: float = 0.9,
+    expand: int = 16,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One epoch of :func:`streaming_embedding_near_dup` -- module-level
+    so the replay-idempotency contract (same epoch twice == once) is
+    directly unit-testable without a live stream."""
+    from .pq import pq_topk
+
+    q = batch_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    top1 = pq_topk(
+        corpus,
+        q,
+        k=1,
+        expand=expand,
+        m=m,
+        dim=dim,
+        corpus_id=id_col,
+        corpus_vec=vec_col,
+        corpus_codes=corpus_codes,
+        codebooks=codebooks,
+    )
+    dup_ids = top1.filter(F.col("cosine") >= threshold).select(
+        F.col("query_id").alias(id_col)
+    )
+    kept = batch_df.join(dup_ids, id_col, "left_anti").withColumn(
+        "__epoch", F.lit(int(epoch_id))
+    )
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(out_path)
     )
 
 

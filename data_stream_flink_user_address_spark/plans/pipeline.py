@@ -43,6 +43,7 @@ needs per-sink checkpoint isolation.
 from __future__ import annotations
 
 import os
+import uuid
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -90,6 +91,35 @@ class ReferencePipeline:
         self.joined = stateful_user_address_join(users, addresses, seq_col=seq_col)
         self.queries = []
         self.sinks: dict[str, KeyedUpsertSink | TransactionalKeyedUpsertSink] = {}
+        # resolved from the checkpoint in start(); namespaces the
+        # shared-mode epoch guard (see _run_namespace)
+        self._run_id: str = ""
+
+    @staticmethod
+    def _run_namespace(ckpt_dir: str) -> str:
+        """Run id tied to the CHECKPOINT's identity, not the process.
+
+        The epoch guard compares stored ``__epoch`` to the incoming
+        batchId -- but batchIds restart at 0 whenever a checkpoint is
+        recreated over an existing out_dir, so raw equality would
+        silently DROP the new run's first increments (undercount).
+        Namespacing by a marker persisted inside the checkpoint makes
+        the guard exact: a driver restart on an intact checkpoint reuses
+        the marker (true replays of the last uncommitted batch are still
+        skipped), while a deleted/recreated checkpoint mints a fresh id
+        so the old table rows read as prior totals and accumulation
+        continues.  Local-FS file IO matches this repo's deployment; on
+        a cluster put the marker on the same DFS as the checkpoint.
+        """
+        os.makedirs(ckpt_dir, exist_ok=True)
+        marker = os.path.join(ckpt_dir, "__run_id")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                return f.read().strip()
+        rid = uuid.uuid4().hex
+        with open(marker, "w") as f:
+            f.write(rid)
+        return rid
 
     # ------------------------------------------------------------------
     # shared-join mode
@@ -104,9 +134,12 @@ class ReferencePipeline:
         batch has entered a newer window -- the row always holds the
         LATEST window's running total, which is what the per_sink mode's
         update-mode aggregation + upsert produced at every trigger.
-        Rows whose stored __epoch equals ``epoch_id`` were written by a
-        previous attempt of this very batch (micro-batch retry); their
-        increments are dropped so replay cannot double-count.
+        Rows whose stored (__run, __epoch) equals (this run, ``epoch_id``)
+        were written by a previous attempt of this very batch
+        (micro-batch retry); their increments are dropped so replay
+        cannot double-count.  The __run namespace keeps a recreated
+        checkpoint's restarted batchIds from colliding with a prior
+        run's epochs (see _run_namespace).
         """
         inc = (
             batch.withColumn("addr", F.explode("addresses"))
@@ -124,9 +157,16 @@ class ReferencePipeline:
                 # every stored row as a prior-epoch total so a mode
                 # switch on an existing out_dir keeps accumulating
                 cur = cur.withColumn("__epoch", F.lit(-1).cast("long"))
+            if "__run" not in cur.columns:
+                # pre-namespace table: '' never equals a minted run id,
+                # so legacy rows always read as prior totals
+                cur = cur.withColumn("__run", F.lit(""))
             touched = cur.join(inc.select(dim).distinct(), dim, "left_semi")
-            already = touched.filter(F.col("__epoch") == F.lit(epoch_id))
-            prior = touched.filter(F.col("__epoch") != F.lit(epoch_id)).select(
+            this_attempt = (F.col("__epoch") == F.lit(epoch_id)) & (
+                F.col("__run") == F.lit(self._run_id)
+            )
+            already = touched.filter(this_attempt)
+            prior = touched.filter(~this_attempt).select(
                 dim, "count", "window_start"
             )
             # keys already holding this epoch's contribution are left
@@ -138,7 +178,11 @@ class ReferencePipeline:
         final = (
             totals.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .select(dim, "count", "window_start", F.lit(epoch_id).alias("__epoch"))
+            .select(
+                dim, "count", "window_start",
+                F.lit(epoch_id).alias("__epoch"),
+                F.lit(self._run_id).alias("__run"),
+            )
         )
         sink.apply(final)
 
@@ -182,9 +226,11 @@ class ReferencePipeline:
             )
 
         if self.mode == "shared":
+            shared_ckpt = os.path.join(self.checkpoint_dir, "shared")
+            self._run_id = self._run_namespace(shared_ckpt)
             self.queries.append(
                 self.joined.writeStream.outputMode("append")
-                .option("checkpointLocation", os.path.join(self.checkpoint_dir, "shared"))
+                .option("checkpointLocation", shared_ckpt)
                 .foreachBatch(self._shared_foreach_batch())
                 .start()
             )

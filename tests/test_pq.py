@@ -309,3 +309,35 @@ def test_streaming_embedding_near_dup_gates_against_corpus(spark, tmp_path):
 
     kept = {r.vec_id for r in spark.read.parquet(out).collect()}
     assert kept == {10100, 10101, 10200, 10201, 10202}, kept
+
+
+def test_streaming_near_dup_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch re-runs an epoch when the sink write lands but the
+    checkpoint commit does not; replaying the SAME epoch must not
+    duplicate survivors (VERDICT r10 wrong #1), while a NEW epoch still
+    accumulates."""
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        _near_dup_gate_batch,
+    )
+
+    e = _emb(spark)
+    cb = pq_codebooks(e, m=8, k_sub=16, stride=31)
+    codes = pq_encode(e, cb, m=8)
+    novel = spark.createDataFrame(
+        [(20000 + i, [(1.0 if (j + i) % 2 else -1.0) for j in range(64)])
+         for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    out = str(tmp_path / "kept")
+
+    _near_dup_gate_batch(novel, 0, e, codes, cb, out, threshold=0.99)
+    once = sorted(r.vec_id for r in spark.read.parquet(out).collect())
+    _near_dup_gate_batch(novel, 0, e, codes, cb, out, threshold=0.99)  # replay
+    twice = sorted(r.vec_id for r in spark.read.parquet(out).collect())
+    assert once == twice == [20000, 20001, 20002]
+
+    # a genuinely new epoch appends alongside epoch 0
+    novel2 = novel.withColumn("vec_id", F.col("vec_id") + 100)
+    _near_dup_gate_batch(novel2, 1, e, codes, cb, out, threshold=0.99)
+    both = sorted(r.vec_id for r in spark.read.parquet(out).collect())
+    assert both == [20000, 20001, 20002, 20100, 20101, 20102]

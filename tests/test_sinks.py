@@ -198,6 +198,7 @@ def test_shared_mode_epoch_replay_guard(spark, tmp_path):
     out = str(tmp_path / "out")
     pipe = RP.__new__(RP)  # only _merge_window_counts is exercised
     pipe.window = "365 days"
+    pipe._run_id = "runA"
     sink = KeyedUpsertSink(spark, os.path.join(out, "c"), key="state")
 
     batch = spark.createDataFrame(
@@ -218,3 +219,30 @@ def test_shared_mode_epoch_replay_guard(spark, tmp_path):
     pipe._merge_window_counts(sink, batch, "state", epoch_id=1)
     assert {r["state"]: r["count"] for r in sink.read().collect()} == \
         {"S0": 4, "S1": 2}
+
+    # checkpoint recreated over the SAME out_dir: batchIds restart and a
+    # NEW run's batch arrives carrying the same epoch number (1) the
+    # table already stores.  Raw __epoch equality dropped it (undercount,
+    # VERDICT r10 wrong #3); with the __run namespace the stored rows
+    # read as prior totals and accumulation continues.
+    pipe._run_id = "runB"
+    pipe._merge_window_counts(sink, batch, "state", epoch_id=1)
+    assert {r["state"]: r["count"] for r in sink.read().collect()} == \
+        {"S0": 6, "S1": 3}
+    # and a retry of that new-run batch is still skipped
+    pipe._merge_window_counts(sink, batch, "state", epoch_id=1)
+    assert {r["state"]: r["count"] for r in sink.read().collect()} == \
+        {"S0": 6, "S1": 3}
+
+
+def test_run_namespace_marker_survives_restart(tmp_path):
+    """Same checkpoint dir -> same run id (true replays still skipped
+    after a driver restart); recreated checkpoint -> fresh id."""
+    from data_stream_flink_user_address_spark.plans.pipeline import ReferencePipeline as RP
+
+    ckpt = str(tmp_path / "ckpt" / "shared")
+    first = RP._run_namespace(ckpt)
+    assert RP._run_namespace(ckpt) == first  # restart, intact checkpoint
+    import shutil
+    shutil.rmtree(ckpt)
+    assert RP._run_namespace(ckpt) != first  # recreated checkpoint
