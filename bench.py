@@ -111,6 +111,7 @@ HEADLINE = [
     "winnow_fingerprints",
     "corpus_curation",
     "dedup_exact",
+    "paragraph_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "dedup_clusters",

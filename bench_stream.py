@@ -49,7 +49,7 @@ WORK = "/tmp/spark_graft_stream_bench"
 
 
 def _run(spark, label: str, files_per_trigger: int | None, transactional: bool,
-         mode: str = "shared") -> dict:
+         mode: str = "shared", n_users: int = N_USERS) -> dict:
     work = os.path.join(WORK, label)
     shutil.rmtree(work, ignore_errors=True)
     udir, adir = os.path.join(work, "u"), os.path.join(work, "a")
@@ -59,15 +59,15 @@ def _run(spark, label: str, files_per_trigger: int | None, transactional: bool,
     os.makedirs(adir)
 
     # deterministic workload; seq interleaves users before their addresses
-    users = generate_users(spark, N_USERS).withColumn(
+    users = generate_users(spark, n_users).withColumn(
         "seq", F.monotonically_increasing_id() * 4
     )
-    addresses = generate_addresses(spark, N_USERS, ADDR_PER_USER).withColumn(
+    addresses = generate_addresses(spark, n_users, ADDR_PER_USER).withColumn(
         "seq", F.monotonically_increasing_id() * 4 + 2
     )
     users.coalesce(N_CHUNKS).write.mode("overwrite").json(udir)
     addresses.coalesce(N_CHUNKS).write.mode("overwrite").json(adir)
-    n_events = N_USERS * (1 + ADDR_PER_USER)
+    n_events = n_users * (1 + ADDR_PER_USER)
 
     user_seq = T.StructType(USER_SCHEMA.fields + [T.StructField("seq", T.LongType())])
     addr_seq = T.StructType(ADDRESS_SCHEMA.fields + [T.StructField("seq", T.LongType())])
@@ -121,6 +121,7 @@ def _run(spark, label: str, files_per_trigger: int | None, transactional: bool,
     return {
         "label": label,
         "mode": mode,
+        "n_users": n_users,
         "files_per_trigger": files_per_trigger,
         "transactional": transactional,
         "n_events": n_events,
@@ -148,6 +149,11 @@ def main() -> None:
         _run(spark, "pipelined_txn_per_sink", 1, True, mode="per_sink"),
         _run(spark, "bigbatch_txn_per_sink", None, True, mode="per_sink"),
         _run(spark, "bigbatch_plain_per_sink", None, False, mode="per_sink"),
+        # state-growth probe: 1e6 events through the headline shared
+        # config -- upsert tables at 250k keys must hold throughput
+        # within ~2x of the 80k-event figure (VERDICT r10 ask #7)
+        _run(spark, "bigbatch_txn_shared_1e6", None, True, mode="shared",
+             n_users=250_000),
     ]
     artifact = {
         "n_users": N_USERS,

@@ -9,8 +9,11 @@ Per corpus size n (deterministic synthetic corpus, dim 64, same
 generator expressions as bench_ann_scale):
 
 - one-time BUILD (timed once): persist the PQ codes table and the
-  IVF-PQ ``(vec_id, cid, codes)`` inverted index (coarse stride
-  ~ sqrt(n) so list sizes stay ~sqrt(n));
+  IVF-PQ ``(vec_id, cid, codes)`` inverted index via
+  ``build_ivfpq_index`` with CAPPED sample-trained centroids
+  (``train_ivf_centroids(k_cent=K_CENT)``) -- O(n * K_CENT), linear in
+  n, where the previous sqrt(n)-stride derivation measured O(n^1.5)
+  (build_index_s 9.4 -> 66 -> 335 at 1e4/1e5/3e5);
 - QUERY (median of 3): 10 queries x top-10 via
   ``brute_force_topk`` (full float scan),
   ``pq_topk(corpus_codes=...)`` (ADC over the persisted codes, exact
@@ -27,7 +30,7 @@ Run:  python bench_topk_scale.py        # default ladder
 from __future__ import annotations
 
 import json
-import math
+
 import os
 import statistics
 import sys
@@ -38,14 +41,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 from data_stream_flink_user_address_spark.functions.pq import (
+    build_ivfpq_index,
     ivfpq_topk,
     pq_codebooks,
     pq_encode,
     pq_topk,
 )
 from data_stream_flink_user_address_spark.functions.similarity import (
-    assign_to_centroids,
     brute_force_topk,
+    train_ivf_centroids,
 )
 from data_stream_flink_user_address_spark.session import get_spark
 
@@ -56,6 +60,7 @@ K_SUB = 32
 PQ_STRIDE = 15          # codebook seeds: first 480 ids at every n
 EXPAND = 16
 NPROBE = 8
+K_CENT = 256            # fixed coarse-list count: the linear-build knob
 DATA_ROOT = "/tmp/topk_scale_data"
 SIZES = [
     int(s)
@@ -103,7 +108,6 @@ def main() -> None:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("query_vec"),
         )
-        cstride = max(31, int(math.sqrt(n)))
         cb = pq_codebooks(emb, M, K_SUB, PQ_STRIDE, DIM)
 
         t0 = time.perf_counter()
@@ -111,21 +115,18 @@ def main() -> None:
         pq_encode(emb, cb, M, DIM).write.mode("overwrite").parquet(codes_path)
         build_codes_s = round(time.perf_counter() - t0, 2)
 
+        # build = centroid training + assignment + encode join, all
+        # timed: the full cost of standing up the persisted index
         t0 = time.perf_counter()
         index_path = os.path.join(DATA_ROOT, f"n{n}_ivfpq")
-        cent = (
-            emb.filter(F.pmod(F.col("vec_id"), F.lit(cstride)) == 0)
-            .select(
-                F.col("vec_id").alias("cid"),
-                F.transform("embedding", lambda x: x.cast("double")).alias(
-                    "centroid"
-                ),
-            )
-        )
+        cent_path = os.path.join(DATA_ROOT, f"n{n}_cent")
+        train_ivf_centroids(
+            emb, iters=1, centroid_stride=31, dim=DIM, k_cent=K_CENT,
+            train_limit=100 * K_CENT,
+        ).write.mode("overwrite").parquet(cent_path)
+        cent = spark.read.parquet(cent_path)
         (
-            assign_to_centroids(emb, cent, "vec_id", "embedding", DIM)
-            .withColumnRenamed("cluster_id", "cid")
-            .join(spark.read.parquet(codes_path), "vec_id")
+            build_ivfpq_index(emb, cent, cb, M, DIM)
             .write.mode("overwrite")
             .partitionBy("cid")
             .parquet(index_path)
@@ -133,7 +134,9 @@ def main() -> None:
         build_index_s = round(time.perf_counter() - t0, 2)
 
         codes = spark.read.parquet(codes_path)
-        index = spark.read.parquet(index_path)
+        index = spark.read.parquet(index_path).withColumn(
+            "cid", F.col("cid").cast("long")
+        )
 
         brute = timed(lambda: brute_force_topk(emb, q, k=K, dim=DIM))
         pq = timed(
@@ -145,13 +148,13 @@ def main() -> None:
         ivfpq = timed(
             lambda: ivfpq_topk(
                 emb, q, k=K, expand=EXPAND, nprobe=NPROBE,
-                centroid_stride=cstride, m=M, k_sub=K_SUB,
-                stride=PQ_STRIDE, dim=DIM, corpus_index=index, codebooks=cb,
+                m=M, k_sub=K_SUB, stride=PQ_STRIDE, dim=DIM,
+                corpus_index=index, codebooks=cb, centroids=cent,
             )
         )
         entry = {
             "n": n,
-            "coarse_stride": cstride,
+            "k_cent": K_CENT,
             "build_codes_s": build_codes_s,
             "build_index_s": build_index_s,
             "brute": {"runs": brute, "median": statistics.median(brute)},
@@ -168,6 +171,7 @@ def main() -> None:
         "k_sub": K_SUB,
         "expand": EXPAND,
         "nprobe": NPROBE,
+        "k_cent": K_CENT,
         "sizes": results,
     }
     with open(

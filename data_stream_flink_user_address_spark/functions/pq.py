@@ -445,6 +445,50 @@ def ivfpq_topk(
     )
 
 
+def build_ivfpq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """The persistable IVF-PQ index: ``(vec_id, cid, codes)``.
+
+    One coarse assignment (corpus x broadcast(centroids) argmax cosine)
+    plus one PQ encode (broadcast codebook join, map-side-combined
+    argmin), joined on the narrow vec_id key -- O(n * (k_cent + m *
+    k_sub)) work, LINEAR in corpus size when both frames are bounded
+    (pass :func:`similarity.train_ivf_centroids` output built with its
+    ``k_cent`` cap; an uncapped stride sample grows the centroid set
+    with n and turns the build quadratic).  The result comes back
+    pre-clustered (``repartition("cid")``) so a
+    ``.write.partitionBy("cid").parquet(path)`` emits one file per
+    (task, cid) instead of tasks x k_cent small files, and a probe
+    prunes whole cid partitions.  Persist ``centroids`` + ``codebooks``
+    BESIDE the index:
+    :func:`ivfpq_topk` must probe with the same centroids the index was
+    assigned with and decode with the same codebooks the codes were
+    encoded with.
+    """
+    from .similarity import assign_to_centroids
+
+    assigned = assign_to_centroids(
+        corpus,
+        centroids.select("cid", "centroid"),
+        corpus_id,
+        corpus_vec,
+        dim,
+    ).withColumnRenamed("cluster_id", "cid")
+    codes = pq_encode(corpus, codebooks, m, dim, corpus_id, corpus_vec)
+    return (
+        assigned.join(codes, "vec_id")
+        .select("vec_id", "cid", "codes")
+        .repartition("cid")
+    )
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     iters: int = 1,

@@ -200,6 +200,8 @@ def train_ivf_centroids(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     round_digits: int = 6,
+    k_cent: int | None = None,
+    train_limit: int | None = None,
 ) -> DataFrame:
     """Lloyd-refined IVF coarse centroids as pure DataFrame aggregations:
     ``(cid, centroid: array<double>)``.
@@ -225,6 +227,22 @@ def train_ivf_centroids(
     centroid set at ~16 MB.  Cosine (not Euclidean) assignment matches
     the search-time metric -- spherical k-means, the right variant for
     normalized-embedding retrieval.
+
+    ``k_cent`` caps the centroid COUNT (init filter additionally takes
+    ``vec_id < stride * k_cent``).  Without the cap the stride sample
+    grows as n/stride, so each assign round -- and any index build on
+    the result -- costs O(n^2/stride); with a fixed cap both are O(n *
+    k_cent), the linear build an IVF index needs at 10^9 vectors (size
+    the cap ~ sqrt(n) for the usual recall/scan trade).
+
+    ``train_limit`` bounds the TRAINING SAMPLE: Lloyd rounds assign and
+    average only rows with ``vec_id < train_limit`` (a deterministic,
+    SQL-replicable prefix sample), the standard FAISS practice of
+    training the quantizer on ~1e2 points per centroid.  This makes
+    training O(train_limit * k_cent) -- constant in corpus size -- so
+    an index build pays exactly ONE full-corpus assignment pass.  With
+    hash-generated or shuffled ids the prefix is an unbiased sample;
+    for id-ordered corpora shuffle ids first or raise the limit.
     """
     # zero-norm guard (same contract as semantic_dedup / quantized_topk):
     # a zero vector or a collapsed zero centroid gets cosine 0, never an
@@ -232,15 +250,23 @@ def train_ivf_centroids(
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv")
     ).withColumn("__cn", F.greatest(_norm(F.col("__cv")), F.lit(1e-300)))
-    cent = c.filter(F.pmod(F.col("vec_id"), F.lit(centroid_stride)) == 0).select(
+    seed_filter = F.pmod(F.col("vec_id"), F.lit(centroid_stride)) == 0
+    if k_cent is not None:
+        seed_filter = seed_filter & (F.col("vec_id") < centroid_stride * k_cent)
+    cent = c.filter(seed_filter).select(
         F.col("vec_id").alias("cid"),
         F.transform(F.col("__cv"), lambda x: x.cast("double")).alias("centroid"),
+    )
+    train_corpus = (
+        corpus.filter(F.col(corpus_id) < train_limit)
+        if train_limit is not None
+        else corpus
     )
     for _ in range(iters):
         # the shared kernel re-derives the corpus frame per round, which
         # is plan-identical to reusing `c` (everything here is lazy)
         assigned = assign_to_centroids(
-            corpus, cent, corpus_id, corpus_vec, dim, keep_vec=True
+            train_corpus, cent, corpus_id, corpus_vec, dim, keep_vec=True
         ).withColumnRenamed("cluster_id", "cid")
         cent = (
             assigned.groupBy("cid")

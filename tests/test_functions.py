@@ -316,6 +316,40 @@ def test_train_ivf_centroids_recovers_cluster_means(spark):
     assert sorted(map(tuple, trained.collect())) == sorted(map(tuple, exact.collect()))
 
 
+def test_train_ivf_centroids_caps_seeds_and_training_sample(spark):
+    """k_cent bounds the centroid count; train_limit makes Lloyd rounds
+    see only the deterministic vec_id prefix -- training on the full
+    corpus vs on a prefix that covers it must agree, and a binding
+    limit must equal training on the filtered corpus directly (the
+    linear-build contract of build_ivfpq_index)."""
+    from data_stream_flink_user_address_spark.functions.similarity import (
+        train_ivf_centroids,
+    )
+
+    rows = [
+        (i, [float(i % 7) / 7.0, 1.0 - (i % 5) / 5.0, 0.3, float(i % 3)])
+        for i in range(40)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    capped = train_ivf_centroids(e, iters=1, centroid_stride=5, dim=4, k_cent=3)
+    assert {r["cid"] for r in capped.select("cid").collect()} <= {0, 5, 10}
+
+    full = train_ivf_centroids(e, iters=1, centroid_stride=5, dim=4, k_cent=3)
+    covering = train_ivf_centroids(
+        e, iters=1, centroid_stride=5, dim=4, k_cent=3, train_limit=1000
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, covering.collect()))
+
+    binding = train_ivf_centroids(
+        e, iters=1, centroid_stride=5, dim=4, k_cent=3, train_limit=20
+    )
+    direct = train_ivf_centroids(
+        e.filter(F.col("vec_id") < 20), iters=1, centroid_stride=5, dim=4, k_cent=3
+    )
+    assert sorted(map(tuple, binding.collect())) == sorted(map(tuple, direct.collect()))
+
+
 def test_substring_dup_spans_marks_and_merges(spark):
     """Cross-doc repeat, within-doc repeat with adjacent-cover merge,
     and a unique doc producing no row."""

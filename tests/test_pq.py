@@ -255,6 +255,62 @@ def test_persisted_codes_scan_reads_no_float_column(spark, tmp_path):
         )
 
 
+def test_driver_ivfpq_query_scans_only_the_persisted_index(spark):
+    """The shipped similarity_ivfpq_topk config (persisted
+    build_ivfpq_index output + trained capped centroids): the ADC stage
+    must scan the index parquet's 8-byte code rows, never the float
+    corpus -- the plan shape the VERDICT r10 'persisted index as the
+    query's default' ask requires."""
+    import io
+    import contextlib
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["similarity_ivfpq_topk"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    scans = [b for b in plan.split("\n\n") if "Scan parquet" in b]
+    idx_scans = [b for b in scans if "spark_graft_ann_cache" in b and "/index" in b]
+    assert idx_scans, plan
+    for b in idx_scans:
+        schema_line = b.split("ReadSchema:", 1)[1].splitlines()[0]
+        assert "codes" in schema_line, schema_line
+        assert "embedding" not in schema_line, (
+            "ADC stage must not read the float column: " + schema_line
+        )
+
+
+def test_build_ivfpq_index_matches_inline_derivation(spark, tmp_path):
+    """build_ivfpq_index persisted + read back must give ivfpq_topk the
+    same results as the on-the-fly derivation with the same centroids
+    and codebooks."""
+    from data_stream_flink_user_address_spark.functions.pq import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+    from data_stream_flink_user_address_spark.functions.similarity import (
+        train_ivf_centroids,
+    )
+
+    e = _emb(spark)
+    q = _queries(spark)
+    cent = train_ivf_centroids(e, iters=1, centroid_stride=31, k_cent=16)
+    cb = pq_codebooks(e, m=8, k_sub=16, stride=31)
+    idx_path = str(tmp_path / "idx")
+    build_ivfpq_index(e, cent, cb).write.partitionBy("cid").parquet(idx_path)
+    idx = spark.read.parquet(idx_path).withColumn(
+        "cid", F.col("cid").cast("long")
+    )
+
+    inline = ivfpq_topk(e, q, k=5, expand=8, centroids=cent, codebooks=cb)
+    persisted = ivfpq_topk(
+        e, q, k=5, expand=8, corpus_index=idx, codebooks=cb, centroids=cent
+    )
+    assert sorted(map(tuple, inline.collect())) == \
+        sorted(map(tuple, persisted.collect()))
+
+
 def test_streaming_embedding_near_dup_gates_against_corpus(spark, tmp_path):
     """Incoming near-copies of corpus vectors are dropped; novel vectors
     are admitted -- across micro-batches, via the persisted PQ index."""
