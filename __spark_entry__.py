@@ -33,6 +33,9 @@ same 15-hex-digit -> bigint construction on both sides.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -72,6 +75,7 @@ from data_stream_flink_user_address_spark.functions.pq import (
     build_ivfpq_index,
     ivfpq_topk,
     pq_codebooks,
+    pq_encode,
     pq_topk,
     train_pq_codebooks,
 )
@@ -152,8 +156,10 @@ _IVF_KCENT = 64
 # assignment CTE.
 _IVF_TRAIN_LIMIT = 100 * _IVF_KCENT
 # bump to invalidate the persisted ANN index cache when any
-# index-affecting semantics change
-_ANN_INDEX_VERSION = "r11b"
+# index-affecting SEMANTICS change (the config constants themselves are
+# folded into the cache key directly, so plain knob edits invalidate
+# without remembering to bump this)
+_ANN_INDEX_VERSION = "r12a"
 # Stop-shingle pruning for the declared ngram-Jaccard query: shingles in
 # more than this many docs are dropped from CANDIDATE GENERATION (the
 # per-shingle self-join is bounded at <= vocab * cap^2 rows -- the knob
@@ -1736,19 +1742,74 @@ def _q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     float rescore.  Ships TRAINED codebooks (one Lloyd round over the
     stride seeds, functions/pq.py:train_pq_codebooks) -- measured
     recall@5 lift 0.70 -> 0.80-0.90 over the raw seeds
-    (TOPK_RECALL.json).  Fixed-point BIGINT ranking makes the candidate
-    set engine-independent; the oracle replicates the full pipeline
-    (codebook seeding -> argmin encode -> per-cell mean retrain ->
-    re-densify -> re-encode -> ADC -> rescore), so the trained-PQ
-    semantics themselves are the checked contract."""
-    e = _embs(spark, sf_dir)
-    cb = train_pq_codebooks(
-        e, iters=1, m=_PQ_M, k_sub=_PQ_KSUB, stride=_PQ_STRIDE, dim=_EMB_DIM
-    )
+    (TOPK_RECALL.json) -- as a PERSISTED artifact (_pq_artifacts):
+    training and corpus encoding run once per (corpus, config) and the
+    query reads codebooks + 8-byte code rows back from parquet, so the
+    ADC scan never touches the float corpus and no training stage sits
+    in the query path (the r11 perf weak).  Fixed-point BIGINT ranking
+    makes the candidate set engine-independent; the oracle replicates
+    the full pipeline (codebook seeding -> argmin encode -> per-cell
+    mean retrain -> re-densify -> re-encode -> ADC -> rescore), so the
+    trained-PQ semantics themselves are the checked contract."""
+    tcb, tcodes = _pq_artifacts(spark, sf_dir)
     return pq_topk(
-        e, _queries_frame(spark, sf_dir),
-        k=10, expand=_PQ_EXPAND, m=_PQ_M, dim=_EMB_DIM, codebooks=cb,
+        _embs(spark, sf_dir), _queries_frame(spark, sf_dir),
+        k=10, expand=_PQ_EXPAND, m=_PQ_M, dim=_EMB_DIM,
+        codebooks=tcb, corpus_codes=tcodes,
     )
+
+
+def _ann_cache_root(sf_dir: str) -> str:
+    """Cache root for persisted ANN artifacts, keyed on the corpus
+    file's (path, size, mtime), EVERY index-affecting config constant,
+    and _ANN_INDEX_VERSION.  Folding the knobs into the key directly
+    (r11 ADVICE) means editing _IVF_KCENT / _PQ_M / ... invalidates the
+    cache by construction; the version bump is belt-and-suspenders for
+    semantic changes the knobs don't capture."""
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    cfg = "|".join(
+        str(v)
+        for v in (
+            _IVF_KCENT, _IVF_TRAIN_LIMIT, _IVF_STRIDE, _IVF_TRAIN_ITERS,
+            _IVF_NPROBE, _PQ_M, _PQ_KSUB, _PQ_STRIDE, _EMB_DIM,
+        )
+    )
+    key = hashlib.md5(
+        f"{_ANN_INDEX_VERSION}|{cfg}|{os.path.abspath(sf_dir)}|"
+        f"{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_ann_cache", key)
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def _pq_artifacts(spark: SparkSession, sf_dir: str):
+    """Persisted TRAINED-PQ artifacts for similarity_pq_topk: the
+    Lloyd-trained codebooks (train_pq_codebooks, 1 round) and the
+    corpus encoded against them (pq_encode) -- train once per (corpus,
+    config), search many.  Reading both back from parquet removes the
+    two full-corpus training passes + re-encode from the query path
+    (the r11 perf weak: 4.09 -> 7.64 s in-query) and lets the ADC stage
+    scan ONLY the 8-byte code rows, never the float corpus.  Doubles
+    round-trip parquet exactly, so the persisted codebooks score
+    identically to the live frame and oracle parity is unchanged."""
+    root = _ann_cache_root(sf_dir)
+    done = os.path.join(root, "_PQ_DONE")
+    tcb_p = os.path.join(root, "trained_codebooks")
+    tcodes_p = os.path.join(root, "pq_codes")
+    if not os.path.exists(done):
+        e = _embs(spark, sf_dir)
+        train_pq_codebooks(
+            e, iters=1, m=_PQ_M, k_sub=_PQ_KSUB, stride=_PQ_STRIDE, dim=_EMB_DIM
+        ).write.mode("overwrite").parquet(tcb_p)
+        # encode from the PERSISTED codebooks so codes provably match
+        # what the ADC LUT reads at query time
+        pq_encode(
+            e, spark.read.parquet(tcb_p), m=_PQ_M, dim=_EMB_DIM
+        ).write.mode("overwrite").parquet(tcodes_p)
+        with open(done, "w") as f:
+            f.write(os.path.basename(root))
+    return spark.read.parquet(tcb_p), spark.read.parquet(tcodes_p)
 
 
 def _ivfpq_artifacts(spark: SparkSession, sf_dir: str):
@@ -1759,19 +1820,11 @@ def _ivfpq_artifacts(spark: SparkSession, sf_dir: str):
     CAPPED seed set (k_cent=_IVF_KCENT), which is what makes the build
     linear: O(n * k_cent) assignment instead of the uncapped stride
     sample's O(n^2/31).  The cache key folds in the corpus file's
-    (size, mtime) and _ANN_INDEX_VERSION so a testdata regeneration or
+    (size, mtime), every index-affecting config constant, and
+    _ANN_INDEX_VERSION so a testdata regeneration, knob edit, or
     semantic change rebuilds instead of serving a stale index."""
-    import hashlib
-    import os
-    import tempfile
-
-    emb_file = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(emb_file)
-    key = hashlib.md5(
-        f"{_ANN_INDEX_VERSION}|{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
-    ).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_ann_cache", key)
-    done = os.path.join(root, "_DONE")
+    root = _ann_cache_root(sf_dir)
+    done = os.path.join(root, "_IVFPQ_DONE")
     cent_p, cb_p, idx_p = (os.path.join(root, d) for d in ("centroids", "codebooks", "index"))
     if not os.path.exists(done):
         e = _embs(spark, sf_dir)
@@ -1789,7 +1842,7 @@ def _ivfpq_artifacts(spark: SparkSession, sf_dir: str):
             m=_PQ_M, dim=_EMB_DIM,
         ).write.mode("overwrite").partitionBy("cid").parquet(idx_p)
         with open(done, "w") as f:
-            f.write(key)
+            f.write(os.path.basename(root))
     cent = spark.read.parquet(cent_p)
     cb = spark.read.parquet(cb_p)
     # cid comes back as a partition-directory column (int); restore the
@@ -2005,9 +2058,14 @@ def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver check window (first 50, verified in declaration order).
-    # r11 rotation: the 38 relational/TPC-H/SQL-surface queries (stale
-    # since r08) rotate IN; the 36 LLM queries green in r09/r10 rotate
-    # out.  r10's window ∪ this window = every registered query.
+    # r12 rotation (VERDICT r11 ask #4): the 36 LLM queries green in
+    # r10 rotate back IN (2 rounds stale otherwise), joined by the two
+    # PQ queries whose config changed this round (persisted trained
+    # codebooks; order-independent capped seeds), paragraph_dedup +
+    # curation_pipeline, and the 3 relational queries r11's window did
+    # not carry (q12/session/asof, green r10).  Everything rotating out
+    # (38 relational + embedding_quantize) is green in r11, so r11's
+    # window ∪ this window = every registered query.
     # reference parity (7, always in-window)
     "user_address_counts": _q_user_address_counts,
     "count_by_state": _q_count_by_state,
@@ -2016,7 +2074,54 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_value_sum": _q_windowed_value_sum,
     "stateful_join_trace": _q_stateful_join_trace,
     "windowed_trace_inflation": _q_windowed_trace_inflation,
-    # relational / TPC-H / SQL surface (38, last driver-green r08)
+    # changed-this-round + flagship LLM slots (4)
+    "similarity_pq_topk": _q_similarity_pq_topk,
+    "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
+    "paragraph_dedup": _q_paragraph_dedup,
+    "curation_pipeline": _q_curation_pipeline,
+    # LLM-pipeline set (36, last driver-green r10)
+    "gopher_quality": _q_gopher_quality,
+    "sequence_pack": _q_sequence_pack,
+    "chunk_manifest": _q_chunk_manifest,
+    "cluster_balanced_sample": _q_cluster_balanced_sample,
+    "substring_dup_spans": _q_substring_dup_spans,
+    "similarity_ivf_trained": _q_similarity_ivf_trained,
+    "semantic_dedup": _q_semantic_dedup,
+    "similarity_quantized_topk": _q_similarity_quantized_topk,
+    "bm25_search": _q_bm25_search,
+    "dataset_split": _q_dataset_split,
+    "text_stats": _q_text_stats,
+    "corpus_report": _q_corpus_report,
+    "bpe_pair_counts": _q_bpe_pair_counts,
+    "lang_id_pred": _q_lang_id_pred,
+    "quality_scores": _q_quality_scores,
+    "bpe_token_counts": _q_bpe_token_counts,
+    "winnow_fingerprints": _q_winnow_fingerprints,
+    "corpus_curation": _q_corpus_curation,
+    "dedup_exact": _q_dedup_exact,
+    "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+    "dedup_clusters": _q_dedup_clusters,
+    "fuzzy_dedup_keep": _q_fuzzy_dedup_keep,
+    "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+    "simhash_docs": _q_simhash_docs,
+    "simhash_pairs": _q_simhash_pairs,
+    "embedding_near_dup": _q_embedding_near_dup,
+    "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+    "similarity_topk": _q_similarity_topk,
+    "similarity_lsh_topk": _q_similarity_lsh_topk,
+    "similarity_ivf_topk": _q_similarity_ivf_topk,
+    "multimodal_meta": _q_multimodal_meta,
+    "pii_redact": _q_pii_redact,
+    "repetition_stats": _q_repetition_stats,
+    "contamination_check": _q_contamination_check,
+    "mixture_sample": _q_mixture_sample,
+    "unigram_quality": _q_unigram_quality,
+    # relational queries r11's window did not carry (3, green r10)
+    "q12_late_shipments": _q_q12_late_shipments,
+    "session_window_stats": _q_session_window_stats,
+    "asof_purchase_view": _q_asof_purchase_view,
+    # --- below the 50-row window: all driver-green r11 ---
+    "embedding_quantize": _q_embedding_quantize,
     "q1_pricing_summary": _q_q1_pricing_summary,
     "q2_min_cost_supplier": _q_q2_min_cost_supplier,
     "q3_shipping_priority": _q_q3_shipping_priority,
@@ -2055,55 +2160,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_function_showcase": _q_scalar_function_showcase,
     "grouping_sets_revenue": _q_grouping_sets_revenue,
     "scd2_customer_segments": _q_scd2_customer_segments,
-    # LLM-pipeline slots (5): paragraph_dedup is NEW this round; the PQ
-    # pair carries the r11 trained-codebook/persisted-index configs;
-    # embedding_quantize re-confirms r9's red→green; curation_pipeline
-    # is the composed flagship.
-    "paragraph_dedup": _q_paragraph_dedup,
-    "similarity_pq_topk": _q_similarity_pq_topk,
-    "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
-    "embedding_quantize": _q_embedding_quantize,
-    "curation_pipeline": _q_curation_pipeline,
-    # --- below the 50-row window: all driver-green r09/r10 ---
-    "q12_late_shipments": _q_q12_late_shipments,
-    "session_window_stats": _q_session_window_stats,
-    "asof_purchase_view": _q_asof_purchase_view,
-    "gopher_quality": _q_gopher_quality,
-    "sequence_pack": _q_sequence_pack,
-    "chunk_manifest": _q_chunk_manifest,
-    "cluster_balanced_sample": _q_cluster_balanced_sample,
-    "substring_dup_spans": _q_substring_dup_spans,
-    "similarity_ivf_trained": _q_similarity_ivf_trained,
-    "semantic_dedup": _q_semantic_dedup,
-    "similarity_quantized_topk": _q_similarity_quantized_topk,
-    "bm25_search": _q_bm25_search,
-    "dataset_split": _q_dataset_split,
-    "text_stats": _q_text_stats,
-    "corpus_report": _q_corpus_report,
-    "bpe_pair_counts": _q_bpe_pair_counts,
-    "lang_id_pred": _q_lang_id_pred,
-    "quality_scores": _q_quality_scores,
-    "bpe_token_counts": _q_bpe_token_counts,
-    "winnow_fingerprints": _q_winnow_fingerprints,
-    "corpus_curation": _q_corpus_curation,
-    "dedup_exact": _q_dedup_exact,
-    "minhash_lsh_pairs": _q_minhash_lsh_pairs,
-    "dedup_clusters": _q_dedup_clusters,
-    "fuzzy_dedup_keep": _q_fuzzy_dedup_keep,
-    "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-    "simhash_docs": _q_simhash_docs,
-    "simhash_pairs": _q_simhash_pairs,
-    "embedding_near_dup": _q_embedding_near_dup,
-    "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-    "similarity_topk": _q_similarity_topk,
-    "similarity_lsh_topk": _q_similarity_lsh_topk,
-    "similarity_ivf_topk": _q_similarity_ivf_topk,
-    "multimodal_meta": _q_multimodal_meta,
-    "pii_redact": _q_pii_redact,
-    "repetition_stats": _q_repetition_stats,
-    "contamination_check": _q_contamination_check,
-    "mixture_sample": _q_mixture_sample,
-    "unigram_quality": _q_unigram_quality,
 }
 
 
@@ -3537,15 +3593,17 @@ ORACLE_SQL: dict[str, str] = {
         ) WHERE rank <= 10
     """,
     # IVF-PQ, production layout: Lloyd-trained CAPPED coarse centroids
-    # (seed = vec_id % 31 = 0 AND vec_id < 31*_IVF_KCENT, one round of
-    # per-dim means rounded to 6 -- the linear-build configuration the
-    # engine persists via build_ivfpq_index), then probe + PQ encode +
-    # integer-ADC + exact rescore as similarity_pq_topk
+    # (seed = FIRST _IVF_KCENT stride-matching vec_ids ascending --
+    # order-independent, holds for sparse/negative id spaces; one round
+    # of per-dim means rounded to 6 -- the linear-build configuration
+    # the engine persists via build_ivfpq_index), then probe + PQ
+    # encode + integer-ADC + exact rescore as similarity_pq_topk
     "similarity_ivfpq_topk": f"""
         WITH cent0 AS (
           SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
           FROM embeddings
-          WHERE vec_id % {_IVF_STRIDE} = 0 AND vec_id < {_IVF_STRIDE * _IVF_KCENT}
+          WHERE vec_id % {_IVF_STRIDE} = 0
+          ORDER BY vec_id ASC LIMIT {_IVF_KCENT}
         ),
         a0 AS (
           SELECT vec_id, cid FROM (

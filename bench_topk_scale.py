@@ -126,7 +126,13 @@ def main() -> None:
         ).write.mode("overwrite").parquet(cent_path)
         cent = spark.read.parquet(cent_path)
         (
-            build_ivfpq_index(emb, cent, cb, M, DIM)
+            # reuse the codes table persisted above (same codebooks):
+            # the index build pays assignment + join only, not a second
+            # full-corpus encode
+            build_ivfpq_index(
+                emb, cent, cb, M, DIM,
+                corpus_codes=spark.read.parquet(codes_path),
+            )
             .write.mode("overwrite")
             .partitionBy("cid")
             .parquet(index_path)

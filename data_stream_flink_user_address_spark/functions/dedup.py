@@ -1014,8 +1014,30 @@ def streaming_embedding_near_dup(
     its own partition and leaves every other epoch untouched.  Readers
     of ``out_path`` see the extra ``__epoch`` column.
 
+    LAYOUT BREAK (since the replay-idempotency fix): earlier versions
+    appended flat ``part-*`` files at the root of ``out_path``; the
+    sink is now ``__epoch=N/`` partitioned.  A directory mixing both
+    layouts cannot be read consistently by ``spark.read.parquet``, so
+    resuming over a flat-layout ``out_path`` FAILS FAST with
+    ``ValueError`` instead of corrupting it -- migrate by rewriting the
+    old files under a synthetic partition (e.g. ``__epoch=-1``) or
+    point the stream at a fresh directory.
+
     Returns the started ``StreamingQuery``.
     """
+    import os as _os
+
+    if _os.path.isdir(out_path):
+        entries = _os.listdir(out_path)
+        flat_parts = [e for e in entries if e.startswith("part-")]
+        if flat_parts and not any(e.startswith("__epoch=") for e in entries):
+            raise ValueError(
+                f"out_path {out_path!r} holds flat-append part files from a "
+                "pre-__epoch sink layout; mixing them with __epoch=N/ "
+                "partitions is unreadable. Rewrite them under __epoch=-1/ "
+                "(spark.read.parquet(out_path).withColumn('__epoch', "
+                "lit(-1))...partitionBy('__epoch')) or use a new out_path."
+            )
 
     def fb(batch_df: DataFrame, epoch_id: int) -> None:
         _near_dup_gate_batch(

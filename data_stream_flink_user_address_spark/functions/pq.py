@@ -453,6 +453,7 @@ def build_ivfpq_index(
     dim: int = 64,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    corpus_codes: DataFrame | None = None,
 ) -> DataFrame:
     """The persistable IVF-PQ index: ``(vec_id, cid, codes)``.
 
@@ -481,7 +482,15 @@ def build_ivfpq_index(
         corpus_vec,
         dim,
     ).withColumnRenamed("cluster_id", "cid")
-    codes = pq_encode(corpus, codebooks, m, dim, corpus_id, corpus_vec)
+    # ``corpus_codes``: a persisted :func:`pq_encode` table (encoded with
+    # the SAME ``codebooks``) skips the second full-corpus encode pass --
+    # standing up codes + index costs one encode, not two (measured
+    # -146 s of the 1e6-vector build, TOPK_SCALE.json)
+    codes = (
+        corpus_codes.select("vec_id", "codes")
+        if corpus_codes is not None
+        else pq_encode(corpus, codebooks, m, dim, corpus_id, corpus_vec)
+    )
     return (
         assigned.join(codes, "vec_id")
         .select("vec_id", "cid", "codes")

@@ -228,8 +228,10 @@ def train_ivf_centroids(
     the search-time metric -- spherical k-means, the right variant for
     normalized-embedding retrieval.
 
-    ``k_cent`` caps the centroid COUNT (init filter additionally takes
-    ``vec_id < stride * k_cent``).  Without the cap the stride sample
+    ``k_cent`` caps the centroid COUNT: init takes the FIRST ``k_cent``
+    stride-matching rows by ``vec_id`` ascending (a distributed
+    top-k, exact for any id space -- sparse, hashed, or negative ids
+    included).  Without the cap the stride sample
     grows as n/stride, so each assign round -- and any index build on
     the result -- costs O(n^2/stride); with a fixed cap both are O(n *
     k_cent), the linear build an IVF index needs at 10^9 vectors (size
@@ -250,10 +252,17 @@ def train_ivf_centroids(
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv")
     ).withColumn("__cn", F.greatest(_norm(F.col("__cv")), F.lit(1e-300)))
-    seed_filter = F.pmod(F.col("vec_id"), F.lit(centroid_stride)) == 0
+    seeds = c.filter(F.pmod(F.col("vec_id"), F.lit(centroid_stride)) == 0)
     if k_cent is not None:
-        seed_filter = seed_filter & (F.col("vec_id") < centroid_stride * k_cent)
-    cent = c.filter(seed_filter).select(
+        # FIRST k_cent stride-matching ids, order-independently: an
+        # orderBy+limit plans as TakeOrderedAndProject (per-partition
+        # partial top-k, one k_cent-row merge), so the cap holds for
+        # sparse/hashed and negative id spaces alike -- the previous
+        # `vec_id < stride*k_cent` prefix cutoff under-seeded sparse id
+        # spaces and let negative stride multiples through uncapped
+        # (r11 ADVICE).
+        seeds = seeds.orderBy(F.col("vec_id").asc()).limit(k_cent)
+    cent = seeds.select(
         F.col("vec_id").alias("cid"),
         F.transform(F.col("__cv"), lambda x: x.cast("double")).alias("centroid"),
     )

@@ -157,10 +157,21 @@ class ReferencePipeline:
                 # every stored row as a prior-epoch total so a mode
                 # switch on an existing out_dir keeps accumulating
                 cur = cur.withColumn("__epoch", F.lit(-1).cast("long"))
+            else:
+                # rows merged THROUGH the sink from a legacy table carry
+                # NULL here (KeyedUpsertSink.apply's allowMissingColumns
+                # union); NULL would also null the this_attempt
+                # predicate and ~NULL drops the row -- coalesce to the
+                # same prior-epoch sentinel instead
+                cur = cur.withColumn(
+                    "__epoch", F.coalesce(F.col("__epoch"), F.lit(-1).cast("long"))
+                )
             if "__run" not in cur.columns:
                 # pre-namespace table: '' never equals a minted run id,
                 # so legacy rows always read as prior totals
                 cur = cur.withColumn("__run", F.lit(""))
+            else:
+                cur = cur.withColumn("__run", F.coalesce(F.col("__run"), F.lit("")))
             touched = cur.join(inc.select(dim).distinct(), dim, "left_semi")
             this_attempt = (F.col("__epoch") == F.lit(epoch_id)) & (
                 F.col("__run") == F.lit(self._run_id)

@@ -122,8 +122,15 @@ class KeyedUpsertSink:
                 current.filter(F.col("__bucket").isin(touched))
                 .join(incoming.select(self.key), on=self.key, how="left_anti")
             )
-            # new batch wins on key collision (MongoSink $set upsert)
-            merged = incoming.unionByName(survivors, allowMissingColumns=False)
+            # new batch wins on key collision (MongoSink $set upsert).
+            # allowMissingColumns: a stored table written under an older
+            # schema (e.g. pre-__run/__epoch pipeline layouts) may lack
+            # columns the incoming batch now carries -- survivors get
+            # NULL there instead of failing the first post-upgrade batch
+            # with AnalysisException; writers that compare such columns
+            # must treat NULL as "legacy row" (see
+            # plans/pipeline.py:_merge_window_counts).
+            merged = incoming.unionByName(survivors, allowMissingColumns=True)
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -412,7 +419,11 @@ class TransactionalKeyedUpsertSink:
                     .join(incoming.select(self.key), on=self.key, how="left_anti")
                     .withColumn("__bucket", self._bucket())
                 )
-                merged = incoming.unionByName(survivors)
+                # allowMissingColumns: same legacy-schema tolerance as
+                # KeyedUpsertSink.apply -- survivors from a table
+                # persisted under an older column set read as NULL in
+                # the new columns rather than failing the union
+                merged = incoming.unionByName(survivors, allowMissingColumns=True)
             else:
                 merged = incoming
             new_files = self._write_data(merged, touched)

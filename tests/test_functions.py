@@ -349,6 +349,20 @@ def test_train_ivf_centroids_caps_seeds_and_training_sample(spark):
     )
     assert sorted(map(tuple, binding.collect())) == sorted(map(tuple, direct.collect()))
 
+    # sparse/negative id spaces (r11 ADVICE): the cap must hold as a
+    # true count bound -- first k_cent stride-matching ids ascending --
+    # not a `vec_id < stride*k_cent` prefix cutoff, which under-seeded
+    # sparse ids and let negative stride multiples through uncapped
+    sparse = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.3, 2.0]) for i in
+         (-10, -5, 0, 1000, 1005, 1010, 2000, 2005, 3001)],
+        "vec_id long, embedding array<float>",
+    )
+    seeded = train_ivf_centroids(
+        sparse, iters=0, centroid_stride=5, dim=4, k_cent=3
+    )
+    assert {r["cid"] for r in seeded.collect()} == {-10, -5, 0}
+
 
 def test_substring_dup_spans_marks_and_merges(spark):
     """Cross-doc repeat, within-doc repeat with adjacent-cover merge,

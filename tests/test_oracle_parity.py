@@ -68,46 +68,49 @@ def test_query_parity(spark, con, name):
     assert not problems, "\n".join(problems)
 
 
-def test_driver_window_covers_r11_rotation():
+def test_driver_window_covers_r12_rotation():
     """The external driver verifies only the FIRST 50 entries of
-    queries() in declaration order.  r11 rotation (VERDICT r10 ask #1):
-    the 7 parity queries stay pinned, the 38 relational/TPC-H/SQL-surface
-    queries (stale since r08) rotate IN, and 5 LLM slots carry the
-    queries that changed this round.  Everything rotated OUT was
-    driver-green in r09/r10, so r10's window union this one covers every
-    registered query."""
+    queries() in declaration order.  r12 rotation (VERDICT r11 ask #4):
+    the 7 parity queries stay pinned, the 36 LLM queries last green in
+    r10 rotate back IN, the two PQ queries whose config changed this
+    round (persisted trained codebooks; order-independent capped seeds)
+    plus paragraph_dedup/curation_pipeline hold the changed/flagship
+    slots, and q12/session/asof cover the 3 relational queries r11's
+    window did not carry.  Everything rotated OUT (38 relational +
+    embedding_quantize) was driver-green in r11, so r11's window union
+    this one covers every registered query."""
     window = list(entrymod.queries())[:50]
     parity = {
         "user_address_counts", "count_by_state", "count_by_country",
         "windowed_count_by_type", "windowed_value_sum",
         "stateful_join_trace", "windowed_trace_inflation",
     }
-    relational = {
-        "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-        "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-        "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation_year",
-        "q10_returned_items", "q11_important_part_values",
-        "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-        "q16_parts_supplier_counts", "q17_small_quantity_revenue",
-        "q18_large_volume_customers", "q19_discounted_revenue",
-        "q20_promo_heavy_suppliers", "q21_sole_blame_supplier",
-        "q22_global_sales_opportunity", "value_percentiles",
-        "interval_view_purchase", "pivot_priority_status",
-        "window_function_showcase", "top_parts_per_brand",
-        "customers_without_orders", "high_discount_orders", "rollup_returns",
-        "events_json_extract", "events_distinct_users", "cube_order_stats",
-        "running_customer_revenue", "set_ops_customers",
-        "orders_above_customer_avg", "scalar_function_showcase",
-        "grouping_sets_revenue", "scd2_customer_segments",
-    }
     llm_slots = {
-        "paragraph_dedup", "similarity_pq_topk", "similarity_ivfpq_topk",
-        "embedding_quantize", "curation_pipeline",
+        "similarity_pq_topk", "similarity_ivfpq_topk",
+        "paragraph_dedup", "curation_pipeline",
     }
-    missing = (parity | relational | llm_slots) - set(window)
+    llm_set = {
+        "gopher_quality", "sequence_pack", "chunk_manifest",
+        "cluster_balanced_sample", "substring_dup_spans",
+        "similarity_ivf_trained", "semantic_dedup",
+        "similarity_quantized_topk", "bm25_search", "dataset_split",
+        "text_stats", "corpus_report", "bpe_pair_counts", "lang_id_pred",
+        "quality_scores", "bpe_token_counts", "winnow_fingerprints",
+        "corpus_curation", "dedup_exact", "minhash_lsh_pairs",
+        "dedup_clusters", "fuzzy_dedup_keep", "ngram_jaccard_pairs",
+        "simhash_docs", "simhash_pairs", "embedding_near_dup",
+        "embedding_near_dup_lsh", "similarity_topk", "similarity_lsh_topk",
+        "similarity_ivf_topk", "multimodal_meta", "pii_redact",
+        "repetition_stats", "contamination_check", "mixture_sample",
+        "unigram_quality",
+    }
+    relational_gap = {
+        "q12_late_shipments", "session_window_stats", "asof_purchase_view",
+    }
+    missing = (parity | llm_slots | llm_set | relational_gap) - set(window)
     assert not missing, f"evicted from the driver's 50-query window: {missing}"
     assert len(window) == 50
-    assert set(window) == parity | relational | llm_slots
+    assert set(window) == parity | llm_slots | llm_set | relational_gap
 
 
 def test_round_half_away_matches_oracle_round():

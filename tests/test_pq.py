@@ -255,6 +255,45 @@ def test_persisted_codes_scan_reads_no_float_column(spark, tmp_path):
         )
 
 
+def test_driver_pq_query_has_no_training_stage_and_scans_persisted_codes(spark):
+    """The shipped similarity_pq_topk config (r11 perf weak closed):
+    trained codebooks + encoded codes come from the persisted
+    _pq_artifacts cache, so the query plan must contain (a) NO
+    posexplode -- the train_pq_codebooks subvector explode, the
+    training-stage marker -- and (b) an ADC scan over the cache's
+    pq_codes parquet reading only the 8-byte code rows, never the
+    float column."""
+    import io
+    import contextlib
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["similarity_pq_topk"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "posexplode" not in plan, (
+        "training stage (train_pq_codebooks posexplode) found in the "
+        "query plan -- codebooks must come from the persisted artifact"
+    )
+    scans = [b for b in plan.split("\n\n") if "Scan parquet" in b]
+    code_scans = [
+        b for b in scans if "spark_graft_ann_cache" in b and "pq_codes" in b
+    ]
+    assert code_scans, plan
+    for b in code_scans:
+        schema_line = b.split("ReadSchema:", 1)[1].splitlines()[0]
+        assert "codes" in schema_line, schema_line
+        assert "embedding" not in schema_line, (
+            "ADC stage must not read the float column: " + schema_line
+        )
+    cb_scans = [
+        b for b in scans
+        if "spark_graft_ann_cache" in b and "trained_codebooks" in b
+    ]
+    assert cb_scans, "trained codebooks must be read from the artifact cache"
+
+
 def test_driver_ivfpq_query_scans_only_the_persisted_index(spark):
     """The shipped similarity_ivfpq_topk config (persisted
     build_ivfpq_index output + trained capped centroids): the ADC stage
@@ -309,6 +348,17 @@ def test_build_ivfpq_index_matches_inline_derivation(spark, tmp_path):
     )
     assert sorted(map(tuple, inline.collect())) == \
         sorted(map(tuple, persisted.collect()))
+
+    # corpus_codes passthrough (the encode-once build): identical index
+    # rows to the internal-encode path, given the same codebooks
+    codes_path = str(tmp_path / "codes")
+    pq_encode(e, cb, m=8).write.parquet(codes_path)
+    via_codes = build_ivfpq_index(
+        e, cent, cb, corpus_codes=spark.read.parquet(codes_path)
+    )
+    assert sorted(map(tuple, via_codes.collect())) == sorted(
+        map(tuple, build_ivfpq_index(e, cent, cb).collect())
+    )
 
 
 def test_streaming_embedding_near_dup_gates_against_corpus(spark, tmp_path):
@@ -397,3 +447,45 @@ def test_streaming_near_dup_epoch_replay_is_idempotent(spark, tmp_path):
     _near_dup_gate_batch(novel2, 1, e, codes, cb, out, threshold=0.99)
     both = sorted(r.vec_id for r in spark.read.parquet(out).collect())
     assert both == [20000, 20001, 20002, 20100, 20101, 20102]
+
+
+def test_streaming_near_dup_rejects_legacy_flat_layout(spark, tmp_path):
+    """Resuming over an out_path populated by the pre-__epoch
+    flat-append layout must fail fast (r11 ADVICE): mixing root part
+    files with __epoch=N/ directories is unreadable, so the sink
+    refuses to start rather than corrupt the directory."""
+    import pytest
+
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        streaming_embedding_near_dup,
+    )
+
+    e = _emb(spark)
+    cb = pq_codebooks(e, m=8, k_sub=16, stride=31)
+    codes = pq_encode(e, cb, m=8)
+    out = str(tmp_path / "kept")
+    # old-layout sink output: flat part files, no __epoch partition
+    e.limit(2).write.parquet(out)
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    (feed_dir / "b.json").write_text(
+        '{"vec_id": 1, "embedding": [' + ",".join(["0.5"] * 64) + "]}\n"
+    )
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").json(
+        str(feed_dir)
+    )
+    with pytest.raises(ValueError, match="flat-append"):
+        streaming_embedding_near_dup(
+            stream, e, codes, cb, out, str(tmp_path / "ckpt"), threshold=0.99
+        )
+
+    # an already-partitioned out_path still starts (and is stoppable)
+    out2 = str(tmp_path / "kept2")
+    e.limit(2).withColumn("__epoch", F.lit(-1)).write.partitionBy(
+        "__epoch"
+    ).parquet(out2)
+    q = streaming_embedding_near_dup(
+        stream, e, codes, cb, out2, str(tmp_path / "ckpt2"), threshold=0.99
+    )
+    q.stop()

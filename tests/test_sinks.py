@@ -235,6 +235,61 @@ def test_shared_mode_epoch_replay_guard(spark, tmp_path):
         {"S0": 6, "S1": 3}
 
 
+def test_merge_window_counts_over_legacy_per_sink_table(spark, tmp_path):
+    """Upgrade-over-existing-out_dir continuation (r11 ADVICE medium):
+    a count table persisted by the per_sink mode (or a pre-namespace
+    run) physically lacks __epoch/__run.  The shared stream's first
+    batch merges THROUGH KeyedUpsertSink.apply, whose unionByName must
+    tolerate the narrower stored schema (allowMissingColumns) instead
+    of raising AnalysisException; and survivors that came out of that
+    union carrying NULL __epoch/__run must read as prior totals on the
+    NEXT merge (coalesce-to-sentinel), not be dropped by a
+    three-valued-logic ~NULL filter."""
+    from pyspark.sql import functions as F
+    from data_stream_flink_user_address_spark.plans.pipeline import ReferencePipeline as RP
+
+    pipe = RP.__new__(RP)
+    pipe.window = "365 days"
+    pipe._run_id = "runA"
+    # n_buckets=1: every stored key shares the incoming keys' bucket, so
+    # non-batch keys flow through the union as survivors deterministically
+    sink = KeyedUpsertSink(spark, str(tmp_path / "cnt"), key="state", n_buckets=1)
+
+    stamp = "2026-01-15 00:00:00"
+    wstart = spark.sql(
+        f"SELECT window(timestamp'{stamp}', '365 days').start AS s"
+    ).collect()[0]["s"]
+    # per_sink-mode layout: (dim, count, window_start) only
+    sink.apply(spark.createDataFrame(
+        [("S0", 5, wstart), ("S9", 7, wstart)],
+        "state string, count bigint, window_start timestamp",
+    ))
+    assert "__epoch" not in sink.read().columns
+
+    def batch(*states):
+        return spark.createDataFrame(
+            [("u", [("a", "c", s, "z", "C0")]) for s in states],
+            "userId string, addresses array<struct<address:string,city:string,"
+            "state:string,zipCode:string,country:string>>",
+        ).withColumn("ingest_time", F.lit(stamp).cast("timestamp"))
+
+    # first shared-mode batch over the legacy table: must not raise, and
+    # the legacy count reads as a prior total
+    pipe._merge_window_counts(sink, batch("S0"), "state", epoch_id=0)
+    got = {r["state"]: r["count"] for r in sink.read().collect()}
+    assert got == {"S0": 6, "S9": 7}
+
+    # S9 was rewritten as a NULL-__epoch/__run survivor of that merge;
+    # the next batch touching it must accumulate, not drop it
+    pipe._merge_window_counts(sink, batch("S9"), "state", epoch_id=1)
+    got = {r["state"]: r["count"] for r in sink.read().collect()}
+    assert got == {"S0": 6, "S9": 8}
+
+    # and the normal replay guard still holds on the upgraded table
+    pipe._merge_window_counts(sink, batch("S9"), "state", epoch_id=1)
+    assert {r["state"]: r["count"] for r in sink.read().collect()} == got
+
+
 def test_run_namespace_marker_survives_restart(tmp_path):
     """Same checkpoint dir -> same run id (true replays still skipped
     after a driver restart); recreated checkpoint -> fresh id."""
