@@ -115,6 +115,43 @@ def test_ivfpq_recall_not_below_probe_set(spark):
     assert got == flat
 
 
+def test_assign_pandas_kernel_is_bit_exact_vs_codegen(spark):
+    """The Arrow-batched assignment kernel (the IVF-PQ build fast path)
+    must produce IDENTICAL (vec_id, cluster_id) rows to the codegen
+    broadcast-join kernel: same float64 accumulation order, same
+    HALF_UP rounding, same smaller-cid tie break -- on a corpus that
+    includes duplicate vectors (exact cosine ties) and a zero vector
+    (norm guard)."""
+    from data_stream_flink_user_address_spark.functions.similarity import (
+        assign_to_centroids,
+    )
+
+    e = _emb(spark).select("vec_id", "embedding")
+    # append a zero vector and an exact duplicate of vec 0 to force the
+    # guard and the tie-break paths
+    extra = spark.createDataFrame(
+        [(90001, [0.0] * 64)], "vec_id long, embedding array<float>"
+    ).union(
+        e.filter(F.col("vec_id") == 0).select(
+            F.lit(90002).cast("long").alias("vec_id"), "embedding"
+        )
+    )
+    corpus = e.union(extra)
+    cent = e.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    base = sorted(
+        map(tuple, assign_to_centroids(corpus, cent, "vec_id", "embedding", 64).collect())
+    )
+    fast = sorted(
+        map(tuple, assign_to_centroids(
+            corpus, cent, "vec_id", "embedding", 64, kernel="pandas"
+        ).collect())
+    )
+    assert base == fast
+
+
 def test_ivfpq_persisted_index_matches_on_the_fly(spark, tmp_path):
     from data_stream_flink_user_address_spark.functions.pq import ivfpq_topk
     from data_stream_flink_user_address_spark.functions.similarity import (
