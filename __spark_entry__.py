@@ -1803,9 +1803,10 @@ def _pq_artifacts(spark: SparkSession, sf_dir: str):
             e, iters=1, m=_PQ_M, k_sub=_PQ_KSUB, stride=_PQ_STRIDE, dim=_EMB_DIM
         ).write.mode("overwrite").parquet(tcb_p)
         # encode from the PERSISTED codebooks so codes provably match
-        # what the ADC LUT reads at query time
+        # what the ADC LUT reads at query time; pandas kernel = the
+        # bit-exact vectorized build path (functions/pq.py)
         pq_encode(
-            e, spark.read.parquet(tcb_p), m=_PQ_M, dim=_EMB_DIM
+            e, spark.read.parquet(tcb_p), m=_PQ_M, dim=_EMB_DIM, kernel="pandas"
         ).write.mode("overwrite").parquet(tcodes_p)
         with open(done, "w") as f:
             f.write(os.path.basename(root))

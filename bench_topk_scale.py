@@ -112,7 +112,9 @@ def main() -> None:
 
         t0 = time.perf_counter()
         codes_path = os.path.join(DATA_ROOT, f"n{n}_codes")
-        pq_encode(emb, cb, M, DIM).write.mode("overwrite").parquet(codes_path)
+        pq_encode(emb, cb, M, DIM, kernel="pandas").write.mode(
+            "overwrite"
+        ).parquet(codes_path)
         build_codes_s = round(time.perf_counter() - t0, 2)
 
         # build = centroid training + assignment + encode join, all

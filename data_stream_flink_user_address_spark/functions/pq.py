@@ -31,21 +31,25 @@ local[32] -- TOPK_SCALE.json, bench_topk_scale.py):
 =================  =========  ========================================
 stage              wall (s)   scaling
 =================  =========  ========================================
-corpus encode        ~112     O(n * m * k_sub) fixed-point argmin,
+corpus encode         ~2      O(n * m * k_sub) fixed-point argmin via
+                              the bit-exact Arrow/numpy kernel (was
+                              146 s as a codegen broadcast join);
                               persisted once and REUSED by the index
                               build (``corpus_codes``), never run twice
-index build          ~119     training O(train_limit * k_cent) --
+index build          ~126     training O(train_limit * k_cent) --
  (train + assign                constant in n, mostly Catalyst planning
   + join + write)               of the dim-wide agg -- plus coarse
-                              assignment at ~8 s via the bit-exact
-                              Arrow/numpy kernel (was 492 s as a
-                              codegen broadcast join: same values,
-                              59x less wall), one vec_id join, one
-                              cid repartition
+                              assignment at ~8 s via the same Arrow
+                              kernel pattern (was 492 s as a codegen
+                              broadcast join: same values, 59x less
+                              wall), one vec_id join, one cid
+                              repartition
 =================  =========  ========================================
 
-Total 1e6 stand-up ~231 s, vs 910 s before the encode-reuse +
-vectorized-assignment changes (r11's 764 s build_index_s alone).
+Total 1e6 stand-up ~128 s, vs 910 s before the encode-reuse +
+vectorized-kernel changes (r11's 764 s build_index_s alone); the
+residual is the constant-in-n training stage, so stand-up is now
+scan-bound and linear.
 Size ``k_cent ~ sqrt(n)`` (recall/scan balance; 256 suits 1e5..1e6,
 ~1000 at 1e8) and ``train_limit ~ 100 * k_cent`` (FAISS practice);
 both are pure knobs -- the build stays linear in n for any fixed
@@ -156,6 +160,7 @@ def pq_encode(
     dim: int = 64,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    kernel: str = "codegen",
 ) -> DataFrame:
     """Codes table ``(vec_id, codes: array<int>)`` -- the 8-byte layout.
 
@@ -166,8 +171,22 @@ def pq_encode(
     integer ``dist_fp * 1024 + code`` (k_sub <= 1024), i.e. smallest
     6-digit-rounded L2 first, ties to the smaller code -- mirrored
     verbatim by the oracle's row_number ORDER BY.
+
+    ``kernel="pandas"``: the bit-exact Arrow-batched variant for
+    full-corpus build passes (same pattern as
+    ``assign_to_centroids(kernel="pandas")``): per batch it accumulates
+    each subspace's L2 dimension-at-a-time in the same left-to-right
+    float64 order as :func:`_sub_l2sq_fp`'s unrolled chain, applies the
+    identical HALF_UP fixed-point rounding, and argmins the same
+    integer ``dist_fp * 1024 + code`` ordering over code-sorted
+    columns.  The ranking is exact integer arithmetic on both kernels,
+    so the chosen codes cannot diverge.  Collects the codebook frame
+    (bounded m x k_sub rows) -- use inside eager builds, keep the
+    codegen default in lazy compositions.
     """
     d_sub = dim // m
+    if kernel == "pandas":
+        return _pq_encode_pandas(corpus, codebooks, m, d_sub, corpus_id, corpus_vec)
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv")
     )
@@ -193,6 +212,65 @@ def pq_encode(
             "vec_id", F.array(*[F.col(f"__c{s}") for s in range(m)]).alias("codes")
         )
     )
+
+
+def _pq_encode_pandas(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    d_sub: int,
+    corpus_id: str,
+    corpus_vec: str,
+) -> DataFrame:
+    """``pq_encode(kernel="pandas")`` -- see its docstring.  Mirrors
+    :func:`_sub_l2sq_fp` op-for-op: per (subspace, code) the squared
+    diffs accumulate dimension-ascending in float64 starting from the
+    first term, the sum scales by ``_FP`` and rounds HALF_UP (the
+    distance is non-negative, so ``floor(x + 0.5)``), and the argmin
+    runs on the exact integer ``dist_fp * 1024 + code`` with codebook
+    columns sorted by code ascending."""
+    import numpy as np
+    import pandas as pd
+
+    rows = codebooks.select("s", "code", "cvec").collect()
+    per_s: list[tuple] = []
+    for s in range(m):
+        sub = sorted((r for r in rows if r["s"] == s), key=lambda r: r["code"])
+        if not sub:
+            raise ValueError(f"pq_encode: no codebook rows for subspace {s}")
+        per_s.append(
+            (
+                np.array([r["code"] for r in sub], dtype=np.int64),
+                np.array([r["cvec"] for r in sub], dtype=np.float64),  # (k, d_sub)
+            )
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            codes = np.empty((n, m), dtype=np.int64)
+            for s, (code_vals, C) in enumerate(per_s):
+                diff0 = V[:, s * d_sub][:, None] - C[:, 0][None, :]
+                acc = diff0 * diff0
+                for i in range(1, d_sub):
+                    diff = V[:, s * d_sub + i][:, None] - C[:, i][None, :]
+                    acc += diff * diff
+                dist_fp = np.floor(acc * _FP + 0.5).astype(np.int64)
+                ord_ = dist_fp * 1024 + code_vals[None, :]
+                codes[:, s] = code_vals[np.argmin(ord_, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[corpus_id].to_numpy(),
+                    "codes": list(codes.astype(np.int32)),
+                }
+            )
+
+    return corpus.select(
+        F.col(corpus_id).alias(corpus_id), F.col(corpus_vec).alias(corpus_vec)
+    ).mapInPandas(gen, schema="vec_id long, codes array<int>")
 
 
 def pq_topk(
@@ -522,7 +600,9 @@ def build_ivfpq_index(
     codes = (
         corpus_codes.select("vec_id", "codes")
         if corpus_codes is not None
-        else pq_encode(corpus, codebooks, m, dim, corpus_id, corpus_vec)
+        else pq_encode(
+            corpus, codebooks, m, dim, corpus_id, corpus_vec, kernel="pandas"
+        )
     )
     return (
         assigned.join(codes, "vec_id")

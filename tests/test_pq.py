@@ -152,6 +152,31 @@ def test_assign_pandas_kernel_is_bit_exact_vs_codegen(spark):
     assert base == fast
 
 
+def test_pq_encode_pandas_kernel_is_bit_exact_vs_codegen(spark):
+    """The Arrow-batched encode kernel must emit IDENTICAL codes to the
+    codegen broadcast-join kernel -- checked against both the raw
+    stride-seeded codebooks and Lloyd-trained (re-densified, possibly
+    ragged) codebooks."""
+    from data_stream_flink_user_address_spark.functions.pq import (
+        train_pq_codebooks,
+    )
+
+    e = _emb(spark).select("vec_id", "embedding")
+    for cb in (
+        pq_codebooks(e, m=8, k_sub=16, stride=31),
+        train_pq_codebooks(e, iters=1, m=8, k_sub=16, stride=31),
+    ):
+        base = sorted(
+            (r["vec_id"], tuple(r["codes"]))
+            for r in pq_encode(e, cb, m=8).collect()
+        )
+        fast = sorted(
+            (r["vec_id"], tuple(r["codes"]))
+            for r in pq_encode(e, cb, m=8, kernel="pandas").collect()
+        )
+        assert base == fast
+
+
 def test_ivfpq_persisted_index_matches_on_the_fly(spark, tmp_path):
     from data_stream_flink_user_address_spark.functions.pq import ivfpq_topk
     from data_stream_flink_user_address_spark.functions.similarity import (
