@@ -1832,6 +1832,7 @@ def _ivfpq_artifacts(spark: SparkSession, sf_dir: str):
         train_ivf_centroids(
             e, iters=_IVF_TRAIN_ITERS, centroid_stride=_IVF_STRIDE,
             dim=_EMB_DIM, k_cent=_IVF_KCENT, train_limit=_IVF_TRAIN_LIMIT,
+            kernel="pandas",
         ).write.mode("overwrite").parquet(cent_p)
         pq_codebooks(
             e, m=_PQ_M, k_sub=_PQ_KSUB, stride=_PQ_STRIDE, dim=_EMB_DIM

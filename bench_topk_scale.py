@@ -124,7 +124,7 @@ def main() -> None:
         cent_path = os.path.join(DATA_ROOT, f"n{n}_cent")
         train_ivf_centroids(
             emb, iters=1, centroid_stride=31, dim=DIM, k_cent=K_CENT,
-            train_limit=100 * K_CENT,
+            train_limit=100 * K_CENT, kernel="pandas",
         ).write.mode("overwrite").parquet(cent_path)
         cent = spark.read.parquet(cent_path)
         (

@@ -36,20 +36,18 @@ corpus encode         ~2      O(n * m * k_sub) fixed-point argmin via
                               146 s as a codegen broadcast join);
                               persisted once and REUSED by the index
                               build (``corpus_codes``), never run twice
-index build          ~126     training O(train_limit * k_cent) --
- (train + assign                constant in n, mostly Catalyst planning
-  + join + write)               of the dim-wide agg -- plus coarse
-                              assignment at ~8 s via the same Arrow
-                              kernel pattern (was 492 s as a codegen
-                              broadcast join: same values, 59x less
-                              wall), one vec_id join, one cid
-                              repartition
+index build          ~11      Lloyd training O(train_limit * k_cent)
+ (train + assign                via the same Arrow kernel (a 1e6 round
+  + join + write)               was 104 s as a codegen plan), coarse
+                              assignment O(n * k_cent * dim) at ~8 s
+                              (was 492 s: same values, 59x less wall),
+                              one vec_id join, one cid repartition
 =================  =========  ========================================
 
-Total 1e6 stand-up ~128 s, vs 910 s before the encode-reuse +
-vectorized-kernel changes (r11's 764 s build_index_s alone); the
-residual is the constant-in-n training stage, so stand-up is now
-scan-bound and linear.
+Total 1e6 stand-up ~13 s, vs 910 s before the encode-reuse +
+vectorized-kernel changes (r11's 764 s build_index_s alone) -- 70x,
+now scan/Arrow-transfer bound and linear in n (build_index_s across
+the 1e4..1e6 ladder: 9.9 / 5.2 / 10.2 / 10.7).
 Size ``k_cent ~ sqrt(n)`` (recall/scan balance; 256 suits 1e5..1e6,
 ~1000 at 1e8) and ``train_limit ~ 100 * k_cent`` (FAISS practice);
 both are pure knobs -- the build stays linear in n for any fixed

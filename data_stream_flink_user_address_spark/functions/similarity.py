@@ -284,6 +284,7 @@ def train_ivf_centroids(
     round_digits: int = 6,
     k_cent: int | None = None,
     train_limit: int | None = None,
+    kernel: str = "codegen",
 ) -> DataFrame:
     """Lloyd-refined IVF coarse centroids as pure DataFrame aggregations:
     ``(cid, centroid: array<double>)``.
@@ -318,6 +319,19 @@ def train_ivf_centroids(
     the result -- costs O(n^2/stride); with a fixed cap both are O(n *
     k_cent), the linear build an IVF index needs at 10^9 vectors (size
     the cap ~ sqrt(n) for the usual recall/scan trade).
+
+    ``kernel="pandas"`` routes each round's assignment through the
+    bit-exact Arrow kernel (``assign_to_centroids(kernel="pandas")``)
+    with the training vectors re-attached by a narrow join -- same
+    assignments, and the per-round Spark plan shrinks from the
+    dim-unrolled candidate explosion to one mapInPandas + small join
+    (measured: a 1e6-corpus round 104 -> ~8 s).  It collects each
+    round's centroid frame (bounded k_cent x dim), executing rounds
+    eagerly -- use in eager index builds, keep the lazy codegen
+    default inside query compositions.  Mean aggregation order may
+    differ between kernels/plans; ``round_digits`` rounding is what
+    makes the trained means reproducible either way (the same
+    tolerance the DuckDB oracle replication always relied on).
 
     ``train_limit`` bounds the TRAINING SAMPLE: Lloyd rounds assign and
     average only rows with ``vec_id < train_limit`` (a deterministic,
@@ -355,10 +369,29 @@ def train_ivf_centroids(
     )
     for _ in range(iters):
         # the shared kernel re-derives the corpus frame per round, which
-        # is plan-identical to reusing `c` (everything here is lazy)
-        assigned = assign_to_centroids(
-            train_corpus, cent, corpus_id, corpus_vec, dim, keep_vec=True
-        ).withColumnRenamed("cluster_id", "cid")
+        # is plan-identical to reusing `c` (everything here is lazy).
+        # kernel="pandas" (eager builds only): the Arrow assignment is
+        # bit-exact, and the training vectors re-attach through a
+        # narrow vec_id join instead of riding the candidate explosion
+        if kernel == "pandas":
+            assigned = (
+                assign_to_centroids(
+                    train_corpus, cent, corpus_id, corpus_vec, dim,
+                    kernel="pandas",
+                )
+                .withColumnRenamed("cluster_id", "cid")
+                .join(
+                    train_corpus.select(
+                        F.col(corpus_id).alias("vec_id"),
+                        F.col(corpus_vec).alias("__cv"),
+                    ),
+                    "vec_id",
+                )
+            )
+        else:
+            assigned = assign_to_centroids(
+                train_corpus, cent, corpus_id, corpus_vec, dim, keep_vec=True
+            ).withColumnRenamed("cluster_id", "cid")
         cent = (
             assigned.groupBy("cid")
             .agg(
