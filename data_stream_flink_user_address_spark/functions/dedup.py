@@ -1001,9 +1001,10 @@ def streaming_embedding_near_dup(
     Scope: gates against the STATIC corpus only.  Batch-internal
     duplicates pass together (dedupe the feed first with
     :func:`streaming_dedup` / MinHash on content), and admitted rows do
-    not extend the index mid-run -- rebuild/append the index on your
-    compaction cadence, the same trade every ANN system makes between
-    index freshness and build cost.
+    not extend the index mid-run -- fold survivors in on your
+    compaction cadence with ``pq.append_to_ivfpq_index`` (incremental,
+    O(new rows)) or a full rebuild, the same trade every ANN system
+    makes between index freshness and build cost.
 
     Replay-idempotent: ``foreachBatch`` re-runs an epoch whenever the
     sink write lands but the checkpoint commit does not (executor loss,

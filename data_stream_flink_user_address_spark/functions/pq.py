@@ -383,6 +383,48 @@ def pq_topk(
     )
 
 
+def append_to_ivfpq_index(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    index_path: str,
+    m: int = 8,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Incrementally extend a persisted IVF-PQ index with new vectors.
+
+    The continuous-ingestion counterpart of :func:`build_ivfpq_index`:
+    assign + encode ONLY the new rows (both through the bit-exact Arrow
+    kernels -- O(new * (k_cent + m * k_sub)), independent of existing
+    index size) and APPEND them into the existing ``cid``-partitioned
+    parquet layout.  Probe-time readers (:func:`ivfpq_topk` over
+    ``spark.read.parquet(index_path)``) see old and new rows under the
+    same partition pruning, so a crawl pipeline can admit novel
+    documents into the searchable index per batch instead of
+    re-building the whole corpus (the compaction-cadence trade
+    ``streaming_embedding_near_dup`` documents).
+
+    Contracts: ``centroids`` and ``codebooks`` MUST be the frames the
+    index was originally built with (probe and decode share them --
+    persist them beside the index, as ``build_ivfpq_index`` already
+    instructs); vec_id uniqueness is the caller's responsibility (this
+    is an append, not an upsert); and centroids train once, so a corpus
+    whose distribution drifts far from the training sample degrades
+    recall -- rebuild on your compaction cadence, the same trade every
+    IVF system makes between index freshness and build cost.
+    """
+    (
+        build_ivfpq_index(
+            new_vectors, centroids, codebooks, m, dim, corpus_id, corpus_vec
+        )
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(index_path)
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,

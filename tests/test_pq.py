@@ -423,6 +423,46 @@ def test_build_ivfpq_index_matches_inline_derivation(spark, tmp_path):
     )
 
 
+def test_append_to_ivfpq_index_matches_full_rebuild(spark, tmp_path):
+    """Building on half the corpus then appending the other half must
+    give ivfpq_topk the same persisted index contents -- and therefore
+    the same search results -- as building over everything at once
+    (same centroids + codebooks both times)."""
+    from data_stream_flink_user_address_spark.functions.pq import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+    from data_stream_flink_user_address_spark.functions.similarity import (
+        train_ivf_centroids,
+    )
+
+    e = _emb(spark)
+    q = _queries(spark)
+    cent = train_ivf_centroids(e, iters=1, centroid_stride=31, k_cent=16)
+    cb = pq_codebooks(e, m=8, k_sub=16, stride=31)
+
+    full_path = str(tmp_path / "full")
+    build_ivfpq_index(e, cent, cb).write.partitionBy("cid").parquet(full_path)
+
+    half_path = str(tmp_path / "half")
+    old = e.filter(F.col("vec_id") % 2 == 0)
+    new = e.filter(F.col("vec_id") % 2 == 1)
+    build_ivfpq_index(old, cent, cb).write.partitionBy("cid").parquet(half_path)
+    append_to_ivfpq_index(new, cent, cb, half_path)
+
+    full = spark.read.parquet(full_path)
+    grown = spark.read.parquet(half_path)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, grown.collect()))
+
+    kw = dict(k=5, expand=8, nprobe=3, codebooks=cb, centroids=cent)
+    a = ivfpq_topk(e, q, corpus_index=full.withColumn(
+        "cid", F.col("cid").cast("long")), **kw).collect()
+    b = ivfpq_topk(e, q, corpus_index=grown.withColumn(
+        "cid", F.col("cid").cast("long")), **kw).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_streaming_embedding_near_dup_gates_against_corpus(spark, tmp_path):
     """Incoming near-copies of corpus vectors are dropped; novel vectors
     are admitted -- across micro-batches, via the persisted PQ index."""
