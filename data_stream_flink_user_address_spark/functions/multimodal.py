@@ -4,11 +4,13 @@ Engine extension beyond the reference surface (BASELINE.json north star).
 Convention (schemas.MEDIA_SCHEMA): ``payload binary`` + typed ``meta``
 struct.  The Spark-side plumbing -- schema, partition-preserving
 mapInPandas, Arrow batch shape -- is real and tested.  Decode is real
-(pure-Python, dependency-free) for self-describing formats: PPM (P6)
-and 24-bit BMP pixels, WAV duration, JPEG/PNG/GIF dimensions (header
-walks).  Formats needing codec libraries (MP4/OGG/... and
-JPEG/PNG/GIF pixel data) raise ``NotImplementedError`` -- not in this
-container -- with ``fake_decode`` as the deterministic test stand-in.
+(pure-Python, dependency-free) for every self-describing format: PPM
+(P6), 24-bit BMP, PNG (stdlib zlib + filter reconstruction + Adam7),
+and GIF (LZW + palette + interlace) full pixel decode; WAV duration;
+JPEG dimensions (SOF marker walk).  Formats needing codec libraries
+(MP4/OGG/... and JPEG pixel data) raise ``NotImplementedError`` --
+not in this container -- with ``fake_decode`` as the deterministic
+test stand-in.
 
 At scale: payloads ride in parquet binary columns; mapInPandas streams
 Arrow batches so a 100 MB image never materializes as a Python list; the
@@ -52,19 +54,23 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
 
 
 def decode_image_pixels(payload: bytes):
-    """Dependency-free pixel decode for two self-describing formats.
+    """Dependency-free pixel decode, dispatched on magic bytes.
 
     Returns ``(width, height, pixels)`` with ``pixels`` an
     (height, width, 3) uint8 numpy array, or raises ValueError on a
-    malformed payload.  Supported:
+    malformed/unrecognized payload.  Supported:
 
     - **PPM (P6)**: ``P6 <w> <h> <maxval>`` header (whitespace/comment
       separated) + raw RGB triplets.
     - **BMP**: 'BM' magic, BITMAPINFOHEADER, 24-bit uncompressed;
       rows are 4-byte aligned bottom-up, stored BGR.
+    - **PNG**: full decode via :func:`png_decode_pixels` (stdlib zlib
+      inflate + all 5 filters + Adam7).
+    - **GIF**: first frame via :func:`gif_decode_pixels` (pure-Python
+      LZW + palette + interlace).
 
-    Formats that genuinely need codec libraries (JPEG/PNG/MP4/...) are
-    NOT handled here -- see :func:`real_decode`.
+    Formats that genuinely need codec libraries (JPEG pixel data,
+    MP4/OGG/...) are NOT handled here -- see :func:`real_decode`.
     """
     import numpy as np
 
@@ -109,6 +115,328 @@ def decode_image_pixels(payload: bytes):
         if h > 0:  # positive height = bottom-up storage
             px = px[::-1]
         return w, abs(h), px
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_decode_pixels(payload)
+    raise ValueError("unrecognized image format (expect PPM/BMP/PNG/GIF magic)")
+
+
+# PNG Adam7 interlace passes: (x_start, y_start, x_step, y_step).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw, width, height, bpp, np):
+    """Reconstruct one (sub)image's scanlines from PNG-filtered bytes.
+
+    ``raw`` is ``height`` scanlines of ``1 + width*bpp`` bytes (filter
+    tag + data).  Filters None/Sub/Up are vectorized whole-row numpy
+    (Sub is a cumulative sum over the pixel axis, mod 256); Average and
+    Paeth carry a left-neighbor dependency so they walk the row one
+    pixel (a ``bpp``-vector) at a time -- per-IMAGE cost stays linear
+    in pixels, and the Spark parallelism axis is images-per-Arrow-batch
+    in :func:`extract_media_meta`, not bytes within one image.
+    """
+    stride = 1 + width * bpp
+    if len(raw) != height * stride:
+        raise ValueError("PNG pixel data length mismatch after inflate")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    out = np.zeros((height, width * bpp), dtype=np.uint8)
+    prev = np.zeros(width * bpp, dtype=np.uint8)
+    for y in range(height):
+        ftype, cur = lines[y, 0], lines[y, 1:].copy()
+        if ftype == 0:  # None
+            rec = cur
+        elif ftype == 1:  # Sub: a cumulative sum along the pixel axis
+            rec = np.cumsum(
+                cur.reshape(width, bpp).astype(np.uint32), axis=0, dtype=np.uint32
+            ).astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            rec = cur + prev
+        elif ftype == 3:  # Average
+            rec = cur
+            rec[:bpp] += prev[:bpp] >> 1
+            for x in range(bpp, width * bpp, bpp):
+                left = rec[x - bpp : x].astype(np.uint16)
+                up = prev[x : x + bpp].astype(np.uint16)
+                rec[x : x + bpp] += ((left + up) >> 1).astype(np.uint8)
+        elif ftype == 4:  # Paeth
+            rec = cur
+            rec[:bpp] += prev[:bpp]  # left/upper-left are 0 -> predictor is up
+            for x in range(bpp, width * bpp, bpp):
+                a = rec[x - bpp : x].astype(np.int16)
+                b = prev[x : x + bpp].astype(np.int16)
+                c = prev[x - bpp : x].astype(np.int16)
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                rec[x : x + bpp] += pred.astype(np.uint8)
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = prev = rec
+    return out
+
+
+def png_decode_pixels(payload: bytes):
+    """Full dependency-free PNG pixel decode -- DEFLATE is stdlib
+    ``zlib``, filter reconstruction and color conversion are numpy, so
+    no codec library is involved.
+
+    Returns ``(width, height, pixels)`` with ``pixels`` (height, width,
+    3) uint8 RGB.  Supported: bit depths 8 and 16 (16 keeps the high
+    byte), color types 0 (gray), 2 (RGB), 3 (palette, 8-bit indices),
+    4 (gray+alpha), 6 (RGBA); both interlace methods (none and Adam7 --
+    each of the 7 passes is an independently-filtered subimage
+    scattered back on its grid).  Alpha is dropped, not composited
+    (documented contract: the pixel array is the sensor payload for
+    feature extraction, not display).  Bit depths 1/2/4 raise
+    ValueError.
+
+    Scale note: :func:`real_decode`'s metadata path reads ONLY the
+    IHDR header -- this function is the opt-in pixel stage, so a
+    100 TB metadata sweep never pays the IDAT inflate.
+    """
+    import numpy as np
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if len(data) != clen:
+            raise ValueError("PNG chunk truncated")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None or comp != 0 or filt != 0:
+        raise ValueError(f"PNG color={color} compression={comp} filter={filt} unsupported")
+    if depth not in (8, 16) or (color == 3 and depth != 8):
+        raise ValueError(f"PNG bit depth {depth} for color type {color} unsupported")
+    if w <= 0 or h <= 0:
+        raise ValueError("PNG has empty dimensions")
+    bpp = channels * (depth // 8)
+    raw = zlib.decompress(b"".join(idat))
+
+    if interlace == 0:
+        flat = _png_unfilter(raw, w, h, bpp, np)
+        img = flat.reshape(h, w, bpp)
+    elif interlace == 1:  # Adam7
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            size = ph * (1 + pw * bpp)
+            sub = _png_unfilter(raw[off : off + size], pw, ph, bpp, np)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            off += size
+        if off != len(raw):
+            raise ValueError("PNG Adam7 pixel data length mismatch")
+    else:
+        raise ValueError(f"PNG interlace method {interlace} unknown")
+
+    if depth == 16:  # big-endian samples: keep the high byte
+        img = img[:, :, ::2]
+    if color == 2:
+        return w, h, img
+    if color == 6:
+        return w, h, np.ascontiguousarray(img[:, :, :3])
+    if color == 0:
+        return w, h, np.repeat(img, 3, axis=2)
+    if color == 4:
+        return w, h, np.repeat(img[:, :, :1], 3, axis=2)
+    # color == 3: palette lookup
+    if plte is None or len(plte) % 3:
+        raise ValueError("PNG palette image missing/malformed PLTE")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = img[:, :, 0]
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("PNG palette index out of range")
+    return w, h, pal[idx]
+
+
+def encode_png(pixels) -> bytes:
+    """Minimal valid PNG writer for (h, w, 3) uint8 RGB: 8-bit
+    truecolor, filter 0 on every scanline, one zlib IDAT.  Pure stdlib
+    (``zlib.compress`` / ``zlib.crc32``) -- the emit side of the
+    :func:`resize_images` real path and the round-trip anchor for
+    :func:`png_decode_pixels` tests."""
+    import numpy as np
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_png expects an (h, w, 3) uint8 array")
+    h, w = px.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, deflate, adaptive, no interlace
+    )
+    scanlines = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), px.reshape(h, w * 3)], axis=1
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# GIF interlaced frames store rows in 4 passes: (y_start, y_step).
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: codes grow from ``min_code_size+1`` up to 12
+    bits, little-endian bit packing, with Clear and End-of-Information
+    codes.  Returns the flat pixel-index stream."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [(i,) for i in range(clear)] + [(), ()]
+    table = list(base)
+    code_size = min_code_size + 1
+    out: list[int] = []
+    acc = nbits = 0
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("GIF LZW stream starts with an undefined code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("GIF LZW code out of range")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def gif_decode_pixels(payload: bytes):
+    """Dependency-free GIF decode of the FIRST image frame: LZW
+    (:func:`_gif_lzw_decode`) + palette lookup + 4-pass interlace
+    de-scrambling, all pure Python/numpy.  Returns ``(width, height,
+    pixels)`` for the frame's own dimensions; local color tables
+    override the global one; transparency (GIF89a graphic-control) is
+    ignored -- the index's palette color is emitted.  Later frames and
+    disposal/animation semantics are out of scope (first frame is the
+    training-data convention for thumbnails/previews)."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated before screen descriptor")
+    flags = payload[10]
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_pal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+        if len(global_pal) != 3 * n:
+            raise ValueError("GIF global color table truncated")
+        global_pal = global_pal.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks until terminator
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            iflags = payload[pos + 9]
+            pos += 10
+            pal = global_pal
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+                if len(pal) != 3 * n:
+                    raise ValueError("GIF local color table truncated")
+                pal = pal.reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            if w <= 0 or h <= 0:
+                raise ValueError("GIF frame has empty dimensions")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while pos < len(payload) and payload[pos]:
+                size = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + size])
+                pos += 1 + size
+            indices = _gif_lzw_decode(b"".join(chunks), min_code)
+            if len(indices) < w * h:
+                raise ValueError("GIF LZW stream ended before the frame filled")
+            idx = np.asarray(indices[: w * h], dtype=np.int64).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = np.concatenate(
+                    [np.arange(y0, h, dy) for y0, dy in _GIF_INTERLACE]
+                )
+                deinterlaced = np.empty_like(idx)
+                deinterlaced[order] = idx
+                idx = deinterlaced
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("GIF pixel index out of palette range")
+            return w, h, pal[idx]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF unknown block introducer 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
 
 
 def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
@@ -158,18 +486,24 @@ def real_decode(payload: bytes, kind: str) -> dict:
     """Real media decode for the formats a pure-Python parse can handle:
 
     - images: PPM (P6) and 24-bit BMP via :func:`decode_image_pixels`
-      (full pixel decode, not just header sniffing); JPEG dimensions
-      via :func:`jpeg_dimensions` (SOF marker walk -- header metadata
-      only; pixel decode of entropy-coded data genuinely needs a codec
-      library);
+      (full pixel decode, not just header sniffing); PNG and GIF full
+      pixel decode exist too (:func:`png_decode_pixels`,
+      :func:`gif_decode_pixels`) but the meta path below reads only
+      their headers; JPEG dimensions via :func:`jpeg_dimensions` (SOF
+      marker walk -- pixel decode of entropy-coded data genuinely
+      needs a codec library);
     - audio: WAV/RIFF -- duration from the fmt chunk's byte rate and
       the data chunk length.
 
     - image headers: JPEG dimensions (SOF walk), PNG dimensions (IHDR
       fixed offsets), GIF dimensions (logical screen descriptor).
 
-    Anything else (MP4/OGG/... and PNG/GIF/JPEG pixel data) requires
-    codec libraries not present in this container and raises
+    PNG and GIF pixel data ARE decodable dependency-free
+    (:func:`png_decode_pixels` / :func:`gif_decode_pixels`) but the
+    metadata path deliberately stays on the header walks -- a corpus
+    sweep for dimensions must not inflate every IDAT/LZW stream.
+    Anything else (MP4/OGG/... and JPEG pixel data) requires codec
+    libraries not present in this container and raises
     NotImplementedError; ``fake_decode`` remains the deterministic
     stand-in for those in tests.
     """
@@ -182,7 +516,8 @@ def real_decode(payload: bytes, kind: str) -> dict:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         # the IHDR chunk is REQUIRED first (PNG spec 11.2.2): width and
         # height are big-endian u32 at fixed offsets 16/20 -- header
-        # metadata only, pixel decode needs zlib+filters (codec-gated)
+        # metadata only BY DESIGN: the metadata sweep must not pay the
+        # IDAT inflate; png_decode_pixels is the opt-in pixel stage
         if len(payload) < 24 or payload[12:16] != b"IHDR":
             raise ValueError("PNG missing IHDR")
         w = int.from_bytes(payload[16:20], "big")
@@ -215,8 +550,8 @@ def real_decode(payload: bytes, kind: str) -> dict:
         }
     raise NotImplementedError(
         "decode for this format requires image/audio libraries not present "
-        "in this environment (pure-Python path handles PPM/BMP/WAV plus "
-        "JPEG/PNG/GIF dimensions); use fake_decode for deterministic tests"
+        "in this environment (pure-Python path handles PPM/BMP/PNG/GIF/WAV "
+        "plus JPEG dimensions); use fake_decode for deterministic tests"
     )
 
 
@@ -262,24 +597,40 @@ def extract_media_meta(media: DataFrame, use_real_decode: bool = False) -> DataF
 
 
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Image-resize plumbing: binary in -> binary out, same Arrow-batched
-    mapInPandas shape a real resize uses.  The pixel work is the stubbed
-    decode (no image libs in this container); the deterministic fake
-    "resize" truncates/pads the payload to width*height bytes so output
-    sizes, schema, and batch flow are all real and testable."""
+    """Image resize: binary in -> binary out over Arrow-batched
+    mapInPandas.  Payloads whose format the dependency-free decoders
+    handle (PPM/BMP/PNG/GIF, :func:`decode_image_pixels`) get a REAL
+    nearest-neighbor resample (numpy fancy-index on the row/column
+    grids -- vectorized per image, linear in output pixels) re-encoded
+    as PNG (:func:`encode_png`).  Undecodable payloads keep the
+    deterministic truncate/pad stand-in so the batch flow stays total
+    (no poison-pill rows kill a 100 TB stage; a real deployment would
+    route those to a quarantine sink)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         target = width * height
+
+        def one(p: bytes) -> bytes:
+            try:
+                w0, h0, px = decode_image_pixels(p or b"")
+            except Exception:
+                # untrusted bytes: any parse failure (ValueError, a
+                # zlib.error from a corrupt IDAT, a short-slice Index-
+                # Error) routes to the stand-in, never up the stage
+                return (p or b"").ljust(target, b"\0")[:target]
+            rows = np.minimum((np.arange(height) * h0) // height, h0 - 1)
+            cols = np.minimum((np.arange(width) * w0) // width, w0 - 1)
+            return encode_png(px[rows][:, cols])
+
         for pdf in batches:
-            resized = [
-                (p or b"").ljust(target, b"\0")[:target] for p in pdf["payload"]
-            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
-                    "payload": resized,
+                    "payload": [one(p) for p in pdf["payload"]],
                 }
             )
 
