@@ -68,9 +68,11 @@ def decode_image_pixels(payload: bytes):
       inflate + all 5 filters + Adam7).
     - **GIF**: first frame via :func:`gif_decode_pixels` (pure-Python
       LZW + palette + interlace).
+    - **JPEG**: baseline sequential via :func:`jpeg_decode_pixels`
+      (pure-Python Huffman + numpy IDCT; progressive raises).
 
-    Formats that genuinely need codec libraries (JPEG pixel data,
-    MP4/OGG/...) are NOT handled here -- see :func:`real_decode`.
+    Formats that genuinely need codec libraries (MP4/OGG/...,
+    progressive JPEG) are NOT handled here -- see :func:`real_decode`.
     """
     import numpy as np
 
@@ -119,7 +121,9 @@ def decode_image_pixels(payload: bytes):
         return png_decode_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return gif_decode_pixels(payload)
-    raise ValueError("unrecognized image format (expect PPM/BMP/PNG/GIF magic)")
+    if payload[:2] == b"\xff\xd8":
+        return jpeg_decode_pixels(payload)
+    raise ValueError("unrecognized image format (expect PPM/BMP/PNG/GIF/JPEG magic)")
 
 
 # PNG Adam7 interlace passes: (x_start, y_start, x_step, y_step).
@@ -482,28 +486,310 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
     raise ValueError("JPEG has no SOF marker before SOS/EOI")
 
 
+# JPEG zigzag order: index i of the scan -> (row, col) in the 8x8 block.
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _dct_matrix(np):
+    """The 8x8 DCT-II basis T with T[u,x] = c(u)/2 * cos((2x+1)u*pi/16);
+    IDCT is ``T.T @ coeff @ T`` (ITU T.81 A.3.3)."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    t = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+    t[0] /= np.sqrt(2.0)
+    return t
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded JPEG data: un-stuffs
+    0xFF00, stops at (and reports) restart/other markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker = None
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy data truncated")
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:  # stuffed FF
+                self.pos += 2
+            else:  # a real marker terminates the entropy segment
+                self.marker = nxt
+                raise ValueError("JPEG entropy data ran into a marker")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_past_restart(self, expect: int):
+        """Byte-align and consume the RSTn marker ending an interval."""
+        self.acc = self.n = 0
+        d = self.data
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and d[self.pos + 1] != 0x00
+        ):
+            self.pos += 1
+        if (
+            self.pos + 1 >= len(d)
+            or d[self.pos + 1] != 0xD0 + (expect & 7)
+        ):
+            raise ValueError("JPEG restart marker missing/out of sequence")
+        self.pos += 2
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG Huffman code longer than 16 bits")
+
+
+def _extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude (ITU T.81 F.2.2.1 EXTEND)."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_decode_pixels(payload: bytes):
+    """Full dependency-free BASELINE JPEG decode -- Huffman entropy
+    decoding is pure Python, dequantize/IDCT/color conversion are
+    numpy.  Returns ``(width, height, pixels)`` with (h, w, 3) uint8
+    RGB (grayscale replicated).
+
+    Supported: SOF0 baseline sequential, 8-bit precision, 1 or 3
+    components, any h/v sampling factors up to 2 (4:4:4, 4:2:2, 4:2:0
+    covered), restart intervals (DRI + RSTn), multi-segment DQT/DHT.
+    Progressive (SOF2), arithmetic coding, and 12-bit raise ValueError
+    with the variant named -- those are deliberate scope cuts, not
+    library gaps.
+
+    Decode math per T.81: canonical Huffman tables from DHT BITS/VAL,
+    DC prediction per component, AC run-length with ZRL/EOB, zigzag
+    de-scramble, dequantize, 8x8 IDCT as two matrix multiplies against
+    the DCT-II basis, nearest-neighbor chroma upsample, BT.601
+    full-range YCbCr->RGB.  Per-image cost is linear in MCUs; the
+    Spark parallelism axis is images-per-Arrow-batch, same as PNG/GIF.
+    """
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> code table
+    sof = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0x01, *range(0xD0, 0xD8)):
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 15
+                n = 64 * (2 if prec else 1)
+                raw = seg[i + 1 : i + 1 + n]
+                if len(raw) != n:
+                    raise ValueError("JPEG DQT truncated")
+                vals = (
+                    np.frombuffer(raw, dtype=">u2")
+                    if prec
+                    else np.frombuffer(raw, dtype=np.uint8)
+                ).astype(np.float64)
+                tbl = np.zeros(64)
+                tbl[list(_ZIGZAG)] = vals  # de-zigzag into natural order
+                qt[tid] = tbl.reshape(8, 8)
+                i += 1 + n
+        elif marker == 0xC4:  # DHT: one or more tables per segment
+            i = 0
+            while i < len(seg):
+                tclass, tid = seg[i] >> 4, seg[i] & 15
+                bits = seg[i + 1 : i + 17]
+                nsym = sum(bits)
+                vals = seg[i + 17 : i + 17 + nsym]
+                if len(bits) != 16 or len(vals) != nsym:
+                    raise ValueError("JPEG DHT truncated")
+                table, code, k = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tclass, tid)] = table
+                i += 17 + nsym
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended seq.
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(f"JPEG precision {precision} unsupported (8 only)")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, sampling, qid = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": sampling >> 4, "v": sampling & 15, "q": qid})
+            sof = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "JPEG progressive/lossless/arithmetic variants unsupported "
+                "(baseline SOF0 only)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS: component->table bindings, then data
+            ns = seg[0]
+            bindings = {}
+            for c in range(ns):
+                cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                bindings[cid] = (tables >> 4, tables & 15)
+            scan = (bindings, pos + 2 + seg_len)
+            break
+        pos += 2 + seg_len
+    if sof is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    w, h, comps = sof
+    if w <= 0 or h <= 0 or len(comps) not in (1, 3):
+        raise ValueError("JPEG has empty dimensions or unsupported component count")
+    bindings, data_pos = scan
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise ValueError("JPEG sampling factors beyond 2 unsupported")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    T = _dct_matrix(np)
+    planes = []
+    for c in comps:
+        if c["q"] not in qt or c["id"] not in bindings:
+            raise ValueError("JPEG component missing quant table or scan binding")
+        planes.append(
+            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        )
+    reader = _JpegBitReader(payload, data_pos)
+    dc_pred = [0] * len(comps)
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            mcu_idx = my * mcus_x + mx
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                reader.align_past_restart(rst)
+                rst = (rst + 1) & 7
+                dc_pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_tbl = huff.get((0, bindings[c["id"]][0]))
+                ac_tbl = huff.get((1, bindings[c["id"]][1]))
+                if dc_tbl is None or ac_tbl is None:
+                    raise ValueError("JPEG scan references an undefined Huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeff = np.zeros(64)
+                        t = _huff_decode(reader, dc_tbl)
+                        dc_pred[ci] += _extend(reader.bits(t), t)
+                        coeff[0] = dc_pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(reader, ac_tbl)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 15
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("JPEG invalid AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC coefficient overrun")
+                            coeff[k] = _extend(reader.bits(size), size)
+                            k += 1
+                        block = np.zeros(64)
+                        block[list(_ZIGZAG)] = coeff  # de-zigzag
+                        spatial = T.T @ (block.reshape(8, 8) * qt[c["q"]]) @ T + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return w, h, np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return w, h, np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
 def real_decode(payload: bytes, kind: str) -> dict:
     """Real media decode for the formats a pure-Python parse can handle:
 
     - images: PPM (P6) and 24-bit BMP via :func:`decode_image_pixels`
-      (full pixel decode, not just header sniffing); PNG and GIF full
-      pixel decode exist too (:func:`png_decode_pixels`,
-      :func:`gif_decode_pixels`) but the meta path below reads only
-      their headers; JPEG dimensions via :func:`jpeg_dimensions` (SOF
-      marker walk -- pixel decode of entropy-coded data genuinely
-      needs a codec library);
+      (full pixel decode, not just header sniffing); PNG, GIF, and
+      baseline JPEG full pixel decode exist too
+      (:func:`png_decode_pixels`, :func:`gif_decode_pixels`,
+      :func:`jpeg_decode_pixels`) but the meta path below reads only
+      headers -- JPEG dimensions via :func:`jpeg_dimensions` (SOF
+      marker walk);
     - audio: WAV/RIFF -- duration from the fmt chunk's byte rate and
       the data chunk length.
 
     - image headers: JPEG dimensions (SOF walk), PNG dimensions (IHDR
       fixed offsets), GIF dimensions (logical screen descriptor).
 
-    PNG and GIF pixel data ARE decodable dependency-free
-    (:func:`png_decode_pixels` / :func:`gif_decode_pixels`) but the
+    PNG, GIF, and baseline JPEG pixel data ARE decodable
+    dependency-free (:func:`png_decode_pixels` /
+    :func:`gif_decode_pixels` / :func:`jpeg_decode_pixels`) but the
     metadata path deliberately stays on the header walks -- a corpus
-    sweep for dimensions must not inflate every IDAT/LZW stream.
-    Anything else (MP4/OGG/... and JPEG pixel data) requires codec
-    libraries not present in this container and raises
+    sweep for dimensions must not inflate/entropy-decode every
+    payload.  Anything else (MP4/OGG/..., progressive JPEG) requires
+    codec libraries not present in this container and raises
     NotImplementedError; ``fake_decode`` remains the deterministic
     stand-in for those in tests.
     """
@@ -550,8 +836,8 @@ def real_decode(payload: bytes, kind: str) -> dict:
         }
     raise NotImplementedError(
         "decode for this format requires image/audio libraries not present "
-        "in this environment (pure-Python path handles PPM/BMP/PNG/GIF/WAV "
-        "plus JPEG dimensions); use fake_decode for deterministic tests"
+        "in this environment (pure-Python path handles PPM/BMP/PNG/GIF/"
+        "baseline-JPEG/WAV); use fake_decode for deterministic tests"
     )
 
 
@@ -599,7 +885,8 @@ def extract_media_meta(media: DataFrame, use_real_decode: bool = False) -> DataF
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Image resize: binary in -> binary out over Arrow-batched
     mapInPandas.  Payloads whose format the dependency-free decoders
-    handle (PPM/BMP/PNG/GIF, :func:`decode_image_pixels`) get a REAL
+    handle (PPM/BMP/PNG/GIF/baseline JPEG,
+    :func:`decode_image_pixels`) get a REAL
     nearest-neighbor resample (numpy fancy-index on the row/column
     grids -- vectorized per image, linear in output pixels) re-encoded
     as PNG (:func:`encode_png`).  Undecodable payloads keep the

@@ -377,3 +377,301 @@ def test_resize_images_real_path_through_spark(spark):
     assert np.array_equal(got, px[rows][:, cols])
 
     assert bytes(out[2]["payload"]) == b"junk".ljust(16, b"\0")
+
+
+# --------------------------------------------------------------- JPEG builder
+
+
+def _jpeg_dct_matrix():
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    t = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+    t[0] /= np.sqrt(2.0)
+    return t
+
+
+_JPEG_T = _jpeg_dct_matrix()
+
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+class _JpegBitWriter:
+    """MSB-first with 0xFF00 byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code, size):
+        for i in range(size - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def align(self):
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits
+
+
+def _jpeg_category(v):
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _jpeg_mag_bits(v, t):
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _jpeg_build_huff(symbols):
+    """Canonical table with every symbol at one length L (2^L > nsym so
+    the all-ones code stays unused, as T.81 C.2 requires)."""
+    syms = sorted(set(symbols))
+    L = max(2, len(syms).bit_length())
+    if len(syms) + 1 > (1 << L):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    return bits, syms, {s: (i, L) for i, s in enumerate(syms)}
+
+
+def _make_real_jpeg(px, subsample=False, quant=None, restart=0):
+    """Spec-direct baseline JPEG encoder (T.81 annexes A/C/F forward
+    direction): forward DCT, quantize, zigzag, run-length, canonical
+    Huffman with per-file tables, byte stuffing, optional 4:2:0
+    subsampling and restart intervals.  Written independently of the
+    decoder so round-trips are two implementations agreeing."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    q = np.ones((8, 8)) if quant is None else np.asarray(quant, dtype=np.float64)
+    if gray:
+        planes, samp = [px.astype(np.float64)], [(1, 1)]
+    else:
+        r, g, b = [px[:, :, i].astype(np.float64) for i in range(3)]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            bh, bw_ = -(-h // 2) * 2, -(-w // 2) * 2
+
+            def pad2(p):
+                out = np.empty((bh, bw_))
+                out[: p.shape[0], : p.shape[1]] = p
+                out[p.shape[0] :, : p.shape[1]] = p[-1:]
+                out[:, p.shape[1] :] = out[:, p.shape[1] - 1 : p.shape[1]]
+                return out
+
+            cb = pad2(cb).reshape(bh // 2, 2, bw_ // 2, 2).mean(axis=(1, 3))
+            cr = pad2(cr).reshape(bh // 2, 2, bw_ // 2, 2).mean(axis=(1, 3))
+            planes, samp = [y, cb, cr], [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes, samp = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        out = np.empty((ph, pw))
+        out[: p.shape[0], : p.shape[1]] = p
+        out[p.shape[0] :, : p.shape[1]] = p[p.shape[0] - 1 : p.shape[0], :]
+        out[:, p.shape[1] :] = out[:, p.shape[1] - 1 : p.shape[1]]
+        padded.append(out)
+    ncomp = len(planes)
+    dc_syms, ac_syms = [], []
+    dc_pred = [0] * ncomp
+    rst_groups = [[]]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and (my * mcux + mx) and (my * mcux + mx) % restart == 0:
+                dc_pred = [0] * ncomp
+                rst_groups.append([])
+            unit = []
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                        blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        qc = np.rint((_JPEG_T @ blk @ _JPEG_T.T) / q).astype(np.int64)
+                        zz = qc.reshape(-1)[list(_JPEG_ZIGZAG)]
+                        diff = int(zz[0]) - dc_pred[ci]
+                        dc_pred[ci] = int(zz[0])
+                        t = _jpeg_category(diff)
+                        dc_syms.append((ci > 0, t))
+                        run, ac = 0, []
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ac.append((0xF0, 0, 0))
+                                ac_syms.append((ci > 0, 0xF0))
+                                run -= 16
+                            s = _jpeg_category(v)
+                            ac.append(((run << 4) | s, v, s))
+                            ac_syms.append((ci > 0, (run << 4) | s))
+                            run = 0
+                        if run:
+                            ac.append((0x00, 0, 0))
+                            ac_syms.append((ci > 0, 0x00))
+                        unit.append((ci, diff, t, ac))
+            rst_groups[-1].append(unit)
+    tabs = {}
+    for cls, pool in ((0, dc_syms), (1, ac_syms)):
+        for chroma in (False, True):
+            syms = [s for c, s in pool if c == chroma] or [0]
+            tabs[(cls, int(chroma))] = _jpeg_build_huff(syms)
+    out = bytearray(b"\xff\xd8")
+    qz = np.rint(q).astype(int).reshape(-1)[list(_JPEG_ZIGZAG)]
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes(int(v) for v in qz)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+    for (cls, tid), (bits, syms, _) in tabs.items():
+        seg = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(syms)
+        out += b"\xff\xc4" + (2 + len(seg)).to_bytes(2, "big") + seg
+    if restart:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart.to_bytes(2, "big")
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tid = 1 if ci else 0
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+    rstn = 0
+    for gi, group in enumerate(rst_groups):
+        if gi:
+            out += bytes([0xFF, 0xD0 + (rstn & 7)])
+            rstn += 1
+        bw2 = _JpegBitWriter()
+        for unit in group:
+            for ci, diff, t, ac in unit:
+                chroma = int(ci > 0)
+                code, ln = tabs[(0, chroma)][2][t]
+                bw2.write(code, ln)
+                if t:
+                    bw2.write(_jpeg_mag_bits(diff, t), t)
+                for sym, v, s in ac:
+                    code, ln = tabs[(1, chroma)][2][sym]
+                    bw2.write(code, ln)
+                    if s:
+                        bw2.write(_jpeg_mag_bits(v, s), s)
+        bw2.align()
+        out += bw2.buf
+    return bytes(out + b"\xff\xd9")
+
+
+# --------------------------------------------------------------- JPEG tests
+
+
+def test_jpeg_round_trip_444_and_gray():
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        jpeg_decode_pixels,
+    )
+
+    rng = np.random.default_rng(5)
+    # solid gray at quant=1: exact
+    px = np.full((8, 8), 100, dtype=np.uint8)
+    w, h, out = jpeg_decode_pixels(_make_real_jpeg(px))
+    assert (w, h) == (8, 8)
+    assert np.abs(out[:, :, 0].astype(int) - 100).max() == 0
+
+    # random RGB 4:4:4, non-multiple-of-8 dims (crop path), quant=1:
+    # only float DCT/color rounding separates the two implementations
+    px = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    w, h, out = jpeg_decode_pixels(_make_real_jpeg(px))
+    assert (w, h) == (17, 24)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+
+    # grayscale single-component: replicated channels
+    px = rng.integers(0, 256, (19, 11), dtype=np.uint8)
+    w, h, out = jpeg_decode_pixels(_make_real_jpeg(px))
+    assert (w, h) == (11, 19)
+    assert np.abs(out[:, :, 0].astype(int) - px.astype(int)).max() <= 1
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+
+
+def test_jpeg_420_subsampling_and_restart_markers():
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        decode_image_pixels,
+        jpeg_decode_pixels,
+    )
+
+    rng = np.random.default_rng(6)
+    # chroma-constant content means 2x2-average down + nearest up is lossless
+    base = rng.integers(0, 200, (32, 32), dtype=np.uint8)
+    px = np.stack([base] * 3, axis=2)
+    w, h, out = jpeg_decode_pixels(_make_real_jpeg(px, subsample=True))
+    assert (w, h) == (32, 32)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+
+    # restart interval: DC predictors reset + RSTn sequence consumed
+    px = rng.integers(0, 256, (16, 40, 3), dtype=np.uint8)
+    blob = _make_real_jpeg(px, restart=2)
+    assert b"\xff\xd0" in blob  # really exercised
+    w, h, out = jpeg_decode_pixels(blob)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+    # magic dispatch
+    assert decode_image_pixels(blob)[0] == 40
+
+
+def test_jpeg_lossy_quant_bounded_on_smooth_image():
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        jpeg_decode_pixels,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    px = np.stack(
+        [(yy * 4) % 256, (xx * 4) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    q = np.full((8, 8), 4.0)
+    _, _, out = jpeg_decode_pixels(_make_real_jpeg(px, quant=q))
+    # quantization at step 4 on a smooth ramp: small bounded error
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 16
+
+
+def test_jpeg_16bit_dqt_precision():
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        jpeg_decode_pixels,
+    )
+
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    blob = _make_real_jpeg(px)
+    # rewrite the 8-bit DQT segment as 16-bit precision in place
+    i = blob.index(b"\xff\xdb")
+    vals = blob[i + 5 : i + 5 + 64]
+    seg16 = b"\x10" + b"".join(int(v).to_bytes(2, "big") for v in vals)
+    patched = (
+        blob[:i] + b"\xff\xdb" + (2 + len(seg16)).to_bytes(2, "big") + seg16
+        + blob[i + 69 :]
+    )
+    _, _, out = jpeg_decode_pixels(patched)
+    _, _, want = jpeg_decode_pixels(blob)
+    assert np.array_equal(out, want)
+
+
+def test_jpeg_unsupported_variants_raise():
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        jpeg_decode_pixels,
+    )
+
+    blob = _make_real_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    progressive = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_decode_pixels(progressive)
+    with pytest.raises(ValueError):
+        jpeg_decode_pixels(b"\xff\xd8\xff\xd9")  # no SOF/SOS at all
+    with pytest.raises(ValueError):
+        jpeg_decode_pixels(blob[: len(blob) // 2])  # entropy data truncated
