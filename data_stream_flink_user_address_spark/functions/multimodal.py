@@ -6,11 +6,13 @@ struct.  The Spark-side plumbing -- schema, partition-preserving
 mapInPandas, Arrow batch shape -- is real and tested.  Decode is real
 (pure-Python, dependency-free) for every self-describing format: PPM
 (P6), 24-bit BMP, PNG (stdlib zlib + filter reconstruction + Adam7),
-and GIF (LZW + palette + interlace) full pixel decode; WAV duration;
+GIF (LZW + palette + interlace), and baseline JPEG (pure-Python
+Huffman + numpy IDCT) full pixel decode; WAV PCM/float sample decode
+with audio features; MP4/ISO-BMFF duration + track dims (box walk);
 JPEG dimensions (SOF marker walk).  Formats needing codec libraries
-(MP4/OGG/... and JPEG pixel data) raise ``NotImplementedError`` --
-not in this container -- with ``fake_decode`` as the deterministic
-test stand-in.
+(OGG, MP4 frame pixels, progressive JPEG) raise
+``NotImplementedError`` -- not in this container -- with
+``fake_decode`` as the deterministic test stand-in.
 
 At scale: payloads ride in parquet binary columns; mapInPandas streams
 Arrow batches so a 100 MB image never materializes as a Python list; the
@@ -767,6 +769,176 @@ def jpeg_decode_pixels(payload: bytes):
     return w, h, np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
+def mp4_metadata(payload: bytes) -> dict:
+    """MP4/ISO-BMFF metadata from a pure box walk -- no codec library:
+    ``moov/mvhd`` carries movie timescale + duration (versions 0 and
+    1), ``moov/trak/tkhd`` carries per-track 16.16 fixed-point
+    width/height (the first track with nonzero dims wins -- audio
+    tracks legitimately carry 0x0).  Returns ``{"width", "height",
+    "duration_ms"}`` with None for anything absent.  Raises ValueError
+    when no ``moov`` exists (e.g. a fragmented/streaming-only file or
+    a truncated upload).
+
+    Covers .mp4/.m4a/.m4v/.mov alike (same box grammar).  Frame
+    PIXELS genuinely need codecs; this is the metadata-sweep path.
+    """
+
+    def walk(buf: bytes, start: int, end: int, out: dict, depth: int = 0):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            btype = buf[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise ValueError("MP4 largesize box truncated")
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                body = pos + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - pos
+            if size < 8 or pos + size > end:
+                raise ValueError("MP4 box size out of bounds")
+            if btype in (b"moov", b"trak") and depth < 8:
+                if btype == b"moov":
+                    out["has_moov"] = True
+                walk(buf, body, pos + size, out, depth + 1)
+            elif btype == b"mvhd":
+                v = buf[body]
+                if v == 1:
+                    ts = int.from_bytes(buf[body + 20 : body + 24], "big")
+                    dur = int.from_bytes(buf[body + 24 : body + 32], "big")
+                else:
+                    ts = int.from_bytes(buf[body + 12 : body + 16], "big")
+                    dur = int.from_bytes(buf[body + 16 : body + 20], "big")
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 / ts)
+            elif btype == b"tkhd" and out.get("width") is None:
+                v = buf[body]
+                woff = body + (88 if v == 1 else 76)
+                tw = int.from_bytes(buf[woff : woff + 4], "big") >> 16
+                th = int.from_bytes(buf[woff + 4 : woff + 8], "big") >> 16
+                if tw and th:
+                    out["width"], out["height"] = tw, th
+            pos += size
+
+    out: dict = {"width": None, "height": None, "duration_ms": None}
+    walk(payload, 0, len(payload), out)
+    if not out.pop("has_moov", False):
+        raise ValueError("MP4 has no moov box (fragmented or truncated)")
+    return out
+
+
+def wav_decode_samples(payload: bytes):
+    """Real WAV sample decode -- RIFF chunk walk + numpy reinterpret,
+    no audio library.  Returns ``(sample_rate, samples)`` with
+    ``samples`` float64 in [-1, 1], shape (n_frames, n_channels).
+    Supports PCM (format 1) at 8 (unsigned), 16, 24, and 32 bits, and
+    IEEE float32/float64 (format 3).  Raises ValueError on compressed
+    formats (ADPCM/mu-law/... genuinely need codec tables)."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (missing RIFF/WAVE)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            fmt = payload[pos + 8 : pos + 8 + clen]
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if not channels or not rate:
+        raise ValueError("WAV fmt chunk has zero channels/rate")
+    if audio_format == 1:
+        if bits == 8:
+            x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+            x = (x - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(data[: len(data) - len(data) % 3], dtype=np.uint8)
+            b = b.reshape(-1, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float64) / float(1 << 31)
+        else:
+            raise ValueError(f"WAV PCM bit depth {bits} unsupported")
+    elif audio_format == 3:
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"WAV float bit depth {bits} unsupported")
+    else:
+        raise ValueError(
+            f"WAV format {audio_format} needs a codec (PCM/float only)"
+        )
+    n = len(x) - len(x) % channels
+    return rate, x[:n].reshape(-1, channels)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, n_frames long, n_channels int, "
+    "duration_ms long, rms double, peak double, zero_cross_rate double"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Real audio feature extraction over WAV payloads via Arrow-batched
+    mapInPandas: RMS energy, absolute peak, and zero-crossing rate over
+    the channel-mean signal -- the signals a curation pipeline uses to
+    drop silence/clipped/noise-only clips.  Undecodable payloads yield
+    a row of NULL features (totality: no poison pills), same contract
+    as :func:`resize_images`."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, samples = wav_decode_samples(bytes(payload or b""))
+                    mono = samples.mean(axis=1)
+                    n = len(mono)
+                    zc = (
+                        float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                        / (n - 1)
+                        if n > 1
+                        else 0.0
+                    )
+                    rows.append(
+                        (mid, rate, n, samples.shape[1],
+                         int(n * 1000 / rate),
+                         float(np.sqrt(np.mean(mono ** 2))) if n else 0.0,
+                         float(np.abs(samples).max()) if n else 0.0,
+                         zc)
+                    )
+                except ValueError:
+                    rows.append((mid, None, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_frames", "n_channels",
+                    "duration_ms", "rms", "peak", "zero_cross_rate",
+                ],
+            )
+
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(media.sparkSession)
+    return media.mapInPandas(op, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def real_decode(payload: bytes, kind: str) -> dict:
     """Real media decode for the formats a pure-Python parse can handle:
 
@@ -778,7 +950,10 @@ def real_decode(payload: bytes, kind: str) -> dict:
       headers -- JPEG dimensions via :func:`jpeg_dimensions` (SOF
       marker walk);
     - audio: WAV/RIFF -- duration from the fmt chunk's byte rate and
-      the data chunk length.
+      the data chunk length (real SAMPLE decode exists too:
+      :func:`wav_decode_samples` / :func:`extract_audio_features`);
+    - video/containers: MP4/ISO-BMFF (.mp4/.m4a/.m4v/.mov) duration +
+      track dimensions via :func:`mp4_metadata` (pure box walk).
 
     - image headers: JPEG dimensions (SOF walk), PNG dimensions (IHDR
       fixed offsets), GIF dimensions (logical screen descriptor).
@@ -816,6 +991,9 @@ def real_decode(payload: bytes, kind: str) -> dict:
         w = int.from_bytes(payload[6:8], "little")
         h = int.from_bytes(payload[8:10], "little")
         return {"width": w, "height": h, "duration_ms": None}
+    if len(payload) >= 8 and payload[4:8] in (b"ftyp", b"moov"):
+        # MP4/ISO-BMFF family (.mp4/.m4a/.m4v/.mov): box-walk metadata
+        return mp4_metadata(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # walk chunks: fmt_ gives byte rate, data gives payload length
         pos, byte_rate, data_len = 12, None, None
@@ -837,7 +1015,8 @@ def real_decode(payload: bytes, kind: str) -> dict:
     raise NotImplementedError(
         "decode for this format requires image/audio libraries not present "
         "in this environment (pure-Python path handles PPM/BMP/PNG/GIF/"
-        "baseline-JPEG/WAV); use fake_decode for deterministic tests"
+        "baseline-JPEG/WAV/MP4-metadata); use fake_decode for deterministic "
+        "tests"
     )
 
 

@@ -198,8 +198,12 @@ def test_real_decode_ppm_bmp_pixels_and_wav_duration():
 
     import pytest
 
+    # MP4 is now a metadata box walk: a truncated ftyp-only payload is a
+    # parse error (no moov), not a codec gap
+    with pytest.raises(ValueError):
+        real_decode(b"\x00\x00\x00\x18ftypmp42rest", "video")
     with pytest.raises(NotImplementedError):
-        real_decode(b"\x00\x00\x00\x18ftypmp42rest", "video")  # needs a codec lib
+        real_decode(b"fLaC" + b"\x00" * 16, "audio")  # needs a codec lib
 
 
 def test_extract_media_meta_real_decode_through_spark(spark):

@@ -675,3 +675,138 @@ def test_jpeg_unsupported_variants_raise():
         jpeg_decode_pixels(b"\xff\xd8\xff\xd9")  # no SOF/SOS at all
     with pytest.raises(ValueError):
         jpeg_decode_pixels(blob[: len(blob) // 2])  # entropy data truncated
+
+
+# ------------------------------------------------- MP4 / WAV sample builders
+
+
+def _box(btype: bytes, payload: bytes, largesize=False) -> bytes:
+    if largesize:
+        return (1).to_bytes(4, "big") + btype + (16 + len(payload)).to_bytes(8, "big") + payload
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def _make_mp4(duration_ms=5000, timescale=1000, width=640, height=360,
+              mvhd_v1=False, tkhd_v1=False, audio_track_first=True):
+    dur = duration_ms * timescale // 1000
+    if mvhd_v1:
+        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 + timescale.to_bytes(4, "big") + dur.to_bytes(8, "big") + b"\x00" * 80
+    else:
+        mvhd = bytes(4) + b"\x00" * 8 + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big") + b"\x00" * 80
+
+    def tkhd(w, h, v1=False):
+        if v1:
+            head = bytes([1, 0, 0, 0]) + b"\x00" * 32 + b"\x00" * 8  # through rsvd(8)
+            body = head + b"\x00" * 8 + b"\x00" * 36  # layer..matrix
+        else:
+            head = bytes(4) + b"\x00" * 20 + b"\x00" * 8
+            body = head + b"\x00" * 8 + b"\x00" * 36
+        return body + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+
+    tracks = b""
+    if audio_track_first:  # 0x0 dims must be skipped, not returned
+        tracks += _box(b"trak", _box(b"tkhd", tkhd(0, 0)))
+    tracks += _box(b"trak", _box(b"tkhd", tkhd(width, height, v1=tkhd_v1)))
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + tracks)
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov + _box(b"mdat", b"\x00" * 32)
+
+
+def _make_pcm_wav(rate, samples, bits=16, fmt=1):
+    """samples: (n, ch) float64 in [-1,1]."""
+    n, ch = samples.shape
+    if fmt == 3:
+        data = samples.astype("<f4" if bits == 32 else "<f8").tobytes()
+    elif bits == 8:
+        data = np.rint(np.clip(samples, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = np.rint(np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    elif bits == 24:
+        v = np.rint(np.clip(samples, -1, 1) * ((1 << 23) - 1)).astype(np.int64).reshape(-1)
+        v = np.where(v < 0, v + (1 << 24), v)
+        b = np.zeros((len(v), 3), dtype=np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        data = b.tobytes()
+    else:
+        data = np.rint(np.clip(samples, -1, 1) * ((1 << 31) - 1)).astype("<i4").tobytes()
+    block = ch * bits // 8
+    fmtc = (
+        fmt.to_bytes(2, "little") + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    out = b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+    out += b"fmt " + (16).to_bytes(4, "little") + fmtc
+    out += b"data" + len(data).to_bytes(4, "little") + data
+    return out
+
+
+def test_mp4_metadata_box_walk():
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        mp4_metadata,
+        real_decode,
+    )
+
+    blob = _make_mp4(duration_ms=5000, width=640, height=360)
+    got = mp4_metadata(blob)
+    assert got == {"width": 640, "height": 360, "duration_ms": 5000}
+    # real_decode routes the ftyp magic here
+    assert real_decode(blob, "video") == got
+
+    # version-1 boxes (64-bit times) and odd timescales
+    got = mp4_metadata(
+        _make_mp4(duration_ms=123456, timescale=90000, width=1920, height=1080,
+                  mvhd_v1=True, tkhd_v1=True)
+    )
+    assert got["duration_ms"] == 123456
+    assert (got["width"], got["height"]) == (1920, 1080)
+
+    with pytest.raises(ValueError):  # no moov at all
+        mp4_metadata(_box(b"ftyp", b"isom") + _box(b"mdat", b"x" * 8))
+    with pytest.raises(ValueError):  # box overruns the buffer
+        mp4_metadata(b"\x00\x00\x00\x18ftypmp42rest")
+
+
+def test_wav_sample_decode_all_depths():
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        wav_decode_samples,
+    )
+
+    rng = np.random.default_rng(17)
+    want = rng.uniform(-0.9, 0.9, (500, 2))
+    # 8-bit: 0.5/128 rounding + the 127-vs-128 scale skew
+    for bits, fmt, tol in [(8, 1, 0.012), (16, 1, 5e-5), (24, 1, 1e-6),
+                           (32, 1, 1e-9), (32, 3, 1e-7), (64, 3, 0.0)]:
+        rate, got = wav_decode_samples(_make_pcm_wav(8000, want, bits=bits, fmt=fmt))
+        assert rate == 8000 and got.shape == (500, 2), (bits, fmt)
+        assert np.abs(got - want).max() <= tol, (bits, fmt)
+
+    with pytest.raises(ValueError):  # ADPCM and friends need codec tables
+        wav_decode_samples(_make_pcm_wav(8000, want, bits=16, fmt=2))
+
+
+def test_extract_audio_features_through_spark(spark):
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        extract_audio_features,
+    )
+
+    t = np.arange(8000) / 8000.0
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t)).reshape(-1, 1)
+    silence = np.zeros((4000, 1))
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(_make_pcm_wav(8000, sine))),
+            (2, "audio", bytearray(_make_pcm_wav(8000, silence))),
+            (3, "audio", bytearray(b"not a wav")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    r1 = rows[1]
+    assert r1["duration_ms"] == 1000 and r1["n_channels"] == 1
+    assert abs(r1["rms"] - 0.5 / np.sqrt(2)) < 0.01  # sine RMS = A/sqrt(2)
+    assert abs(r1["zero_cross_rate"] - 2 * 440 / 8000) < 0.01
+    assert rows[2]["rms"] == 0.0 and rows[2]["peak"] == 0.0
+    assert rows[3]["rms"] is None  # undecodable -> NULL features, no crash
