@@ -1108,16 +1108,28 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     )
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: emits (media_id,
-    frame_idx, ts_ms) rows; the actual frame extraction is the stubbed
-    decode.  Demonstrates the 1-to-N mapInPandas shape without decoding."""
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, use_real_decode: bool = False
+) -> DataFrame:
+    """Frame-sampling timeline for video/audio payloads: emits
+    (media_id, frame_idx, ts_ms) rows every ``every_ms`` across the
+    container duration -- the 1-to-N mapInPandas shape.  With
+    ``use_real_decode`` the duration comes from the real metadata
+    parsers (MP4 box walk / WAV byte rate); payloads those can't parse
+    emit no rows.  The actual frame-pixel extraction stays codec-gated;
+    ``fake_decode`` remains the deterministic default for tests."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "ts_ms": []}
             for mid, payload, kind in zip(pdf["media_id"], pdf["payload"], pdf["kind"]):
-                meta = fake_decode(payload, kind)
+                if use_real_decode:
+                    try:
+                        meta = real_decode(bytes(payload or b""), kind)
+                    except (ValueError, NotImplementedError):
+                        continue
+                else:
+                    meta = fake_decode(payload, kind)
                 dur = meta["duration_ms"] or 0
                 for i, ts in enumerate(range(0, int(dur), every_ms)):
                     out["media_id"].append(mid)

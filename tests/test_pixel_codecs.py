@@ -810,3 +810,27 @@ def test_extract_audio_features_through_spark(spark):
     assert abs(r1["zero_cross_rate"] - 2 * 440 / 8000) < 0.01
     assert rows[2]["rms"] == 0.0 and rows[2]["peak"] == 0.0
     assert rows[3]["rms"] is None  # undecodable -> NULL features, no crash
+
+
+def test_sample_frames_real_durations(spark):
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        sample_frames,
+    )
+
+    mp4 = _make_mp4(duration_ms=3500)
+    wav = _make_pcm_wav(8000, np.zeros((16000, 1)))  # 2 s
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(mp4)),
+            (2, "audio", bytearray(wav)),
+            (3, "video", bytearray(b"undecodable")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    rows = sample_frames(media, every_ms=1000, use_real_decode=True).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["ts_ms"])
+    assert sorted(by_id[1]) == [0, 1000, 2000, 3000]  # 3.5 s -> 4 ticks
+    assert sorted(by_id[2]) == [0, 1000]
+    assert 3 not in by_id  # unparseable emits nothing in real mode
