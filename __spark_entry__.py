@@ -92,7 +92,10 @@ from data_stream_flink_user_address_spark.functions.curation import (
 )
 from data_stream_flink_user_address_spark.functions.multimodal import (
     attach_binary_payload,
+    extract_audio_features,
     extract_media_meta,
+    pixel_roundtrip_check,
+    synthesize_square_wavs,
 )
 from data_stream_flink_user_address_spark.functions.sampling import (
     hash_split,
@@ -1899,6 +1902,25 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(media)
 
 
+def _q_multimodal_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec round-trip per document (functions/multimodal.py:
+    pixel_roundtrip_check): images with id-derived dims/constants go
+    through encode_png -> zlib inflate -> filter reconstruction, and
+    the decoded dims + pixel sums must equal the oracle's closed-form
+    arithmetic -- losslessness makes the codec hash-checkable without
+    the oracle decoding anything."""
+    return pixel_roundtrip_check(_docs(spark, sf_dir))
+
+
+def _q_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV codec + feature round-trip per document: dyadic-
+    amplitude square waves synthesized from doc_id pass through PCM16
+    encode (scale 32768) -> wav_decode_samples -> RMS/peak/zero-cross
+    features; every output has a closed form (amplitude (1+id%7)/8 is
+    exactly representable end-to-end) so the oracle is arithmetic."""
+    return extract_audio_features(synthesize_square_wavs(_docs(spark, sf_dir)))
+
+
 # Deterministic PII-bearing "support ticket" text synthesized from the
 # customer table (the slimmed TPC-H customer here carries no c_phone /
 # c_address, so the demo PII is derived arithmetically from c_custkey --
@@ -2071,11 +2093,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12 rotation (VERDICT r11 ask #4): the 36 LLM queries green in
     # r10 rotate back IN (2 rounds stale otherwise), joined by the two
     # PQ queries whose config changed this round (persisted trained
-    # codebooks; order-independent capped seeds), paragraph_dedup +
-    # curation_pipeline, and the 3 relational queries r11's window did
-    # not carry (q12/session/asof, green r10).  Everything rotating out
-    # (38 relational + embedding_quantize) is green in r11, so r11's
-    # window ∪ this window = every registered query.
+    # codebooks; order-independent capped seeds), the two new codec
+    # round-trip queries, and the 3 relational queries r11's window
+    # did not carry (q12/session/asof, green r10).  Everything rotating
+    # out (38 relational + embedding_quantize + paragraph_dedup +
+    # curation_pipeline) is green in r11, so r11's window ∪ this
+    # window = every registered query.
     # reference parity (7, always in-window)
     "user_address_counts": _q_user_address_counts,
     "count_by_state": _q_count_by_state,
@@ -2084,11 +2107,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_value_sum": _q_windowed_value_sum,
     "stateful_join_trace": _q_stateful_join_trace,
     "windowed_trace_inflation": _q_windowed_trace_inflation,
-    # changed-this-round + flagship LLM slots (4)
+    # changed-this-round slots (4): the two ANN queries whose artifact
+    # cache / codebook config changed after r11's correctness run, plus
+    # the two NEW oracle-checked codec round-trip queries (PNG pixel
+    # path, WAV PCM16 + audio features).  paragraph_dedup and
+    # curation_pipeline rotate below the window -- both driver-green in
+    # r11 with unchanged code, so r11 ∪ r12 still covers all 91.
     "similarity_pq_topk": _q_similarity_pq_topk,
     "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
-    "paragraph_dedup": _q_paragraph_dedup,
-    "curation_pipeline": _q_curation_pipeline,
+    "multimodal_pixel_roundtrip": _q_multimodal_pixel_roundtrip,
+    "audio_features_real": _q_audio_features_real,
     # LLM-pipeline set (36, last driver-green r10)
     "gopher_quality": _q_gopher_quality,
     "sequence_pack": _q_sequence_pack,
@@ -2131,6 +2159,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_window_stats": _q_session_window_stats,
     "asof_purchase_view": _q_asof_purchase_view,
     # --- below the 50-row window: all driver-green r11 ---
+    "paragraph_dedup": _q_paragraph_dedup,
+    "curation_pipeline": _q_curation_pipeline,
     "embedding_quantize": _q_embedding_quantize,
     "q1_pricing_summary": _q_q1_pricing_summary,
     "q2_min_cost_supplier": _q_q2_min_cost_supplier,
@@ -3858,6 +3888,36 @@ ORACLE_SQL: dict[str, str] = {
                (64 + ('0x' || substr(sha256(text), 1, 2))::INT)::INT AS width,
                (64 + ('0x' || substr(sha256(text), 3, 2))::INT)::INT AS height,
                NULL::BIGINT AS duration_ms
+        FROM documents
+    """,
+    # The real PNG codec round-trip: the Spark side actually encodes
+    # and decodes per-document images (zlib + filter reconstruction);
+    # losslessness means the oracle needs only the closed-form
+    # arithmetic for the dims and per-channel constants (v <= 250, so
+    # v itself needs no mod; channels add 83 and 166).
+    "multimodal_pixel_roundtrip": """
+        SELECT doc_id,
+               (4 + doc_id % 13)::INT AS width,
+               (3 + doc_id % 7)::INT AS height,
+               ((4 + doc_id % 13) * (3 + doc_id % 7) *
+                ((doc_id % 251)
+                 + ((doc_id % 251) + 83) % 256
+                 + ((doc_id % 251) + 166) % 256))::BIGINT AS pixel_sum
+        FROM documents
+    """,
+    # The real WAV PCM16 + feature round-trip: amplitude (1+id%7)/8 is
+    # dyadic so encode(32768 scale) -> decode(/32768) is bit-exact and
+    # RMS/peak equal the amplitude; alternating signs make the
+    # zero-crossing rate exactly 1.
+    "audio_features_real": """
+        SELECT doc_id AS media_id,
+               8000::INT AS sample_rate,
+               (800 + (doc_id % 5) * 400)::BIGINT AS n_frames,
+               1::INT AS n_channels,
+               (100 + (doc_id % 5) * 50)::BIGINT AS duration_ms,
+               (1 + doc_id % 7) / 8.0 AS rms,
+               (1 + doc_id % 7) / 8.0 AS peak,
+               1.0::DOUBLE AS zero_cross_rate
         FROM documents
     """,
     # PII redaction over the same synthesized ticket text (identical

@@ -138,6 +138,8 @@ HEADLINE = [
     "mixture_sample",
     "dataset_split",
     "curation_pipeline",
+    "multimodal_pixel_roundtrip",
+    "audio_features_real",
 ]
 
 

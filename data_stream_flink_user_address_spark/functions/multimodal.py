@@ -887,6 +887,100 @@ def wav_decode_samples(payload: bytes):
     return rate, x[:n].reshape(-1, channels)
 
 
+def encode_wav_pcm16(samples, rate: int) -> bytes:
+    """Minimal PCM16 WAV writer (RIFF + fmt + data).  Scale is 32768
+    (clipped to int16 range), the exact inverse of
+    :func:`wav_decode_samples`' /32768 normalization, so dyadic
+    amplitudes k/32768 round-trip bit-exactly -- the property the
+    oracle-checked ``audio_features_real`` driver query relies on."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    ch = x.shape[1]
+    data = np.clip(np.rint(x * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    block = ch * 2
+    fmt = (
+        (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    return (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
+def pixel_roundtrip_check(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Oracle-checkable probe of the real PNG codec path: per id, build
+    a small RGB image whose dimensions and per-channel constants are
+    arithmetic functions of the id, push it through
+    :func:`encode_png` -> :func:`png_decode_pixels`, and emit the
+    DECODED width/height/pixel-sum.  PNG is lossless, so the outputs
+    have the closed forms
+
+        width  = 4 + id % 13,   height = 3 + id % 7,   v = id % 251
+        pixel_sum = width * height * (v + (v+83)%256 + (v+166)%256)
+
+    which a SQL oracle reproduces without decoding anything -- any
+    codec regression breaks the hash match.  Runs as Arrow-batched
+    mapInPandas over just the id column (payloads never leave the
+    task)."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h, v = 4 + did % 13, 3 + did % 7, did % 251
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                for c in range(3):
+                    px[:, :, c] = (v + 83 * c) % 256
+                w2, h2, out = png_decode_pixels(encode_png(px))
+                rows.append((did, w2, h2, int(out.astype(np.int64).sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "pixel_sum"]
+            )
+
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(docs.sparkSession)
+    return docs.select(id_col).mapInPandas(
+        op, schema="doc_id long, width int, height int, pixel_sum long"
+    )
+
+
+def synthesize_square_wavs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic square-wave WAV payloads from ids, for the
+    oracle-checked audio round-trip: amplitude (1 + id%7)/8 is dyadic
+    (bit-exact through PCM16 at scale 32768), sign alternates every
+    sample (zero-crossing rate exactly 1), n_frames = 800 + (id%5)*400
+    at 8 kHz.  RMS and peak therefore equal the amplitude exactly and
+    every feature has a closed form a SQL oracle reproduces."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 800 + (did % 5) * 400
+                a = (1 + did % 7) / 8.0
+                wave = a * (1.0 - 2.0 * (np.arange(n) % 2))
+                rows.append((did, "audio", encode_wav_pcm16(wave, 8000)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(docs.sparkSession)
+    return docs.select(id_col).mapInPandas(
+        op, schema="media_id long, kind string, payload binary"
+    )
+
+
 AUDIO_FEATURES_SCHEMA = (
     "media_id long, sample_rate int, n_frames long, n_channels int, "
     "duration_ms long, rms double, peak double, zero_cross_rate double"

@@ -74,11 +74,12 @@ def test_driver_window_covers_r12_rotation():
     the 7 parity queries stay pinned, the 36 LLM queries last green in
     r10 rotate back IN, the two PQ queries whose config changed this
     round (persisted trained codebooks; order-independent capped seeds)
-    plus paragraph_dedup/curation_pipeline hold the changed/flagship
-    slots, and q12/session/asof cover the 3 relational queries r11's
-    window did not carry.  Everything rotated OUT (38 relational +
-    embedding_quantize) was driver-green in r11, so r11's window union
-    this one covers every registered query."""
+    plus the two NEW codec round-trip queries hold the changed slots,
+    and q12/session/asof cover the 3 relational queries r11's window
+    did not carry.  Everything rotated OUT (38 relational +
+    embedding_quantize + paragraph_dedup + curation_pipeline) was
+    driver-green in r11, so r11's window union this one covers every
+    registered query."""
     window = list(entrymod.queries())[:50]
     parity = {
         "user_address_counts", "count_by_state", "count_by_country",
@@ -87,7 +88,7 @@ def test_driver_window_covers_r12_rotation():
     }
     llm_slots = {
         "similarity_pq_topk", "similarity_ivfpq_topk",
-        "paragraph_dedup", "curation_pipeline",
+        "multimodal_pixel_roundtrip", "audio_features_real",
     }
     llm_set = {
         "gopher_quality", "sequence_pack", "chunk_manifest",
