@@ -9,9 +9,10 @@ mapInPandas, Arrow batch shape -- is real and tested.  Decode is real
 GIF (LZW + palette + interlace), and baseline JPEG (pure-Python
 Huffman + numpy IDCT) full pixel decode; WAV PCM/float sample decode
 with audio features; MP4/ISO-BMFF duration + track dims (box walk);
-JPEG dimensions (SOF marker walk).  Formats needing codec libraries
-(OGG, MP4 frame pixels, progressive JPEG) raise
-``NotImplementedError`` -- not in this container -- with
+JPEG dimensions (SOF marker walk); Ogg (Vorbis/Opus) and FLAC
+durations (page-granule walk / STREAMINFO).  Formats needing codec
+libraries (MP3, compressed-audio sample decode, MP4 frame pixels,
+progressive JPEG) raise ``NotImplementedError`` -- not in this container -- with
 ``fake_decode`` as the deterministic test stand-in.
 
 At scale: payloads ride in parquet binary columns; mapInPandas streams
@@ -828,6 +829,82 @@ def mp4_metadata(payload: bytes) -> dict:
     return out
 
 
+def ogg_metadata(payload: bytes) -> dict:
+    """Ogg container duration from a pure page walk -- no codec: each
+    page header carries a 64-bit granule position; the last audio
+    page's granule is the total sample count (Vorbis: at the ID
+    header's sample rate; Opus: always 48 kHz minus the pre-skip).
+    Parses the first page's codec ID header for the rate, then walks
+    the segment-table-framed pages to the last granule.  Raises
+    ValueError on non-Vorbis/Opus streams (FLAC-in-Ogg etc.) or
+    truncated pages."""
+    if payload[:4] != b"OggS":
+        raise ValueError("not an Ogg stream (missing OggS)")
+    rate = None
+    preskip = 0
+    last_granule = None
+    pos = 0
+    first = True
+    while pos + 27 <= len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError("Ogg page capture pattern lost")
+        granule = int.from_bytes(payload[pos + 6 : pos + 14], "little", signed=True)
+        nsegs = payload[pos + 26]
+        seg_table = payload[pos + 27 : pos + 27 + nsegs]
+        if len(seg_table) != nsegs:
+            raise ValueError("Ogg segment table truncated")
+        body = pos + 27 + nsegs
+        body_len = sum(seg_table)
+        if body + body_len > len(payload):
+            raise ValueError("Ogg page body truncated")
+        if first:
+            head = payload[body : body + 19]
+            if head[:7] == b"\x01vorbis":
+                # ID header: packet_type(1) 'vorbis'(6) version(4)
+                # channels(1) rate(4 LE)
+                rate = int.from_bytes(payload[body + 12 : body + 16], "little")
+            elif head[:8] == b"OpusHead":
+                # version(1) channels(1) pre-skip(2 LE); granule units
+                # are ALWAYS 48 kHz for Opus regardless of input rate
+                preskip = int.from_bytes(payload[body + 10 : body + 12], "little")
+                rate = 48000
+            else:
+                raise ValueError("Ogg stream is not Vorbis/Opus")
+            first = False
+        if granule >= 0:
+            last_granule = granule
+        pos = body + body_len
+    if rate is None or last_granule is None:
+        raise ValueError("Ogg stream has no granule-bearing audio page")
+    samples = max(0, last_granule - preskip)
+    return {"width": None, "height": None, "duration_ms": int(samples * 1000 / rate)}
+
+
+def flac_metadata(payload: bytes) -> dict:
+    """FLAC duration from the mandatory STREAMINFO metadata block
+    (first block after the ``fLaC`` magic): sample rate is a 20-bit
+    field and total samples a 36-bit field packed at fixed bit offsets
+    -- pure byte/bit arithmetic, no codec."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC)")
+    header = payload[4:8]
+    if len(header) < 4 or (header[0] & 0x7F) != 0:
+        raise ValueError("FLAC STREAMINFO must be the first metadata block")
+    blen = int.from_bytes(header[1:4], "big")
+    si = payload[8 : 8 + blen]
+    if blen < 18 or len(si) < 18:
+        raise ValueError("FLAC STREAMINFO truncated")
+    rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+    total = ((si[13] & 0x0F) << 32) | int.from_bytes(si[14:18], "big")
+    if not rate:
+        raise ValueError("FLAC STREAMINFO has zero sample rate")
+    return {
+        "width": None,
+        "height": None,
+        "duration_ms": int(total * 1000 / rate) if total else None,
+    }
+
+
 def wav_decode_samples(payload: bytes):
     """Real WAV sample decode -- RIFF chunk walk + numpy reinterpret,
     no audio library.  Returns ``(sample_rate, samples)`` with
@@ -1047,7 +1124,9 @@ def real_decode(payload: bytes, kind: str) -> dict:
       the data chunk length (real SAMPLE decode exists too:
       :func:`wav_decode_samples` / :func:`extract_audio_features`);
     - video/containers: MP4/ISO-BMFF (.mp4/.m4a/.m4v/.mov) duration +
-      track dimensions via :func:`mp4_metadata` (pure box walk).
+      track dimensions via :func:`mp4_metadata` (pure box walk); Ogg
+      Vorbis/Opus duration via :func:`ogg_metadata` (page-granule
+      walk); FLAC duration via :func:`flac_metadata` (STREAMINFO).
 
     - image headers: JPEG dimensions (SOF walk), PNG dimensions (IHDR
       fixed offsets), GIF dimensions (logical screen descriptor).
@@ -1088,6 +1167,10 @@ def real_decode(payload: bytes, kind: str) -> dict:
     if len(payload) >= 8 and payload[4:8] in (b"ftyp", b"moov"):
         # MP4/ISO-BMFF family (.mp4/.m4a/.m4v/.mov): box-walk metadata
         return mp4_metadata(payload)
+    if payload[:4] == b"OggS":
+        return ogg_metadata(payload)
+    if payload[:4] == b"fLaC":
+        return flac_metadata(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # walk chunks: fmt_ gives byte rate, data gives payload length
         pos, byte_rate, data_len = 12, None, None
@@ -1109,8 +1192,8 @@ def real_decode(payload: bytes, kind: str) -> dict:
     raise NotImplementedError(
         "decode for this format requires image/audio libraries not present "
         "in this environment (pure-Python path handles PPM/BMP/PNG/GIF/"
-        "baseline-JPEG/WAV/MP4-metadata); use fake_decode for deterministic "
-        "tests"
+        "baseline-JPEG/WAV plus MP4/Ogg/FLAC metadata); use fake_decode "
+        "for deterministic tests"
     )
 
 

@@ -203,7 +203,7 @@ def test_real_decode_ppm_bmp_pixels_and_wav_duration():
     with pytest.raises(ValueError):
         real_decode(b"\x00\x00\x00\x18ftypmp42rest", "video")
     with pytest.raises(NotImplementedError):
-        real_decode(b"fLaC" + b"\x00" * 16, "audio")  # needs a codec lib
+        real_decode(b"\xff\xfb\x90\x00" + b"\x00" * 16, "audio")  # MP3 needs a codec lib
 
 
 def test_extract_media_meta_real_decode_through_spark(spark):
@@ -869,5 +869,7 @@ def test_real_decode_png_gif_dimensions():
 
     with _pytest.raises(ValueError):
         jpeg_dimensions(b"\xff\xd8\xff\xc0" + (17).to_bytes(2, "big") + b"\x08\x01")
-    with _pytest.raises(NotImplementedError):
+    # Ogg is a metadata parse now: a signature-only stump is a parse
+    # error (truncated page), not a codec gap
+    with _pytest.raises(ValueError):
         real_decode(b"OggS" + b"\x00" * 20, "audio")

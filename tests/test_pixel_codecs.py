@@ -834,3 +834,98 @@ def test_sample_frames_real_durations(spark):
     assert sorted(by_id[1]) == [0, 1000, 2000, 3000]  # 3.5 s -> 4 ticks
     assert sorted(by_id[2]) == [0, 1000]
     assert 3 not in by_id  # unparseable emits nothing in real mode
+
+
+# -------------------------------------------------- OGG / FLAC metadata
+
+
+def _ogg_page(serial, seq, granule, body, header_type=0):
+    segs = []
+    n = len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    head = (
+        b"OggS" + bytes([0, header_type])
+        + granule.to_bytes(8, "little", signed=True)
+        + serial.to_bytes(4, "little") + seq.to_bytes(4, "little")
+        + b"\x00" * 4  # crc unchecked by the metadata walk
+        + bytes([len(segs)]) + bytes(segs)
+    )
+    return head + body
+
+
+def _make_ogg_vorbis(rate=44100, total_samples=88200):
+    ident = (
+        b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2])
+        + rate.to_bytes(4, "little") + b"\x00" * 16
+    )
+    pages = _ogg_page(7, 0, 0, ident, header_type=2)
+    pages += _ogg_page(7, 1, total_samples // 2, b"\x00" * 64)
+    pages += _ogg_page(7, 2, total_samples, b"\x00" * 64, header_type=4)
+    return pages
+
+
+def _make_ogg_opus(preskip=312, granule=48312):
+    ident = (
+        b"OpusHead" + bytes([1, 2]) + preskip.to_bytes(2, "little")
+        + (48000).to_bytes(4, "little") + b"\x00" * 4
+    )
+    return (
+        _ogg_page(9, 0, 0, ident, header_type=2)
+        + _ogg_page(9, 1, granule, b"\x00" * 32, header_type=4)
+    )
+
+
+def _make_flac(rate=44100, total_samples=132300):
+    si = bytearray(34)
+    si[0:2] = (4096).to_bytes(2, "big")
+    si[2:4] = (4096).to_bytes(2, "big")
+    # rate(20) | channels-1(3) | bps-1(5) | total(36) packed at [10:18]
+    si[10] = (rate >> 12) & 0xFF
+    si[11] = (rate >> 4) & 0xFF
+    si[12] = ((rate & 0xF) << 4) | (1 << 1) | ((total_samples >> 32) and 0)
+    si[12] |= (16 - 1) >> 4  # bps-1 high bit
+    si[13] = (((16 - 1) & 0xF) << 4) | ((total_samples >> 32) & 0xF)
+    si[14:18] = (total_samples & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(si)
+
+
+def test_ogg_metadata_vorbis_and_opus():
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        ogg_metadata,
+        real_decode,
+    )
+
+    got = ogg_metadata(_make_ogg_vorbis(rate=44100, total_samples=88200))
+    assert got["duration_ms"] == 2000
+    # real_decode routes the OggS magic
+    assert real_decode(_make_ogg_vorbis(rate=8000, total_samples=4000), "audio")[
+        "duration_ms"
+    ] == 500
+
+    # Opus: granule is 48 kHz units minus the pre-skip
+    got = ogg_metadata(_make_ogg_opus(preskip=312, granule=48312))
+    assert got["duration_ms"] == 1000
+
+    with pytest.raises(ValueError):
+        ogg_metadata(b"OggS" + b"\x00" * 20)  # truncated page header
+    flac_in_ogg = _ogg_page(3, 0, 0, b"\x7fFLAC" + b"\x00" * 20, header_type=2)
+    with pytest.raises(ValueError):
+        ogg_metadata(flac_in_ogg)  # not Vorbis/Opus
+
+
+def test_flac_metadata_streaminfo():
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        flac_metadata,
+        real_decode,
+    )
+
+    got = flac_metadata(_make_flac(rate=44100, total_samples=132300))
+    assert got["duration_ms"] == 3000
+    assert real_decode(_make_flac(rate=48000, total_samples=24000), "audio")[
+        "duration_ms"
+    ] == 500
+    with pytest.raises(ValueError):
+        flac_metadata(b"fLaC" + b"\x00" * 4)  # truncated STREAMINFO
