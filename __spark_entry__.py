@@ -66,6 +66,7 @@ from data_stream_flink_user_address_spark.functions.semantic import (
 )
 from data_stream_flink_user_address_spark.functions.sampling import (
     cluster_stratified_sample,
+    dsir_importance,
 )
 from data_stream_flink_user_address_spark.functions.quantize import (
     quantize_int8_frame,
@@ -1902,6 +1903,22 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(media)
 
 
+_DSIR_TGT_MOD = 17  # every 17th doc stands in for the target domain
+_DSIR_BUCKETS = 512
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (functions/sampling.py:dsir_importance):
+    hashed unigram+bigram histograms for a target subset (doc_id %
+    17 == 0) vs the rest, per-doc log importance via broadcast
+    fixed-point log-ratios.  The oracle replicates the identical
+    hashing and 1e-9 fixed-point arithmetic."""
+    d = _docs(spark, sf_dir)
+    target = d.filter(F.col("doc_id") % _DSIR_TGT_MOD == 0)
+    raw = d.filter(F.col("doc_id") % _DSIR_TGT_MOD != 0)
+    return dsir_importance(raw, target, n_buckets=_DSIR_BUCKETS)
+
+
 def _q_multimodal_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG codec round-trip per document (functions/multimodal.py:
     pixel_roundtrip_check): images with id-derived dims/constants go
@@ -2200,6 +2217,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_function_showcase": _q_scalar_function_showcase,
     "grouping_sets_revenue": _q_grouping_sets_revenue,
     "scd2_customer_segments": _q_scd2_customer_segments,
+    # new this round, below the window; rotate INTO r13's first-50 for
+    # its first driver row (pytest parity already oracle-checks it)
+    "dsir_weights": _q_dsir_weights,
 }
 
 
@@ -4144,6 +4164,57 @@ ORACLE_SQL: dict[str, str] = {
                       AS BIGINT) % 1000000 AS bucket
           FROM documents
         )
+    """,
+    # DSIR importance weights: identical hashing (md5-prefix buckets over
+    # whitespace unigrams + adjacent bigrams), identical add-0.5 smoothed
+    # distributions, and the same 1e-9 fixed-point rounding of per-bucket
+    # log-ratios BEFORE the per-doc integer sum (order-independence =
+    # engine reproducibility, the BM25 trick).
+    "dsir_weights": f"""
+        WITH toks AS (
+          SELECT doc_id, doc_id % {_DSIR_TGT_MOD} = 0 AS is_tgt,
+                 CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                      ELSE string_split({_sql_norm()}, ' ') END AS toks
+          FROM documents
+        ),
+        uni AS (SELECT doc_id, is_tgt, unnest(toks) AS feat FROM toks),
+        bi AS (
+          SELECT doc_id, is_tgt,
+                 unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+                                       i -> toks[i + 1] || ' ' || toks[i + 2])) AS feat
+          FROM toks
+        ),
+        feats AS (
+          SELECT doc_id, is_tgt,
+                 {_sql_md5_long("feat")} % {_DSIR_BUCKETS} AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        ),
+        hist AS (
+          SELECT b,
+                 sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS cr,
+                 sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ct
+          FROM feats GROUP BY b
+        ),
+        tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM hist),
+        ratios AS (
+          SELECT b,
+                 round((ln((ct + 0.5) / (nt + 0.5 * {_DSIR_BUCKETS}))
+                        - ln((cr + 0.5) / (nr + 0.5 * {_DSIR_BUCKETS})))
+                       * 1000000000)::BIGINT AS ratio_fp
+          FROM hist, tot
+        ),
+        dc AS (
+          SELECT doc_id, b, count(*) AS c FROM feats
+          WHERE NOT is_tgt GROUP BY doc_id, b
+        ),
+        w AS (
+          SELECT doc_id, sum(c * ratio_fp) AS w_fp
+          FROM dc JOIN ratios USING (b) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               round(COALESCE(w.w_fp, 0) / 1000000000.0, 6) AS log_weight
+        FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+        WHERE d.doc_id % {_DSIR_TGT_MOD} <> 0
     """,
 }
 

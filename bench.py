@@ -140,6 +140,7 @@ HEADLINE = [
     "curation_pipeline",
     "multimodal_pixel_roundtrip",
     "audio_features_real",
+    "dsir_weights",
 ]
 
 

@@ -173,3 +173,109 @@ def cluster_stratified_sample(
         .drop(thr[cluster_col])
         .drop("__thr")
     )
+
+
+_DSIR_FP = 1_000_000_000  # fixed-point scale for per-bucket log-ratios
+
+
+def _dsir_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, bucket) rows: whitespace tokens + adjacent bigrams of the
+    whitespace-normalized text, md5-hashed into the caller's bucket
+    space (the column is the raw 60-bit hash; callers mod it)."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    d = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    n1 = d.select("__id", F.explode("__toks").alias("__feat"))
+    bi = F.expr(
+        "zip_with(slice(__toks, 1, greatest(size(__toks) - 1, 0)),"
+        "         slice(__toks, 2, greatest(size(__toks) - 1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    n2 = d.select("__id", F.explode(bi).alias("__feat"))
+    return n1.unionByName(n2).select(
+        "__id", _md5_long(F.col("__feat")).alias("__h")
+    )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    smoothing: float = 0.5,
+    round_digits: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed n-gram profile is under
+    the TARGET distribution than under the raw distribution --
+    ``log w(d) = sum_b c_d[b] * (ln p_target[b] - ln p_raw[b])`` over
+    ``n_buckets`` hashed unigram+bigram buckets with add-``smoothing``
+    estimation.  Selection is then weight-thresholding or resampling
+    downstream (composes with :func:`hash_sample`).
+
+    Returns (``id_col``, ``log_weight``) for EVERY raw doc (featureless
+    docs score 0.0).
+
+    100 TB shape: feature hashing is a map-only explode; the raw corpus
+    is exploded + shuffled ONCE (per-doc bucket counts, whose exchange
+    the histogram branch reuses); histograms are map-side-combined
+    groupBys onto <= n_buckets rows; the log-ratio table (n_buckets
+    rows) BROADCASTS to the per-doc join.  Only (id, bucket, count)
+    rows -- plus the final id-only left join restoring featureless
+    docs -- ever shuffle; document text never leaves the scan stage.
+    Determinism: ratios are
+    rounded to 1e-9 fixed-point BIGINTs before the per-doc sum (the
+    BM25 trick, retrieval.py:30), so the sum is order-independent and
+    engine-reproducible; the oracle replicates the identical
+    arithmetic.
+    """
+    raw_f = _dsir_features(raw, id_col, text_col).withColumn(
+        "__b", F.col("__h") % n_buckets
+    )
+    tgt_f = _dsir_features(target, id_col, text_col).withColumn(
+        "__b", F.col("__h") % n_buckets
+    )
+    # per-doc counts are the ONLY pass over the raw feature stream; the
+    # raw histogram and total derive from them (sum of per-doc counts),
+    # so the corpus is exploded and shuffled exactly once
+    doc_counts = raw_f.groupBy("__id", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    raw_hist = doc_counts.groupBy("__b").agg(F.sum("__c").alias("__cr"))
+    tgt_hist = tgt_f.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    raw_tot = raw_hist.agg(F.sum("__cr").alias("__nr"))
+    tgt_tot = tgt_hist.agg(F.sum("__ct").alias("__nt"))
+    # <= n_buckets rows after the outer join; totals are 1-row frames
+    hist = (
+        raw_hist.join(tgt_hist, "__b", "full_outer")
+        .select(
+            "__b",
+            F.coalesce("__cr", F.lit(0)).alias("__cr"),
+            F.coalesce("__ct", F.lit(0)).alias("__ct"),
+        )
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+    )
+    s, nb = float(smoothing), n_buckets
+    lp_t = F.log((F.col("__ct") + s) / (F.col("__nt") + s * nb))
+    lp_r = F.log((F.col("__cr") + s) / (F.col("__nr") + s * nb))
+    ratios = hist.select(
+        "__b", F.round((lp_t - lp_r) * _DSIR_FP).cast("bigint").alias("__ratio_fp")
+    )
+    weights = (
+        doc_counts.join(F.broadcast(ratios), "__b")
+        .groupBy("__id")
+        .agg(F.sum(F.col("__c") * F.col("__ratio_fp")).alias("__w_fp"))
+    )
+    return (
+        raw.select(F.col(id_col).alias("__id"))
+        .join(weights, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(
+                F.coalesce(F.col("__w_fp"), F.lit(0)) / _DSIR_FP, round_digits
+            ).alias("log_weight"),
+        )
+    )

@@ -873,3 +873,35 @@ def test_real_decode_png_gif_dimensions():
     # error (truncated page), not a codec gap
     with _pytest.raises(ValueError):
         real_decode(b"OggS" + b"\x00" * 20, "audio")
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        dsir_importance,
+    )
+
+    target = _docs(
+        spark,
+        [(100, "quantum flux capacitor quantum entanglement flux"),
+         (101, "quantum flux lattice quantum decoherence")],
+    )
+    raw = _docs(
+        spark,
+        [(1, "quantum flux experiments show quantum behavior"),
+         (2, "pizza dough recipe with extra cheese and basil"),
+         (3, "flux capacitor maintenance and quantum tuning"),
+         (4, ""),  # featureless: must still appear, at 0.0
+         (5, "cheese pizza and more pizza with basil")],
+    )
+    out = {r["doc_id"]: r["log_weight"] for r in dsir_importance(
+        raw, target, n_buckets=256
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}, "every raw doc scores exactly once"
+    assert out[4] == 0.0
+    # target-vocabulary docs beat off-domain docs
+    assert min(out[1], out[3]) > max(out[2], out[5])
+    # deterministic: identical re-run, identical weights
+    again = {r["doc_id"]: r["log_weight"] for r in dsir_importance(
+        raw, target, n_buckets=256
+    ).collect()}
+    assert again == out
