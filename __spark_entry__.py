@@ -67,6 +67,7 @@ from data_stream_flink_user_address_spark.functions.semantic import (
 from data_stream_flink_user_address_spark.functions.sampling import (
     cluster_stratified_sample,
     dsir_importance,
+    token_budget_mixture,
 )
 from data_stream_flink_user_address_spark.functions.quantize import (
     quantize_int8_frame,
@@ -1906,6 +1907,24 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_TGT_MOD = 17  # every 17th doc stands in for the target domain
 _DSIR_BUCKETS = 512
 
+_TOKEN_BUDGET = 2000  # whitespace tokens across the kept mixture
+_TOKEN_SHARES = {"src0": 0.5, "src1": 0.3}
+_TOKEN_DEFAULT_SHARE = 0.01
+
+
+def _q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture (functions/sampling.py:token_budget_mixture):
+    per-source keep rates min(1, share*budget/tokens_s) from one tiny
+    token-total aggregate, decided row-locally by the shared
+    deterministic hash; the oracle replicates the arithmetic at 1e-6
+    threshold resolution."""
+    return token_budget_mixture(
+        _docs(spark, sf_dir),
+        _TOKEN_SHARES,
+        budget_tokens=_TOKEN_BUDGET,
+        default_share=_TOKEN_DEFAULT_SHARE,
+    )
+
 
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (functions/sampling.py:dsir_importance):
@@ -2218,8 +2237,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets_revenue": _q_grouping_sets_revenue,
     "scd2_customer_segments": _q_scd2_customer_segments,
     # new this round, below the window; rotate INTO r13's first-50 for
-    # its first driver row (pytest parity already oracle-checks it)
+    # their first driver rows (pytest parity already oracle-checks them)
     "dsir_weights": _q_dsir_weights,
+    "token_budget_mixture": _q_token_budget_mixture,
 }
 
 
@@ -4170,6 +4190,32 @@ ORACLE_SQL: dict[str, str] = {
     # distributions, and the same 1e-9 fixed-point rounding of per-bucket
     # log-ratios BEFORE the per-doc integer sum (order-independence =
     # engine reproducibility, the BM25 trick).
+    # token-budget mixture: same whitespace tokenization, one per-source
+    # total, min(1, share*budget/total) as an integer 1e-6 threshold on
+    # the shared md5 hash-bucket uniform.
+    "token_budget_mixture": f"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 (CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split({_sql_norm()}, ' ')) END)::BIGINT AS n_tokens
+          FROM documents
+        ),
+        tot AS (SELECT source, sum(n_tokens) AS tot FROM d GROUP BY source),
+        thr AS (
+          SELECT source,
+                 round(least(1.0,
+                             (CASE source WHEN 'src0' THEN 0.5
+                                          WHEN 'src1' THEN 0.3
+                                          ELSE 0.01 END)
+                             * {float(_TOKEN_BUDGET)} / tot) * 1000000,
+                       0)::BIGINT AS thr
+          FROM tot
+        )
+        SELECT d.doc_id, d.source, d.n_tokens
+        FROM d JOIN thr USING (source)
+        WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|42'), 1, 15))::BIGINT)
+              % 1000000 < thr
+    """,
     "dsir_weights": f"""
         WITH toks AS (
           SELECT doc_id, doc_id % {_DSIR_TGT_MOD} = 0 AS is_tgt,

@@ -141,6 +141,7 @@ HEADLINE = [
     "multimodal_pixel_roundtrip",
     "audio_features_real",
     "dsir_weights",
+    "token_budget_mixture",
 ]
 
 

@@ -279,3 +279,61 @@ def dsir_importance(
             ).alias("log_weight"),
         )
     )
+
+
+def token_budget_mixture(
+    docs: DataFrame,
+    shares: dict[str, float],
+    budget_tokens: int,
+    default_share: float = 0.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Mixture sampling against a TOKEN budget: keep a deterministic
+    per-source fraction ``min(1, share_s * budget / tokens_s)`` so each
+    source contributes (in expectation) its share of ``budget_tokens``
+    whitespace tokens -- the way pre-training mixtures are actually
+    specified (token shares), vs :func:`mixture_sample`'s per-doc
+    rates.  Sources absent from ``shares`` get ``default_share``.
+
+    Returns kept rows as (``id_col``, ``source_col``, ``n_tokens``).
+
+    100 TB shape: one map-side-combined groupBy onto n_sources rows for
+    the token totals, keep-thresholds broadcast back, then the same
+    zero-shuffle hash-bucket decision as every sampler here -- document
+    text never shuffles, and the decision replays identically on rerun
+    (hash, not rand()).  The oracle replicates the arithmetic: the
+    fraction is one double multiply+divide, compared as an integer
+    threshold at 1e-6 resolution.
+    """
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    ntok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    ).cast("bigint")
+    d = docs.select(
+        F.col(id_col), F.col(source_col), ntok.alias("n_tokens")
+    )
+    totals = d.groupBy(source_col).agg(F.sum("n_tokens").alias("__tot"))
+    share_expr = F.lit(float(default_share))
+    for src, sh in sorted(shares.items()):
+        share_expr = F.when(F.col(source_col) == src, F.lit(float(sh))).otherwise(
+            share_expr
+        )
+    thr = totals.select(
+        source_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                share_expr * F.lit(float(budget_tokens)) / F.col("__tot"),
+            )
+            * _RESOLUTION,
+            0,
+        ).cast("bigint").alias("__thr"),
+    )
+    return (
+        d.join(F.broadcast(thr), source_col)
+        .filter(hash_bucket(F.col(id_col), seed) < F.col("__thr"))
+        .select(id_col, source_col, "n_tokens")
+    )

@@ -905,3 +905,31 @@ def test_dsir_importance_ranks_target_like_docs(spark):
         raw, target, n_buckets=256
     ).collect()}
     assert again == out
+
+
+def test_token_budget_mixture_respects_shares(spark):
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        token_budget_mixture,
+    )
+
+    # big: 200 docs x 10 tokens = 2000 tokens; rare: 3 docs x 10 = 30
+    rows = [(i, "tok " * 9 + "tok", "big") for i in range(200)]
+    rows += [(1000 + i, "tok " * 9 + "tok", "rare") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = token_budget_mixture(
+        df, {"big": 0.5, "rare": 0.5}, budget_tokens=200
+    ).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r)
+        assert r["n_tokens"] == 10
+    # rare's share of the budget (100 tokens) exceeds its total (30):
+    # fraction clamps to 1, everything kept
+    assert len(by_src["rare"]) == 3
+    # big keeps ~ share*budget/total = 100/2000 = 5% of 200 docs
+    assert 1 <= len(by_src["big"]) <= 30
+    # deterministic replay
+    again = token_budget_mixture(
+        df, {"big": 0.5, "rare": 0.5}, budget_tokens=200
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in kept)
