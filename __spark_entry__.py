@@ -96,7 +96,9 @@ from data_stream_flink_user_address_spark.functions.multimodal import (
     attach_binary_payload,
     extract_audio_features,
     extract_media_meta,
+    phash_images,
     pixel_roundtrip_check,
+    synthesize_group_images,
     synthesize_square_wavs,
 )
 from data_stream_flink_user_address_spark.functions.sampling import (
@@ -1938,6 +1940,24 @@ def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance(raw, target, n_buckets=_DSIR_BUCKETS)
 
 
+_PHASH_GROUP_DIV = 3  # ids 3k..3k+2 share one planted image
+
+
+def _q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup end to end over REAL pixels: deterministic noise
+    PNGs planted in id-groups (multimodal.synthesize_group_images) ->
+    real PNG decode -> perceptual DCT hash (phash_images) -> exact
+    banded Hamming pairing (dedup.simhash_near_dup_pairs, 64-bit
+    signatures, 4x16-bit bands).  The planted ground truth -- exactly
+    the within-group pairs at Hamming 0 -- is the oracle; any decode/
+    DCT/banding regression changes the pair set."""
+    media = synthesize_group_images(_docs(spark, sf_dir), group_div=_PHASH_GROUP_DIV)
+    sigs = phash_images(media)
+    return simhash_near_dup_pairs(
+        sigs, max_hamming=3, bits=64, id_col="media_id", sig_col="phash"
+    )
+
+
 def _q_multimodal_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG codec round-trip per document (functions/multimodal.py:
     pixel_roundtrip_check): images with id-derived dims/constants go
@@ -2240,6 +2260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # their first driver rows (pytest parity already oracle-checks them)
     "dsir_weights": _q_dsir_weights,
     "token_budget_mixture": _q_token_budget_mixture,
+    "image_phash_pairs": _q_image_phash_pairs,
 }
 
 
@@ -4215,6 +4236,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM d JOIN thr USING (source)
         WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|42'), 1, 15))::BIGINT)
               % 1000000 < thr
+    """,
+    # pHash near-dup over planted group-duplicate images: the oracle is
+    # the planted ground truth (same id-group -> identical image ->
+    # Hamming 0); cross-group noise images pairing within 3 bits has
+    # probability ~2^-50 per pair, and the generator is deterministic.
+    "image_phash_pairs": """
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, 0::INT AS hamming
+        FROM documents l JOIN documents r
+          ON l.doc_id // 3 = r.doc_id // 3 AND l.doc_id < r.doc_id
     """,
     "dsir_weights": f"""
         WITH toks AS (

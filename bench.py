@@ -142,6 +142,7 @@ HEADLINE = [
     "audio_features_real",
     "dsir_weights",
     "token_budget_mixture",
+    "image_phash_pairs",
 ]
 
 

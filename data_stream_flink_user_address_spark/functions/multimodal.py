@@ -964,6 +964,115 @@ def wav_decode_samples(payload: bytes):
     return rate, x[:n].reshape(-1, channels)
 
 
+def phash_images(
+    media: DataFrame,
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual DCT hash (pHash) over REAL decoded pixels -- the
+    image analogue of SimHash for near-duplicate detection: decode
+    (:func:`decode_image_pixels`, any of PPM/BMP/PNG/GIF/JPEG), mean-
+    gray, nearest-resize to ``hash_size*highfreq_factor`` square, 2-D
+    DCT-II via two matrix multiplies, keep the top-left ``hash_size``
+    square of low-frequency coefficients, and set bit (i*hash_size+j)
+    when the coefficient exceeds the block median.  Robust to uniform
+    brightness shifts and re-encodes, unlike the exact sha256 in
+    :func:`extract_media_meta`.
+
+    Returns (``id_col``, ``phash``) with a signed 64-bit signature
+    (NULL for undecodable payloads -- totality, no poison pills).
+    Compose with ``dedup.simhash_near_dup_pairs(sigs, bits=64,
+    sig_col='phash')`` for exact banded Hamming pairing: the pair
+    stage shuffles only (band, value) slices, never pixels, so image
+    near-dup at corpus scale costs one decode pass + the same bounded
+    bucket join the text SimHash path measures."""
+    import numpy as np
+
+    n = hash_size * highfreq_factor
+    # orthonormal DCT-II basis, same construction as the JPEG kernel
+    u = np.arange(n).reshape(n, 1)
+    x = np.arange(n).reshape(1, n)
+    T = np.cos((2 * x + 1) * u * np.pi / (2 * n)) * np.sqrt(2.0 / n)
+    T[0] /= np.sqrt(2.0)
+
+    def one(payload) -> object:
+        try:
+            w0, h0, px = decode_image_pixels(bytes(payload or b""))
+        except Exception:
+            return None
+        gray = px.astype(np.float64).mean(axis=2)
+        rows = np.minimum((np.arange(n) * h0) // n, h0 - 1)
+        cols = np.minimum((np.arange(n) * w0) // n, w0 - 1)
+        small = gray[rows][:, cols]
+        low = (T @ small @ T.T)[:hash_size, :hash_size]
+        bits = (low > np.median(low)).reshape(-1)
+        val = 0
+        for k, b in enumerate(bits):
+            if b:
+                val |= 1 << k
+        if val >= 1 << 63:  # wrap into signed 64-bit for Spark's BIGINT
+            val -= 1 << 64
+        return val
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": pd.array(
+                        [one(p) for p in pdf[payload_col]], dtype="Int64"
+                    ),
+                }
+            )
+
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(media.sparkSession)
+    return media.select(
+        F.col(id_col), F.col(payload_col)
+    ).mapInPandas(op, schema=f"{id_col} long, phash long")
+
+
+def synthesize_group_images(
+    docs: DataFrame, group_div: int = 3, size: int = 32, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic noise-PNG payloads shared within id groups
+    (``id // group_div``) -- planted exact-duplicate images for the
+    pHash pipeline's driver-checkable query.  Same group -> byte-
+    identical payload (pHash Hamming 0); different groups ->
+    independently seeded noise whose pHashes behave like random 64-bit
+    words, so a cross-group pair landing within a few bits has
+    probability ~2^-50 per pair -- the planted ground truth IS the
+    expected output.  Payloads build once per distinct group per Arrow
+    batch, not per row."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                g = int(did) // group_div
+                blob = cache.get(g)
+                if blob is None:
+                    rng = np.random.default_rng(g)
+                    px = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+                    blob = cache[g] = encode_png(px)
+                payloads.append(blob)
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "kind": "image", "payload": payloads}
+            )
+
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(docs.sparkSession)
+    return docs.select(id_col).mapInPandas(
+        op, schema="media_id long, kind string, payload binary"
+    )
+
+
 def encode_wav_pcm16(samples, rate: int) -> bytes:
     """Minimal PCM16 WAV writer (RIFF + fmt + data).  Scale is 32768
     (clipped to int16 range), the exact inverse of

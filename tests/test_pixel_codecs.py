@@ -929,3 +929,66 @@ def test_flac_metadata_streaminfo():
     ] == 500
     with pytest.raises(ValueError):
         flac_metadata(b"fLaC" + b"\x00" * 4)  # truncated STREAMINFO
+
+
+# ----------------------------------------------------------------- pHash
+
+
+def test_phash_robustness_properties(spark):
+    """The perceptual hash's reason to exist: stable under brightness
+    shift and tiny noise, far apart for unrelated content -- none of
+    which the exact sha256 in extract_media_meta gives you."""
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        encode_png,
+        phash_images,
+    )
+
+    rng = np.random.default_rng(33)
+    base = rng.integers(30, 200, (48, 48, 3), dtype=np.uint8)
+    brighter = np.clip(base.astype(np.int64) + 20, 0, 255).astype(np.uint8)
+    noisy = base.copy()
+    noisy[::7, ::11] = np.clip(noisy[::7, ::11].astype(np.int64) + 9, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(encode_png(base))),
+            (2, "image", bytearray(encode_png(brighter))),
+            (3, "image", bytearray(encode_png(noisy))),
+            (4, "image", bytearray(encode_png(other))),
+            (5, "image", bytearray(b"not an image")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    sigs = {r["media_id"]: r["phash"] for r in phash_images(media).collect()}
+    assert sigs[5] is None  # undecodable -> NULL, no crash
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sigs[1], sigs[2]) <= 4, "uniform brightness shift must barely move pHash"
+    assert ham(sigs[1], sigs[3]) <= 6, "sparse small noise must barely move pHash"
+    assert ham(sigs[1], sigs[4]) >= 20, "unrelated noise must be far away"
+
+
+def test_phash_group_pairs_end_to_end(spark):
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        simhash_near_dup_pairs,
+    )
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        phash_images,
+        synthesize_group_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    media = synthesize_group_images(docs, group_div=3)
+    pairs = simhash_near_dup_pairs(
+        phash_images(media), max_hamming=3, bits=64,
+        id_col="media_id", sig_col="phash",
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    want = {(a, b) for a in range(12) for b in range(12)
+            if a < b and a // 3 == b // 3}
+    assert got == want
+    assert all(r["hamming"] == 0 for r in pairs)
