@@ -94,11 +94,13 @@ from data_stream_flink_user_address_spark.functions.curation import (
 )
 from data_stream_flink_user_address_spark.functions.multimodal import (
     attach_binary_payload,
+    audio_fingerprint,
     extract_audio_features,
     extract_media_meta,
     phash_images,
     pixel_roundtrip_check,
     synthesize_group_images,
+    synthesize_group_wavs,
     synthesize_square_wavs,
 )
 from data_stream_flink_user_address_spark.functions.sampling import (
@@ -1958,6 +1960,19 @@ def _q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup end to end over REAL decoded samples: planted
+    noise WAVs in id-groups -> PCM16 decode -> Haitsma-Kalker band-
+    energy fingerprint (multimodal.audio_fingerprint, gain-invariant
+    log-energy difference signs) -> the same exact banded Hamming
+    pairing as pHash/SimHash.  Planted ground truth is the oracle."""
+    media = synthesize_group_wavs(_docs(spark, sf_dir), group_div=_PHASH_GROUP_DIV)
+    sigs = audio_fingerprint(media)
+    return simhash_near_dup_pairs(
+        sigs, max_hamming=3, bits=64, id_col="media_id", sig_col="afp"
+    )
+
+
 def _q_multimodal_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG codec round-trip per document (functions/multimodal.py:
     pixel_roundtrip_check): images with id-derived dims/constants go
@@ -2261,6 +2276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": _q_dsir_weights,
     "token_budget_mixture": _q_token_budget_mixture,
     "image_phash_pairs": _q_image_phash_pairs,
+    "audio_fingerprint_pairs": _q_audio_fingerprint_pairs,
 }
 
 
@@ -4242,6 +4258,13 @@ ORACLE_SQL: dict[str, str] = {
     # Hamming 0); cross-group noise images pairing within 3 bits has
     # probability ~2^-50 per pair, and the generator is deterministic.
     "image_phash_pairs": """
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, 0::INT AS hamming
+        FROM documents l JOIN documents r
+          ON l.doc_id // 3 = r.doc_id // 3 AND l.doc_id < r.doc_id
+    """,
+    # audio fingerprint near-dup: same planted-ground-truth shape as
+    # image_phash_pairs (identical WAV within a group -> Hamming 0).
+    "audio_fingerprint_pairs": """
         SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, 0::INT AS hamming
         FROM documents l JOIN documents r
           ON l.doc_id // 3 = r.doc_id // 3 AND l.doc_id < r.doc_id

@@ -143,6 +143,7 @@ HEADLINE = [
     "dsir_weights",
     "token_budget_mixture",
     "image_phash_pairs",
+    "audio_fingerprint_pairs",
 ]
 
 

@@ -1035,6 +1035,144 @@ def phash_images(
     ).mapInPandas(op, schema=f"{id_col} long, phash long")
 
 
+def audio_fingerprint(
+    media: DataFrame,
+    frames: int = 8,
+    bands_per_frame: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Haitsma-Kalker-style audio fingerprint over REAL decoded WAV
+    samples -- the audio analogue of pHash: channel-mean signal, split
+    into ``frames`` equal chunks, per-chunk FFT magnitude binned into
+    ``bands_per_frame + 1`` log-spaced bands, and one sign bit per
+    adjacent-band LOG-energy difference.  Log differences cancel any
+    constant gain, so the fingerprint is volume-invariant by
+    construction (pinned in tests); small additive noise flips few
+    bits; unrelated audio behaves like a random word.
+
+    Returns (``id_col``, ``afp``) with a signed 64-bit signature
+    (frames * bands_per_frame bits; NULL for undecodable payloads).
+    Compose with ``dedup.simhash_near_dup_pairs(sigs, bits=64,
+    sig_col='afp')`` exactly like :func:`phash_images` -- near-dup
+    audio at corpus scale is one decode pass + the bounded banded
+    bucket join; samples never shuffle."""
+    import numpy as np
+
+    nbits = frames * bands_per_frame
+    if nbits > 64:
+        raise ValueError("frames * bands_per_frame must fit in 64 bits")
+
+    def one(payload) -> object:
+        try:
+            _, samples = wav_decode_samples(bytes(payload or b""))
+            mono = samples.mean(axis=1)
+            # each frame needs enough spectrum for bands_per_frame+1
+            # log-spaced bands
+            if len(mono) < frames * 4 * (bands_per_frame + 1):
+                return None
+            usable = len(mono) - len(mono) % frames
+            chunks = mono[:usable].reshape(frames, -1)
+            spec = np.abs(np.fft.rfft(chunks, axis=1))[:, 1:]  # drop DC
+            nfreq = spec.shape[1]
+            # log-spaced band edges over the positive spectrum
+            edges = np.unique(
+                np.geomspace(1, nfreq, bands_per_frame + 2).astype(np.int64)
+            ) - 1
+            while len(edges) < bands_per_frame + 2:  # duplicate-collapsed
+                edges = np.append(edges, edges[-1] + 1)
+            energy = np.add.reduceat(spec ** 2, edges[:-1], axis=1)[
+                :, : bands_per_frame + 1
+            ]
+            # normalize by band width: raw sums grow with width, which
+            # would bias diff signs identically for ALL flat-ish spectra
+            # (correlated fingerprints across unrelated clips)
+            widths = np.diff(edges)[: bands_per_frame + 1].astype(np.float64)
+            widths[widths <= 0] = 1.0
+            loge = np.log(energy / widths + 1e-12)
+            bits = (np.diff(loge, axis=1) > 0).reshape(-1)[:nbits]
+        except Exception:
+            return None
+        val = 0
+        for k, b in enumerate(bits):
+            if b:
+                val |= 1 << k
+        if val >= 1 << 63:
+            val -= 1 << 64
+        return val
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "afp": pd.array(
+                        [one(p) for p in pdf[payload_col]], dtype="Int64"
+                    ),
+                }
+            )
+
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(media.sparkSession)
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, schema=f"{id_col} long, afp long"
+    )
+
+
+def synthesize_group_wavs(
+    docs: DataFrame, group_div: int = 3, n_samples: int = 2048, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic tone-mixture WAV payloads shared within id groups
+    -- the audio twin of :func:`synthesize_group_images`, planting
+    exact duplicates whose fingerprint pairs are the known ground
+    truth.  Tone MIXTURES (not white noise): each group gets 6 random
+    sinusoids, so groups differ in spectral SHAPE and their
+    fingerprints spread like random words -- white noise would give
+    every group a flat spectrum and correlated fingerprint bits."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                g = int(did) // group_div
+                blob = cache.get(g)
+                if blob is None:
+                    rng = np.random.default_rng(10_000_019 + g)
+                    # NON-stationary: fresh tone mixture per eighth of
+                    # the clip, so each fingerprint frame contributes
+                    # independent bits (a stationary signal repeats one
+                    # frame's bits 8x -- ~8-bit effective entropy and
+                    # cross-group collisions)
+                    seg = n_samples // 8
+                    t = np.arange(seg)
+                    parts = []
+                    for _ in range(8):
+                        w = np.zeros(seg)
+                        for _ in range(6):
+                            freq = rng.uniform(0.01, 0.45)  # cycles/sample
+                            w += rng.uniform(0.05, 0.15) * np.sin(
+                                2 * np.pi * freq * t + rng.uniform(0, 2 * np.pi)
+                            )
+                        parts.append(w)
+                    blob = cache[g] = encode_wav_pcm16(
+                        np.concatenate(parts), 8000
+                    )
+                payloads.append(blob)
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "kind": "audio", "payload": payloads}
+            )
+
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(docs.sparkSession)
+    return docs.select(id_col).mapInPandas(
+        op, schema="media_id long, kind string, payload binary"
+    )
+
+
 def synthesize_group_images(
     docs: DataFrame, group_div: int = 3, size: int = 32, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -992,3 +992,73 @@ def test_phash_group_pairs_end_to_end(spark):
             if a < b and a // 3 == b // 3}
     assert got == want
     assert all(r["hamming"] == 0 for r in pairs)
+
+
+def test_audio_fingerprint_robustness(spark):
+    """Gain invariance is exact by construction (log-energy differences
+    cancel a constant gain); small additive noise flips few bits;
+    unrelated audio is far away; undecodable payloads yield NULL."""
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        audio_fingerprint,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(44)
+    seg = 256
+    t = np.arange(seg)
+
+    def clip(seed):
+        r = np.random.default_rng(seed)
+        parts = []
+        for _ in range(8):
+            w = np.zeros(seg)
+            for _ in range(6):
+                w += r.uniform(0.05, 0.15) * np.sin(
+                    2 * np.pi * r.uniform(0.01, 0.45) * t + r.uniform(0, 2 * np.pi)
+                )
+            parts.append(w)
+        return np.concatenate(parts)
+
+    base = clip(1)
+    noisy = base + rng.normal(0, 0.002, len(base))
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(encode_wav_pcm16(base, 8000))),
+            (2, "audio", bytearray(encode_wav_pcm16(base * 0.4, 8000))),  # gain
+            (3, "audio", bytearray(encode_wav_pcm16(noisy, 8000))),
+            (4, "audio", bytearray(encode_wav_pcm16(clip(2), 8000))),
+            (5, "audio", bytearray(b"junk")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    sigs = {r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()}
+    assert sigs[5] is None
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # gain changes PCM16 quantization slightly, so allow a few bits
+    assert ham(sigs[1], sigs[2]) <= 4, "constant gain must barely move the fingerprint"
+    assert ham(sigs[1], sigs[3]) <= 8, "-40 dB noise must flip few bits"
+    assert ham(sigs[1], sigs[4]) >= 16, "unrelated clip must be far away"
+
+
+def test_audio_fingerprint_group_pairs_end_to_end(spark):
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        simhash_near_dup_pairs,
+    )
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        audio_fingerprint,
+        synthesize_group_wavs,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = simhash_near_dup_pairs(
+        audio_fingerprint(synthesize_group_wavs(docs, group_div=3)),
+        max_hamming=3, bits=64, id_col="media_id", sig_col="afp",
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    want = {(a, b) for a in range(12) for b in range(12)
+            if a < b and a // 3 == b // 3}
+    assert got == want
+    assert all(r["hamming"] == 0 for r in pairs)
