@@ -10,10 +10,12 @@ GIF (LZW + palette + interlace), and baseline JPEG (pure-Python
 Huffman + numpy IDCT) full pixel decode; WAV PCM/float sample decode
 with audio features; MP4/ISO-BMFF duration + track dims (box walk);
 JPEG dimensions (SOF marker walk); Ogg (Vorbis/Opus) and FLAC
-durations (page-granule walk / STREAMINFO).  Formats needing codec
-libraries (MP3, compressed-audio sample decode, MP4 frame pixels,
-progressive JPEG) raise ``NotImplementedError`` -- not in this container -- with
-``fake_decode`` as the deterministic test stand-in.
+durations (page-granule walk / STREAMINFO); MJPEG AVI metadata AND
+real frame-pixel extraction (RIFF walk + the JPEG decoder per frame).
+Formats needing codec libraries (MP3, compressed-audio sample decode,
+MP4 frame pixels, progressive JPEG) raise ``NotImplementedError`` --
+not in this container -- with ``fake_decode`` as the deterministic
+test stand-in.
 
 At scale: payloads ride in parquet binary columns; mapInPandas streams
 Arrow batches so a 100 MB image never materializes as a Python list; the
@@ -1035,6 +1037,110 @@ def phash_images(
     ).mapInPandas(op, schema=f"{id_col} long, phash long")
 
 
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, list_type_or_None, data_start, data_len) for each
+    RIFF chunk in [pos, end); chunks are word-aligned."""
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        clen = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        data = pos + 8
+        if data + clen > end:
+            raise ValueError("RIFF chunk overruns its parent")
+        ltype = buf[data : data + 4] if fourcc in (b"LIST", b"RIFF") else None
+        yield fourcc, ltype, data, clen
+        pos = data + clen + (clen & 1)
+
+
+def avi_mjpeg_metadata(payload: bytes) -> dict:
+    """AVI main-header metadata (pure RIFF walk): dimensions, frame
+    interval, frame count, and duration from the ``avih`` chunk.
+    Raises ValueError when the header is absent/truncated."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/AVI )")
+    for fourcc, ltype, data, clen in _riff_chunks(payload, 12, len(payload)):
+        if fourcc == b"LIST" and ltype == b"hdrl":
+            for f2, _, d2, c2 in _riff_chunks(payload, data + 4, data + clen):
+                if f2 == b"avih":
+                    if c2 < 40:
+                        raise ValueError("AVI avih chunk truncated")
+                    us_per_frame = int.from_bytes(payload[d2 : d2 + 4], "little")
+                    total = int.from_bytes(payload[d2 + 16 : d2 + 20], "little")
+                    w = int.from_bytes(payload[d2 + 32 : d2 + 36], "little")
+                    h = int.from_bytes(payload[d2 + 36 : d2 + 40], "little")
+                    return {
+                        "width": w or None,
+                        "height": h or None,
+                        "duration_ms": (
+                            int(us_per_frame * total / 1000)
+                            if us_per_frame and total
+                            else None
+                        ),
+                        "us_per_frame": us_per_frame,
+                        "total_frames": total,
+                    }
+    raise ValueError("AVI has no hdrl/avih header")
+
+
+def avi_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """The compressed video frames ('00dc'/'01dc' chunks inside the
+    'movi' LIST) in stream order.  For an MJPEG AVI each frame is a
+    standalone baseline JPEG, decodable by :func:`jpeg_decode_pixels`
+    -- real video decode with zero codec libraries."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/AVI )")
+    frames: list[bytes] = []
+    for fourcc, ltype, data, clen in _riff_chunks(payload, 12, len(payload)):
+        if fourcc == b"LIST" and ltype == b"movi":
+            for f2, _, d2, c2 in _riff_chunks(payload, data + 4, data + clen):
+                if f2[2:4] in (b"dc", b"db"):
+                    frames.append(payload[d2 : d2 + c2])
+    return frames
+
+
+def extract_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame extraction for MJPEG AVI payloads: RIFF walk
+    (:func:`avi_mjpeg_frames`) -> per-tick frame selection at the
+    container frame rate -> baseline JPEG pixel decode -> PNG
+    re-encode.  Emits (media_id, frame_idx, ts_ms, width, height,
+    frame_png); payloads that aren't decodable MJPEG AVIs emit no rows
+    (totality).  This upgrades :func:`sample_frames`' timeline-only
+    contract to actual pixels for the one video format a pure-Python
+    path can decode."""
+    import numpy as np  # noqa: F401  (decode path imports lazily)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "ts_ms", "width", "height", "frame_png"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    blob = bytes(payload or b"")
+                    meta = avi_mjpeg_metadata(blob)
+                    frames = avi_mjpeg_frames(blob)
+                    usf = meta["us_per_frame"]
+                    if not usf or not frames:
+                        continue
+                    dur_ms = usf * len(frames) / 1000
+                    for i, ts in enumerate(range(0, int(dur_ms), every_ms)):
+                        idx = min(int(ts * 1000 / usf), len(frames) - 1)
+                        w, h, px = jpeg_decode_pixels(frames[idx])
+                        rows.append((mid, i, ts, w, h, encode_png(px)))
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=cols)
+
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(media.sparkSession)
+    return media.select("media_id", "payload").mapInPandas(
+        op,
+        schema=(
+            "media_id long, frame_idx int, ts_ms long, "
+            "width int, height int, frame_png binary"
+        ),
+    )
+
+
 def audio_fingerprint(
     media: DataFrame,
     frames: int = 8,
@@ -1418,6 +1524,9 @@ def real_decode(payload: bytes, kind: str) -> dict:
         return ogg_metadata(payload)
     if payload[:4] == b"fLaC":
         return flac_metadata(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        m = avi_mjpeg_metadata(payload)
+        return {k: m[k] for k in ("width", "height", "duration_ms")}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # walk chunks: fmt_ gives byte rate, data gives payload length
         pos, byte_rate, data_len = 12, None, None

@@ -1062,3 +1062,63 @@ def test_audio_fingerprint_group_pairs_end_to_end(spark):
             if a < b and a // 3 == b // 3}
     assert got == want
     assert all(r["hamming"] == 0 for r in pairs)
+
+
+# ----------------------------------------------------------- MJPEG AVI
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    out = fourcc + len(data).to_bytes(4, "little") + data
+    return out + (b"\x00" if len(data) & 1 else b"")
+
+
+def _make_mjpeg_avi(frames, us_per_frame=100_000, w=16, h=16):
+    """Minimal spec-direct MJPEG AVI: hdrl(avih) + movi(00dc...)."""
+    avih = (
+        us_per_frame.to_bytes(4, "little") + b"\x00" * 12
+        + len(frames).to_bytes(4, "little") + b"\x00" * 12
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little") + b"\x00" * 16
+    )
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih))
+    movi = _riff_chunk(
+        b"LIST", b"movi" + b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_avi_metadata_and_real_frame_extraction(spark):
+    from data_stream_flink_user_address_spark.functions.multimodal import (
+        avi_mjpeg_frames,
+        extract_video_frames,
+        jpeg_decode_pixels,
+        png_decode_pixels,
+        real_decode,
+    )
+
+    rng = np.random.default_rng(55)
+    srcs = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(10)]
+    jpegs = [_make_real_jpeg(px) for px in srcs]
+    avi = _make_mjpeg_avi(jpegs, us_per_frame=100_000)  # 10 fps, 1 s total
+
+    assert real_decode(avi, "video") == {
+        "width": 16, "height": 16, "duration_ms": 1000,
+    }
+    assert avi_mjpeg_frames(avi) == jpegs
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi)), (2, "video", bytearray(b"nope"))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = extract_video_frames(media, every_ms=300).collect()
+    assert {r["media_id"] for r in rows} == {1}
+    # 1 s at 300 ms ticks -> ts 0/300/600/900 -> source frames 0/3/6/9
+    assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == [
+        (0, 0), (1, 300), (2, 600), (3, 900),
+    ]
+    for r, src_idx in zip(rows, (0, 3, 6, 9)):
+        w, h, got = png_decode_pixels(bytes(r["frame_png"]))
+        assert (w, h) == (16, 16)
+        want = jpeg_decode_pixels(jpegs[src_idx])[2]
+        assert np.array_equal(got, want), "frame PNG must be the decoded JPEG exactly"
+        assert np.abs(got.astype(int) - srcs[src_idx].astype(int)).max() <= 2
