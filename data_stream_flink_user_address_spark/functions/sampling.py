@@ -332,8 +332,13 @@ def token_budget_mixture(
             0,
         ).cast("bigint").alias("__thr"),
     )
+    # null-safe join, same precedent as cluster_stratified_sample: a
+    # NULL source is a real group for groupBy and must sample at
+    # default_share, not silently vanish in the equi-join (renamed key
+    # on the threshold side to sidestep self-join attribute ambiguity)
+    thr = thr.withColumnRenamed(source_col, "__src")
     return (
-        d.join(F.broadcast(thr), source_col)
+        d.join(F.broadcast(thr), F.col(source_col).eqNullSafe(F.col("__src")))
         .filter(hash_bucket(F.col(id_col), seed) < F.col("__thr"))
         .select(id_col, source_col, "n_tokens")
     )

@@ -933,3 +933,20 @@ def test_token_budget_mixture_respects_shares(spark):
         df, {"big": 0.5, "rare": 0.5}, budget_tokens=200
     ).collect()
     assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in kept)
+
+
+def test_token_budget_mixture_null_source_uses_default_share(spark):
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        token_budget_mixture,
+    )
+
+    rows = [(i, "tok " * 9 + "tok", "named") for i in range(5)]
+    rows += [(100 + i, "tok " * 9 + "tok", None) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # default 1.0 with a huge budget: every row keeps, INCLUDING the
+    # NULL-source stratum (an equi-join would silently drop it)
+    kept = token_budget_mixture(
+        df, {"named": 1.0}, budget_tokens=10_000, default_share=1.0
+    ).collect()
+    assert len(kept) == 10
+    assert sum(1 for r in kept if r["source"] is None) == 5
