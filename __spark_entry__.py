@@ -52,6 +52,7 @@ from data_stream_flink_user_address_spark.functions.dedup import (
     substring_dup_spans,
     embedding_near_dup_pairs,
     paragraph_dedup,
+    boilerplate_line_dedup,
 )
 from data_stream_flink_user_address_spark.functions.similarity import (
     brute_force_topk,
@@ -84,6 +85,7 @@ from data_stream_flink_user_address_spark.functions.pq import (
 from data_stream_flink_user_address_spark.functions.retrieval import bm25_topk
 from data_stream_flink_user_address_spark.functions.packing import (
     chunk_manifest,
+    overlap_chunks,
     sequence_pack_offsets,
 )
 from data_stream_flink_user_address_spark.functions.curation import (
@@ -118,6 +120,7 @@ from data_stream_flink_user_address_spark.functions.text import (
     token_count,
     tokens,
     unigram_logprob_scores,
+    bigram_logprob_scores,
     winnow_fingerprint,
 )
 from data_stream_flink_user_address_spark.operators.asof import asof_join
@@ -1476,6 +1479,52 @@ def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(d)
 
 
+def _q_boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate LINE removal (functions/dedup.py:
+    boilerplate_line_dedup, the RefinedWeb/Dolma duplicated-line rule:
+    every occurrence of a line seen in >= min_df distinct docs is
+    template chrome and goes) over a deterministic in-plan multi-line
+    corpus: a corpus-wide cookie banner, the doc's own text, a nav
+    line shared by its doc_id%5 class, a whitespace-only spacer (which
+    must survive -- blank lines are never fingerprinted), and a
+    corpus-wide footer.  min_df=3 keeps each doc's own body (df=1 bar
+    planted near-dup texts) while killing banner/nav/footer."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("COOKIE BANNER"),
+            F.col("text"),
+            F.concat(F.lit("nav-"), (F.col("doc_id") % 5).cast("string")),
+            F.lit("  "),
+            F.lit("(c) footer"),
+        ).alias("text"),
+    )
+    return boilerplate_line_dedup(d, min_df=3)
+
+
+def _q_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-sensitive LM quality scoring (functions/text.py:
+    bigram_logprob_scores): per-doc mean -log2 of the Laplace-smoothed
+    bigram conditional under the corpus' own counts -- the CCNet/KenLM
+    filter one order above unigram_quality, catching scrambled or
+    templated text whose unigram profile looks fluent.  Token
+    instances never ride a join shuffle (per-doc bigram multiplicities
+    join the global bigram table; left-context totals aggregate OF
+    that table); V broadcasts as one row."""
+    return bigram_logprob_scores(_docs(spark, sf_dir))
+
+
+def _q_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking (functions/packing.py:
+    overlap_chunks): 24-token windows advancing by 16 (8 tokens of
+    shared context), one output row per chunk with its in-doc token
+    offset and re-joined text.  Entirely row-local -- zero shuffles;
+    chunk rows inherit the scan's partitioning so a downstream
+    embed/index stage starts co-located by document."""
+    return overlap_chunks(_docs(spark, sf_dir), chunk_len=24, overlap=8)
+
+
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     sigs = minhash_signatures_text(d, n=5, num_hashes=_MINHASH_K)
@@ -2277,6 +2326,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_mixture": _q_token_budget_mixture,
     "image_phash_pairs": _q_image_phash_pairs,
     "audio_fingerprint_pairs": _q_audio_fingerprint_pairs,
+    "boilerplate_line_dedup": _q_boilerplate_line_dedup,
+    "bigram_quality": _q_bigram_quality,
+    "overlap_chunks": _q_overlap_chunks,
 }
 
 
@@ -4314,6 +4366,91 @@ ORACLE_SQL: dict[str, str] = {
                round(COALESCE(w.w_fp, 0) / 1000000000.0, 6) AS log_weight
         FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
         WHERE d.doc_id % {_DSIR_TGT_MOD} <> 0
+    """,
+    # boilerplate line removal: same synthetic banner/nav/spacer/footer
+    # construction as the Spark query; EVERY occurrence of a normalized
+    # line with document-frequency >= 3 is removed, whitespace-only
+    # lines pass through unfingerprinted, docs reassemble in line order.
+    "boilerplate_line_dedup": f"""
+        WITH src AS (
+          SELECT doc_id,
+                 concat_ws(chr(10), 'COOKIE BANNER', text,
+                           'nav-' || CAST(doc_id % 5 AS VARCHAR),
+                           '  ', '(c) footer') AS t
+          FROM documents
+        ),
+        arrs AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM src),
+        subs AS (
+          SELECT doc_id, arr, generate_subscripts(arr, 1) AS pos FROM arrs
+        ),
+        ln AS (SELECT doc_id, pos, arr[pos] AS line FROM subs),
+        norm AS (
+          SELECT doc_id, pos, line, {_sql_norm("line")} AS n FROM ln
+        ),
+        boiler AS (
+          SELECT n FROM norm WHERE n <> ''
+          GROUP BY n HAVING count(DISTINCT doc_id) >= 3
+        ),
+        kept AS (
+          SELECT doc_id, pos, line FROM norm
+          WHERE n = '' OR n NOT IN (SELECT n FROM boiler)
+        ),
+        rebuilt AS (
+          SELECT doc_id, count(*) AS n_kept_all,
+                 string_agg(line, chr(10) ORDER BY pos) AS text
+          FROM kept GROUP BY doc_id
+        ),
+        counts AS (SELECT doc_id, count(*) AS n_lines FROM norm GROUP BY doc_id)
+        SELECT c.doc_id, coalesce(r.text, '') AS text, c.n_lines,
+               CAST(c.n_lines - coalesce(r.n_kept_all, 0) AS BIGINT) AS n_removed
+        FROM counts c LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    # bigram LM quality: Laplace-smoothed P(cur|prev) under the corpus'
+    # own bigram counts, V = corpus vocabulary; per-doc n-weighted mean
+    # of -log2 p rounded to 6 digits (absorbs summation-order float
+    # drift, the unigram_quality convention).
+    "bigram_quality": f"""
+        WITH toks AS (
+          SELECT doc_id, t, generate_subscripts(t, 1) AS pos FROM (
+            SELECT doc_id, {_sql_tokens()} AS t FROM documents)
+        ),
+        tok AS (SELECT doc_id, pos, t[pos] AS tok FROM toks),
+        pairs AS (
+          SELECT doc_id, tok AS prev,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+          FROM tok
+        ),
+        big AS (
+          SELECT doc_id, prev, cur, count(*) AS n FROM pairs
+          WHERE cur IS NOT NULL GROUP BY ALL
+        ),
+        c2 AS (SELECT prev, cur, sum(n) AS c2 FROM big GROUP BY prev, cur),
+        c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev),
+        v AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM tok)
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+               round(sum(n * -log2((c2::DOUBLE + 1.0) / (c1::DOUBLE + 1.0 * v)))
+                     / sum(n), 6) AS bigram_logprob
+        FROM big JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v
+        GROUP BY doc_id
+    """,
+    # sliding-window chunker: 24-token windows, stride 16; last chunk
+    # may be short; empty docs contribute no rows.
+    "overlap_chunks": f"""
+        WITH toks AS (SELECT doc_id, {_sql_tokens()} AS t FROM documents),
+        n AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        nc AS (
+          SELECT doc_id, t, n,
+                 CASE WHEN n <= 24 THEN 1 ELSE 1 + (n - 24 + 15) // 16 END
+                   AS n_chunks
+          FROM n
+        ),
+        e AS (SELECT doc_id, t, n, unnest(range(n_chunks)) AS chunk_id FROM nc)
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(chunk_id * 16 AS BIGINT) AS start_tok,
+               CAST(least(24, n - chunk_id * 16) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(t[chunk_id * 16 + 1 : chunk_id * 16 + 24], ' ')
+                 AS chunk_text
+        FROM e
     """,
 }
 

@@ -1182,3 +1182,78 @@ def paragraph_dedup(
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
     )
     return out if keep_empty else out.filter(F.col("n_kept") > 0)
+
+
+def boilerplate_line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate LINE removal (the RefinedWeb /
+    Dolma "duplicated line" filter): any line whose normalized form
+    occurs in >= ``min_df`` DISTINCT documents is boilerplate
+    (headers, footers, nav bars, cookie banners) and EVERY occurrence
+    is removed -- unlike :func:`paragraph_dedup`, which keeps the
+    first occurrence, the line rule keeps none, because a line that
+    recurs across pages is template chrome, not content.  Output
+    ``(doc_id, text, n_lines, n_removed)``, one row per input doc
+    (boilerplate-only docs come back with whatever whitespace-only
+    lines survive, possibly empty text).
+
+    Scale shape: lines explode once; the document-frequency pass is a
+    two-level aggregate carrying only ``(fingerprint, doc_id)`` --
+    line BODIES never ride a shuffle -- and the removal decision is a
+    left-anti join against the (small, df-filtered) boilerplate
+    fingerprint set, which AQE broadcasts when it fits.  Reassembly
+    regroups each doc's surviving lines by id, the same single
+    doc-keyed shuffle paragraph_dedup pays.
+
+    ``sep`` is a LITERAL separator (quoted before Java regex
+    ``split``).  Whitespace-only lines are never fingerprinted: they
+    recur in nearly every multi-line document, and "removing" them
+    would silently rewrite the spacing of the whole corpus.  They pass
+    straight through to reassembly; ``n_lines`` counts all split
+    lines, ``n_removed`` counts removed CONTENT lines.
+    """
+    quoted_sep = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), quoted_sep)).alias("pos", "line"),
+    ).withColumn(
+        "__norm", F.regexp_replace(F.trim(F.col("line")), r"\s+", " ")
+    )
+    content = lines.filter(F.col("__norm") != "").withColumn(
+        "__fp", F.md5(F.col("__norm"))
+    )
+    boiler = (
+        content.groupBy("__fp")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__fp")
+    )
+    kept = content.join(boiler, "__fp", "left_anti").select(
+        "doc_id", "pos", "line"
+    ).unionByName(
+        lines.filter(F.col("__norm") == "").select("doc_id", "pos", "line")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n_kept_all"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("text"),
+    )
+    counts = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return counts.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("__n_kept_all", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )

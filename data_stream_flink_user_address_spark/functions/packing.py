@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import token_count
+from .text import token_count, tokens
 
 
 def sequence_pack_offsets(
@@ -145,4 +145,64 @@ def chunk_manifest(
             (hi - lo).alias("n_tokens_in_chunk"),
         )
         .filter(F.col("n_tokens_in_chunk") > 0)
+    )
+
+
+def overlap_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_len: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Per-document sliding-window chunker (the RAG / long-context
+    ingestion primitive, complementing the GPT-style cross-document
+    packing above): each doc's token sequence is cut into windows of
+    ``chunk_len`` tokens that advance by ``chunk_len - overlap``, so
+    consecutive chunks share ``overlap`` tokens of context.  Output one
+    row per chunk: ``(doc_id, chunk_id, start_tok, n_chunk_tokens,
+    chunk_text)``; the final chunk may be short, a doc with
+    ``n <= chunk_len`` tokens yields exactly one chunk, and empty docs
+    yield none.  ``chunk_text`` re-joins the whitespace-token slice
+    with single spaces (the tokenizer's inverse up to whitespace
+    runs).
+
+    Scale shape: ENTIRELY row-local -- tokenize, compute the chunk
+    count arithmetically, explode a ``sequence()`` of chunk ids, and
+    ``slice()`` the token array per chunk.  Zero shuffles, zero
+    windows, no driver involvement; the explode factor is
+    ``~n_tokens/stride`` rows per doc, linear in corpus size.  Chunks
+    inherit the input's partitioning, so a downstream embed/index
+    stage starts co-located by document.
+    """
+    if not 0 <= overlap < chunk_len:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_len, got {overlap=} {chunk_len=}"
+        )
+    stride = chunk_len - overlap
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    n_chunks = F.when(F.col("__n") <= chunk_len, F.lit(1)).otherwise(
+        1 + F.floor((F.col("__n") - chunk_len + stride - 1) / stride)
+    )
+    e = (
+        toks.filter(F.col("__n") > 0)
+        .withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))),
+        )
+        .withColumn("start_tok", (F.col("chunk_id") * stride).cast("bigint"))
+    )
+    return e.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "start_tok",
+        F.least(F.lit(chunk_len), F.col("__n") - F.col("start_tok"))
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice("__toks", F.col("start_tok") + 1, F.lit(chunk_len))
+        ).alias("chunk_text"),
     )

@@ -12,7 +12,7 @@ an exact ANSI-SQL equivalent so the DuckDB oracle can verify it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Deterministic stopword sets for the language-ID heuristic.  Scoring is
@@ -226,4 +226,65 @@ def unigram_logprob_scores(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("__logp"), round_digits).alias("logprob_score"),
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Context-sensitive LM quality proxy (the CCNet/KenLM filter one
+    order up from :func:`unigram_logprob_scores`): per-doc mean negative
+    log2 of the Laplace-smoothed bigram conditional
+    ``P(cur | prev) = (c(prev,cur) + alpha) / (c(prev,·) + alpha·V)``
+    under the corpus' OWN bigram counts, ``V`` = corpus vocabulary
+    size.  Scrambled or templated text that passes a unigram filter
+    (common words, wrong order) scores high here.  Output
+    ``(doc_id, n_bigrams, bigram_logprob)``; docs with fewer than two
+    tokens have no bigrams and are omitted (nothing to score).
+
+    Scale shape: adjacent pairs come from one ``lead()`` window
+    partitioned by document -- the natural parallel unit, no global
+    sort.  Counting then happens at TWO grains so token INSTANCES never
+    ride a join shuffle: per-doc bigram multiplicities
+    ``(doc, prev, cur, n)`` join the global bigram table on the bigram
+    key (distinct-bigrams-per-doc rows, map-side combined), and the
+    left-context totals ``c(prev,·)`` are a second aggregate OF the
+    bigram table, not of the stream.  ``V`` broadcasts as a 1-row
+    frame.  The per-doc score is the n-weighted mean, identical to
+    averaging over instances.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = (
+        toks.withColumn("__nxt", F.lead("tok").over(w))
+        .filter(F.col("__nxt").isNotNull())
+        .groupBy(id_col, F.col("tok").alias("prev"), F.col("__nxt").alias("cur"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    c2 = pairs.groupBy("prev", "cur").agg(F.sum("__n").alias("__c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("__c2").alias("__c1"))
+    vocab = toks.agg(F.countDistinct("tok").cast("double").alias("__v"))
+    scored = (
+        pairs.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__logp",
+            -F.log2(
+                (F.col("__c2").cast("double") + F.lit(float(alpha)))
+                / (F.col("__c1").cast("double") + F.lit(float(alpha)) * F.col("__v"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__n").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("__n") * F.col("__logp")) / F.sum("__n"), round_digits
+        ).alias("bigram_logprob"),
     )

@@ -220,3 +220,99 @@ class TestSimhashPairs:
         df = spark.createDataFrame([(0, 1)], "doc_id long, simhash long")
         with pytest.raises(ValueError):
             simhash_near_dup_pairs(df, max_hamming=3, bits=32, bands=5)
+
+
+class TestBoilerplateLineDedup:
+    """boilerplate_line_dedup: the RefinedWeb duplicated-line rule --
+    EVERY occurrence of a min_df-crossing line is removed (unlike
+    paragraph_dedup's first-occurrence-wins)."""
+
+    def _docs(self, spark):
+        from pyspark.sql import Row
+        return spark.createDataFrame([
+            Row(doc_id=0, text="BANNER\nunique zero\n  \nfooter"),
+            Row(doc_id=1, text="BANNER\nunique one\nfooter"),
+            Row(doc_id=2, text="BANNER\nunique two\nfooter"),
+        ])
+
+    def test_all_occurrences_removed_not_first_kept(self, spark):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            boilerplate_line_dedup,
+        )
+        out = {r.doc_id: r for r in
+               boilerplate_line_dedup(self._docs(spark), min_df=3).collect()}
+        assert len(out) == 3  # one row per input doc, always
+        # BANNER and footer hit df=3: removed from EVERY doc, including doc 0
+        assert out[0].text == "unique zero\n  "
+        assert out[0].n_lines == 4 and out[0].n_removed == 2
+        assert out[1].text == "unique one"
+        assert out[2].text == "unique two"
+
+    def test_min_df_boundary_spares_below_threshold(self, spark):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            boilerplate_line_dedup,
+        )
+        # df(BANNER)=3 >= 4? no -> min_df=4 keeps everything
+        out = {r.doc_id: r for r in
+               boilerplate_line_dedup(self._docs(spark), min_df=4).collect()}
+        assert all(r.n_removed == 0 for r in out.values())
+
+    def test_within_doc_repeats_do_not_count_toward_df(self, spark):
+        from pyspark.sql import Row
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            boilerplate_line_dedup,
+        )
+        docs = spark.createDataFrame([
+            Row(doc_id=0, text="same\nsame\nsame"),
+            Row(doc_id=1, text="other"),
+        ])
+        out = {r.doc_id: r for r in
+               boilerplate_line_dedup(docs, min_df=2).collect()}
+        # df('same') counts DISTINCT docs = 1 < 2: survives
+        assert out[0].text == "same\nsame\nsame"
+        assert out[0].n_removed == 0
+
+    def test_boilerplate_only_doc_keeps_row_with_empty_text(self, spark):
+        from pyspark.sql import Row
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            boilerplate_line_dedup,
+        )
+        docs = spark.createDataFrame([
+            Row(doc_id=0, text="chrome"),
+            Row(doc_id=1, text="chrome"),
+            Row(doc_id=2, text="chrome\nbody"),
+        ])
+        out = {r.doc_id: r for r in
+               boilerplate_line_dedup(docs, min_df=2).collect()}
+        assert out[0].text == "" and out[0].n_removed == 1
+        assert out[2].text == "body"
+
+    def test_whitespace_only_lines_never_fingerprinted(self, spark):
+        from pyspark.sql import Row
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            boilerplate_line_dedup,
+        )
+        docs = spark.createDataFrame([
+            Row(doc_id=0, text="a\n \nb"),
+            Row(doc_id=1, text="c\n \nd"),
+            Row(doc_id=2, text="e\n \nf"),
+        ])
+        out = {r.doc_id: r for r in
+               boilerplate_line_dedup(docs, min_df=2).collect()}
+        # the blank spacer recurs in all 3 docs but must survive in all
+        assert out[0].text == "a\n \nb"
+        assert out[1].text == "c\n \nd"
+
+    def test_normalized_matching_is_whitespace_insensitive(self, spark):
+        from pyspark.sql import Row
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            boilerplate_line_dedup,
+        )
+        docs = spark.createDataFrame([
+            Row(doc_id=0, text="cookie   notice\nbody zero"),
+            Row(doc_id=1, text="  cookie notice \nbody one"),
+        ])
+        out = {r.doc_id: r for r in
+               boilerplate_line_dedup(docs, min_df=2).collect()}
+        assert out[0].text == "body zero"
+        assert out[1].text == "body one"

@@ -100,3 +100,89 @@ def test_chunk_manifest_invariants(spark):
     for r in man:
         by_chunk[r.chunk_id] = by_chunk.get(r.chunk_id, 0) + r.n_tokens_in_chunk
     assert max(by_chunk.values()) <= 10
+
+
+class TestOverlapChunks:
+    """overlap_chunks: boundary arithmetic, overlap content, zero-shuffle
+    plan shape."""
+
+    def _chunks(self, spark, rows, **kw):
+        from data_stream_flink_user_address_spark.functions.packing import (
+            overlap_chunks,
+        )
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return overlap_chunks(df, **kw).collect()
+
+    def test_exact_fit_yields_one_chunk(self, spark):
+        out = self._chunks(
+            spark, [(1, " ".join(f"t{i}" for i in range(8)))],
+            chunk_len=8, overlap=2,
+        )
+        assert len(out) == 1
+        assert out[0].n_chunk_tokens == 8 and out[0].start_tok == 0
+
+    def test_one_past_fit_yields_two_chunks_with_short_tail(self, spark):
+        out = sorted(
+            self._chunks(
+                spark, [(1, " ".join(f"t{i}" for i in range(9)))],
+                chunk_len=8, overlap=2,
+            ),
+            key=lambda r: r.chunk_id,
+        )
+        assert [r.start_tok for r in out] == [0, 6]
+        assert [r.n_chunk_tokens for r in out] == [8, 3]
+        assert out[1].chunk_text == "t6 t7 t8"
+
+    def test_consecutive_chunks_share_overlap_tokens(self, spark):
+        out = sorted(
+            self._chunks(
+                spark, [(1, " ".join(f"t{i}" for i in range(20)))],
+                chunk_len=8, overlap=3,
+            ),
+            key=lambda r: r.chunk_id,
+        )
+        for a, b in zip(out, out[1:]):
+            tail = a.chunk_text.split()[-3:]
+            head = b.chunk_text.split()[:3]
+            if b.n_chunk_tokens >= 3:
+                assert tail == head
+
+    def test_every_token_covered_no_gaps(self, spark):
+        n = 37
+        out = self._chunks(
+            spark, [(1, " ".join(f"t{i}" for i in range(n)))],
+            chunk_len=10, overlap=4,
+        )
+        covered = set()
+        for r in out:
+            covered.update(range(r.start_tok, r.start_tok + r.n_chunk_tokens))
+        assert covered == set(range(n))
+
+    def test_empty_doc_contributes_no_rows(self, spark):
+        assert self._chunks(spark, [(1, ""), (2, "   ")]) == []
+
+    def test_invalid_overlap_raises(self, spark):
+        import pytest as _pytest
+        from data_stream_flink_user_address_spark.functions.packing import (
+            overlap_chunks,
+        )
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with _pytest.raises(ValueError):
+            overlap_chunks(df, chunk_len=8, overlap=8)
+        with _pytest.raises(ValueError):
+            overlap_chunks(df, chunk_len=8, overlap=-1)
+
+    def test_plan_has_no_exchange(self, spark):
+        """Row-local contract: tokenize + explode + slice must plan
+        without a single shuffle."""
+        import contextlib, io
+        from data_stream_flink_user_address_spark.functions.packing import (
+            overlap_chunks,
+        )
+        df = spark.createDataFrame(
+            [(1, "a b c d e f")], ["doc_id", "text"]
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            overlap_chunks(df, chunk_len=4, overlap=1).explain("formatted")
+        assert "Exchange" not in buf.getvalue()

@@ -45,3 +45,50 @@ def test_deterministic_across_runs(spark):
     assert a.keys() == b.keys()
     for k in a:
         assert a[k].logprob_score == b[k].logprob_score
+
+
+def _bigram(spark, rows, **kw):
+    from data_stream_flink_user_address_spark.functions.text import (
+        bigram_logprob_scores,
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {r.doc_id: r for r in bigram_logprob_scores(df, **kw).collect()}
+
+
+def test_bigram_hand_computed_two_docs(spark):
+    import math
+    # corpus: doc1 "a b a b", doc2 "a b"  ->  V = 2
+    # bigrams: (a,b) x3, (b,a) x1;  c1: a->3, b->1
+    # p(b|a) = (3+1)/(3+2) = 0.8 ; p(a|b) = (1+1)/(1+2) = 2/3
+    got = _bigram(spark, [(1, "a b a b"), (2, "a b")])
+    lp_ab = -math.log2(4 / 5)
+    lp_ba = -math.log2(2 / 3)
+    assert got[1].n_bigrams == 3
+    assert got[1].bigram_logprob == round((2 * lp_ab + lp_ba) / 3, 6)
+    assert got[2].n_bigrams == 1
+    assert got[2].bigram_logprob == round(lp_ab, 6)
+
+
+def test_bigram_short_docs_omitted(spark):
+    got = _bigram(spark, [(1, "solo"), (2, ""), (3, "a b")])
+    assert set(got) == {3}
+
+
+def test_bigram_scrambled_text_scores_worse_than_fluent(spark):
+    # 20 fluent docs establish strong adjacency; one scrambled doc uses
+    # the SAME unigrams in never-seen orders -> unigram filter is blind
+    # to it, the bigram filter is not
+    fluent = [(i, "the cat sat on the mat") for i in range(20)]
+    scrambled = [(99, "mat the on sat cat the")]
+    got = _bigram(spark, fluent + scrambled)
+    assert got[99].bigram_logprob > got[0].bigram_logprob
+
+
+def test_bigram_instance_weighting_matches_per_instance_mean(spark):
+    import math
+    # "x x x": bigram (x,x) twice in one doc -- the grouped n-weighted
+    # mean must equal averaging over the 2 instances (same value here,
+    # but n_bigrams must count instances, not distinct bigrams)
+    got = _bigram(spark, [(1, "x x x")])
+    assert got[1].n_bigrams == 2
+    assert got[1].bigram_logprob == round(-math.log2((2 + 1) / (2 + 1 * 1)), 6)
