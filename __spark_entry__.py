@@ -68,6 +68,8 @@ from data_stream_flink_user_address_spark.functions.semantic import (
 from data_stream_flink_user_address_spark.functions.sampling import (
     cluster_stratified_sample,
     dsir_importance,
+    per_source_cap,
+    quality_stratified_buckets,
     token_budget_mixture,
 )
 from data_stream_flink_user_address_spark.functions.quantize import (
@@ -121,6 +123,7 @@ from data_stream_flink_user_address_spark.functions.text import (
     tokens,
     unigram_logprob_scores,
     bigram_logprob_scores,
+    strip_markup,
     winnow_fingerprint,
 )
 from data_stream_flink_user_address_spark.operators.asof import asof_join
@@ -1525,6 +1528,51 @@ def _q_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlap_chunks(_docs(spark, sf_dir), chunk_len=24, overlap=8)
 
 
+def _q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma/RefinedWeb domain balancing (functions/sampling.py:
+    per_source_cap): keep the 30 documents per source with the
+    smallest seeded md5 bucket (18 < the 25-per-source sf0.01
+    floor, so the cap BINDS at every sf) -- an exact-k deterministic random
+    top-cap, rank ties broken on doc_id so engine and oracle agree
+    row-for-row.  One source-keyed shuffle carrying (doc_id, source,
+    bucket) only; bodies never move."""
+    return per_source_cap(_docs(spark, sf_dir), cap=18)
+
+
+def _q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-quantile binning (functions/sampling.py:
+    quality_stratified_buckets): ntile(4) over (score, doc_id) within
+    each source -- the CCNet perplexity-tertile / curriculum-binning
+    step, here scored by document length (any per-doc score column
+    composes: gopher, unigram/bigram logprob, DSIR weight).  Stratified
+    so a uniformly-weak source cannot monopolize the bottom bin; the
+    doc_id tie-break makes the assignment content-deterministic."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return quality_stratified_buckets(
+        d, score_col="n_chars", n_buckets=4, strata_col="source"
+    )
+
+
+def _q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping (functions/text.py: strip_markup) over a
+    deterministic in-plan HTML wrapping of each document: tags drop to
+    spaces (no token fusion across <br/>), the six dominant entities
+    decode (&amp; strictly last -- double-escaped text decodes one
+    level, never into a live tag), whitespace collapses.  Entirely
+    row-local expression chain: zero shuffles at any corpus size."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body class="page"><h1>T&amp;itle &quot;'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('&quot;</h1><p id=\'b\'>'),
+            F.col("text"),
+            F.lit("</p><br/>x &lt; y &gt; z&nbsp;&#39;q&#39;&amp;lt;tag&amp;gt;</body></html>"),
+        ).alias("text"),
+    )
+    return strip_markup(d)
+
+
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     sigs = minhash_signatures_text(d, n=5, num_hashes=_MINHASH_K)
@@ -2329,6 +2377,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_line_dedup": _q_boilerplate_line_dedup,
     "bigram_quality": _q_bigram_quality,
     "overlap_chunks": _q_overlap_chunks,
+    "per_source_cap": _q_per_source_cap,
+    "quality_buckets": _q_quality_buckets,
+    "strip_markup": _q_strip_markup,
 }
 
 
@@ -4451,6 +4502,62 @@ ORACLE_SQL: dict[str, str] = {
                array_to_string(t[chunk_id * 16 + 1 : chunk_id * 16 + 24], ' ')
                  AS chunk_text
         FROM e
+    """,
+    # exact-k per-source cap: rank by the engine's md5 bucket (seed 42,
+    # the mixture_sample construction), ties on doc_id, keep rank <= 18.
+    "per_source_cap": """
+        WITH b AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 15))
+                      AS BIGINT) % 1000000 AS bucket
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id)
+                   AS src_rank
+          FROM b
+        )
+        SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank
+        FROM r WHERE src_rank <= 18
+    """,
+    # stratified ntile(4) over (n_chars, doc_id) within source -- both
+    # engines implement standard SQL ntile (first count%n buckets get
+    # the extra row), and the doc_id tie-break totalizes the order.
+    "quality_buckets": """
+        SELECT doc_id, source, n_chars,
+               CAST(ntile(4) OVER (PARTITION BY source
+                                   ORDER BY n_chars, doc_id) AS BIGINT)
+                 AS quality_bucket
+        FROM documents
+    """,
+    # markup strip over the same in-plan HTML wrapping: tags -> space,
+    # six-entity decode with &amp; LAST, whitespace collapse; n_tags
+    # counts tag matches, n_chars_removed is the net shrinkage.
+    "strip_markup": """
+        WITH src AS (
+          SELECT doc_id,
+                 '<html><body class="page"><h1>T&amp;itle &quot;'
+                   || CAST(doc_id % 7 AS VARCHAR)
+                   || '&quot;</h1><p id=''b''>' || text
+                   || '</p><br/>x &lt; y &gt; z&nbsp;&#39;q&#39;&amp;lt;tag&amp;gt;</body></html>'
+                   AS t
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, t,
+                 trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(t, '<[^>]*>', ' ', 'g'),
+                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                     '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                   '\\s+', ' ', 'g')) AS text
+          FROM src
+        )
+        SELECT doc_id, text,
+               CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags,
+               CAST(length(t) - length(text) AS BIGINT) AS n_chars_removed
+        FROM c
     """,
 }
 

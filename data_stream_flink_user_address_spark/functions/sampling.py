@@ -342,3 +342,84 @@ def token_budget_mixture(
         .filter(hash_bucket(F.col(id_col), seed) < F.col("__thr"))
         .select(id_col, source_col, "n_tokens")
     )
+
+
+def per_source_cap(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-source document cap (the Dolma / RefinedWeb domain-balancing
+    rule): keep at most ``cap`` documents from each source, chosen as
+    the ``cap`` with the SMALLEST deterministic hash -- i.e. a seeded
+    uniform random top-``cap`` that every re-run, resume, and the SQL
+    oracle reproduce exactly.  Output ``(key, source, src_rank)`` with
+    ``src_rank`` the 1-based position within the source (<= cap), so
+    callers can tighten the cap downstream without re-ranking.
+
+    Unlike the Bernoulli samplers above this is EXACT-k per group: a
+    mixture config says "at most 100k docs per domain", not "roughly".
+    Ties on the 1e6-resolution hash break on the key itself, keeping
+    the rank total-ordered and engine/oracle identical.
+
+    Scale shape: one shuffle on ``source``, and Catalyst rewrites the
+    ``row_number() <= cap`` filter into a two-phase ``WindowGroupLimit``
+    (verified in the physical plan): each MAP-side partition keeps only
+    its own top-``cap`` per source before the exchange, so at most
+    ``cap x input_partitions`` rows per source ride the shuffle and the
+    reduce-side sort is bounded -- a mega-source never concentrates its
+    full membership anywhere.  Only ``(key, source, bucket)`` is
+    projected into the window (bodies stay behind); re-join on the key
+    to recover them.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(hash_bucket(F.col(key_col), seed).asc(), F.col(key_col).asc())
+    )
+    return (
+        df.select(key_col, source_col)
+        .withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= int(cap))
+        .withColumn("src_rank", F.col("src_rank").cast("bigint"))
+    )
+
+
+def quality_stratified_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 10,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Quantile-bucket a quality (or perplexity) score WITHIN each
+    stratum: ``ntile(n_buckets)`` ordered by ``(score, key)``, so bucket
+    1 is each source's worst ``~1/n`` and bucket ``n`` its best.  This
+    is the curriculum / quality-binning step (CCNet's perplexity
+    tertiles, quality-ascending training order): binning per-source
+    rather than globally keeps a uniformly-low-quality source from
+    monopolizing the bottom bins and lets mixing decisions say "drop
+    every source's worst decile".
+
+    The key tie-break makes the assignment a pure function of the
+    frame's CONTENT (ntile over a non-total order is
+    partition-placement-dependent -- irreproducible at scale).
+
+    Scale shape: same contract as :func:`per_source_cap` -- one shuffle
+    on the stratum, per-stratum sort of ``(score, key)`` pairs only.
+    Global (unstratified) quantiles at corpus scale should instead cut
+    on broadcast `approx_percentile` thresholds; exact global ntile
+    needs a total sort, which this function deliberately does not offer.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col(score_col).asc(), F.col(key_col).asc())
+    )
+    return df.withColumn(
+        "quality_bucket", F.ntile(int(n_buckets)).over(w).cast("bigint")
+    )

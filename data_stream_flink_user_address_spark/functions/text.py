@@ -288,3 +288,59 @@ def bigram_logprob_scores(
             F.sum(F.col("__n") * F.col("__logp")) / F.sum("__n"), round_digits
         ).alias("bigram_logprob"),
     )
+
+
+# Fixed entity set for strip_markup: the handful that dominate web
+# text.  Decoded AFTER tag removal, '&amp;' strictly LAST so that
+# double-escaped text ('&amp;lt;') decodes one level per pass, never
+# into a live '<'.
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_markup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """HTML/markup stripping -- the text-extraction step upstream of
+    every quality/dedup stage when the corpus arrives as raw web pages:
+    remove ``<...>`` tags (replaced by a space so ``a<br>b`` does not
+    fuse into ``ab``), decode the dominant character entities
+    (``&amp;`` last -- double-escaped text decodes one level, never
+    into a live tag), and collapse the resulting whitespace runs.
+    Output ``(id, text, n_tags, n_chars_removed)``; ``n_tags`` counts
+    removed tags, ``n_chars_removed`` the net character shrinkage
+    (markup + collapsed whitespace).
+
+    Deliberately NOT an HTML parser: no tag nesting, no script/style
+    content removal (a ``<script>`` body survives as text), no entity
+    table beyond the fixed six.  That is the honest trade for a pure
+    regex/replace pipeline that is row-local, deterministic, and
+    oracle-checkable; real boilerplate removal belongs to
+    :func:`..functions.dedup.boilerplate_line_dedup` downstream.
+
+    Scale shape: zero shuffles -- every column is a per-row expression
+    chain (regexp_replace + fixed replace ladder), whole-stage codegen
+    end to end; 100 TB costs one scan.
+    """
+    tag = r"<[^>]*>"
+    src = F.col(text_col)
+    cleaned = F.regexp_replace(src, tag, " ")
+    for ent, ch in _HTML_ENTITIES:
+        cleaned = F.replace(cleaned, F.lit(ent), F.lit(ch))
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("text"),
+        F.regexp_count(src, F.lit(tag)).cast("bigint").alias("n_tags"),
+        (F.length(src) - F.length(cleaned)).cast("bigint").alias(
+            "n_chars_removed"
+        ),
+    )

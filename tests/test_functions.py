@@ -950,3 +950,98 @@ def test_token_budget_mixture_null_source_uses_default_share(spark):
     ).collect()
     assert len(kept) == 10
     assert sum(1 for r in kept if r["source"] is None) == 5
+
+
+def test_per_source_cap_exact_k_and_deterministic(spark):
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        per_source_cap,
+    )
+    from pyspark.sql import Row
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{i % 3}") for i in range(30)]
+    )
+    out = per_source_cap(df, cap=4)
+    rows = out.collect()
+    # exact-k: every source keeps exactly min(cap, size)=4
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    assert set(per_src) == {"s0", "s1", "s2"}
+    assert all(len(v) == 4 for v in per_src.values())
+    # ranks are 1..4 within each source
+    for v in per_src.values():
+        assert sorted(r.src_rank for r in v) == [1, 2, 3, 4]
+    # deterministic: same rows and ranks on re-run
+    again = {(r.doc_id, r.src_rank) for r in per_source_cap(df, cap=4).collect()}
+    assert again == {(r.doc_id, r.src_rank) for r in rows}
+    # seed changes the selection (30 docs, overwhelmingly likely)
+    other = {r.doc_id for r in per_source_cap(df, cap=4, seed=7).collect()}
+    assert other != {r.doc_id for r in rows}
+
+
+def test_per_source_cap_small_source_survives_whole(spark):
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        per_source_cap,
+    )
+    from pyspark.sql import Row
+    df = spark.createDataFrame(
+        [Row(doc_id=0, source="tiny"), Row(doc_id=1, source="tiny")]
+        + [Row(doc_id=i, source="big") for i in range(2, 20)]
+    )
+    out = per_source_cap(df, cap=5).collect()
+    assert sum(1 for r in out if r.source == "tiny") == 2
+    assert sum(1 for r in out if r.source == "big") == 5
+
+
+def test_quality_stratified_buckets_sizes_and_order(spark):
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        quality_stratified_buckets,
+    )
+    from pyspark.sql import Row
+    # 10 rows in one stratum, score = doc_id: ntile(4) -> 3,3,2,2
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="a", score=float(i)) for i in range(10)]
+    )
+    out = quality_stratified_buckets(df, "score", n_buckets=4).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.quality_bucket, []).append(r.doc_id)
+    assert {b: len(v) for b, v in by_bucket.items()} == {1: 3, 2: 3, 3: 2, 4: 2}
+    # monotone: every id in bucket b is below every id in bucket b+1
+    assert max(by_bucket[1]) < min(by_bucket[2])
+    assert max(by_bucket[3]) < min(by_bucket[4])
+
+
+def test_quality_stratified_buckets_ties_break_on_key(spark):
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        quality_stratified_buckets,
+    )
+    from pyspark.sql import Row
+    # all-equal scores: assignment must still be deterministic (by key)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="a", score=1.0) for i in range(8)]
+    )
+    out = {r.doc_id: r.quality_bucket
+           for r in quality_stratified_buckets(df, "score", n_buckets=2).collect()}
+    assert out == {i: (1 if i < 4 else 2) for i in range(8)}
+
+
+def test_strip_markup_tags_entities_whitespace(spark):
+    from data_stream_flink_user_address_spark.functions.text import strip_markup
+    from pyspark.sql import Row
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="<p>a<br/>b</p>"),
+        Row(doc_id=1, text="x &amp;lt;tag&amp;gt; &lt;real&gt; &nbsp;&#39;q&#39;"),
+        Row(doc_id=2, text="  plain   text  "),
+        Row(doc_id=3, text=""),
+    ])
+    out = {r.doc_id: r for r in strip_markup(df).collect()}
+    # tags become spaces: no token fusion across <br/>
+    assert out[0].text == "a b" and out[0].n_tags == 3
+    # double-escaped decodes ONE level (&amp; last), real entities decode
+    assert out[1].text == "x &lt;tag&gt; <real> 'q'"
+    assert out[1].n_tags == 0
+    # whitespace collapse + trim, nothing removed but whitespace
+    assert out[2].text == "plain text"
+    assert out[2].n_tags == 0 and out[2].n_chars_removed == 6
+    assert out[3].text == "" and out[3].n_chars_removed == 0

@@ -223,3 +223,22 @@ def test_unigram_quality_topv_is_partial_and_text_stays_local(spark):
         assert inputs, block
         if "doc_id" in block.split("hashpartitioning", 1)[1][:80]:
             assert "text#" not in inputs[0] and "tok#" not in inputs[0], inputs
+
+
+def test_per_source_cap_map_side_group_limit(spark):
+    """The cap filter must rewrite to a two-phase WindowGroupLimit:
+    map-side partial bounds the shuffle to cap rows per (source x input
+    partition), so a mega-source never concentrates anywhere."""
+    plan = _plan(spark, "per_source_cap")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "Partial" in plan and "Final" in plan
+    # bodies stay behind: text never enters the plan
+    assert "text" not in plan
+
+
+def test_strip_markup_is_shuffle_free_projection(spark):
+    plan = _plan(spark, "strip_markup")
+    # no join, window, or aggregate anywhere; at most the _docs repartition
+    for op in ("Join", "Window", "HashAggregate", "Sort"):
+        assert op not in plan, op
+    assert plan.count("Exchange") <= 2  # the _docs round-robin only
