@@ -123,6 +123,7 @@ from data_stream_flink_user_address_spark.functions.text import (
     tokens,
     unigram_logprob_scores,
     bigram_logprob_scores,
+    bpe_train,
     strip_markup,
     winnow_fingerprint,
 )
@@ -1573,6 +1574,17 @@ def _q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_markup(d)
 
 
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training (functions/text.py: bpe_train),
+    8 merge rounds: the corpus is scanned ONCE into a (word, count)
+    vocabulary, each round aggregates adjacent symbol pairs over that
+    compact frame (map-side combined), collects the 1-row argmax
+    (count desc, pair asc -- content-deterministic), and folds the
+    merge leftmost-first non-overlapping.  The DuckDB oracle replays
+    all 8 rounds via chained CTEs with an identical list_reduce."""
+    return bpe_train(_docs(spark, sf_dir), n_merges=8)
+
+
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     sigs = minhash_signatures_text(d, n=5, num_hashes=_MINHASH_K)
@@ -2368,8 +2380,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_function_showcase": _q_scalar_function_showcase,
     "grouping_sets_revenue": _q_grouping_sets_revenue,
     "scd2_customer_segments": _q_scd2_customer_segments,
-    # new this round, below the window; rotate INTO r13's first-50 for
-    # their first driver rows (pytest parity already oracle-checks them)
+    # new this round (r12), below the window; rotate INTO r13's
+    # first-50 for their first driver rows (pytest parity + the
+    # drive_contract script already oracle-check all of them):
+    # dsir_weights .. bpe_train (11 queries)
     "dsir_weights": _q_dsir_weights,
     "token_budget_mixture": _q_token_budget_mixture,
     "image_phash_pairs": _q_image_phash_pairs,
@@ -2380,6 +2394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "per_source_cap": _q_per_source_cap,
     "quality_buckets": _q_quality_buckets,
     "strip_markup": _q_strip_markup,
+    "bpe_train": _q_bpe_train,
 }
 
 
@@ -2416,6 +2431,39 @@ def _sql_lang_case() -> str:
 
 def _sql_md5_long(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def _sql_bpe_train(n_merges: int) -> str:
+    """Chained-CTE replica of text.bpe_train: one (word, count) vocab
+    CTE, then per merge round a pair-count aggregate, a tie-broken
+    argmax, and a list_reduce fold identical to the engine's."""
+    parts = [
+        f"WITH toks AS (SELECT unnest({_sql_tokens()}) AS word FROM documents),",
+        "w0 AS (SELECT string_split(word, '') AS sym, count(*) AS cnt"
+        " FROM toks GROUP BY word)",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT sym[i] AS l, sym[i+1] AS r2, CAST(sum(cnt) AS BIGINT) AS c
+  FROM w{r - 1}, unnest(range(1, len(sym))) AS t(i)
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT l, r2, c FROM p{r} ORDER BY c DESC, l, r2 LIMIT 1),
+w{r} AS (
+  SELECT string_split(
+           list_reduce(sym, (acc, x) -> CASE
+             WHEN regexp_extract(acc, '([^ ]*)$', 1) = b.l AND x = b.r2
+             THEN regexp_replace(acc, '[^ ]*$', '') || b.l || b.r2
+             ELSE acc || ' ' || x END), ' ') AS sym, cnt
+  FROM w{r - 1} CROSS JOIN b{r} b
+)""")
+    selects = " UNION ALL ".join(
+        f'SELECT CAST({r} AS BIGINT) AS merge_rank, l AS "left", r2 AS "right",'
+        f" l || r2 AS merged, c AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "\n".join(parts) + "\n" + selects
 
 
 def _sql_shingles(n: int = 5, src: str = "documents") -> str:
@@ -4559,6 +4607,10 @@ ORACLE_SQL: dict[str, str] = {
                CAST(length(t) - length(text) AS BIGINT) AS n_chars_removed
         FROM c
     """,
+    # iterative BPE training: 8 chained merge rounds, each a pair-count
+    # aggregate + (count desc, pair asc) argmax + list_reduce fold
+    # identical to the engine's leftmost-first non-overlapping merge.
+    "bpe_train": _sql_bpe_train(8),
 }
 
 

@@ -344,3 +344,104 @@ def strip_markup(
             "n_chars_removed"
         ),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (the iterative loop that
+    :func:`__spark_entry__._q_bpe_pair_counts`'s one-step counting
+    primitive belongs to): learn ``n_merges`` merge rules over the
+    corpus, character-level start symbols, words bounded at whitespace
+    (no cross-word merges, the GPT-2/SentencePiece convention).  Output
+    one row per learned rule, ``(merge_rank, left, right, merged,
+    pair_count)``, in learning order.
+
+    The classic scale trick makes this tractable: the corpus is
+    scanned ONCE to build the ``(word, count)`` VOCABULARY (one
+    corpus-wide shuffle, result ~ distinct-word-sized, millions of
+    rows at 100 TB -- not trillions), and every merge round then
+    iterates on that compact frame: one map-side-combined aggregate
+    over its adjacent symbol pairs (weighted by word count), a 1-ROW
+    collect of the argmax (the same bounded driver-probe precedent as
+    ``dedup.py``'s HLL scalar), and a row-local fold that rewrites
+    each word's symbol sequence leftmost-first non-overlapping.  Ties
+    on the count break on (left, right) binary string order, so the
+    learned table is a pure function of the corpus.
+
+    Symbols are space-joined inside the fold (tokens are
+    whitespace-split, so ' ' can never occur INSIDE a symbol), which
+    keeps the accumulator a flat string -- the same fold the DuckDB
+    oracle replicates with ``list_reduce``.  Only the BASE vocabulary
+    is cached; each round chains one lazy row-local fold projection on
+    top of it, so a round costs exactly ONE job (the argmax collect)
+    with no cache-churn or materialization jobs.  Lineage grows one
+    projection per round -- fine at demo merge counts; a real 30k-merge
+    run should localCheckpoint every ~50 rounds to keep plans bounded.
+
+    Preconditions: ``n_merges`` small enough that pairs remain (an
+    exhausted corpus -- every word one symbol -- stops early and
+    returns fewer rows).
+    """
+    sym = F.split(F.col("word"), "")
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(sym.alias("sym"), "cnt")
+    ).cache()
+
+    def _pairs(frame: DataFrame) -> DataFrame:
+        p = frame.select(
+            "cnt",
+            F.explode(
+                F.when(
+                    F.size("sym") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("sym") - 1),
+                        lambda i: F.struct(
+                            F.element_at("sym", i).alias("left"),
+                            F.element_at("sym", i + 1).alias("right"),
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("p"),
+        )
+        return p.groupBy("p.left", "p.right").agg(
+            F.sum("cnt").alias("pair_count")
+        )
+
+    rules = []
+    frame = words
+    for rank in range(1, int(n_merges) + 1):
+        best = (
+            _pairs(frame)
+            .orderBy(F.col("pair_count").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0].left, best[0].right, best[0].pair_count
+        rules.append((rank, left, right, left + right, cnt))
+        # leftmost-first non-overlapping merge, folded over a flat
+        # space-joined accumulator (symbols never contain spaces)
+        folded = F.aggregate(
+            F.expr("slice(sym, 2, size(sym))"),
+            F.element_at("sym", 1),
+            lambda acc, x: F.when(
+                (F.regexp_extract(acc, r"([^ ]*)$", 1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.regexp_replace(acc, r"[^ ]*$", ""), F.lit(left + right)
+                ),
+            ).otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+        frame = frame.select(F.split(folded, " ").alias("sym"), "cnt")
+    words.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rules, "merge_rank long, left string, right string, merged string, pair_count long"
+    )

@@ -1045,3 +1045,43 @@ def test_strip_markup_tags_entities_whitespace(spark):
     assert out[2].text == "plain text"
     assert out[2].n_tags == 0 and out[2].n_chars_removed == 6
     assert out[3].text == "" and out[3].n_chars_removed == 0
+
+
+def test_bpe_train_learns_classic_merges(spark):
+    from data_stream_flink_user_address_spark.functions.text import bpe_train
+    from pyspark.sql import Row
+    df = spark.createDataFrame([
+        Row(text="low low low low low lower lower newest newest"),
+        Row(text="newest newest newest newest wider wider wider"),
+    ])
+    rules = bpe_train(df, 3).collect()
+    assert [(r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+            for r in rules] == [
+        # (w,e): 2x in lower + 6x in newest = 8; then (l,o): 5 low + 2 lower
+        (1, "w", "e", "we", 8),
+        (2, "l", "o", "lo", 7),
+        # after merging 'we': newest = n,e,we,s,t -> (e,we) = 6
+        (3, "e", "we", "ewe", 6),
+    ]
+
+
+def test_bpe_train_leftmost_nonoverlapping_fold(spark):
+    from data_stream_flink_user_address_spark.functions.text import bpe_train
+    from pyspark.sql import Row
+    # 'aaaa': (a,a) occurs 3x per word; merge folds leftmost-first
+    # non-overlapping -> [aa, aa]; round 2 then learns (aa, aa)
+    df = spark.createDataFrame([Row(text="aaaa aaaa aaaa")])
+    rules = bpe_train(df, 2).collect()
+    assert (rules[0].left, rules[0].right, rules[0].pair_count) == ("a", "a", 9)
+    assert (rules[1].left, rules[1].right, rules[1].merged) == ("aa", "aa", "aaaa")
+
+
+def test_bpe_train_stops_early_when_exhausted(spark):
+    from data_stream_flink_user_address_spark.functions.text import bpe_train
+    from pyspark.sql import Row
+    # single repeated 2-char word: round 1 merges it whole; round 2 has
+    # no pairs left -> early stop with 1 rule
+    df = spark.createDataFrame([Row(text="ab ab ab")])
+    rules = bpe_train(df, 5).collect()
+    assert len(rules) == 1
+    assert rules[0].merged == "ab"
