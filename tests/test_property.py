@@ -207,3 +207,116 @@ def test_sequence_pack_matches_sequential_prefix_sum(spark, sizes, seq_len):
         assert r.first_chunk == off // seq_len
         assert r.last_chunk == (max(off + n - 1, off)) // seq_len
         off += n + 1
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Sequential reference BPE trainer: dict-based, the textbook
+    algorithm, for cross-checking the distributed fold."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    rules = []
+    for rank in range(1, n_merges + 1):
+        pairs = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] = pairs.get(
+                    (sym[i], sym[i + 1]), 0
+                ) + c
+        if not pairs:
+            break
+        # max count, ties on (left, right) ascending
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((rank, l, r, l + r, c))
+        nxt = {}
+        for sym, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + cnt
+        # re-key by original word is lost; counts merge identically
+        vocab = nxt
+    return rules
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=5),
+            min_size=1, max_size=8,
+        ).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_bpe_train_matches_sequential_reference(spark, texts, n_merges):
+    from data_stream_flink_user_address_spark.functions.text import bpe_train
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train(df, n_merges).collect()
+    ]
+    counts = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    assert got == _bpe_reference(counts, n_merges)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab <>&;x/=\"'" + "ltgqunps#39",  # entity/tag chars
+            min_size=0, max_size=40,
+        ),
+        min_size=1, max_size=10,
+    )
+)
+def test_strip_markup_matches_python_reference(spark, texts):
+    from data_stream_flink_user_address_spark.functions.text import (
+        _HTML_ENTITIES, strip_markup,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    got = {r.doc_id: r for r in strip_markup(df).collect()}
+    for i, t in enumerate(texts):
+        clean = re.sub(r"<[^>]*>", " ", t)
+        for ent, ch in _HTML_ENTITIES:
+            clean = clean.replace(ent, ch)
+        clean = re.sub(r"\s+", " ", clean).strip()
+        assert got[i].text == clean, (t, got[i].text, clean)
+        assert got[i].n_tags == len(re.findall(r"<[^>]*>", t))
+        assert got[i].n_chars_removed == len(t) - len(clean)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.sampled_from(["s0", "s1", "s2", None]), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=6),
+)
+def test_per_source_cap_invariants(spark, sources, cap):
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        per_source_cap,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(sources)), "doc_id int, source string"
+    )
+    out = per_source_cap(df, cap=cap).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.src_rank)
+    want = {}
+    for s in sources:
+        want[s] = want.get(s, 0) + 1
+    for s, n in want.items():
+        k = min(cap, n)
+        # exactly min(cap, size) survivors per source (NULL included),
+        # ranked 1..k
+        assert sorted(by_src.get(s, [])) == list(range(1, k + 1)), s
