@@ -53,6 +53,8 @@ from data_stream_flink_user_address_spark.functions.dedup import (
     embedding_near_dup_pairs,
     paragraph_dedup,
     boilerplate_line_dedup,
+    build_fingerprint_store,
+    incremental_exact_dedup,
 )
 from data_stream_flink_user_address_spark.functions.similarity import (
     brute_force_topk,
@@ -1574,6 +1576,33 @@ def _q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_markup(d)
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl exact dedup (functions/dedup.py:
+    incremental_exact_dedup): even doc_ids seed a persisted fingerprint
+    store (batch 0, dynamic-partition overwrite -- rerun-identical),
+    then the odd doc_ids arrive as batch 1 and survive only if first
+    within the batch AND novel against the store.  Work is O(batch +
+    store-scan): the batch shuffles 32-byte fingerprints once, the
+    anti-join broadcasts the small side, and a replayed batch excludes
+    its own __batch partition so both the returned frame and the store
+    are replay-stable."""
+    docs = _docs(spark, sf_dir)
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"incdedup-r12|{os.path.abspath(sf_dir)}|{st.st_size}|"
+        f"{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    store = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ann_cache", "incdedup", key
+    )
+    build_fingerprint_store(
+        docs.filter(F.col("doc_id") % 2 == 0), store, batch_id=0
+    )
+    return incremental_exact_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1), store, batch_id=1
+    )
+
+
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE tokenizer training (functions/text.py: bpe_train),
     8 merge rounds: the corpus is scanned ONCE into a (word, count)
@@ -2383,7 +2412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this round (r12), below the window; rotate INTO r13's
     # first-50 for their first driver rows (pytest parity + the
     # drive_contract script already oracle-check all of them):
-    # dsir_weights .. bpe_train (11 queries)
+    # dsir_weights .. incremental_dedup (12 queries)
     "dsir_weights": _q_dsir_weights,
     "token_budget_mixture": _q_token_budget_mixture,
     "image_phash_pairs": _q_image_phash_pairs,
@@ -2395,6 +2424,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_buckets": _q_quality_buckets,
     "strip_markup": _q_strip_markup,
     "bpe_train": _q_bpe_train,
+    "incremental_dedup": _q_incremental_dedup,
 }
 
 
@@ -4611,6 +4641,22 @@ ORACLE_SQL: dict[str, str] = {
     # aggregate + (count desc, pair asc) argmax + list_reduce fold
     # identical to the engine's leftmost-first non-overlapping merge.
     "bpe_train": _sql_bpe_train(8),
+    # incremental dedup: odd-id batch vs even-id seeded store -- first
+    # occurrence (min doc_id) per fingerprint within the batch, then
+    # novel against the store's normalized-content md5 set.
+    "incremental_dedup": f"""
+        WITH f AS (
+          SELECT doc_id, md5({_sql_norm()}) AS fingerprint FROM documents
+        ),
+        batch AS (
+          SELECT fingerprint, min(doc_id) AS doc_id FROM f
+          WHERE doc_id % 2 = 1 GROUP BY fingerprint
+        )
+        SELECT doc_id, fingerprint FROM batch
+        WHERE fingerprint NOT IN (
+          SELECT fingerprint FROM f WHERE doc_id % 2 = 0
+        )
+    """,
 }
 
 

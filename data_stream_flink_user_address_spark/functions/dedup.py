@@ -1257,3 +1257,110 @@ def boilerplate_line_dedup(
         .cast("bigint")
         .alias("n_removed"),
     )
+
+
+def build_fingerprint_store(
+    df: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id: int = 0,
+) -> None:
+    """Seed (or re-seed) a persisted exact-dedup fingerprint store from
+    a corpus snapshot: distinct normalized-content md5s written under an
+    ``__batch=<id>`` partition with dynamic partition overwrite, so
+    replaying a batch replaces exactly its own partition -- the same
+    replay-idempotency contract as the streaming near-dup sink above.
+    """
+    fp = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.select(fp.alias("fingerprint"))
+            .distinct()
+            .withColumn("__batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("__batch")
+            .parquet(store_path)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Exact dedup of a NEW ingestion batch against an ever-growing
+    persisted corpus -- the continuous-crawl shape, where re-deduping
+    100 TB of history per day is not an option and only the delta may
+    cost anything.  Returns the batch's survivors ``(id, fingerprint)``:
+    first occurrence within the batch (lowest id per fingerprint) AND
+    novel against every fingerprint already in the store.  If
+    ``batch_id`` is given, survivors' fingerprints are appended to the
+    store under ``__batch=<batch_id>`` (dynamic partition overwrite),
+    so re-running a failed batch replaces its own partition instead of
+    duplicating it -- the store stays a set across replays.
+
+    Scale shape: work is O(batch + store-scan), never O(corpus
+    re-shuffle x corpus): the batch shuffles 32-byte fingerprints once
+    for the within-batch min-id (map-side combined), and the LEFT ANTI
+    join against the store hashes on the fingerprint -- the store side
+    ships only its fingerprint column, and AQE broadcasts a small batch
+    side so the store is scanned in place without shuffling at all.
+    For a store too large to scan per batch, re-write it bucketed by
+    fingerprint (`sources/layout.py`) and the anti-join co-locates with
+    zero store-side exchange.  The store is append-only parquet;
+    duplicate fingerprints ACROSS batch partitions are harmless to the
+    anti-join (membership, not counts).
+    """
+    fp = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    batch = (
+        new_docs.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    spark = new_docs.sparkSession
+    from pyspark.errors import AnalysisException
+
+    try:
+        store = spark.read.parquet(store_path)
+        if batch_id is not None:
+            # exclude the batch's OWN partition (partition-pruned):
+            # a replayed batch must not anti-join against the failed
+            # run's leftovers -- it returns the same survivors and
+            # overwrites the same partition, fully idempotent
+            store = store.filter(F.col("__batch") != int(batch_id))
+        survivors = batch.join(
+            store.select("fingerprint"), "fingerprint", "left_anti"
+        )
+    except AnalysisException:  # first batch ever: no store yet
+        survivors = batch
+    survivors = survivors.select(id_col, "fingerprint")
+    if batch_id is not None:
+        # materialize BEFORE appending: the survivor plan reads the
+        # store we are about to write into (read-overwrite hazard), and
+        # the caller's returned frame must reflect pre-append state
+        survivors = survivors.localCheckpoint()
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                survivors.select("fingerprint")
+                .withColumn("__batch", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("__batch")
+                .parquet(store_path)
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+    return survivors

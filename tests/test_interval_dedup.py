@@ -316,3 +316,62 @@ class TestBoilerplateLineDedup:
                boilerplate_line_dedup(docs, min_df=2).collect()}
         assert out[0].text == "body zero"
         assert out[1].text == "body one"
+
+
+class TestIncrementalExactDedup:
+    """incremental_exact_dedup: continuous-crawl dedup of a new batch
+    against a persisted fingerprint store, replay-idempotent appends."""
+
+    def _mk(self, spark, rows):
+        from pyspark.sql import Row
+        return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+    def test_first_batch_then_incremental(self, spark, tmp_path):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            build_fingerprint_store, incremental_exact_dedup,
+        )
+        store = str(tmp_path / "store")
+        build_fingerprint_store(
+            self._mk(spark, [(0, "alpha"), (1, "beta")]), store, batch_id=0
+        )
+        # batch 1: one novel doc, one exact dup of the store ('alpha',
+        # whitespace-normalized), one within-batch dup pair
+        batch = self._mk(spark, [
+            (10, "  alpha  "),      # dup of store after normalization
+            (11, "gamma"),          # novel
+            (12, "delta"), (13, "delta"),  # within-batch dup: keep 12
+        ])
+        out = incremental_exact_dedup(batch, store, batch_id=1)
+        assert {r.doc_id for r in out.collect()} == {11, 12}
+        # store now rejects batch-1 survivors on the next batch
+        nxt = self._mk(spark, [(20, "gamma"), (21, "epsilon")])
+        out2 = incremental_exact_dedup(nxt, store, batch_id=2)
+        assert {r.doc_id for r in out2.collect()} == {21}
+
+    def test_replay_overwrites_own_partition(self, spark, tmp_path):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            build_fingerprint_store, incremental_exact_dedup,
+        )
+        store = str(tmp_path / "store")
+        build_fingerprint_store(self._mk(spark, [(0, "seed")]), store, batch_id=0)
+        batch = self._mk(spark, [(10, "x"), (11, "y")])
+        incremental_exact_dedup(batch, store, batch_id=1)
+        # replay the SAME batch: its own __batch=1 partition is
+        # EXCLUDED from the anti-join, so the replay returns the same
+        # survivors and overwrites the same partition -- idempotent in
+        # both the returned frame and the stored state
+        replay = incremental_exact_dedup(batch, store, batch_id=1)
+        assert {r.doc_id for r in replay.collect()} == {10, 11}
+        fps = spark.read.parquet(store).select("fingerprint").collect()
+        assert len(fps) == len({r.fingerprint for r in fps}) == 3  # seed,x,y
+
+    def test_no_store_yet_keeps_batch_firsts(self, spark, tmp_path):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            incremental_exact_dedup,
+        )
+        store = str(tmp_path / "missing")
+        batch = self._mk(spark, [(1, "a"), (2, "a"), (3, "b")])
+        out = incremental_exact_dedup(batch, store)  # no append
+        assert {r.doc_id for r in out.collect()} == {1, 3}
+        import os
+        assert not os.path.exists(store)  # read-only call leaves no store
