@@ -144,7 +144,21 @@ HEADLINE = [
     "token_budget_mixture",
     "image_phash_pairs",
     "audio_fingerprint_pairs",
+    "boilerplate_line_dedup",
+    "bigram_quality",
+    "overlap_chunks",
+    "per_source_cap",
+    "quality_buckets",
+    "strip_markup",
+    "bpe_train",
+    "incremental_dedup",
 ]
+
+# Every registered query gets benched: anything added to queries()
+# after this list was written is appended automatically, so a new
+# operator can never silently skip the bench (r12: 8 additions were
+# missing from a round's BENCH_QUERIES.json until this guard).
+HEADLINE += [q for q in entrymod.queries() if q not in HEADLINE]
 
 
 def main() -> None:
