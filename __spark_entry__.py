@@ -125,6 +125,7 @@ from data_stream_flink_user_address_spark.functions.text import (
     tokens,
     unigram_logprob_scores,
     bigram_logprob_scores,
+    bpe_encode,
     bpe_train,
     strip_markup,
     winnow_fingerprint,
@@ -1614,6 +1615,16 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_docs(spark, sf_dir), n_merges=8)
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-apply BPE (functions/text.py: bpe_encode): the corpus
+    vocabulary re-segmented under its own 8 learned merges -- one row
+    per word with its count and space-joined symbol sequence.  Shares
+    bpe_train's round loop verbatim; per-document encoding is a
+    broadcast join of this vocabulary-sized frame onto exploded
+    tokens."""
+    return bpe_encode(_docs(spark, sf_dir), n_merges=8)
+
+
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     sigs = minhash_signatures_text(d, n=5, num_hashes=_MINHASH_K)
@@ -2412,7 +2423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this round (r12), below the window; rotate INTO r13's
     # first-50 for their first driver rows (pytest parity + the
     # drive_contract script already oracle-check all of them):
-    # dsir_weights .. incremental_dedup (12 queries)
+    # dsir_weights .. bpe_encode (13 queries)
     "dsir_weights": _q_dsir_weights,
     "token_budget_mixture": _q_token_budget_mixture,
     "image_phash_pairs": _q_image_phash_pairs,
@@ -2425,6 +2436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_markup": _q_strip_markup,
     "bpe_train": _q_bpe_train,
     "incremental_dedup": _q_incremental_dedup,
+    "bpe_encode": _q_bpe_encode,
 }
 
 
@@ -2463,13 +2475,13 @@ def _sql_md5_long(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
-def _sql_bpe_train(n_merges: int) -> str:
-    """Chained-CTE replica of text.bpe_train: one (word, count) vocab
+def _sql_bpe_cte(n_merges: int) -> str:
+    """Chained-CTE replica of text._bpe_rounds: one (word, count) vocab
     CTE, then per merge round a pair-count aggregate, a tie-broken
     argmax, and a list_reduce fold identical to the engine's."""
     parts = [
         f"WITH toks AS (SELECT unnest({_sql_tokens()}) AS word FROM documents),",
-        "w0 AS (SELECT string_split(word, '') AS sym, count(*) AS cnt"
+        "w0 AS (SELECT word, string_split(word, '') AS sym, count(*) AS cnt"
         " FROM toks GROUP BY word)",
     ]
     for r in range(1, n_merges + 1):
@@ -2481,19 +2493,31 @@ p{r} AS (
 ),
 b{r} AS (SELECT l, r2, c FROM p{r} ORDER BY c DESC, l, r2 LIMIT 1),
 w{r} AS (
-  SELECT string_split(
+  SELECT word, string_split(
            list_reduce(sym, (acc, x) -> CASE
              WHEN regexp_extract(acc, '([^ ]*)$', 1) = b.l AND x = b.r2
              THEN regexp_replace(acc, '[^ ]*$', '') || b.l || b.r2
              ELSE acc || ' ' || x END), ' ') AS sym, cnt
   FROM w{r - 1} CROSS JOIN b{r} b
 )""")
+    return "\n".join(parts)
+
+
+def _sql_bpe_train(n_merges: int) -> str:
     selects = " UNION ALL ".join(
         f'SELECT CAST({r} AS BIGINT) AS merge_rank, l AS "left", r2 AS "right",'
         f" l || r2 AS merged, c AS pair_count FROM b{r}"
         for r in range(1, n_merges + 1)
     )
-    return "\n".join(parts) + "\n" + selects
+    return _sql_bpe_cte(n_merges) + "\n" + selects
+
+
+def _sql_bpe_encode(n_merges: int) -> str:
+    return _sql_bpe_cte(n_merges) + f"""
+SELECT word, CAST(cnt AS BIGINT) AS cnt,
+       CAST(len(sym) AS BIGINT) AS n_symbols,
+       array_to_string(sym, ' ') AS encoded
+FROM w{n_merges}"""
 
 
 def _sql_shingles(n: int = 5, src: str = "documents") -> str:
@@ -4641,6 +4665,9 @@ ORACLE_SQL: dict[str, str] = {
     # aggregate + (count desc, pair asc) argmax + list_reduce fold
     # identical to the engine's leftmost-first non-overlapping merge.
     "bpe_train": _sql_bpe_train(8),
+    # train-and-apply: same 8-round CTE chain, final select = the
+    # re-segmented vocabulary instead of the rule table.
+    "bpe_encode": _sql_bpe_encode(8),
     # incremental dedup: odd-id batch vs even-id seeded store -- first
     # occurrence (min doc_id) per fingerprint within the batch, then
     # novel against the store's normalized-content md5 set.

@@ -346,51 +346,21 @@ def strip_markup(
     )
 
 
-def bpe_train(
+def _bpe_rounds(
     df: DataFrame,
     n_merges: int,
-    text_col: str = "text",
-) -> DataFrame:
-    """Distributed BPE tokenizer TRAINING (the iterative loop that
-    :func:`__spark_entry__._q_bpe_pair_counts`'s one-step counting
-    primitive belongs to): learn ``n_merges`` merge rules over the
-    corpus, character-level start symbols, words bounded at whitespace
-    (no cross-word merges, the GPT-2/SentencePiece convention).  Output
-    one row per learned rule, ``(merge_rank, left, right, merged,
-    pair_count)``, in learning order.
-
-    The classic scale trick makes this tractable: the corpus is
-    scanned ONCE to build the ``(word, count)`` VOCABULARY (one
-    corpus-wide shuffle, result ~ distinct-word-sized, millions of
-    rows at 100 TB -- not trillions), and every merge round then
-    iterates on that compact frame: one map-side-combined aggregate
-    over its adjacent symbol pairs (weighted by word count), a 1-ROW
-    collect of the argmax (the same bounded driver-probe precedent as
-    ``dedup.py``'s HLL scalar), and a row-local fold that rewrites
-    each word's symbol sequence leftmost-first non-overlapping.  Ties
-    on the count break on (left, right) binary string order, so the
-    learned table is a pure function of the corpus.
-
-    Symbols are space-joined inside the fold (tokens are
-    whitespace-split, so ' ' can never occur INSIDE a symbol), which
-    keeps the accumulator a flat string -- the same fold the DuckDB
-    oracle replicates with ``list_reduce``.  Only the BASE vocabulary
-    is cached; each round chains one lazy row-local fold projection on
-    top of it, so a round costs exactly ONE job (the argmax collect)
-    with no cache-churn or materialization jobs.  Lineage grows one
-    projection per round -- fine at demo merge counts; a real 30k-merge
-    run should localCheckpoint every ~50 rounds to keep plans bounded.
-
-    Preconditions: ``n_merges`` small enough that pairs remain (an
-    exhausted corpus -- every word one symbol -- stops early and
-    returns fewer rows).
+    text_col: str,
+) -> tuple[list[tuple], DataFrame]:
+    """Shared round loop for :func:`bpe_train` / :func:`bpe_encode`:
+    returns (learned rules, final (word, cnt, sym) vocabulary frame
+    with every merge applied).  See bpe_train for the scale contract.
     """
     sym = F.split(F.col("word"), "")
     words = (
         df.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(sym.alias("sym"), "cnt")
+        .select("word", sym.alias("sym"), "cnt")
     ).cache()
 
     def _pairs(frame: DataFrame) -> DataFrame:
@@ -439,9 +409,84 @@ def bpe_train(
                 ),
             ).otherwise(F.concat(acc, F.lit(" "), x)),
         )
-        frame = frame.select(F.split(folded, " ").alias("sym"), "cnt")
-    words.unpersist()
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        rules, "merge_rank long, left string, right string, merged string, pair_count long"
+        frame = frame.select(
+            "word", F.split(folded, " ").alias("sym"), "cnt"
+        )
+    # NOTE: the returned frame's lineage still reads the cached base
+    # vocabulary; the caller consumes it before any unpersist matters.
+    words.unpersist(blocking=False)
+    return rules, frame
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (the iterative loop that
+    :func:`__spark_entry__._q_bpe_pair_counts`'s one-step counting
+    primitive belongs to): learn ``n_merges`` merge rules over the
+    corpus, character-level start symbols, words bounded at whitespace
+    (no cross-word merges, the GPT-2/SentencePiece convention).  Output
+    one row per learned rule, ``(merge_rank, left, right, merged,
+    pair_count)``, in learning order.
+
+    The classic scale trick makes this tractable: the corpus is
+    scanned ONCE to build the ``(word, count)`` VOCABULARY (one
+    corpus-wide shuffle, result ~ distinct-word-sized, millions of
+    rows at 100 TB -- not trillions), and every merge round then
+    iterates on that compact frame: one map-side-combined aggregate
+    over its adjacent symbol pairs (weighted by word count), a 1-ROW
+    collect of the argmax (the same bounded driver-probe precedent as
+    ``dedup.py``'s HLL scalar), and a row-local fold that rewrites
+    each word's symbol sequence leftmost-first non-overlapping.  Ties
+    on the count break on (left, right) binary string order, so the
+    learned table is a pure function of the corpus.
+
+    Symbols are space-joined inside the fold (tokens are
+    whitespace-split, so ' ' can never occur INSIDE a symbol), which
+    keeps the accumulator a flat string -- the same fold the DuckDB
+    oracle replicates with ``list_reduce``.  Only the BASE vocabulary
+    is cached; each round chains one lazy row-local fold projection on
+    top of it, so a round costs exactly ONE job (the argmax collect)
+    with no cache-churn or materialization jobs.  Lineage grows one
+    projection per round -- fine at demo merge counts; a real 30k-merge
+    run should localCheckpoint every ~50 rounds to keep plans bounded.
+
+    Preconditions: ``n_merges`` small enough that pairs remain (an
+    exhausted corpus -- every word one symbol -- stops early and
+    returns fewer rows).
+    """
+    rules, _ = _bpe_rounds(df, n_merges, text_col)
+    return df.sparkSession.createDataFrame(
+        rules,
+        "merge_rank long, left string, right string, merged string,"
+        " pair_count long",
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-and-APPLY: the corpus encoded under its own learned BPE
+    merges -- the tokenizer-application half of :func:`bpe_train`,
+    sharing the identical round loop, so the returned segmentation is
+    exactly what the learned rules produce.  One row per vocabulary
+    WORD: ``(word, cnt, n_symbols, encoded)`` with ``encoded`` the
+    space-joined symbol sequence after all merges; per-document
+    encoding is then a plain broadcast join of this frame onto
+    exploded tokens (word-keyed, vocabulary-sized -- not done here to
+    keep the output compact).
+
+    Same scale shape as training: rounds cost vocabulary-sized
+    aggregates, the corpus pays one scan.
+    """
+    _, frame = _bpe_rounds(df, n_merges, text_col)
+    return frame.select(
+        "word",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.size("sym").cast("bigint").alias("n_symbols"),
+        F.concat_ws(" ", "sym").alias("encoded"),
     )

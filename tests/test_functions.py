@@ -1085,3 +1085,27 @@ def test_bpe_train_stops_early_when_exhausted(spark):
     rules = bpe_train(df, 5).collect()
     assert len(rules) == 1
     assert rules[0].merged == "ab"
+
+
+def test_bpe_encode_applies_learned_merges(spark):
+    from data_stream_flink_user_address_spark.functions.text import (
+        bpe_encode, bpe_train,
+    )
+    from pyspark.sql import Row
+    df = spark.createDataFrame([
+        Row(text="low low low low low lower lower newest newest"),
+        Row(text="newest newest newest newest wider wider wider"),
+    ])
+    # 3 merges learn we, lo, ewe (see test_bpe_train_learns_classic_merges)
+    enc = {r.word: r for r in bpe_encode(df, 3).collect()}
+    assert set(enc) == {"low", "lower", "newest", "wider"}
+    assert enc["low"].encoded == "lo w" and enc["low"].n_symbols == 2
+    # merge 1 is (w,e): lower = l,o,w,e,r -> l,o,we,r -> lo,we,r
+    assert enc["lower"].encoded == "lo we r"
+    assert enc["newest"].encoded == "n ewe s t"
+    assert enc["wider"].encoded == "w i d e r"
+    assert enc["newest"].cnt == 6 and enc["low"].cnt == 5
+    # consistency: encoding under 0 learned... under n_merges=3 the
+    # segmentation concatenates back to the word itself
+    for w, r in enc.items():
+        assert r.encoded.replace(" ", "") == w

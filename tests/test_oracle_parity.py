@@ -79,14 +79,14 @@ def test_driver_window_covers_r12_rotation():
     did not carry.  Everything rotated OUT (38 relational +
     embedding_quantize + paragraph_dedup + curation_pipeline) was
     driver-green in r11, so r11's window union this one covers every
-    query registered BEFORE r12.  The 12 operators ADDED in r12
-    (dsir_weights .. incremental_dedup, kept below the window) are
+    query registered BEFORE r12.  The 13 operators ADDED in r12
+    (dsir_weights .. bpe_encode, kept below the window) are
     oracle-verified by this suite and the drive_contract script and
     take their first driver rows in r13.  Rotation arithmetic: with
-    103 registered queries, 7 pinned parity + 43 rotating slots cover
+    104 registered queries, 7 pinned parity + 43 rotating slots cover
     at most 93 distinct queries per two rounds, so full driver
     coverage is a THREE-round cycle from r12 on (green-within-3 is the
-    invariant; r13 takes the 12 new + 31 of the r11-green set, r14
+    invariant; r13 takes the 13 new + 30 of the r11-green set, r14
     takes the remainder)."""
     window = list(entrymod.queries())[:50]
     parity = {
