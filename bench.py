@@ -3,7 +3,7 @@ sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE compact JSON line (the driver-parsed artifact):
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {<the 7 parity queries only>: median_sec, ...}, "sf": ...}
+   "queries": {<the 6 parity queries only>: median_sec, ...}, "sf": ...}
 
 Per-query timing is the median of 3 runs.  Full per-query medians go to
 ``BENCH_QUERIES.json`` and the [min, max] spread per query -- needed to
@@ -33,13 +33,14 @@ from data_stream_flink_user_address_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# The 7 reference-parity queries; these ride on the stdout headline line.
+# The 6 reference-parity queries; these ride on the stdout headline line.
+# (7 -> 6 in r13: windowed_value_sum folded into windowed_count_by_type,
+# which now carries the sum in the same single hash aggregate.)
 PARITY = {
     "user_address_counts",
     "count_by_state",
     "count_by_country",
     "windowed_count_by_type",
-    "windowed_value_sum",
     "stateful_join_trace",
     "windowed_trace_inflation",
 }
@@ -53,7 +54,6 @@ HEADLINE = [
     "count_by_state",
     "count_by_country",
     "windowed_count_by_type",
-    "windowed_value_sum",
     "stateful_join_trace",
     "windowed_trace_inflation",
     "q1_pricing_summary",
@@ -61,8 +61,6 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "top_parts_per_brand",
-    "customers_without_orders",
-    "high_discount_orders",
     "rollup_returns",
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -85,7 +83,6 @@ HEADLINE = [
     "events_json_extract",
     "asof_purchase_view",
     "interval_view_purchase",
-    "events_distinct_users",
     "cube_order_stats",
     "running_customer_revenue",
     "set_ops_customers",
@@ -104,10 +101,7 @@ HEADLINE = [
     "cluster_balanced_sample",
     "text_stats",
     "corpus_report",
-    "bpe_pair_counts",
-    "lang_id_pred",
-    "quality_scores",
-    "bpe_token_counts",
+    "doc_signals",
     "winnow_fingerprints",
     "corpus_curation",
     "dedup_exact",
@@ -116,14 +110,12 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "dedup_clusters",
     "fuzzy_dedup_keep",
-    "simhash_docs",
     "simhash_pairs",
     "substring_dup_spans",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "similarity_topk",
     "similarity_lsh_topk",
-    "similarity_ivf_topk",
     "similarity_ivf_trained",
     "semantic_dedup",
     "embedding_quantize",
@@ -135,7 +127,6 @@ HEADLINE = [
     "pii_redact",
     "repetition_stats",
     "contamination_check",
-    "mixture_sample",
     "dataset_split",
     "curation_pipeline",
     "multimodal_pixel_roundtrip",
@@ -180,11 +171,15 @@ def main() -> None:
         # report the median plus the [min, max] spread.  Run 1 also
         # absorbs per-query codegen/scan warmup.
         runs: list[float] = []
-        # the two widest-spread rows (r11: cluster_balanced_sample
-        # [3.76, 5.98], ngram_jaccard_pairs [3.83, 6.80]) get
-        # median-of-5 so a single outlier run can't read as a
+        # median-of-5 for (a) the two widest-spread rows (r11:
+        # cluster_balanced_sample [3.76, 5.98], ngram_jaccard_pairs
+        # [3.83, 6.80]) and (b) every reference-parity query (VERDICT
+        # r12 ask #4: the parity headline drifted 5.47 -> 7.41 s across
+        # two rounds inside bands like user_address_counts [1.32, 3.13]
+        # -- too wide to tell a 30% regression from box noise at
+        # median-of-3), so a single outlier run can't read as a
         # round-over-round regression
-        n_runs = 5 if name in (
+        n_runs = 5 if name in PARITY or name in (
             "cluster_balanced_sample", "ngram_jaccard_pairs"
         ) else 3
         for _ in range(n_runs):
@@ -207,7 +202,7 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as fh:
         json.dump({"sf": float(sf), "queries": timings}, fh, indent=1, sort_keys=True)
     # the stdout line keeps a "queries" dict per the driver contract, but
-    # only the 7 reference-parity entries (~250 bytes) so the line can
+    # only the 6 reference-parity entries (~250 bytes) so the line can
     # never be tail-truncated again.
     parity = {k: v for k, v in timings.items() if k in PARITY}
     print(

@@ -34,6 +34,7 @@ def tumbling_window_count(
     dimension: str | Column,
     window_duration: str = "1 minute",
     count_alias: str = "count",
+    *extra_aggs: Column,
 ) -> DataFrame:
     """(window, dimension) count over tumbling windows.
 
@@ -43,11 +44,16 @@ def tumbling_window_count(
     groups -- SURVEY.md SS2.4 note b).  Works on batch and streaming
     inputs; streaming callers add a watermark first if they want
     append-mode finalized windows.
+
+    ``extra_aggs``: additional aggregate columns computed in the SAME
+    single hash aggregate (e.g. ``F.sum("value")``) -- piggybacking a
+    sum on the count costs nothing at any scale, where a second
+    windowed query would re-scan and re-shuffle the stream.
     """
     dim = F.col(dimension) if isinstance(dimension, str) else dimension
     return (
         df.groupBy(F.window(F.col(time_col), window_duration).alias("win"), dim)
-        .agg(F.count(F.lit(1)).alias(count_alias))
+        .agg(F.count(F.lit(1)).alias(count_alias), *extra_aggs)
         .withColumn("window_start", F.col("win.start"))
         .withColumn("window_end", F.col("win.end"))
         .drop("win")

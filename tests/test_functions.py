@@ -1109,3 +1109,37 @@ def test_bpe_encode_applies_learned_merges(spark):
     # segmentation concatenates back to the word itself
     for w, r in enc.items():
         assert r.encoded.replace(" ", "") == w
+
+
+def test_quality_bucket_cuts_approximates_quartiles(spark):
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        quality_bucket_cuts,
+        quality_stratified_buckets,
+    )
+    from pyspark.sql import Row
+
+    # distinct scores, two strata of different sizes: at full accuracy
+    # the GK sketch is exact, so cuts-binning must agree with ntile
+    # everywhere except possibly ON a cut boundary (ntile splits tie
+    # runs, cuts never do -- distinct scores avoid that here)
+    rows = [Row(doc_id=i, source="a", score=float(i)) for i in range(40)]
+    rows += [Row(doc_id=100 + i, source="b", score=float(i * 3)) for i in range(20)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.doc_id: r.quality_bucket
+        for r in quality_bucket_cuts(df, "score", n_buckets=4).collect()
+    }
+    exact = {
+        r.doc_id: r.quality_bucket
+        for r in quality_stratified_buckets(df, "score", n_buckets=4).collect()
+    }
+    assert set(got) == set(exact)
+    # percentile_approx returns a value IN the data, so the boundary row
+    # itself may sit one bucket below its ntile assignment; everyone
+    # else must agree
+    diffs = [k for k in got if got[k] != exact[k]]
+    assert len(diffs) <= 2 * 3 * 2, diffs  # <= strata x cuts x 2 rows
+    assert all(abs(got[k] - exact[k]) <= 1 for k in diffs)
+    # buckets span the full range in each stratum
+    assert sorted({got[k] for k in got if k < 100}) == [1, 2, 3, 4]
+    assert sorted({got[k] for k in got if k >= 100}) == [1, 2, 3, 4]

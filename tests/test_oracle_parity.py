@@ -68,58 +68,89 @@ def test_query_parity(spark, con, name):
     assert not problems, "\n".join(problems)
 
 
-def test_driver_window_covers_r12_rotation():
+PARITY_PINNED = {
+    "user_address_counts", "count_by_state", "count_by_country",
+    "windowed_count_by_type", "stateful_join_trace",
+    "windowed_trace_inflation",
+}
+
+# r13 registry fold (VERDICT r12 ask #5) -- each retired query's
+# semantics stay oracle-checked through its absorber:
+#   windowed_value_sum      -> windowed_count_by_type (total_value col
+#                              rides the same single hash aggregate)
+#   lang_id_pred            -> doc_signals (same language_id() body)
+#   quality_scores          -> doc_signals (same quality_score() body)
+#   bpe_token_counts        -> doc_signals (same token-count exprs)
+#   simhash_docs            -> simhash_pairs (signatures are its stage 1)
+#   bpe_pair_counts         -> bpe_train (merge rounds ARE pair counting)
+#                              + bigram_quality (token-bigram counts)
+#   similarity_ivf_topk     -> similarity_ivf_trained (same ivf_topk()
+#                              path; training starts from the stride
+#                              init, untrained spelling stays unit-tested)
+#   mixture_sample          -> corpus_curation (its final stage) +
+#                              token_budget_mixture (same hash decision)
+#   high_discount_orders    -> q6/q19 (discount-predicate semi/filter)
+#   customers_without_orders-> q22 (NOT-EXISTS anti-join)
+#   events_distinct_users   -> q13 (distinct-agg two-phase shape)
+R13_FOLDED = {
+    "windowed_value_sum", "lang_id_pred", "quality_scores",
+    "bpe_token_counts", "simhash_docs", "bpe_pair_counts",
+    "similarity_ivf_topk", "mixture_sample", "high_discount_orders",
+    "customers_without_orders", "events_distinct_users",
+}
+
+
+def test_driver_window_covers_r13_rotation():
     """The external driver verifies only the FIRST 50 entries of
-    queries() in declaration order.  r12 rotation (VERDICT r11 ask #4):
-    the 7 parity queries stay pinned, the 36 LLM queries last green in
-    r10 rotate back IN, the two PQ queries whose config changed this
-    round (persisted trained codebooks; order-independent capped seeds)
-    plus the two NEW codec round-trip queries hold the changed slots,
-    and q12/session/asof cover the 3 relational queries r11's window
-    did not carry.  Everything rotated OUT (38 relational +
-    embedding_quantize + paragraph_dedup + curation_pipeline) was
-    driver-green in r11, so r11's window union this one covers every
-    query registered BEFORE r12.  The 13 operators ADDED in r12
-    (dsir_weights .. bpe_encode, kept below the window) are
-    oracle-verified by this suite and the drive_contract script and
-    take their first driver rows in r13.  Rotation arithmetic: with
-    104 registered queries, 7 pinned parity + 43 rotating slots cover
-    at most 93 distinct queries per two rounds, so full driver
-    coverage is a THREE-round cycle from r12 on (green-within-3 is the
-    invariant; r13 takes the 13 new + 30 of the r11-green set, r14
-    takes the remainder)."""
-    window = list(entrymod.queries())[:50]
-    parity = {
-        "user_address_counts", "count_by_state", "count_by_country",
-        "windowed_count_by_type", "windowed_value_sum",
-        "stateful_join_trace", "windowed_trace_inflation",
+    queries() in declaration order.  r13 (VERDICT r12 asks #1 + #5):
+    the registry folded 104 -> 94 queries (merge list in R13_FOLDED
+    above), restoring an exact TWO-round full-coverage cycle:
+    6 pinned parity + 2 x 44 rotating slots = 94 = every registered
+    query, so green-within-2-rounds is the invariant again.
+
+    r13's window = 6 parity + the 13 operators added in r12 taking
+    their FIRST driver rows + doc_signals (the new fold, changed plan)
+    + 30 of the 38-query relational/TPC-H set last green r11.  Below
+    the window: the 8 remaining relational queries (green r11, roll to
+    r14) + the 36 queries green in r12's own window -- together
+    exactly the 44 rotating slots of r14's window, so r13 union r14
+    covers all 94."""
+    names = list(entrymod.queries())
+    window = names[:50]
+    assert len(names) == 94, len(names)
+    assert not R13_FOLDED & set(names), "folded query still registered"
+    first_rows = {
+        "dsir_weights", "token_budget_mixture", "image_phash_pairs",
+        "audio_fingerprint_pairs", "boilerplate_line_dedup",
+        "bigram_quality", "overlap_chunks", "per_source_cap",
+        "quality_buckets", "strip_markup", "bpe_train",
+        "incremental_dedup", "bpe_encode", "doc_signals",
     }
-    llm_slots = {
-        "similarity_pq_topk", "similarity_ivfpq_topk",
-        "multimodal_pixel_roundtrip", "audio_features_real",
+    r11_green_in = {
+        "paragraph_dedup", "curation_pipeline", "embedding_quantize",
+        "q1_pricing_summary", "q2_min_cost_supplier",
+        "q3_shipping_priority", "q4_order_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_market_share",
+        "q9_profit_by_nation_year", "q10_returned_items",
+        "q11_important_part_values", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier",
+        "q16_parts_supplier_counts", "q17_small_quantity_revenue",
+        "q18_large_volume_customers", "q19_discounted_revenue",
+        "q20_promo_heavy_suppliers", "q21_sole_blame_supplier",
+        "q22_global_sales_opportunity", "value_percentiles",
+        "interval_view_purchase", "pivot_priority_status",
+        "window_function_showcase", "top_parts_per_brand",
+        "rollup_returns",
     }
-    llm_set = {
-        "gopher_quality", "sequence_pack", "chunk_manifest",
-        "cluster_balanced_sample", "substring_dup_spans",
-        "similarity_ivf_trained", "semantic_dedup",
-        "similarity_quantized_topk", "bm25_search", "dataset_split",
-        "text_stats", "corpus_report", "bpe_pair_counts", "lang_id_pred",
-        "quality_scores", "bpe_token_counts", "winnow_fingerprints",
-        "corpus_curation", "dedup_exact", "minhash_lsh_pairs",
-        "dedup_clusters", "fuzzy_dedup_keep", "ngram_jaccard_pairs",
-        "simhash_docs", "simhash_pairs", "embedding_near_dup",
-        "embedding_near_dup_lsh", "similarity_topk", "similarity_lsh_topk",
-        "similarity_ivf_topk", "multimodal_meta", "pii_redact",
-        "repetition_stats", "contamination_check", "mixture_sample",
-        "unigram_quality",
-    }
-    relational_gap = {
-        "q12_late_shipments", "session_window_stats", "asof_purchase_view",
-    }
-    missing = (parity | llm_slots | llm_set | relational_gap) - set(window)
+    want = PARITY_PINNED | first_rows | r11_green_in
+    missing = want - set(window)
     assert not missing, f"evicted from the driver's 50-query window: {missing}"
     assert len(window) == 50
-    assert set(window) == parity | llm_slots | llm_set | relational_gap
+    assert set(window) == want
+    # the 44 below-window queries must all fit r14's rotating slots
+    below = set(names[50:])
+    assert len(below) == 44, len(below)
 
 
 def test_round_half_away_matches_oracle_round():
