@@ -25,10 +25,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bench_curation_scale import gen_corpus
-from data_stream_flink_user_address_spark.functions.text import bpe_train
+from data_stream_flink_user_address_spark.functions.text import (
+    _bpe_rounds,
+    bpe_train,
+)
 from data_stream_flink_user_address_spark.session import get_spark
 
 N_MERGES = 4
+DEEP_MERGES = int(os.environ.get("SPARK_GRAFT_BPE_DEEP", "200"))
+DEEP_DOCS = 100_000
+CHECKPOINT_EVERY = 50
 SIZES = [
     int(s)
     for s in os.environ.get(
@@ -57,12 +63,54 @@ def main() -> None:
             }
         )
         print(json.dumps(rows[-1]))
+
+    # --- deep-merge run (VERDICT r12 ask #3): 200 merges at 1e5 docs
+    # with the shipped localCheckpoint cadence.  Per-round walls prove
+    # the trajectory is flat (lineage truncation works); without the
+    # cadence each round's plan grows by one fold projection and
+    # analysis cost compounds.
+    docs = spark.read.parquet(gen_corpus(spark, DEEP_DOCS))
+    round_walls: list[float] = []
+    last = [time.perf_counter()]
+
+    def on_round(rank: int) -> None:
+        now = time.perf_counter()
+        round_walls.append(round(now - last[0], 3))
+        last[0] = now
+
+    t0 = time.perf_counter()
+    rules, _ = _bpe_rounds(
+        docs, DEEP_MERGES, "text",
+        checkpoint_every=CHECKPOINT_EVERY, on_round=on_round,
+    )
+    deep_wall = round(time.perf_counter() - t0, 2)
+    n_done = len(rules)
+    # per-50-round means: flat trajectory = later chunks ~ earlier ones
+    chunk = 50
+    chunk_means = [
+        round(sum(round_walls[i:i + chunk]) / max(1, len(round_walls[i:i + chunk])), 3)
+        for i in range(0, len(round_walls), chunk)
+    ]
+    deep = {
+        "n_docs": DEEP_DOCS,
+        "n_merges_requested": DEEP_MERGES,
+        "n_merges_learned": n_done,
+        "checkpoint_every": CHECKPOINT_EVERY,
+        "wall_s": deep_wall,
+        "sec_per_round_by_50_chunk": chunk_means,
+        "max_round_s": max(round_walls) if round_walls else None,
+        "last_rule": [rules[-1].__getitem__(1), rules[-1].__getitem__(2)]
+        if n_done else None,
+    }
+    print(json.dumps(deep))
+
     artifact = {
         "note": "bpe_train, 4 merge rounds, English-shaped corpus with a "
                 "saturated ~2k-word vocabulary (bench_curation_scale corpora)."
                 " Per-round work is vocabulary-bound: wall should grow only "
                 "through the one-time (word,count) scan. local[*]",
         "sizes": rows,
+        "deep_merges": deep,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BPE_SCALE.json"), "w") as f:

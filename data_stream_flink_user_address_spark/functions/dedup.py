@@ -1290,6 +1290,80 @@ def build_fingerprint_store(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def build_bucketed_fingerprint_store(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Seed the fingerprint store as a BUCKETED catalog table
+    (``sources/layout.py:write_bucketed``): fingerprints are
+    hash-bucketed (and bucket-sorted) on disk, so every future batch's
+    anti-join co-locates against the store with ZERO store-side
+    exchange -- the store-side shuffle is paid once at write time
+    instead of once per ingestion batch.  This is the upgrade path
+    :func:`incremental_exact_dedup`'s docstring promises for stores too
+    large to re-shuffle per batch; at a 100 TB corpus the store is
+    billions of 32-byte fingerprints and this is the only shape where
+    the per-batch cost stays O(batch + store-scan-of-matching-buckets).
+
+    ``mode="append"`` adds new fingerprints with the same bucket spec
+    (Spark validates the spec matches); compact periodically via
+    ``sources/layout.py:compact`` if batch appends strand small files.
+
+    Pick ``n_buckets`` >= the ingestion jobs'
+    ``spark.sql.shuffle.partitions`` (or enable
+    ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``): when the
+    bucket count is below the join's required partitioning Spark's
+    planner disables the bucketed scan ("Bucketed: false (disabled by
+    query planner)") and re-shuffles the whole store per batch --
+    exactly the cost this layout exists to avoid.
+    """
+    from ..sources.layout import write_bucketed
+
+    fp = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    write_bucketed(
+        df.select(fp.alias("fingerprint")).distinct(),
+        table_name,
+        bucket_by="fingerprint",
+        n_buckets=n_buckets,
+        path=path,
+        sort=True,
+        mode=mode,
+    )
+
+
+def incremental_exact_dedup_bucketed(
+    new_docs: DataFrame,
+    store_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch-vs-store exact dedup against a BUCKETED fingerprint store
+    (:func:`build_bucketed_fingerprint_store`): same survivor semantics
+    as :func:`incremental_exact_dedup` -- first occurrence within the
+    batch AND novel against the store -- but the LEFT ANTI join reads
+    the store's bucket layout directly: only the (small) batch side is
+    exchanged, into the store's bucketing; the store-side scan feeds
+    the join with NO Exchange (plan-pinned by
+    tests/test_plan_shapes.py::test_bucketed_incremental_dedup_store_never_shuffles).
+    """
+    spark = new_docs.sparkSession
+    store = spark.table(store_table)
+    fp = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    batch = (
+        new_docs.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return batch.join(
+        store.select("fingerprint"), "fingerprint", "left_anti"
+    ).select(id_col, "fingerprint")
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame,
     store_path: str,
@@ -1314,9 +1388,11 @@ def incremental_exact_dedup(
     join against the store hashes on the fingerprint -- the store side
     ships only its fingerprint column, and AQE broadcasts a small batch
     side so the store is scanned in place without shuffling at all.
-    For a store too large to scan per batch, re-write it bucketed by
-    fingerprint (`sources/layout.py`) and the anti-join co-locates with
-    zero store-side exchange.  The store is append-only parquet;
+    For a store too large to re-shuffle per batch, use
+    :func:`build_bucketed_fingerprint_store` +
+    :func:`incremental_exact_dedup_bucketed` and the anti-join
+    co-locates with zero store-side exchange.  The store is append-only
+    parquet;
     duplicate fingerprints ACROSS batch partitions are harmless to the
     anti-join (membership, not counts).
     """

@@ -350,10 +350,22 @@ def _bpe_rounds(
     df: DataFrame,
     n_merges: int,
     text_col: str,
+    checkpoint_every: int = 50,
+    on_round=None,
 ) -> tuple[list[tuple], DataFrame]:
     """Shared round loop for :func:`bpe_train` / :func:`bpe_encode`:
     returns (learned rules, final (word, cnt, sym) vocabulary frame
     with every merge applied).  See bpe_train for the scale contract.
+
+    ``checkpoint_every``: localCheckpoint the vocabulary frame every N
+    merge rounds (0 disables).  Each round chains one fold projection
+    onto the plan, so an unbounded run grows analysis cost linearly
+    (and eventually quadratically in total work); the periodic
+    checkpoint truncates lineage to the materialized vocabulary --
+    measured flat per-round cost through 200 merges in BPE_SCALE.json.
+
+    ``on_round``: optional callable invoked as ``on_round(rank)`` after
+    each completed round (bench instrumentation hook; no-op when None).
     """
     sym = F.split(F.col("word"), "")
     words = (
@@ -412,6 +424,13 @@ def _bpe_rounds(
         frame = frame.select(
             "word", F.split(folded, " ").alias("sym"), "cnt"
         )
+        if checkpoint_every and rank % int(checkpoint_every) == 0:
+            # truncate lineage: the vocab frame is compact
+            # (distinct-word-sized), so materializing it is cheap and
+            # keeps every later round's plan O(checkpoint_every) deep
+            frame = frame.localCheckpoint(eager=True)
+        if on_round is not None:
+            on_round(rank)
     # NOTE: the returned frame's lineage still reads the cached base
     # vocabulary; the caller consumes it before any unpersist matters.
     words.unpersist(blocking=False)
@@ -422,6 +441,7 @@ def bpe_train(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
+    checkpoint_every: int = 50,
 ) -> DataFrame:
     """Distributed BPE tokenizer TRAINING (the iterative loop that
     :func:`__spark_entry__._q_bpe_pair_counts`'s one-step counting
@@ -450,14 +470,16 @@ def bpe_train(
     is cached; each round chains one lazy row-local fold projection on
     top of it, so a round costs exactly ONE job (the argmax collect)
     with no cache-churn or materialization jobs.  Lineage grows one
-    projection per round -- fine at demo merge counts; a real 30k-merge
-    run should localCheckpoint every ~50 rounds to keep plans bounded.
+    projection per round; ``checkpoint_every`` (default 50) truncates
+    lineage with a cheap vocabulary-frame localCheckpoint so per-round
+    cost stays flat at real merge counts (measured through 200 merges,
+    BPE_SCALE.json).
 
     Preconditions: ``n_merges`` small enough that pairs remain (an
     exhausted corpus -- every word one symbol -- stops early and
     returns fewer rows).
     """
-    rules, _ = _bpe_rounds(df, n_merges, text_col)
+    rules, _ = _bpe_rounds(df, n_merges, text_col, checkpoint_every)
     return df.sparkSession.createDataFrame(
         rules,
         "merge_rank long, left string, right string, merged string,"
@@ -469,6 +491,7 @@ def bpe_encode(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
+    checkpoint_every: int = 50,
 ) -> DataFrame:
     """Train-and-APPLY: the corpus encoded under its own learned BPE
     merges -- the tokenizer-application half of :func:`bpe_train`,
@@ -483,7 +506,7 @@ def bpe_encode(
     Same scale shape as training: rounds cost vocabulary-sized
     aggregates, the corpus pays one scan.
     """
-    _, frame = _bpe_rounds(df, n_merges, text_col)
+    _, frame = _bpe_rounds(df, n_merges, text_col, checkpoint_every)
     return frame.select(
         "word",
         F.col("cnt").cast("bigint").alias("cnt"),

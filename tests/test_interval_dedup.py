@@ -375,3 +375,55 @@ class TestIncrementalExactDedup:
         assert {r.doc_id for r in out.collect()} == {1, 3}
         import os
         assert not os.path.exists(store)  # read-only call leaves no store
+
+
+class TestBucketedIncrementalDedup:
+    """incremental_exact_dedup_bucketed: identical survivor semantics
+    against a bucketed catalog-table store (zero store-side exchange --
+    plan pinned in test_plan_shapes.py)."""
+
+    def _mk(self, spark, rows):
+        from pyspark.sql import Row
+        return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+    def test_same_survivors_as_parquet_store(self, spark, tmp_path):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            build_bucketed_fingerprint_store,
+            incremental_exact_dedup_bucketed,
+        )
+        spark.sql("DROP TABLE IF EXISTS fp_store_fn_t")
+        build_bucketed_fingerprint_store(
+            self._mk(spark, [(0, "alpha"), (1, "beta")]),
+            "fp_store_fn_t", str(tmp_path / "store"), n_buckets=4,
+        )
+        try:
+            batch = self._mk(spark, [
+                (10, "  alpha  "),             # store dup (normalized)
+                (11, "gamma"),                 # novel
+                (12, "delta"), (13, "delta"),  # within-batch dup: keep 12
+            ])
+            out = incremental_exact_dedup_bucketed(batch, "fp_store_fn_t")
+            assert {r.doc_id for r in out.collect()} == {11, 12}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS fp_store_fn_t")
+
+    def test_append_grows_store_with_same_spec(self, spark, tmp_path):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            build_bucketed_fingerprint_store,
+            incremental_exact_dedup_bucketed,
+        )
+        spark.sql("DROP TABLE IF EXISTS fp_store_app_t")
+        path = str(tmp_path / "store")
+        build_bucketed_fingerprint_store(
+            self._mk(spark, [(0, "seed")]), "fp_store_app_t", path, n_buckets=4
+        )
+        try:
+            build_bucketed_fingerprint_store(
+                self._mk(spark, [(5, "grow")]), "fp_store_app_t", path,
+                n_buckets=4, mode="append",
+            )
+            nxt = self._mk(spark, [(20, "grow"), (21, "epsilon")])
+            out = incremental_exact_dedup_bucketed(nxt, "fp_store_app_t")
+            assert {r.doc_id for r in out.collect()} == {21}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS fp_store_app_t")
