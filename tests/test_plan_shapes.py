@@ -344,3 +344,19 @@ def test_bucketed_incremental_dedup_store_never_shuffles(spark, tmp_path):
     assert len(hash_ex) == 1, plan
     # and it carries the batch's (fingerprint, min-id) pair, not the store
     assert "min" in hash_ex[0] or "doc_id" in hash_ex[0], hash_ex[0]
+
+
+def test_doc_signals_is_single_pass_map_only(spark):
+    """The r13 fold's point: all four text signals (lang, quality, ws +
+    BPE token counts) compute in ONE map-only projection over one scan
+    -- no shuffle, no join, no aggregate, and exactly one parquet scan
+    (three separate signal queries would scan the corpus three times)."""
+    import re
+
+    plan = _plan(spark, "doc_signals")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "Window" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # at most the _docs round-robin respread; never a hash exchange
+    assert "hashpartitioning" not in plan
