@@ -479,12 +479,7 @@ def bpe_train(
     exhausted corpus -- every word one symbol -- stops early and
     returns fewer rows).
     """
-    rules, _ = _bpe_rounds(df, n_merges, text_col, checkpoint_every)
-    return df.sparkSession.createDataFrame(
-        rules,
-        "merge_rank long, left string, right string, merged string,"
-        " pair_count long",
-    )
+    return bpe_train_and_encode(df, n_merges, text_col, checkpoint_every)[0]
 
 
 def bpe_encode(
@@ -506,10 +501,31 @@ def bpe_encode(
     Same scale shape as training: rounds cost vocabulary-sized
     aggregates, the corpus pays one scan.
     """
-    _, frame = _bpe_rounds(df, n_merges, text_col, checkpoint_every)
-    return frame.select(
+    return bpe_train_and_encode(df, n_merges, text_col, checkpoint_every)[1]
+
+
+def bpe_train_and_encode(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """One round loop, BOTH outputs: ``(rules, encoded_vocab)`` exactly
+    as :func:`bpe_train` / :func:`bpe_encode` would return them.  The
+    production shape -- a tokenizer is trained ONCE and both its merge
+    table and its applied vocabulary are persisted artifacts -- without
+    paying the merge rounds twice the way calling the two functions
+    separately would."""
+    rules, frame = _bpe_rounds(df, n_merges, text_col, checkpoint_every)
+    rules_df = df.sparkSession.createDataFrame(
+        rules,
+        "merge_rank long, left string, right string, merged string,"
+        " pair_count long",
+    )
+    encoded = frame.select(
         "word",
         F.col("cnt").cast("bigint").alias("cnt"),
         F.size("sym").cast("bigint").alias("n_symbols"),
         F.concat_ws(" ", "sym").alias("encoded"),
     )
+    return rules_df, encoded
