@@ -71,6 +71,7 @@ from data_stream_flink_user_address_spark.functions.sampling import (
     cluster_stratified_sample,
     dsir_importance,
     per_source_cap,
+    quality_bucket_cuts,
     quality_stratified_buckets,
     token_budget_mixture,
 )
@@ -1492,13 +1493,21 @@ def _q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     r13 (VERDICT r12 wrong #2): the function now projects only
     (doc_id, source, score) into the per-stratum ntile sort and
     re-joins bodies on doc_id -- plan-pinned by
-    tests/test_plan_shapes.py::test_quality_buckets_window_carries_slim_rows_only;
-    quality_bucket_cuts offers the broadcast approx-percentile variant
-    for strata too large even for a slim-row sort."""
+    tests/test_plan_shapes.py::test_quality_buckets_window_carries_slim_rows_only.
+    The query also emits ``quality_bucket_approx`` from
+    quality_bucket_cuts (broadcast approx-percentile cut points, no
+    window at all -- the mega-strata path), oracle-checked because
+    percentile_approx at accuracy >= stratum size IS the exact
+    discrete quantile DuckDB's quantile_disc computes.  Skewed 1e6-doc
+    comparison of the three binning shapes: R13_OPS_SCALE.json."""
     d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
-    return quality_stratified_buckets(
+    exact = quality_stratified_buckets(
         d, score_col="n_chars", n_buckets=4, strata_col="source"
     )
+    approx = quality_bucket_cuts(
+        d, score_col="n_chars", n_buckets=4, strata_col="source"
+    ).select("doc_id", F.col("quality_bucket").alias("quality_bucket_approx"))
+    return exact.join(approx, "doc_id")
 
 
 def _q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4471,12 +4480,25 @@ ORACLE_SQL: dict[str, str] = {
     # stratified ntile(4) over (n_chars, doc_id) within source -- both
     # engines implement standard SQL ntile (first count%n buckets get
     # the extra row), and the doc_id tie-break totalizes the order.
+    # quality_bucket_approx: Spark's percentile_approx at accuracy >=
+    # stratum size is the EXACT discrete quantile, which DuckDB's
+    # quantile_disc defines identically (verified element-for-element
+    # at sf0.01), so both engines derive the same per-source cut points
+    # and the same row-local 1 + #cuts-below assignment.
     "quality_buckets": """
-        SELECT doc_id, source, n_chars,
-               CAST(ntile(4) OVER (PARTITION BY source
-                                   ORDER BY n_chars, doc_id) AS BIGINT)
-                 AS quality_bucket
-        FROM documents
+        WITH cuts AS (
+          SELECT source,
+                 [quantile_disc(n_chars, 0.25), quantile_disc(n_chars, 0.5),
+                  quantile_disc(n_chars, 0.75)] AS cut_arr
+          FROM documents GROUP BY source
+        )
+        SELECT d.doc_id, d.source, d.n_chars,
+               CAST(ntile(4) OVER (PARTITION BY d.source
+                                   ORDER BY d.n_chars, d.doc_id) AS BIGINT)
+                 AS quality_bucket,
+               (1 + len(list_filter(c.cut_arr, x -> d.n_chars > x)))::BIGINT
+                 AS quality_bucket_approx
+        FROM documents d JOIN cuts c ON d.source = c.source
     """,
     # markup strip over the same in-plan HTML wrapping: tags -> space,
     # six-entity decode with &amp; LAST, whitespace collapse; n_tags
