@@ -320,3 +320,85 @@ def test_per_source_cap_invariants(spark, sources, cap):
         # exactly min(cap, size) survivors per source (NULL included),
         # ranked 1..k
         assert sorted(by_src.get(s, [])) == list(range(1, k + 1)), s
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),  # stratum
+            st.integers(min_value=0, max_value=50),  # score
+        ),
+        min_size=4,
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_quality_cuts_bounded_and_monotone(spark, rows, n_buckets):
+    """quality_bucket_cuts on arbitrary (stratum, score) frames: every
+    bucket lands in [1, n_buckets], and within a stratum the bucket is
+    monotone non-decreasing in (score) -- a higher score can never get
+    a lower bucket, whatever the cut placement."""
+    from pyspark.sql import Row
+
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        quality_bucket_cuts,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=s, score=float(v)) for i, (s, v) in enumerate(rows)]
+    )
+    got = quality_bucket_cuts(df, "score", n_buckets=n_buckets).collect()
+    assert all(1 <= r.quality_bucket <= n_buckets for r in got)
+    by_stratum: dict = {}
+    for r in got:
+        by_stratum.setdefault(r.source, []).append((r.score, r.quality_bucket))
+    for pairs in by_stratum.values():
+        pairs.sort()
+        for (s1, b1), (s2, b2) in zip(pairs, pairs[1:]):
+            assert b1 <= b2, (s1, b1, s2, b2)
+        # equal scores always share a bucket (cuts are score-pure)
+        seen: dict = {}
+        for s, b in pairs:
+            assert seen.setdefault(s, b) == b
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.sampled_from(["x", "y", "z", "w", "v"]), min_size=1, max_size=12),
+    st.lists(st.sampled_from(["x", "y", "z", "w", "v"]), min_size=1, max_size=12),
+)
+def test_bucketed_incremental_matches_plain_store(spark, tmp_path, store_texts, batch_texts):
+    """The bucketed-store anti-join and the parquet-store anti-join are
+    the same operator: identical survivors on arbitrary store/batch
+    text multisets (dups within batch, dups against store, novel)."""
+    from pyspark.sql import Row
+
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        build_bucketed_fingerprint_store,
+        build_fingerprint_store,
+        incremental_exact_dedup,
+        incremental_exact_dedup_bucketed,
+    )
+
+    store_docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(store_texts)]
+    )
+    batch = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=t) for i, t in enumerate(batch_texts)]
+    )
+    plain = str(tmp_path / "plain")
+    build_fingerprint_store(store_docs, plain, batch_id=0)
+    want = {r.doc_id for r in incremental_exact_dedup(batch, plain).collect()}
+    spark.sql("DROP TABLE IF EXISTS fp_prop_t")
+    build_bucketed_fingerprint_store(
+        store_docs, "fp_prop_t", str(tmp_path / "bkt"), n_buckets=4
+    )
+    try:
+        got = {
+            r.doc_id
+            for r in incremental_exact_dedup_bucketed(batch, "fp_prop_t").collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fp_prop_t")
+    assert got == want
