@@ -971,6 +971,102 @@ def embedding_near_dup_pairs(
     )
 
 
+def _require_epoch_layout(out_path: str) -> None:
+    """Fail fast on a flat-``part-*`` survivor directory: the streaming
+    dedup sinks write ``__epoch=N/`` partitions (replay idempotency),
+    and a directory mixing both layouts cannot be read consistently by
+    ``spark.read.parquet``.  Migrate old flat files under a synthetic
+    ``__epoch=-1`` partition or point the stream at a fresh directory."""
+    import os as _os
+
+    if _os.path.isdir(out_path):
+        entries = _os.listdir(out_path)
+        flat_parts = [e for e in entries if e.startswith("part-")]
+        if flat_parts and not any(e.startswith("__epoch=") for e in entries):
+            raise ValueError(
+                f"out_path {out_path!r} holds flat-append part files from a "
+                "pre-__epoch sink layout; mixing them with __epoch=N/ "
+                "partitions is unreadable. Rewrite them under __epoch=-1/ "
+                "(spark.read.parquet(out_path).withColumn('__epoch', "
+                "lit(-1))...partitionBy('__epoch')) or use a new out_path."
+            )
+
+
+def streaming_incremental_dedup(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id_base: int = 1_000_000,
+):
+    """Continuous-crawl EXACT dedup as a streaming job: every
+    micro-batch runs :func:`incremental_exact_dedup` against the
+    persisted fingerprint store -- survivors are first-in-batch AND
+    novel against all prior history -- then appends its survivors'
+    fingerprints to the store and writes the survivor rows
+    ``(id, fingerprint)`` under an ``__epoch=<id>`` partition of
+    ``out_path``.  The batch operator IS the streaming operator: one
+    code path serves backfill and the live feed, the same
+    shared-implementation contract as the curation pipeline demo.
+
+    Replay idempotency comes from composing two partition-overwrite
+    contracts: the store append lands under
+    ``__batch=<batch_id_base + epoch>`` with the epoch's OWN partition
+    excluded from the anti-join (so a replayed epoch returns identical
+    survivors and rewrites identical state), and the survivor output
+    lands under ``__epoch=<epoch>`` with dynamic overwrite.  A crash
+    between sink write and checkpoint commit therefore re-runs the
+    epoch into exactly its own two partitions -- no duplicates, no
+    loss.
+
+    ``batch_id_base`` offsets streaming epochs above any seed batches
+    written via :func:`build_fingerprint_store` (which default to small
+    ids); without it epoch 0 would collide with seed batch 0 and
+    wrongly EXCLUDE the seed fingerprints from its anti-join.
+
+    Scale shape per micro-batch: O(batch + store-scan) exactly like the
+    batch path -- and for a store too large to scan per epoch, seed a
+    bucketed store (:func:`build_bucketed_fingerprint_store`) and swap
+    the inner call for :func:`incremental_exact_dedup_bucketed` plus a
+    same-spec append.  State lives entirely in the parquet store, not
+    in streaming state -- unbounded history without unbounded executor
+    memory, which ``dropDuplicates`` on a stream cannot offer.
+
+    Returns the started ``StreamingQuery``.
+    """
+    _require_epoch_layout(out_path)
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        survivors = incremental_exact_dedup(
+            batch_df, store_path, text_col=text_col, id_col=id_col,
+            batch_id=batch_id_base + int(epoch_id),
+        )
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                survivors.withColumn("__epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .partitionBy("__epoch")
+                .parquet(out_path)
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fb)
+        .start()
+    )
+
+
 def streaming_embedding_near_dup(
     stream: DataFrame,
     corpus: DataFrame,
@@ -1026,19 +1122,7 @@ def streaming_embedding_near_dup(
 
     Returns the started ``StreamingQuery``.
     """
-    import os as _os
-
-    if _os.path.isdir(out_path):
-        entries = _os.listdir(out_path)
-        flat_parts = [e for e in entries if e.startswith("part-")]
-        if flat_parts and not any(e.startswith("__epoch=") for e in entries):
-            raise ValueError(
-                f"out_path {out_path!r} holds flat-append part files from a "
-                "pre-__epoch sink layout; mixing them with __epoch=N/ "
-                "partitions is unreadable. Rewrite them under __epoch=-1/ "
-                "(spark.read.parquet(out_path).withColumn('__epoch', "
-                "lit(-1))...partitionBy('__epoch')) or use a new out_path."
-            )
+    _require_epoch_layout(out_path)
 
     def fb(batch_df: DataFrame, epoch_id: int) -> None:
         _near_dup_gate_batch(

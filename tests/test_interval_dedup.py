@@ -427,3 +427,102 @@ class TestBucketedIncrementalDedup:
             assert {r.doc_id for r in out.collect()} == {21}
         finally:
             spark.sql("DROP TABLE IF EXISTS fp_store_app_t")
+
+
+class TestStreamingIncrementalDedup:
+    """streaming_incremental_dedup: the batch incremental operator run
+    per micro-batch via foreachBatch -- survivors gate against ALL
+    prior history through the parquet store, across micro-batches and
+    across restarts, with zero streaming state."""
+
+    def test_two_batches_gate_against_store_and_history(self, spark, tmp_path):
+        import json as _json
+        import uuid as _uuid
+
+        from pyspark.sql import types as T
+
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            build_fingerprint_store,
+            streaming_incremental_dedup,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        store = str(tmp_path / "store")
+        out = str(tmp_path / "out")
+        # seed history: 'alpha' is already known (batch_id defaults to 0,
+        # far below the streaming epochs' batch_id_base)
+        build_fingerprint_store(
+            spark.createDataFrame([(0, "alpha")], "doc_id long, text string"),
+            store,
+        )
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType()),
+             T.StructField("text", T.StringType())]
+        )
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            f.write(_json.dumps({"doc_id": 10, "text": " alpha "}) + "\n")  # store dup
+            f.write(_json.dumps({"doc_id": 11, "text": "beta"}) + "\n")     # novel
+            f.write(_json.dumps({"doc_id": 12, "text": "gamma"}) + "\n")    # novel
+            f.write(_json.dumps({"doc_id": 13, "text": "gamma"}) + "\n")    # in-batch dup
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).json(src)
+        q = streaming_incremental_dedup(
+            stream, store, out, str(tmp_path / "ck")
+        )
+        try:
+            q.processAllAvailable()
+            with open(os.path.join(src, "b2.json"), "w") as f:
+                f.write(_json.dumps({"doc_id": 20, "text": "beta"}) + "\n")   # dup of epoch-0 survivor
+                f.write(_json.dumps({"doc_id": 21, "text": "delta"}) + "\n")  # novel
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.read.parquet(out).collect()
+        assert {r.doc_id for r in rows} == {11, 12, 21}
+        # every epoch's survivors landed under their own partition
+        assert {r["__epoch"] for r in rows} == {0, 1}
+        # the store holds exactly the distinct fingerprints seen
+        fps = spark.read.parquet(store).select("fingerprint").collect()
+        assert len({r.fingerprint for r in fps}) == 4  # alpha beta gamma delta
+        assert len(fps) == 4  # and no duplicate rows across partitions
+
+    def test_history_survives_query_restart(self, spark, tmp_path):
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            streaming_incremental_dedup,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        store = str(tmp_path / "store")
+        out = str(tmp_path / "out")
+        ck = str(tmp_path / "ck")
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType()),
+             T.StructField("text", T.StringType())]
+        )
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            f.write(_json.dumps({"doc_id": 1, "text": "one"}) + "\n")
+        stream = spark.readStream.schema(schema).json(src)
+        q = streaming_incremental_dedup(stream, store, out, ck)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # NEW query, same checkpoint + store: history is in the parquet
+        # store, not in streaming state, so 'one' must still be gated
+        with open(os.path.join(src, "b2.json"), "w") as f:
+            f.write(_json.dumps({"doc_id": 2, "text": "one"}) + "\n")  # historical dup
+            f.write(_json.dumps({"doc_id": 3, "text": "two"}) + "\n")  # novel
+        stream2 = spark.readStream.schema(schema).json(src)
+        q2 = streaming_incremental_dedup(stream2, store, out, ck)
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
