@@ -529,3 +529,64 @@ def bpe_train_and_encode(
         F.concat_ws(" ", "sym").alias("encoded"),
     )
     return rules_df, encoded
+
+
+def bpe_apply(
+    df: DataFrame,
+    encoded_vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a TRAINED vocabulary (:func:`bpe_encode` output, typically
+    read back from its persisted artifact) to documents: one row per
+    doc with its encoded symbol sequence and BPE token count -- the
+    tokenizer-application step a training-data pipeline runs over every
+    shard with merges learned once.
+
+    Out-of-vocabulary words (absent from the training corpus) fall back
+    to their character symbols -- exactly what the learned merge table
+    produces for a word none of its rules match.
+
+    Scale shape: the vocabulary frame broadcasts (vocabulary-sized --
+    millions of rows at 100 TB, not trillions); tokens explode with
+    their position, take one hash-join lookup against the broadcast,
+    and re-assemble with ONE doc-keyed shuffle carrying (position,
+    encoded-word) pairs -- document text itself never rides the
+    exchange.  Empty docs survive with zero tokens (left join on the
+    doc spine).
+    """
+    spine = df.select(id_col)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("__pos", "word"),
+    )
+    vocab = encoded_vocab.select("word", F.col("encoded").alias("__enc"))
+    looked = toks.join(F.broadcast(vocab), "word", "left").select(
+        id_col,
+        "__pos",
+        # OOV fallback: character symbols, space-joined (symbols never
+        # contain spaces -- the same invariant the merge fold relies on)
+        F.coalesce(
+            "__enc", F.concat_ws(" ", F.split(F.col("word"), ""))
+        ).alias("__enc"),
+    )
+    per_doc = looked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__pos", "__enc"))),
+                lambda x: x["__enc"],
+            ),
+        ).alias("encoded"),
+    )
+    out = spine.join(per_doc, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("n_words", F.lit(0).cast("bigint")).alias("n_words"),
+        F.coalesce("encoded", F.lit("")).alias("encoded"),
+        F.when(F.col("encoded").isNull() | (F.col("encoded") == ""), F.lit(0))
+        .otherwise(F.size(F.split(F.col("encoded"), " ")))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )

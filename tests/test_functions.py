@@ -1143,3 +1143,37 @@ def test_quality_bucket_cuts_approximates_quartiles(spark):
     # buckets span the full range in each stratum
     assert sorted({got[k] for k in got if k < 100}) == [1, 2, 3, 4]
     assert sorted({got[k] for k in got if k >= 100}) == [1, 2, 3, 4]
+
+
+def test_bpe_apply_matches_vocab_encoding_and_handles_oov(spark):
+    from pyspark.sql import Row
+
+    from data_stream_flink_user_address_spark.functions.text import (
+        bpe_apply,
+        bpe_train_and_encode,
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(
+            ["low low low lower", "lowest low newer", "low newer newer"]
+        )]
+    )
+    rules, vocab = bpe_train_and_encode(corpus, n_merges=4)
+    enc = {r.word: r.encoded for r in vocab.collect()}
+    out = {r.doc_id: r for r in bpe_apply(
+        spark.createDataFrame([
+            Row(doc_id=0, text="low lower"),
+            Row(doc_id=1, text="unseen low"),   # OOV word
+            Row(doc_id=2, text=""),             # empty doc
+            Row(doc_id=3, text="  low   low "), # whitespace runs
+        ]),
+        vocab,
+    ).collect()}
+    assert out[0].encoded == f"{enc['low']} {enc['lower']}"
+    assert out[0].n_words == 2
+    # OOV falls back to character symbols
+    assert out[1].encoded == f"u n s e e n {enc['low']}"
+    assert out[2].encoded == "" and out[2].n_words == 0 and out[2].n_bpe_tokens == 0
+    assert out[3].encoded == f"{enc['low']} {enc['low']}"
+    # token count = total symbols across words
+    assert out[0].n_bpe_tokens == len(out[0].encoded.split(" "))

@@ -360,3 +360,26 @@ def test_doc_signals_is_single_pass_map_only(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     # at most the _docs round-robin respread; never a hash exchange
     assert "hashpartitioning" not in plan
+
+
+def test_bpe_apply_broadcasts_vocab_and_shuffles_positions_only(spark):
+    """Tokenizer application: the vocabulary must broadcast and the one
+    hash exchange carries (doc_id, pos, encoded-word) -- never the
+    document text."""
+    import re
+
+    from data_stream_flink_user_address_spark.functions.text import (
+        bpe_apply, bpe_train_and_encode,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    _, vocab = bpe_train_and_encode(docs.limit(50), n_merges=2)
+    plan = _explain(bpe_apply(docs, vocab))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"\(\d+\) Exchange\n(.*?)\n\n", plan, re.S):
+        block = m.group(1)
+        if "hashpartitioning" not in block:
+            continue
+        inputs = [l for l in block.splitlines() if l.startswith("Input")]
+        assert inputs and "text#" not in inputs[0], inputs
