@@ -27,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_curation_scale import gen_corpus
 from data_stream_flink_user_address_spark.functions.text import (
     _bpe_rounds,
+    bpe_apply,
     bpe_train,
+    bpe_train_and_encode,
 )
 from data_stream_flink_user_address_spark.session import get_spark
 
@@ -104,6 +106,30 @@ def main() -> None:
     }
     print(json.dumps(deep))
 
+    # --- tokenizer APPLICATION throughput: merges learned once on a
+    # 1e5-doc sample, applied to the full 1e6-doc corpus (broadcast
+    # vocab + one doc-keyed shuffle of (pos, encoded-word) pairs).
+    sample = spark.read.parquet(gen_corpus(spark, DEEP_DOCS))
+    _, vocab = bpe_train_and_encode(sample, n_merges=8)
+    vocab = vocab.cache(); vocab.count()
+    full = spark.read.parquet(gen_corpus(spark, max(SIZES)))
+    apply_walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        bpe_apply(full, vocab).write.format("noop").mode("overwrite").save()
+        apply_walls.append(round(time.perf_counter() - t0, 3))
+    import statistics as _stats
+    apply_med = _stats.median(apply_walls)
+    apply = {
+        "train_docs": DEEP_DOCS,
+        "apply_docs": max(SIZES),
+        "n_merges": 8,
+        "runs": apply_walls,
+        "median_s": apply_med,
+        "docs_per_sec": round(max(SIZES) / apply_med, 1),
+    }
+    print(json.dumps(apply))
+
     artifact = {
         "note": "bpe_train, 4 merge rounds, English-shaped corpus with a "
                 "saturated ~2k-word vocabulary (bench_curation_scale corpora)."
@@ -111,6 +137,7 @@ def main() -> None:
                 "through the one-time (word,count) scan. local[*]",
         "sizes": rows,
         "deep_merges": deep,
+        "apply": apply,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BPE_SCALE.json"), "w") as f:
