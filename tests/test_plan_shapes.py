@@ -383,3 +383,20 @@ def test_bpe_apply_broadcasts_vocab_and_shuffles_positions_only(spark):
             continue
         inputs = [l for l in block.splitlines() if l.startswith("Input")]
         assert inputs and "text#" not in inputs[0], inputs
+
+
+def test_windowed_count_by_type_is_one_aggregate(spark):
+    """The r13 fold's claim: count and total_value ride the SAME single
+    hash aggregate -- one scan, one exchange, no second windowed job."""
+    import re
+
+    plan = _plan(spark, "windowed_count_by_type")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    hash_ex = [
+        b for b in re.split(r"\n(?=\(\d+\) )", plan)
+        if re.match(r"\(\d+\) Exchange", b) and "hashpartitioning" in b
+    ]
+    assert len(hash_ex) == 1, plan
+    # partial aggregate computes both measures map-side
+    partial = plan.split("partial_count", 1)
+    assert len(partial) == 2 and "partial_sum" in plan

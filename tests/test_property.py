@@ -402,3 +402,32 @@ def test_bucketed_incremental_matches_plain_store(spark, tmp_path, store_texts, 
     finally:
         spark.sql("DROP TABLE IF EXISTS fp_prop_t")
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(_texts, st.integers(min_value=1, max_value=5))
+def test_bpe_apply_reconstructs_words(spark, texts, n_merges):
+    """Applying a trained vocabulary must SEGMENT, never alter: for
+    every document, stripping the symbol separators from the encoding
+    reproduces the concatenated whitespace tokens exactly -- including
+    OOV documents encoded against a vocabulary from a different
+    corpus."""
+    from pyspark.sql import Row
+
+    from data_stream_flink_user_address_spark.functions.text import (
+        bpe_apply,
+        bpe_train_and_encode,
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    _, vocab = bpe_train_and_encode(corpus, n_merges=n_merges)
+    # apply to a SHIFTED doc set: half in-vocab, half novel words
+    targets = [Row(doc_id=100 + i, text=t) for i, t in enumerate(texts)]
+    targets.append(Row(doc_id=999, text="zzz qqq"))
+    out = bpe_apply(spark.createDataFrame(targets), vocab).collect()
+    want = {100 + i: "".join(t.split()) for i, t in enumerate(texts)}
+    want[999] = "zzzqqq"
+    for r in out:
+        assert r.encoded.replace(" ", "") == want[r.doc_id], r
