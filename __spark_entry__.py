@@ -126,6 +126,7 @@ from data_stream_flink_user_address_spark.functions.text import (
     tokens,
     unigram_logprob_scores,
     bigram_logprob_scores,
+    bpe_apply,
     bpe_train_and_encode,
     strip_markup,
     winnow_fingerprint,
@@ -1382,25 +1383,17 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprint(_docs(spark, sf_dir), k=7, w=4)
 
 
-def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data curation: language-ID -> quality
-    threshold -> exact dedup, composed from the engine's column
-    functions in one declarative plan (single pass over the corpus +
-    one dedup shuffle).  Output: the surviving documents."""
-    d = _docs(spark, sf_dir).withColumn("__toks", tokens("text"))
-    scored = d.select(
-        "doc_id",
-        language_id("text").alias("lang"),
-        quality_score("text").alias("quality"),
-        doc_fingerprint("text").alias("fingerprint"),
-    )
-    kept = scored.filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
-    w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
-    return (
-        kept.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("doc_id", "quality")
-    )
+def _q_bpe_apply_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tokenizer APPLICATION (functions/text.py:bpe_apply):
+    every document encoded under the corpus's own trained 8-merge
+    vocabulary, read from the persisted artifact (_bpe_artifacts).
+    The broadcast vocabulary joins onto posexploded tokens and ONE
+    doc-keyed shuffle of (position, encoded-word) pairs reassembles --
+    text never rides an exchange (plan-pinned).  The oracle replays
+    the 8 merge rounds (the bpe_encode CTE chain) and re-derives every
+    document's encoding with an ordered string_agg."""
+    vocab = _bpe_artifacts(spark, sf_dir)[1]
+    return bpe_apply(_docs(spark, sf_dir), vocab)
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2353,7 +2346,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_parts_per_brand": _q_top_parts_per_brand,
     "rollup_returns": _q_rollup_returns,
     # --- below the 50-row window: 8 relational queries rolling to r14
-    # (green r11) + the 36 queries green in r12's own window ---
+    # (green r11) + 35 queries green in r12's own window (corpus_curation
+    # folded into curation_pipeline, its strict superset) + the new
+    # bpe_apply_docs (pytest/contract-verified now, first driver row
+    # r14) -- 44 total, exactly r14's rotating slots ---
     "events_json_extract": _q_events_json_extract,
     "cube_order_stats": _q_cube_order_stats,
     "running_customer_revenue": _q_running_customer_revenue,
@@ -2379,7 +2375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": _q_text_stats,
     "corpus_report": _q_corpus_report,
     "winnow_fingerprints": _q_winnow_fingerprints,
-    "corpus_curation": _q_corpus_curation,
+    "bpe_apply_docs": _q_bpe_apply_docs,
     "dedup_exact": _q_dedup_exact,
     "minhash_lsh_pairs": _q_minhash_lsh_pairs,
     "dedup_clusters": _q_dedup_clusters,
@@ -3366,44 +3362,35 @@ ORACLE_SQL: dict[str, str] = {
                md5(array_to_string(list_sort(list(sel)), ',')) AS fingerprint
         FROM sel GROUP BY doc_id
     """,
-    "corpus_curation": f"""
-        WITH t AS (
-          SELECT doc_id, text, {_sql_tokens()} AS toks FROM documents
-        ), h AS (
-          SELECT doc_id, text, toks,
-                 {", ".join(f"{_sql_hits('toks', STOPWORDS[lang])} AS h_{lang}" for lang in STOPWORDS)}
-          FROM t
-        ), m AS (
-          SELECT doc_id, text,
-                 {_sql_lang_case()} AS lang,
-                 len(toks)::DOUBLE AS n_tok,
-                 length(text)::DOUBLE AS n_chars,
-                 CASE WHEN len(toks) > 0
-                      THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
-                      ELSE 0.0 END AS mean_tok_len,
-                 CASE WHEN length(text) > 0
-                      THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)
-                      ELSE 0.0 END AS punct_ratio,
-                 CASE WHEN len(toks) > 0
-                      THEN len(list_filter(toks, t -> t IN ({_STOP_IN})))::DOUBLE / len(toks)
-                      ELSE 0.0 END AS stop_ratio
-          FROM h
-        ), q AS (
-          SELECT doc_id, text, lang,
-                 round(0.25 * least(1.0, n_tok / 64.0)
-                     + 0.25 * least(1.0, mean_tok_len / 8.0)
-                     + 0.25 * (1.0 - least(1.0, punct_ratio * 10.0))
-                     + 0.25 * least(1.0, stop_ratio * 4.0), 4) AS quality
-          FROM m
-        ), kept AS (
-          SELECT doc_id, quality, md5({_sql_norm()}) AS fingerprint
-          FROM q WHERE lang = 'en' AND quality >= 0.5
+    # per-document application of the 8-merge tokenizer: the merge
+    # replay (w8) gives word -> encoding; tokens explode with position
+    # and an ordered string_agg reassembles each doc.  OOV fallback is
+    # char symbols (cannot trigger here: vocab trained on this corpus).
+    "bpe_apply_docs": _sql_bpe_cte(8) + f""",
+        vocab AS (SELECT word, array_to_string(sym, ' ') AS enc FROM w8),
+        dtoks AS (
+          SELECT doc_id, i AS pos, tk[i] AS word
+          FROM (SELECT doc_id, {_sql_tokens()} AS tk FROM documents) d,
+               unnest(range(1, len(tk) + 1)) AS t(i)
+        ),
+        enc AS (
+          SELECT d.doc_id, d.pos,
+                 coalesce(v.enc,
+                          array_to_string(string_split(d.word, ''), ' ')) AS enc
+          FROM dtoks d LEFT JOIN vocab v USING (word)
+        ),
+        perdoc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 string_agg(enc, ' ' ORDER BY pos) AS encoded
+          FROM enc GROUP BY doc_id
         )
-        SELECT doc_id, quality FROM (
-          SELECT doc_id, quality,
-                 row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
-          FROM kept
-        ) WHERE rn = 1
+        SELECT s.doc_id,
+               coalesce(p.n_words, 0)::BIGINT AS n_words,
+               coalesce(p.encoded, '') AS encoded,
+               (CASE WHEN coalesce(p.encoded, '') = '' THEN 0
+                     ELSE len(string_split(p.encoded, ' ')) END)::BIGINT
+                 AS n_bpe_tokens
+        FROM documents s LEFT JOIN perdoc p USING (doc_id)
     """,
     "dedup_exact": f"""
         SELECT md5({_sql_norm()}) AS fingerprint,

@@ -103,7 +103,7 @@ HEADLINE = [
     "corpus_report",
     "doc_signals",
     "winnow_fingerprints",
-    "corpus_curation",
+    "bpe_apply_docs",
     "dedup_exact",
     "paragraph_dedup",
     "ngram_jaccard_pairs",

@@ -87,8 +87,13 @@ PARITY_PINNED = {
 #   similarity_ivf_topk     -> similarity_ivf_trained (same ivf_topk()
 #                              path; training starts from the stride
 #                              init, untrained spelling stays unit-tested)
-#   mixture_sample          -> corpus_curation (its final stage) +
+#   mixture_sample          -> curation_pipeline (its final stage) +
 #                              token_budget_mixture (same hash decision)
+#   corpus_curation         -> curation_pipeline (strict superset:
+#                              same lang/quality/dedup/mixture stages
+#                              plus repetition + decontamination);
+#                              its below-window slot went to the new
+#                              bpe_apply_docs (first driver row r14)
 #   high_discount_orders    -> q6/q19 (discount-predicate semi/filter)
 #   customers_without_orders-> q22 (NOT-EXISTS anti-join)
 #   events_distinct_users   -> q13 (distinct-agg two-phase shape)
@@ -97,6 +102,7 @@ R13_FOLDED = {
     "bpe_token_counts", "simhash_docs", "bpe_pair_counts",
     "similarity_ivf_topk", "mixture_sample", "high_discount_orders",
     "customers_without_orders", "events_distinct_users",
+    "corpus_curation",
 }
 
 
@@ -112,7 +118,8 @@ def test_driver_window_covers_r13_rotation():
     their FIRST driver rows + doc_signals (the new fold, changed plan)
     + 30 of the 38-query relational/TPC-H set last green r11.  Below
     the window: the 8 remaining relational queries (green r11, roll to
-    r14) + the 36 queries green in r12's own window -- together
+    r14) + 35 queries green in r12's own window + the new
+    bpe_apply_docs (oracle-verified by this suite now) -- together
     exactly the 44 rotating slots of r14's window, so r13 union r14
     covers all 94."""
     names = list(entrymod.queries())
