@@ -1382,6 +1382,7 @@ def build_bucketed_fingerprint_store(
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "overwrite",
+    epoch: int | None = None,
 ) -> None:
     """Seed the fingerprint store as a BUCKETED catalog table
     (``sources/layout.py:write_bucketed``): fingerprints are
@@ -1398,6 +1399,12 @@ def build_bucketed_fingerprint_store(
     (Spark validates the spec matches); compact periodically via
     ``sources/layout.py:compact`` if batch appends strand small files.
 
+    ``epoch`` (when not ``None``) tags every row with an ``__epoch``
+    column -- required when the store feeds
+    :func:`streaming_incremental_dedup_bucketed`, whose replay contract
+    filters the writer's own epoch out of the anti-join.  Seed stores
+    conventionally use ``epoch=-1`` (below any streaming epoch id).
+
     Pick ``n_buckets`` >= the ingestion jobs'
     ``spark.sql.shuffle.partitions`` (or enable
     ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``): when the
@@ -1409,8 +1416,11 @@ def build_bucketed_fingerprint_store(
     from ..sources.layout import write_bucketed
 
     fp = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    fps = df.select(fp.alias("fingerprint")).distinct()
+    if epoch is not None:
+        fps = fps.withColumn("__epoch", F.lit(int(epoch)))
     write_bucketed(
-        df.select(fp.alias("fingerprint")).distinct(),
+        fps,
         table_name,
         bucket_by="fingerprint",
         n_buckets=n_buckets,
@@ -1425,6 +1435,7 @@ def incremental_exact_dedup_bucketed(
     store_table: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exclude_epoch: int | None = None,
 ) -> DataFrame:
     """Batch-vs-store exact dedup against a BUCKETED fingerprint store
     (:func:`build_bucketed_fingerprint_store`): same survivor semantics
@@ -1434,9 +1445,18 @@ def incremental_exact_dedup_bucketed(
     exchanged, into the store's bucketing; the store-side scan feeds
     the join with NO Exchange (plan-pinned by
     tests/test_plan_shapes.py::test_bucketed_incremental_dedup_store_never_shuffles).
+
+    ``exclude_epoch`` drops store rows tagged ``__epoch ==
+    exclude_epoch`` before the anti-join (requires an epoch-tagged
+    store): the streaming wrapper's replay contract -- a re-run epoch
+    must not gate against its OWN failed-run leftovers.  The filter is
+    a pushed scan predicate on the bucketed files; it does not
+    introduce a store-side exchange (plan-pinned).
     """
     spark = new_docs.sparkSession
     store = spark.table(store_table)
+    if exclude_epoch is not None:
+        store = store.filter(F.col("__epoch") != int(exclude_epoch))
     fp = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     batch = (
         new_docs.select(F.col(id_col), fp.alias("fingerprint"))
@@ -1524,3 +1544,97 @@ def incremental_exact_dedup(
                     "spark.sql.sources.partitionOverwriteMode", prev
                 )
     return survivors
+
+
+def _bucketed_dedup_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    store_table: str,
+    out_path: str,
+    text_col: str,
+    id_col: str,
+) -> None:
+    """One epoch of :func:`streaming_incremental_dedup_bucketed` --
+    module-level so the replay-idempotency contract (same epoch twice
+    == once) is directly unit-testable without a running stream.
+
+    Replay safety decomposes per sink:
+
+    * survivors (``out_path``): ``__epoch=<id>`` partition + dynamic
+      overwrite -- a re-run REPLACES exactly its own partition.
+    * store (``store_table``): bucketed catalog tables only APPEND (a
+      per-partition overwrite would need a table format with atomic
+      replace), so a replayed epoch appends its fingerprints a second
+      time.  That is harmless by construction: the anti-join consumes
+      the store as a MEMBERSHIP set, and ``exclude_epoch`` drops the
+      current epoch's leftover rows from the gate so the replay
+      computes identical survivors.  Periodic
+      ``sources/layout.py:compact``-style rewrites (distinct on
+      fingerprint) reclaim the duplicate bytes.
+    """
+    survivors = incremental_exact_dedup_bucketed(
+        batch_df, store_table, text_col=text_col, id_col=id_col,
+        exclude_epoch=int(epoch_id),
+    )
+    # materialize BEFORE the store append: the survivor plan reads the
+    # table we are about to write into (read-overwrite hazard)
+    survivors = survivors.localCheckpoint()
+    spark = batch_df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            survivors.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("__epoch")
+            .parquet(out_path)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        survivors.select("fingerprint")
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("append")
+        .insertInto(store_table)
+    )
+
+
+def streaming_incremental_dedup_bucketed(
+    stream: DataFrame,
+    store_table: str,
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """:func:`streaming_incremental_dedup` for a store too large to
+    re-shuffle (or even fully hash) per micro-batch: the fingerprint
+    store is the BUCKETED catalog table of
+    :func:`build_bucketed_fingerprint_store` (seed it with
+    ``epoch=-1``), so every epoch's anti-join co-locates against the
+    store's on-disk bucketing with ZERO store-side exchange -- at a
+    100 TB corpus the store is billions of fingerprints, and
+    re-shuffling it per micro-batch (what the parquet-store variant
+    does implicitly when AQE cannot broadcast the batch) would dominate
+    the stream's critical path.  Survivors land under
+    ``__epoch=<id>`` partitions of ``out_path``; survivor fingerprints
+    append to the store with the same bucket spec, becoming history for
+    every later epoch.  See :func:`_bucketed_dedup_epoch` for the
+    replay-idempotency contract.
+
+    Returns the started ``StreamingQuery``.
+    """
+    _require_epoch_layout(out_path)
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        _bucketed_dedup_epoch(
+            batch_df, int(epoch_id), store_table, out_path, text_col, id_col
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fb)
+        .start()
+    )

@@ -526,3 +526,101 @@ class TestStreamingIncrementalDedup:
         finally:
             q2.stop()
         assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
+
+
+class TestStreamingBucketedDedup:
+    """streaming_incremental_dedup_bucketed: the per-epoch anti-join
+    gates against the BUCKETED catalog store (zero store-side exchange
+    -- the 100 TB store shape), epochs append their survivors'
+    fingerprints back into the store with the same bucket spec, and a
+    replayed epoch computes identical survivors because its own
+    leftover store rows are excluded from the gate."""
+
+    def _mk(self, spark, rows):
+        from pyspark.sql import Row
+        return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+    def test_two_batches_gate_against_bucketed_store(self, spark, tmp_path):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            build_bucketed_fingerprint_store,
+            streaming_incremental_dedup_bucketed,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        out = str(tmp_path / "out")
+        spark.sql("DROP TABLE IF EXISTS fp_stream_bkt_t")
+        # seed history BELOW any streaming epoch id
+        build_bucketed_fingerprint_store(
+            self._mk(spark, [(0, "alpha")]),
+            "fp_stream_bkt_t", str(tmp_path / "store"), n_buckets=4,
+            epoch=-1,
+        )
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType()),
+             T.StructField("text", T.StringType())]
+        )
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            f.write(json.dumps({"doc_id": 10, "text": " alpha "}) + "\n")  # store dup
+            f.write(json.dumps({"doc_id": 11, "text": "beta"}) + "\n")     # novel
+            f.write(json.dumps({"doc_id": 12, "text": "gamma"}) + "\n")    # novel
+            f.write(json.dumps({"doc_id": 13, "text": "gamma"}) + "\n")    # in-batch dup
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).json(src)
+        q = streaming_incremental_dedup_bucketed(
+            stream, "fp_stream_bkt_t", out, str(tmp_path / "ck")
+        )
+        try:
+            q.processAllAvailable()
+            with open(os.path.join(src, "b2.json"), "w") as f:
+                f.write(json.dumps({"doc_id": 20, "text": "beta"}) + "\n")   # dup of epoch-0 survivor
+                f.write(json.dumps({"doc_id": 21, "text": "delta"}) + "\n")  # novel
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            spark.sql("DROP TABLE IF EXISTS fp_stream_bkt_t")
+        rows = spark.read.parquet(out).collect()
+        assert {r.doc_id for r in rows} == {11, 12, 21}
+        assert {r["__epoch"] for r in rows} == {0, 1}
+
+    def test_epoch_replay_is_idempotent(self, spark, tmp_path):
+        """Crash-after-store-append replay: running the SAME epoch body
+        twice yields identical survivors (the epoch's own leftover store
+        rows are excluded from the gate) and identical survivor output
+        (partition overwrite), and the store's MEMBERSHIP set is
+        unchanged; a later epoch then gates correctly against it."""
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            _bucketed_dedup_epoch,
+            build_bucketed_fingerprint_store,
+        )
+
+        out = str(tmp_path / "out")
+        spark.sql("DROP TABLE IF EXISTS fp_replay_bkt_t")
+        build_bucketed_fingerprint_store(
+            self._mk(spark, [(0, "alpha")]),
+            "fp_replay_bkt_t", str(tmp_path / "store"), n_buckets=4,
+            epoch=-1,
+        )
+        try:
+            b1 = self._mk(spark, [(10, "alpha"), (11, "beta"), (12, "beta")])
+            for _ in range(2):  # epoch 0 runs, "crashes" post-commit, replays
+                _bucketed_dedup_epoch(
+                    b1, 0, "fp_replay_bkt_t", out, "text", "doc_id"
+                )
+            rows = spark.read.parquet(out).collect()
+            assert {r.doc_id for r in rows} == {11}
+            assert {r["__epoch"] for r in rows} == {0}
+            # store membership: alpha (seed) + beta (epoch 0), as a SET
+            fps = spark.table("fp_replay_bkt_t").select("fingerprint")
+            assert fps.distinct().count() == 2
+            # the double-append left duplicate beta ROWS (documented:
+            # bucketed tables only append) -- harmless to the gate:
+            b2 = self._mk(spark, [(20, "beta"), (21, "delta")])
+            _bucketed_dedup_epoch(
+                b2, 1, "fp_replay_bkt_t", out, "text", "doc_id"
+            )
+            rows = spark.read.parquet(out).collect()
+            assert {r.doc_id for r in rows} == {11, 21}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS fp_replay_bkt_t")

@@ -346,6 +346,60 @@ def test_bucketed_incremental_dedup_store_never_shuffles(spark, tmp_path):
     assert "min" in hash_ex[0] or "doc_id" in hash_ex[0], hash_ex[0]
 
 
+def test_bucketed_dedup_exclude_epoch_filter_stays_scan_side(spark, tmp_path):
+    """The streaming wrapper's replay contract filters the current
+    epoch's own store rows out of the gate (exclude_epoch).  That
+    filter must ride the bucketed store SCAN -- pushed into the parquet
+    read, bucket layout intact, still zero store-side Exchange -- not
+    force a re-shuffle of the store (which at 100 TB would put billions
+    of fingerprints back on the wire every micro-batch)."""
+    import re
+
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        build_bucketed_fingerprint_store,
+        incremental_exact_dedup_bucketed,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.sql("DROP TABLE IF EXISTS fp_store_epoch_plan_t")
+    build_bucketed_fingerprint_store(
+        docs, "fp_store_epoch_plan_t", str(tmp_path / "fp_store"),
+        n_buckets=n_buckets, epoch=-1,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _explain(
+            incremental_exact_dedup_bucketed(
+                docs, "fp_store_epoch_plan_t", exclude_epoch=7
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS fp_store_epoch_plan_t")
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    store_scan = [
+        b for b in blocks
+        if re.match(r"\(\d+\) Scan parquet .*fp_store_epoch_plan_t", b)
+    ]
+    assert store_scan, plan
+    assert "Bucketed: true" in store_scan[0], store_scan[0]
+    # the epoch filter reached the parquet reader
+    assert "PushedFilters" in store_scan[0] and "__epoch" in store_scan[0], (
+        store_scan[0]
+    )
+    # still exactly ONE hash exchange: the batch side's
+    hash_ex = [
+        b for b in blocks
+        if re.match(r"\(\d+\) Exchange", b) and "hashpartitioning" in b
+    ]
+    assert len(hash_ex) == 1, plan
+
+
 def test_doc_signals_is_single_pass_map_only(spark):
     """The r13 fold's point: all four text signals (lang, quality, ws +
     BPE token counts) compute in ONE map-only projection over one scan
