@@ -1638,3 +1638,59 @@ def streaming_incremental_dedup_bucketed(
         .foreachBatch(fb)
         .start()
     )
+
+
+def compact_bucketed_fingerprint_store(
+    spark,
+    src_table: str,
+    dest_table: str,
+    dest_path: str,
+    n_buckets: int | None = None,
+) -> tuple[int, int]:
+    """Maintenance rewrite for the bucketed fingerprint store: collapse
+    the duplicate rows that epoch replays append
+    (:func:`_bucketed_dedup_epoch` -- bucketed catalog tables can only
+    APPEND, so a replayed epoch re-appends its fingerprints) back to
+    one row per fingerprint, preserving both the bucket spec and the
+    epoch tags.  Returns ``(rows_before, rows_after)``.
+
+    * Epoch tags survive as ``min(__epoch)`` per fingerprint -- the
+      first epoch that wrote the row, which is the only epoch whose
+      replay must exclude it, so the replay contract of
+      :func:`incremental_exact_dedup_bucketed` is unchanged by
+      compaction.  (Duplicate rows for one fingerprint always carry
+      the SAME epoch -- only a replay of that epoch re-appends it --
+      so ``min`` is a formality, not a merge policy.)
+    * ``n_buckets`` defaults to the SOURCE table's bucket count (read
+      from the catalog), so downstream anti-joins keep their
+      zero-store-side-exchange plan against the compacted table.
+    * The dedup aggregation itself runs WITHOUT an exchange: the
+      source scan is already bucketed on ``fingerprint``, so the
+      groupBy reuses its partitioning -- the rewrite's only shuffle is
+      the bucketed write's own clustering, same as any seed write.
+    * Writing to a NEW table/path is deliberate (same stance as
+      ``sources/layout.py:compact``): at scale the atomic swap belongs
+      to the table format / catalog layer, not an in-place overwrite
+      racing a live stream's reads.  Quiesce the stream, compact, then
+      point the stream at ``dest_table``.
+    """
+    from ..sources.layout import write_bucketed
+
+    src = spark.table(src_table)
+    if n_buckets is None:
+        meta = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE EXTENDED {src_table}").collect()
+        }
+        n_buckets = int(meta["Num Buckets"])
+    if "__epoch" in src.columns:
+        out = src.groupBy("fingerprint").agg(F.min("__epoch").alias("__epoch"))
+    else:
+        out = src.distinct()
+    rows_before = src.count()
+    write_bucketed(
+        out, dest_table, bucket_by="fingerprint", n_buckets=n_buckets,
+        path=dest_path,
+    )
+    rows_after = spark.table(dest_table).count()
+    return rows_before, rows_after

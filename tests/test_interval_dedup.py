@@ -624,3 +624,55 @@ class TestStreamingBucketedDedup:
             assert {r.doc_id for r in rows} == {11, 21}
         finally:
             spark.sql("DROP TABLE IF EXISTS fp_replay_bkt_t")
+
+    def test_compaction_reclaims_replay_duplicates(self, spark, tmp_path):
+        """After a replayed epoch double-appends its fingerprints,
+        compaction rewrites the store to one row per fingerprint with
+        min(__epoch) tags and the SAME bucket spec -- the gate computes
+        identical survivors against the compacted table, and its scan
+        is still bucketed (zero store-side exchange preserved)."""
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            _bucketed_dedup_epoch,
+            build_bucketed_fingerprint_store,
+            compact_bucketed_fingerprint_store,
+            incremental_exact_dedup_bucketed,
+        )
+
+        out = str(tmp_path / "out")
+        for t in ("fp_cmp_src_t", "fp_cmp_dst_t"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        build_bucketed_fingerprint_store(
+            self._mk(spark, [(0, "alpha")]),
+            "fp_cmp_src_t", str(tmp_path / "store"), n_buckets=4,
+            epoch=-1,
+        )
+        try:
+            b1 = self._mk(spark, [(10, "beta"), (11, "gamma")])
+            for _ in range(2):  # replay doubles epoch 0's store rows
+                _bucketed_dedup_epoch(
+                    b1, 0, "fp_cmp_src_t", out, "text", "doc_id"
+                )
+            before, after = compact_bucketed_fingerprint_store(
+                spark, "fp_cmp_src_t", "fp_cmp_dst_t",
+                str(tmp_path / "store_c"),
+            )
+            assert (before, after) == (5, 3)  # alpha + 2x(beta gamma) -> 3
+            # epoch tags preserved: seed row still -1, epoch-0 rows 0
+            tags = {
+                r.fingerprint: r["__epoch"]
+                for r in spark.table("fp_cmp_dst_t").collect()
+            }
+            assert sorted(tags.values()) == [-1, 0, 0]
+            # gate semantics unchanged against the compacted table
+            b2 = self._mk(spark, [(20, "beta"), (21, "delta")])
+            got = incremental_exact_dedup_bucketed(b2, "fp_cmp_dst_t")
+            assert {r.doc_id for r in got.collect()} == {21}
+            # bucket spec carried over (n_buckets read from the catalog)
+            meta = {
+                r.col_name: r.data_type
+                for r in spark.sql("DESCRIBE EXTENDED fp_cmp_dst_t").collect()
+            }
+            assert meta["Num Buckets"] == "4"
+        finally:
+            for t in ("fp_cmp_src_t", "fp_cmp_dst_t"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
