@@ -9,7 +9,15 @@ Each micro-batch: 100k docs, 50% exact dups of earlier batches' docs,
 cost stays flat as the store grows (the O(batch + store-scan) claim;
 the store holds ~50k more fingerprints per epoch).
 
-Writes the ``incremental_dedup_stream`` key into STREAM_BENCH.json.
+Both store layouts run over the SAME staged batches:
+
+- ``streaming_incremental_dedup``: parquet store, re-hashed (or
+  broadcast) per epoch -> ``incremental_dedup_stream``.
+- ``streaming_incremental_dedup_bucketed``: bucketed catalog store,
+  zero store-side exchange per epoch ->
+  ``incremental_dedup_stream_bucketed``.
+
+Writes both keys into STREAM_BENCH.json.
 Run:  python bench_stream_dedup.py
 """
 
@@ -26,7 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 from data_stream_flink_user_address_spark.functions.dedup import (
+    build_bucketed_fingerprint_store,
     streaming_incremental_dedup,
+    streaming_incremental_dedup_bucketed,
 )
 from data_stream_flink_user_address_spark.session import get_spark
 
@@ -73,52 +83,75 @@ def main() -> None:
     for b in range(N_BATCHES):
         write_batch(spark, b, src)
 
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", str(32))  # one staged batch dir per epoch
-        .json(os.path.join(src, "batch_*"))
-    )
-    q = streaming_incremental_dedup(stream, store, out, ck)
-    epoch_walls: list[float] = []
-    try:
-        last_progress = 0
-        t_all = time.perf_counter()
-        q.processAllAvailable()
-        total_wall = round(time.perf_counter() - t_all, 3)
-        for p in q.recentProgress:
-            if p["numInputRows"] > 0:
-                epoch_walls.append(
-                    round(p["durationMs"]["triggerExecution"] / 1000.0, 3)
-                )
-        last_progress = len(epoch_walls)
-    finally:
-        q.stop()
+    def run(start_query, out_dir, ck_dir, count_store) -> dict:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", str(32))  # one batch dir per epoch
+            .json(os.path.join(src, "batch_*"))
+        )
+        q = start_query(stream, out_dir, ck_dir)
+        epoch_walls: list[float] = []
+        try:
+            t_all = time.perf_counter()
+            q.processAllAvailable()
+            total_wall = round(time.perf_counter() - t_all, 3)
+            for p in q.recentProgress:
+                if p["numInputRows"] > 0:
+                    epoch_walls.append(
+                        round(p["durationMs"]["triggerExecution"] / 1000.0, 3)
+                    )
+        finally:
+            q.stop()
+        n_surv = spark.read.parquet(out_dir).count()
+        total_docs = N_BATCHES * DOCS_PER_BATCH
+        return {
+            "n_batches": N_BATCHES,
+            "docs_per_batch": DOCS_PER_BATCH,
+            "dup_frac_after_first": 0.5,
+            "total_docs": total_docs,
+            "survivors": n_surv,
+            "store_fingerprints_final": count_store(),
+            "epochs_with_rows": len(epoch_walls),
+            "epoch_walls_s": epoch_walls,
+            "total_wall_s": total_wall,
+            "docs_per_sec": round(total_docs / total_wall, 1),
+        }
 
-    survivors = spark.read.parquet(out)
-    n_surv = survivors.count()
-    n_fp = spark.read.parquet(store).count()
-    total_docs = N_BATCHES * DOCS_PER_BATCH
-    entry = {
-        "n_batches": N_BATCHES,
-        "docs_per_batch": DOCS_PER_BATCH,
-        "dup_frac_after_first": 0.5,
-        "total_docs": total_docs,
-        "survivors": n_surv,
-        "store_fingerprints_final": n_fp,
-        "epochs_with_rows": last_progress,
-        "epoch_walls_s": epoch_walls,
-        "total_wall_s": total_wall,
-        "docs_per_sec": round(total_docs / total_wall, 1),
-    }
+    entry = run(
+        lambda s, o, c: streaming_incremental_dedup(s, store, o, c),
+        out, ck,
+        lambda: spark.read.parquet(store).count(),
+    )
+
+    # same batches, bucketed catalog store (zero store-side exchange)
+    spark.sql("DROP TABLE IF EXISTS fp_sdd_bench_t")
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    build_bucketed_fingerprint_store(
+        spark.createDataFrame([], "doc_id long, text string"),
+        "fp_sdd_bench_t", os.path.join(ROOT, "store_bkt"),
+        n_buckets=n_buckets, epoch=-1,
+    )
+    entry_bkt = run(
+        lambda s, o, c: streaming_incremental_dedup_bucketed(
+            s, "fp_sdd_bench_t", o, c
+        ),
+        os.path.join(ROOT, "out_bkt"), os.path.join(ROOT, "ck_bkt"),
+        lambda: spark.table("fp_sdd_bench_t").count(),
+    )
+    entry_bkt["n_buckets"] = n_buckets
+    spark.sql("DROP TABLE IF EXISTS fp_sdd_bench_t")
+
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "STREAM_BENCH.json"
     )
     with open(path) as f:
         data = json.load(f)
     data["incremental_dedup_stream"] = entry
+    data["incremental_dedup_stream_bucketed"] = entry_bkt
     with open(path, "w") as f:
         json.dump(data, f, indent=1)
     print(json.dumps(entry))
+    print(json.dumps(entry_bkt))
     print("updated STREAM_BENCH.json")
 
 
