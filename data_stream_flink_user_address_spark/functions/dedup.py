@@ -1623,6 +1623,14 @@ def streaming_incremental_dedup_bucketed(
     every later epoch.  See :func:`_bucketed_dedup_epoch` for the
     replay-idempotency contract.
 
+    Observer caveat: ``foreachBatch`` runs in a CLONED SparkSession
+    whose ``insertInto`` refreshes the CLONE's relation cache -- a
+    different session (e.g. the driver session monitoring the stream)
+    that already resolved ``spark.table(store_table)`` keeps its stale
+    file listing and undercounts the store until it calls
+    ``spark.catalog.refreshTable(store_table)``.  The stream itself is
+    unaffected: each epoch's gate resolves inside the writing session.
+
     Returns the started ``StreamingQuery``.
     """
     _require_epoch_layout(out_path)

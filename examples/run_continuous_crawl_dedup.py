@@ -20,8 +20,16 @@ The demo:
 4. prints per-stage admitted counts and verifies the final survivor
    set equals the batch operator run over the same replay.
 
-Run: ``python examples/run_continuous_crawl_dedup.py [sf_dir]``
+Run: ``python examples/run_continuous_crawl_dedup.py [sf_dir] [--bucketed]``
 (default sf_dir: /root/testdata/sf0.01; work dir is a fresh tmpdir)
+
+``--bucketed`` swaps the parquet store for the BUCKETED catalog table
+(functions/dedup.py:streaming_incremental_dedup_bucketed): identical
+kill/restart semantics, but every epoch's anti-join co-locates against
+the store's on-disk bucketing with zero store-side exchange -- the
+layout for stores too large to re-shuffle per micro-batch -- and the
+demo closes with compact_bucketed_fingerprint_store reclaiming the
+append-only layout's slack.
 """
 
 import os
@@ -34,15 +42,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from data_stream_flink_user_address_spark.functions.dedup import (
+    build_bucketed_fingerprint_store,
     build_fingerprint_store,
+    compact_bucketed_fingerprint_store,
     streaming_incremental_dedup,
+    streaming_incremental_dedup_bucketed,
 )
 from data_stream_flink_user_address_spark.session import get_spark
 from data_stream_flink_user_address_spark.sources.tables import load_table
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = [a for a in sys.argv[1:] if a != "--bucketed"]
+    bucketed = "--bucketed" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     work = tempfile.mkdtemp(prefix="crawl_dedup_")
     src = os.path.join(work, "src")
     store = os.path.join(work, "store")
@@ -54,9 +67,20 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     # 1. seed the store with the even-id half of the corpus
-    build_fingerprint_store(docs.filter(F.col("doc_id") % 2 == 0), store)
-    n_seed = spark.read.parquet(store).count()
-    print(f"seeded store:            {n_seed:6d} fingerprints")
+    table = "crawl_demo_fp_t"
+    if bucketed:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        build_bucketed_fingerprint_store(
+            docs.filter(F.col("doc_id") % 2 == 0), table, store,
+            n_buckets=int(spark.conf.get("spark.sql.shuffle.partitions")),
+            epoch=-1,
+        )
+        n_seed = spark.table(table).count()
+    else:
+        build_fingerprint_store(docs.filter(F.col("doc_id") % 2 == 0), store)
+        n_seed = spark.read.parquet(store).count()
+    layout = "bucketed catalog table" if bucketed else "parquet"
+    print(f"seeded store:            {n_seed:6d} fingerprints ({layout})")
 
     # stage three JSONL batches:
     #   b1: odd ids 1..199 (novel) + even ids 0..98 (dups of the seed)
@@ -93,8 +117,26 @@ def main() -> None:
         "doc_id long, text string"
     ).json(src)
 
+    def start_query():
+        if bucketed:
+            return streaming_incremental_dedup_bucketed(
+                stream_of(), table, out, ck
+            )
+        return streaming_incremental_dedup(stream_of(), store, out, ck)
+
+    def store_fps() -> int:
+        if bucketed:
+            # the stream's foreachBatch runs in a CLONED session; its
+            # insertInto appends refresh the clone's relation cache,
+            # not this session's -- observers must refresh the table
+            spark.catalog.refreshTable(table)
+            src_df = spark.table(table)
+        else:
+            src_df = spark.read.parquet(store)
+        return src_df.select("fingerprint").distinct().count()
+
     # 2. run batches 1-2, then KILL the query
-    q = streaming_incremental_dedup(stream_of(), store, out, ck)
+    q = start_query()
     feed(1)
     q.processAllAvailable()
     feed(2)
@@ -104,14 +146,14 @@ def main() -> None:
     print(f"admitted after b1+b2:    {admitted_12:6d} docs (query killed here)")
 
     # 3. fresh query, SAME store + checkpoint: history must hold
-    q2 = streaming_incremental_dedup(stream_of(), store, out, ck)
+    q2 = start_query()
     feed(3)
     q2.processAllAvailable()
     q2.stop()
 
     survivors = spark.read.parquet(out)
     n_out = survivors.count()
-    n_store = spark.read.parquet(store).select("fingerprint").distinct().count()
+    n_store = store_fps()
     print(f"admitted after restart:  {n_out:6d} docs")
     print(f"store fingerprints:      {n_store:6d} (= seed + admitted)")
     assert n_store == n_seed + n_out, (n_store, n_seed, n_out)
@@ -132,6 +174,16 @@ def main() -> None:
     print(f"batch recomputation:     {expect:6d} docs -- "
           + ("CONVERGED" if ok else "MISMATCH"))
     assert ok
+
+    # 5. bucketed maintenance: compact the append-only store
+    if bucketed:
+        before, after = compact_bucketed_fingerprint_store(
+            spark, table, f"{table}_c", os.path.join(work, "store_c")
+        )
+        print(f"compacted store:         {before:6d} rows -> {after:6d}")
+        assert after == n_store
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_c")
     shutil.rmtree(work, ignore_errors=True)
 
 

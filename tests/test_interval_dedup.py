@@ -577,12 +577,18 @@ class TestStreamingBucketedDedup:
                 f.write(json.dumps({"doc_id": 20, "text": "beta"}) + "\n")   # dup of epoch-0 survivor
                 f.write(json.dumps({"doc_id": 21, "text": "delta"}) + "\n")  # novel
             q.processAllAvailable()
+            q.stop()
+            rows = spark.read.parquet(out).collect()
+            assert {r.doc_id for r in rows} == {11, 12, 21}
+            assert {r["__epoch"] for r in rows} == {0, 1}
+            # observer contract: foreachBatch appends land in a cloned
+            # session; this session must refresh to see the growth
+            spark.catalog.refreshTable("fp_stream_bkt_t")
+            fps = spark.table("fp_stream_bkt_t").select("fingerprint")
+            assert fps.distinct().count() == 4  # alpha beta gamma delta
         finally:
             q.stop()
             spark.sql("DROP TABLE IF EXISTS fp_stream_bkt_t")
-        rows = spark.read.parquet(out).collect()
-        assert {r.doc_id for r in rows} == {11, 12, 21}
-        assert {r["__epoch"] for r in rows} == {0, 1}
 
     def test_epoch_replay_is_idempotent(self, spark, tmp_path):
         """Crash-after-store-append replay: running the SAME epoch body
