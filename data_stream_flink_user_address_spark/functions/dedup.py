@@ -189,20 +189,23 @@ def minhash_signatures_text(
     return d.select(id_col, F.array(*mins).alias("signature"))
 
 
-def lsh_candidate_pairs(
+def band_rows(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
+    keep_signature: bool = False,
 ) -> DataFrame:
-    """Banded-LSH candidate pairs: docs sharing >=1 identical band.
-
-    Band key = md5(band_idx || band slice of the signature); docs meet
-    only inside their bucket -- the join is per-bucket, never all-pairs.
-    Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
-    """
-    b = signatures.select(
-        id_col,
+    """Explode a signature frame to one row per (doc, band):
+    ``(id, band_key)`` -- plus the full ``signature`` column when
+    ``keep_signature`` (the persisted band-store layout, which carries
+    the signature alongside every band row so candidate rescoring never
+    needs a second corpus-wide join).  Band key = md5(band_idx || band
+    slice), the shared bucketing key of :func:`lsh_candidate_pairs`
+    and the incremental/streaming MinHash gate."""
+    cols = [F.col(id_col)] + ([F.col("signature")] if keep_signature else [])
+    return signatures.select(
+        *cols,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -222,6 +225,21 @@ def lsh_candidate_pairs(
             )
         ).alias("band_key"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing >=1 identical band.
+
+    Band key = md5(band_idx || band slice of the signature); docs meet
+    only inside their bucket -- the join is per-bucket, never all-pairs.
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+    """
+    b = band_rows(signatures, id_col, bands, rows_per_band)
     left = b.alias("l")
     right = b.alias("r")
     return (
@@ -1702,3 +1720,236 @@ def compact_bucketed_fingerprint_store(
     )
     rows_after = spark.table(dest_table).count()
     return rows_before, rows_after
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash near-dup gate (persisted band store)
+# ---------------------------------------------------------------------------
+
+
+def _sig_agreement(left: Column, right: Column) -> Column:
+    """Fraction of positions where two MinHash signatures agree -- the
+    unbiased estimator of the Jaccard similarity of the underlying
+    shingle sets.  Pure array expression (zip_with + aggregate), stays
+    in codegen."""
+    eq = F.zip_with(left, right, lambda x, y: (x == y).cast("int"))
+    return F.aggregate(eq, F.lit(0), lambda a, x: a + x) / F.size(left)
+
+
+def build_minhash_band_store(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    mode: str = "overwrite",
+    epoch: int | None = None,
+) -> None:
+    """Seed the NEAR-dup twin of :func:`build_bucketed_fingerprint_store`:
+    one row per (doc, band) -- ``(id, signature, band_key)`` -- written
+    as a catalog table bucketed on ``band_key``, so every later batch's
+    gate join reads the store's bucket layout with zero store-side
+    exchange.
+
+    The full signature rides EVERY band row (``bands`` copies, e.g.
+    16 hashes x 8 B x 4 bands = 512 B/doc): candidate rescoring happens
+    inline on the matched row instead of a second join against a
+    corpus-sized signature table -- at 100 TB, paying bytes-at-rest
+    once beats re-shuffling candidates into a doc-keyed table every
+    micro-batch.  ``epoch`` tags rows for the streaming wrapper's
+    replay contract (seed with ``epoch=-1``), exactly as in the exact
+    store.
+    """
+    from ..sources.layout import write_bucketed
+
+    sigs = minhash_signatures_text(df, text_col, id_col, n, num_hashes)
+    rows = band_rows(sigs, id_col, bands, rows_per_band, keep_signature=True)
+    if epoch is not None:
+        rows = rows.withColumn("__epoch", F.lit(int(epoch)))
+    write_bucketed(
+        rows, table_name, bucket_by="band_key", n_buckets=n_buckets,
+        path=path, mode=mode,
+    )
+
+
+def minhash_store_matches(
+    batch_sigs: DataFrame,
+    store_table: str,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    exclude_epoch: int | None = None,
+) -> DataFrame:
+    """Batch ids with a near-dup already in the band store: the batch's
+    band rows join the store on ``band_key`` (ONLY the batch side
+    exchanges, into the store's bucketing -- plan-pinned), and each
+    collision rescored by exact signature agreement >= ``threshold``.
+    Output may repeat an id (one row per matching band); consumers
+    anti-join, which needs no distinct.  ``exclude_epoch`` as in
+    :func:`incremental_exact_dedup_bucketed`."""
+    spark = batch_sigs.sparkSession
+    store = spark.table(store_table)
+    if exclude_epoch is not None:
+        store = store.filter(F.col("__epoch") != int(exclude_epoch))
+    bb = band_rows(batch_sigs, id_col, bands, rows_per_band, keep_signature=True)
+    return (
+        bb.alias("b")
+        .join(store.alias("s"), "band_key")
+        .filter(
+            _sig_agreement(F.col("b.signature"), F.col("s.signature"))
+            >= F.lit(threshold)
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    exclude_epoch: int | None = None,
+) -> DataFrame:
+    """NEAR-dup dedup of a new ingestion batch against the persisted
+    band store (:func:`build_minhash_band_store`) -- the fuzzy twin of
+    :func:`incremental_exact_dedup_bucketed`, for the continuous-crawl
+    regime where re-running MinHash LSH over 100 TB of history per
+    batch is not an option.  Returns survivors ``(id, signature)``:
+
+    1. no store near-match (shared band + signature agreement >=
+       ``threshold``), and
+    2. first of their within-batch near-dup cluster (the
+       :func:`lsh_candidate_pairs` -> :func:`dedup_clusters`
+       keep-min-id rule, restricted to store-novel docs).
+
+    Scale shape per batch: signatures are map-only
+    (:func:`minhash_signatures_text`); the store gate exchanges ONLY
+    the batch's band rows into the store's bucketing (store scan feeds
+    the join with no Exchange); the within-batch stage touches just
+    the store-novel remainder, and its pair graph is collision-bounded,
+    never all-pairs.  The store side never moves, at any corpus size.
+    """
+    sigs = minhash_signatures_text(new_docs, text_col, id_col, n, num_hashes)
+    matched = minhash_store_matches(
+        sigs, store_table, threshold, id_col, bands, rows_per_band,
+        exclude_epoch=exclude_epoch,
+    )
+    fresh = sigs.join(matched, id_col, "left_anti")
+    bb = band_rows(fresh, id_col, bands, rows_per_band, keep_signature=True)
+    pairs = (
+        bb.alias("l")
+        .join(bb.alias("r"), "band_key")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .filter(
+            _sig_agreement(F.col("l.signature"), F.col("r.signature"))
+            >= F.lit(threshold)
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    dropped = dedup_clusters(pairs).filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(F.col("doc_id").alias(id_col))
+    return fresh.join(dropped, id_col, "left_anti")
+
+
+def _minhash_dedup_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    store_table: str,
+    out_path: str,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+) -> None:
+    """One epoch of :func:`streaming_incremental_minhash_dedup`; same
+    replay decomposition as :func:`_bucketed_dedup_epoch` (survivor
+    partitions dynamic-overwrite; the band store only appends, with the
+    epoch's own rows excluded from its gate, so a replayed epoch
+    computes identical survivors and the duplicate band rows are
+    membership-harmless until compaction)."""
+    survivors = incremental_minhash_dedup(
+        batch_df, store_table, text_col=text_col, id_col=id_col,
+        threshold=threshold, n=n, num_hashes=num_hashes, bands=bands,
+        rows_per_band=rows_per_band, exclude_epoch=int(epoch_id),
+    )
+    survivors = survivors.localCheckpoint()
+    spark = batch_df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            survivors.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("__epoch")
+            .parquet(out_path)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        band_rows(survivors, id_col, bands, rows_per_band, keep_signature=True)
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("append")
+        .insertInto(store_table)
+    )
+
+
+def streaming_incremental_minhash_dedup(
+    stream: DataFrame,
+    store_table: str,
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+):
+    """Continuous-crawl NEAR-dup admission: each micro-batch runs
+    :func:`incremental_minhash_dedup` against the persisted band store,
+    appends its survivors' band rows (same bucket spec), and writes
+    survivor ``(id, signature)`` rows under ``__epoch=<id>`` partitions
+    -- :func:`streaming_incremental_dedup_bucketed` with MinHash
+    semantics.  The same observer caveat applies: monitoring sessions
+    must ``refreshTable`` to see the store grow.  Knobs
+    (``n``/``num_hashes``/``bands``/``rows_per_band``) MUST match the
+    store's seeding; band keys are derived values, so Spark cannot
+    validate the mismatch for you.
+
+    Returns the started ``StreamingQuery``.
+    """
+    _require_epoch_layout(out_path)
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        _minhash_dedup_epoch(
+            batch_df, int(epoch_id), store_table, out_path, text_col,
+            id_col, threshold, n, num_hashes, bands, rows_per_band,
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fb)
+        .start()
+    )

@@ -682,3 +682,126 @@ class TestStreamingBucketedDedup:
         finally:
             for t in ("fp_cmp_src_t", "fp_cmp_dst_t"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestIncrementalMinhashDedup:
+    """incremental_minhash_dedup: NEAR-dup gating of a batch against
+    the persisted band store -- the fuzzy twin of the exact bucketed
+    path, sharing its epoch/replay contract.  Fixture texts are chosen
+    so the deterministic MinHash (fixed LCG params) yields agreement
+    1.0 for the tail-perturbed near-dup and ~0.94 for the within-batch
+    pair -- both above the 0.7 default threshold."""
+
+    BASE = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays on and the crowd cheers loudly in the warm summer "
+            "evening air")
+    NOVEL = ("completely different content about spark catalyst optimizer "
+             "rules and tungsten whole stage code generation for volcano "
+             "iterators")
+    NOVEL2 = ("another unrelated document describing parquet column chunk "
+              "statistics predicate pushdown and row group pruning "
+              "behaviour")
+
+    def _mk(self, spark, rows):
+        from pyspark.sql import Row
+        return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+    def _seed(self, spark, table, tmp_path):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            build_minhash_band_store,
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        build_minhash_band_store(
+            self._mk(spark, [(0, self.BASE), (1, self.NOVEL)]),
+            table, str(tmp_path / "store"), n_buckets=4, epoch=-1,
+        )
+
+    def test_gate_and_within_batch_cluster(self, spark, tmp_path):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            incremental_minhash_dedup,
+        )
+        self._seed(spark, "mh_store_fn_t", tmp_path)
+        try:
+            batch = self._mk(spark, [
+                (100, self.BASE + " tonight"),   # near-dup of store 0
+                (101, self.BASE),                # exact dup of store 0
+                (102, self.NOVEL2),              # novel: keep (min id)
+                (103, self.NOVEL2 + " extra"),   # near-dup of 102: drop
+            ])
+            out = incremental_minhash_dedup(batch, "mh_store_fn_t")
+            assert {r.doc_id for r in out.collect()} == {102}
+            # survivors carry their signature for the store append
+            assert set(out.columns) == {"doc_id", "signature"}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS mh_store_fn_t")
+
+    def test_epoch_replay_and_history(self, spark, tmp_path):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            _minhash_dedup_epoch,
+        )
+        self._seed(spark, "mh_replay_fn_t", tmp_path)
+        out = str(tmp_path / "out")
+        try:
+            b1 = self._mk(spark, [(100, self.NOVEL2), (101, self.NOVEL2 + " extra")])
+            for _ in range(2):  # replayed epoch excludes its own appends
+                _minhash_dedup_epoch(
+                    b1, 0, "mh_replay_fn_t", out, "text", "doc_id",
+                    0.7, 5, 16, 4, 4,
+                )
+            rows = spark.read.parquet(out).collect()
+            assert sorted((r.doc_id, r["__epoch"]) for r in rows) == [(100, 0)]
+            # store membership: 2 seed + 1 survivor, 4 band rows each
+            spark.catalog.refreshTable("mh_replay_fn_t")
+            st = spark.table("mh_replay_fn_t")
+            assert st.select("doc_id").distinct().count() == 3
+            # later epoch gates against epoch 0's survivor
+            b2 = self._mk(spark, [
+                (200, self.NOVEL2 + " more"),  # near-dup of 100: drop
+                (201, "yet another fresh text on adaptive query execution "
+                      "and skew join splitting at runtime inside spark"),
+            ])
+            _minhash_dedup_epoch(
+                b2, 1, "mh_replay_fn_t", out, "text", "doc_id",
+                0.7, 5, 16, 4, 4,
+            )
+            rows = spark.read.parquet(out).collect()
+            assert sorted((r.doc_id, r["__epoch"]) for r in rows) == [
+                (100, 0), (201, 1),
+            ]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS mh_replay_fn_t")
+
+    def test_streaming_end_to_end(self, spark, tmp_path):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            streaming_incremental_minhash_dedup,
+        )
+        self._seed(spark, "mh_stream_fn_t", tmp_path)
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        out = str(tmp_path / "out")
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType()),
+             T.StructField("text", T.StringType())]
+        )
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            f.write(json.dumps({"doc_id": 100, "text": self.BASE + " tonight"}) + "\n")
+            f.write(json.dumps({"doc_id": 102, "text": self.NOVEL2}) + "\n")
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).json(src)
+        q = streaming_incremental_minhash_dedup(
+            stream, "mh_stream_fn_t", out, str(tmp_path / "ck")
+        )
+        try:
+            q.processAllAvailable()
+            with open(os.path.join(src, "b2.json"), "w") as f:
+                f.write(json.dumps({"doc_id": 200, "text": self.NOVEL2 + " more"}) + "\n")
+                f.write(json.dumps({"doc_id": 201, "text": "fresh text about arrow batched pandas udf transfer overhead"}) + "\n")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            spark.sql("DROP TABLE IF EXISTS mh_stream_fn_t")
+        rows = spark.read.parquet(out).collect()
+        assert sorted((r.doc_id, r["__epoch"]) for r in rows) == [
+            (102, 0), (201, 1),
+        ]

@@ -400,6 +400,62 @@ def test_bucketed_dedup_exclude_epoch_filter_stays_scan_side(spark, tmp_path):
     assert len(hash_ex) == 1, plan
 
 
+def test_minhash_store_gate_never_shuffles_store(spark, tmp_path):
+    """The incremental MinHash gate (minhash_store_matches) must read
+    the band store's bucket layout directly: batch band rows exchange
+    into the store's bucketing; the store scan feeds the join with NO
+    Exchange, the epoch-exclusion filter is pushed into the parquet
+    read, and the signature-agreement rescore rides the join condition
+    (no post-join shuffle).  Broadcast disabled: the 100 TB band store
+    never broadcasts."""
+    import re
+
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        build_minhash_band_store,
+        minhash_signatures_text,
+        minhash_store_matches,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.sql("DROP TABLE IF EXISTS mh_store_plan_t")
+    build_minhash_band_store(
+        docs, "mh_store_plan_t", str(tmp_path / "mh_store"),
+        n_buckets=n_buckets, epoch=-1,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        sigs = minhash_signatures_text(docs.limit(500))
+        plan = _explain(
+            minhash_store_matches(sigs, "mh_store_plan_t", exclude_epoch=3)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS mh_store_plan_t")
+    assert "SortMergeJoin" in plan
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    store_scan = [
+        b for b in blocks
+        if re.match(r"\(\d+\) Scan parquet .*mh_store_plan_t", b)
+    ]
+    assert store_scan, plan
+    assert "Bucketed: true" in store_scan[0], store_scan[0]
+    assert "__epoch" in store_scan[0] and "PushedFilters" in store_scan[0]
+    # the rescore is the join CONDITION (inline), not a later stage
+    smj = [b for b in blocks if b.startswith("(") and "SortMergeJoin" in b]
+    assert smj and "zip_with" in smj[0], smj
+    # exactly ONE hash exchange: the batch band rows into the bucketing
+    hash_ex = [
+        b for b in blocks
+        if re.match(r"\(\d+\) Exchange", b) and "hashpartitioning" in b
+    ]
+    assert len(hash_ex) == 1, plan
+    assert "band_key" in hash_ex[0]
+
+
 def test_doc_signals_is_single_pass_map_only(spark):
     """The r13 fold's point: all four text signals (lang, quality, ws +
     BPE token counts) compute in ONE map-only projection over one scan
