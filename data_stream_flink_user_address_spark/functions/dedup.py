@@ -1845,7 +1845,13 @@ def incremental_minhash_dedup(
         sigs, store_table, threshold, id_col, bands, rows_per_band,
         exclude_epoch=exclude_epoch,
     )
-    fresh = sigs.join(matched, id_col, "left_anti")
+    # `fresh` embeds the corpus-sized store join and is referenced from
+    # BOTH sides of the within-batch self-join plus the final anti-join
+    # -- without materialization Spark re-runs the store SMJ once per
+    # reference (measured 4x = ~59 s/batch vs ~15 s at a 1e6-doc store).
+    # localCheckpoint(eager=False) persists it batch-sized (never
+    # corpus-sized) on first use.
+    fresh = sigs.join(matched, id_col, "left_anti").localCheckpoint(eager=False)
     bb = band_rows(fresh, id_col, bands, rows_per_band, keep_signature=True)
     pairs = (
         bb.alias("l")
@@ -1953,3 +1959,46 @@ def streaming_incremental_minhash_dedup(
         .foreachBatch(fb)
         .start()
     )
+
+
+def compact_minhash_band_store(
+    spark,
+    src_table: str,
+    dest_table: str,
+    dest_path: str,
+    n_buckets: int | None = None,
+) -> tuple[int, int]:
+    """:func:`compact_bucketed_fingerprint_store` for the MinHash band
+    store: collapse replay-appended duplicates to one row per
+    (band_key, doc) with min-epoch tags, rewriting under the same
+    bucket spec (``n_buckets`` defaults to the source's catalog value).
+    Duplicate rows for a (band_key, doc) pair are byte-identical apart
+    from provenance -- the signature is a pure function of the doc and
+    only a replay of the SAME epoch re-appends -- so ``any_value``
+    picks the one signature there is.  Returns
+    ``(rows_before, rows_after)``; same new-table atomic-swap stance as
+    the fingerprint compactor."""
+    from ..sources.layout import write_bucketed
+
+    src = spark.table(src_table)
+    if n_buckets is None:
+        meta = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE EXTENDED {src_table}").collect()
+        }
+        n_buckets = int(meta["Num Buckets"])
+    out = (
+        src.groupBy("band_key", "doc_id")
+        .agg(
+            F.any_value("signature").alias("signature"),
+            F.min("__epoch").alias("__epoch"),
+        )
+        .select("doc_id", "signature", "band_key", "__epoch")
+    )
+    rows_before = src.count()
+    write_bucketed(
+        out, dest_table, bucket_by="band_key", n_buckets=n_buckets,
+        path=dest_path,
+    )
+    rows_after = spark.table(dest_table).count()
+    return rows_before, rows_after

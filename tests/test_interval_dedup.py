@@ -805,3 +805,45 @@ class TestIncrementalMinhashDedup:
         assert sorted((r.doc_id, r["__epoch"]) for r in rows) == [
             (102, 0), (201, 1),
         ]
+
+    def test_band_store_compaction(self, spark, tmp_path):
+        """Replay-appended band rows collapse to one per (band_key,
+        doc); gate semantics and bucket spec unchanged against the
+        compacted table."""
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            _minhash_dedup_epoch,
+            compact_minhash_band_store,
+            incremental_minhash_dedup,
+        )
+        self._seed(spark, "mh_cmp_src_t", tmp_path)
+        out = str(tmp_path / "out")
+        try:
+            b1 = self._mk(spark, [(100, self.NOVEL2)])
+            for _ in range(2):  # replay doubles epoch 0's band rows
+                _minhash_dedup_epoch(
+                    b1, 0, "mh_cmp_src_t", out, "text", "doc_id",
+                    0.7, 5, 16, 4, 4,
+                )
+            before, after = compact_minhash_band_store(
+                spark, "mh_cmp_src_t", "mh_cmp_dst_t",
+                str(tmp_path / "store_c"),
+            )
+            # 2 seed docs x 4 bands + doc 100 x 4 x 2 -> 12 distinct
+            assert (before, after) == (16, 12)
+            tags = dict(
+                spark.table("mh_cmp_dst_t")
+                .groupBy("doc_id").agg(F.min("__epoch").alias("e"))
+                .collect()
+            )
+            assert tags == {0: -1, 1: -1, 100: 0}
+            got = incremental_minhash_dedup(
+                self._mk(spark, [
+                    (200, self.NOVEL2 + " more"),  # near-dup of 100: drop
+                    (201, "fresh text about shuffle partition coalescing"),
+                ]),
+                "mh_cmp_dst_t",
+            )
+            assert {r.doc_id for r in got.collect()} == {201}
+        finally:
+            for t in ("mh_cmp_src_t", "mh_cmp_dst_t"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
