@@ -1839,7 +1839,22 @@ def incremental_minhash_dedup(
     the join with no Exchange); the within-batch stage touches just
     the store-novel remainder, and its pair graph is collision-bounded,
     never all-pairs.  The store side never moves, at any corpus size.
+
+    Sub-shingle docs (normalized text shorter than ``n``) cannot be
+    MinHashed; they pass through UNGATED as survivors with an empty
+    ``signature`` -- an admission gate must not silently lose rows.
+    They are below the similarity resolution, so near-dup semantics do
+    not apply to them (gate them upstream with the exact path); the
+    epoch body excludes empty signatures from the store append, so they
+    never become degenerate hot band keys.
     """
+    norm_len = F.length(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    )
+    subshingle = new_docs.filter(norm_len < n).select(
+        F.col(id_col),
+        F.array().cast("array<bigint>").alias("signature"),
+    )
     sigs = minhash_signatures_text(new_docs, text_col, id_col, n, num_hashes)
     matched = minhash_store_matches(
         sigs, store_table, threshold, id_col, bands, rows_per_band,
@@ -1870,7 +1885,7 @@ def incremental_minhash_dedup(
     dropped = dedup_clusters(pairs).filter(
         F.col("doc_id") != F.col("cluster_id")
     ).select(F.col("doc_id").alias(id_col))
-    return fresh.join(dropped, id_col, "left_anti")
+    return fresh.join(dropped, id_col, "left_anti").unionByName(subshingle)
 
 
 def _minhash_dedup_epoch(
@@ -1912,7 +1927,12 @@ def _minhash_dedup_epoch(
         if prev is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     (
-        band_rows(survivors, id_col, bands, rows_per_band, keep_signature=True)
+        # empty signatures = sub-shingle pass-throughs; banding them
+        # would pile every short doc onto the same degenerate band keys
+        band_rows(
+            survivors.filter(F.size("signature") > 0),
+            id_col, bands, rows_per_band, keep_signature=True,
+        )
         .withColumn("__epoch", F.lit(int(epoch_id)))
         .write.mode("append")
         .insertInto(store_table)

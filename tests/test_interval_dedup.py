@@ -847,3 +847,39 @@ class TestIncrementalMinhashDedup:
         finally:
             for t in ("mh_cmp_src_t", "mh_cmp_dst_t"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_sub_shingle_docs_pass_through_ungated(self, spark, tmp_path):
+        """Docs shorter than the shingle width cannot be MinHashed; an
+        admission gate must not silently lose them -- they survive with
+        an empty signature, and the epoch body keeps them OUT of the
+        band store (no degenerate hot band keys)."""
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            _minhash_dedup_epoch,
+            incremental_minhash_dedup,
+        )
+        self._seed(spark, "mh_short_fn_t", tmp_path)
+        try:
+            batch = self._mk(spark, [
+                (5, "abc"),                      # sub-shingle: pass through
+                (6, self.BASE),                  # store dup: drop
+                (7, self.NOVEL2),                # novel: keep
+            ])
+            out = incremental_minhash_dedup(batch, "mh_short_fn_t")
+            got = {r.doc_id: list(r.signature) for r in out.collect()}
+            assert set(got) == {5, 7}
+            assert got[5] == [] and len(got[7]) == 16
+            # streaming epoch: short doc lands in survivors, not store
+            _minhash_dedup_epoch(
+                batch, 0, "mh_short_fn_t", str(tmp_path / "out"),
+                "text", "doc_id", 0.7, 5, 16, 4, 4,
+            )
+            surv = spark.read.parquet(str(tmp_path / "out"))
+            assert {r.doc_id for r in surv.collect()} == {5, 7}
+            spark.catalog.refreshTable("mh_short_fn_t")
+            store_ids = {
+                r.doc_id for r in
+                spark.table("mh_short_fn_t").select("doc_id").distinct().collect()
+            }
+            assert 5 not in store_ids and 7 in store_ids
+        finally:
+            spark.sql("DROP TABLE IF EXISTS mh_short_fn_t")
