@@ -16,8 +16,12 @@ Both store layouts run over the SAME staged batches:
 - ``streaming_incremental_dedup_bucketed``: bucketed catalog store,
   zero store-side exchange per epoch ->
   ``incremental_dedup_stream_bucketed``.
+- ``streaming_incremental_minhash_dedup``: NEAR-dup gate vs the band
+  store (exact dups are near-dups at agreement 1.0, so survivors match
+  the exact paths modulo random near-collisions among novel docs) ->
+  ``incremental_dedup_stream_minhash``.
 
-Writes both keys into STREAM_BENCH.json.
+Writes all three keys into STREAM_BENCH.json.
 Run:  python bench_stream_dedup.py
 """
 
@@ -35,8 +39,10 @@ from pyspark.sql import functions as F
 
 from data_stream_flink_user_address_spark.functions.dedup import (
     build_bucketed_fingerprint_store,
+    build_minhash_band_store,
     streaming_incremental_dedup,
     streaming_incremental_dedup_bucketed,
+    streaming_incremental_minhash_dedup,
 )
 from data_stream_flink_user_address_spark.session import get_spark
 
@@ -141,6 +147,26 @@ def main() -> None:
     entry_bkt["n_buckets"] = n_buckets
     spark.sql("DROP TABLE IF EXISTS fp_sdd_bench_t")
 
+    # same batches, MinHash NEAR-dup gate vs the band store
+    spark.sql("DROP TABLE IF EXISTS mh_sdd_bench_t")
+    build_minhash_band_store(
+        spark.createDataFrame([], "doc_id long, text string"),
+        "mh_sdd_bench_t", os.path.join(ROOT, "store_mh"),
+        n_buckets=n_buckets, epoch=-1,
+    )
+    entry_mh = run(
+        lambda s, o, c: streaming_incremental_minhash_dedup(
+            s, "mh_sdd_bench_t", o, c
+        ),
+        os.path.join(ROOT, "out_mh"), os.path.join(ROOT, "ck_mh"),
+        lambda: (
+            spark.catalog.refreshTable("mh_sdd_bench_t"),
+            spark.table("mh_sdd_bench_t").select("doc_id").distinct().count(),
+        )[1],
+    )
+    entry_mh["n_buckets"] = n_buckets
+    spark.sql("DROP TABLE IF EXISTS mh_sdd_bench_t")
+
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "STREAM_BENCH.json"
     )
@@ -148,10 +174,12 @@ def main() -> None:
         data = json.load(f)
     data["incremental_dedup_stream"] = entry
     data["incremental_dedup_stream_bucketed"] = entry_bkt
+    data["incremental_dedup_stream_minhash"] = entry_mh
     with open(path, "w") as f:
         json.dump(data, f, indent=1)
     print(json.dumps(entry))
     print(json.dumps(entry_bkt))
+    print(json.dumps(entry_mh))
     print("updated STREAM_BENCH.json")
 
 
