@@ -431,3 +431,100 @@ def test_bpe_apply_reconstructs_words(spark, texts, n_merges):
     want[999] = "zzzqqq"
     for r in out:
         assert r.encoded.replace(" ", "") == want[r.doc_id], r
+
+
+@settings(**_SETTINGS)
+@given(_texts, _texts)
+def test_minhash_gate_second_pass_admits_only_subshingle(
+    spark, tmp_path, store_texts, batch_texts
+):
+    """Feeding the SAME batch through two consecutive epochs: epoch 1
+    must admit exactly the sub-shingle pass-throughs (empty signature,
+    ungated by design) -- every shingle-able doc either matched the
+    store in epoch 0 (still matches), survived epoch 0 (now in the
+    store at agreement 1.0), or lost its within-batch cluster to a doc
+    that is now in the store (agreement held in epoch 0, holds now)."""
+    from pyspark.sql import Row
+
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        _minhash_dedup_epoch,
+        build_minhash_band_store,
+    )
+
+    store_docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(store_texts)]
+    )
+    batch = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=t) for i, t in enumerate(batch_texts)]
+    )
+    spark.sql("DROP TABLE IF EXISTS mh_prop_idem_t")
+    build_minhash_band_store(
+        store_docs, "mh_prop_idem_t", str(tmp_path / "bkt"),
+        n_buckets=4, epoch=-1,
+    )
+    # hypothesis reuses ONE tmp_path across examples (the suppressed
+    # function_scoped_fixture health check) -- the epoch-partitioned
+    # sink must not accumulate survivors from earlier examples
+    import uuid as _uuid
+
+    out = str(tmp_path / f"out_{_uuid.uuid4().hex}")
+    try:
+        _minhash_dedup_epoch(
+            batch, 0, "mh_prop_idem_t", out, "text", "doc_id", 0.7, 5, 16, 4, 4
+        )
+        _minhash_dedup_epoch(
+            batch, 1, "mh_prop_idem_t", out, "text", "doc_id", 0.7, 5, 16, 4, 4
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_prop_idem_t")
+    rows = spark.read.parquet(out).collect()
+    epoch1 = {r.doc_id for r in rows if r["__epoch"] == 1}
+    subshingle = {r.doc_id for r in rows if len(r.signature) == 0}
+    epoch1_sub = {
+        r.doc_id for r in rows if r["__epoch"] == 1 and len(r.signature) == 0
+    }
+    assert epoch1 == epoch1_sub
+    # and the pass-throughs repeat every epoch (never stored, never gated)
+    epoch0_sub = {
+        r.doc_id for r in rows if r["__epoch"] == 0 and len(r.signature) == 0
+    }
+    assert epoch1_sub == epoch0_sub
+    assert subshingle == epoch0_sub | epoch1_sub
+
+
+@settings(**_SETTINGS)
+@given(_texts, _texts)
+def test_minhash_gate_survivor_count_is_id_invariant(
+    spark, tmp_path, store_texts, batch_texts
+):
+    """Relabeling batch ids changes WHICH doc of a near-dup cluster
+    survives (keep-min) but never HOW MANY: cluster structure, store
+    matches, and sub-shingle pass-throughs are all text-determined."""
+    from pyspark.sql import Row
+
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        build_minhash_band_store,
+        incremental_minhash_dedup,
+    )
+
+    store_docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(store_texts)]
+    )
+    spark.sql("DROP TABLE IF EXISTS mh_prop_inv_t")
+    build_minhash_band_store(
+        store_docs, "mh_prop_inv_t", str(tmp_path / "bkt"),
+        n_buckets=4, epoch=-1,
+    )
+    try:
+        counts = []
+        for relabel in (lambda i: 100 + i, lambda i: 5_000 - 7 * i):
+            batch = spark.createDataFrame(
+                [Row(doc_id=relabel(i), text=t)
+                 for i, t in enumerate(batch_texts)]
+            )
+            counts.append(
+                incremental_minhash_dedup(batch, "mh_prop_inv_t").count()
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_prop_inv_t")
+    assert counts[0] == counts[1]
