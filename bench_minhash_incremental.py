@@ -126,7 +126,12 @@ def main() -> None:
     )
     with open(path) as f:
         data = json.load(f)
-    data["minhash_incremental"] = results
+    # merge by store size so partial env-var runs extend, not erase
+    by_size = {
+        r["store_docs"]: r for r in data.get("minhash_incremental", [])
+    }
+    by_size.update({r["store_docs"]: r for r in results})
+    data["minhash_incremental"] = [by_size[k] for k in sorted(by_size)]
     with open(path, "w") as f:
         json.dump(data, f, indent=1)
     print(json.dumps(results))
