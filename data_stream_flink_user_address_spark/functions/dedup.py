@@ -1702,6 +1702,11 @@ def compact_bucketed_fingerprint_store(
     """
     from ..sources.layout import write_bucketed
 
+    # a compactor typically runs in a MAINTENANCE session, not the
+    # stream's foreachBatch clone that did the appends -- resolve the
+    # table fresh or a stale relation cache silently compacts away
+    # everything appended since this session first read it
+    spark.catalog.refreshTable(src_table)
     src = spark.table(src_table)
     if n_buckets is None:
         meta = {
@@ -2000,6 +2005,7 @@ def compact_minhash_band_store(
     the fingerprint compactor."""
     from ..sources.layout import write_bucketed
 
+    spark.catalog.refreshTable(src_table)  # see the fingerprint compactor
     src = spark.table(src_table)
     if n_buckets is None:
         meta = {

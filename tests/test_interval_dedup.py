@@ -789,6 +789,9 @@ class TestIncrementalMinhashDedup:
         stream = spark.readStream.schema(schema).option(
             "maxFilesPerTrigger", "1"
         ).json(src)
+        # prime this session's relation cache BEFORE the stream: the
+        # compactor below must still see the stream's appends
+        assert spark.table("mh_stream_fn_t").count() == 8  # 2 docs x 4 bands
         q = streaming_incremental_minhash_dedup(
             stream, "mh_stream_fn_t", out, str(tmp_path / "ck")
         )
@@ -798,13 +801,25 @@ class TestIncrementalMinhashDedup:
                 f.write(json.dumps({"doc_id": 200, "text": self.NOVEL2 + " more"}) + "\n")
                 f.write(json.dumps({"doc_id": 201, "text": "fresh text about arrow batched pandas udf transfer overhead"}) + "\n")
             q.processAllAvailable()
+            q.stop()
+            rows = spark.read.parquet(out).collect()
+            assert sorted((r.doc_id, r["__epoch"]) for r in rows) == [
+                (102, 0), (201, 1),
+            ]
+            # compactor must refresh internally: this session's cached
+            # listing predates the stream's appends (2 seed + 2 admitted)
+            from data_stream_flink_user_address_spark.functions.dedup import (
+                compact_minhash_band_store,
+            )
+            before, after = compact_minhash_band_store(
+                spark, "mh_stream_fn_t", "mh_stream_fn_c_t",
+                str(tmp_path / "store_c"),
+            )
+            assert (before, after) == (16, 16)
         finally:
             q.stop()
             spark.sql("DROP TABLE IF EXISTS mh_stream_fn_t")
-        rows = spark.read.parquet(out).collect()
-        assert sorted((r.doc_id, r["__epoch"]) for r in rows) == [
-            (102, 0), (201, 1),
-        ]
+            spark.sql("DROP TABLE IF EXISTS mh_stream_fn_c_t")
 
     def test_band_store_compaction(self, spark, tmp_path):
         """Replay-appended band rows collapse to one per (band_key,
