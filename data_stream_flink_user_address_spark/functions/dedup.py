@@ -2028,3 +2028,255 @@ def compact_minhash_band_store(
     )
     rows_after = spark.table(dest_table).count()
     return rows_before, rows_after
+
+
+# ---------------------------------------------------------------------------
+# Incremental SimHash near-dup gate (persisted band store)
+# ---------------------------------------------------------------------------
+
+
+def simhash_band_rows(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    keep_signature: bool = False,
+) -> DataFrame:
+    """One row per (doc, band): ``(id, band_key)`` with the full
+    ``simhash`` when ``keep_signature``.  Bands = ``max_hamming + 1``
+    equal slices (the pigeonhole split of
+    :func:`simhash_near_dup_pairs`), packed into a single join/bucket
+    key ``band * 2^w + slice`` so the store can bucket on one column."""
+    bands = max_hamming + 1
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    w = bits // bands
+    mask = (1 << w) - 1
+    slices = F.array(
+        *[
+            (
+                F.lit(i * (1 << w)).cast("bigint")
+                + F.shiftright(F.col("simhash"), i * w).bitwiseAND(F.lit(mask))
+            ).cast("bigint")
+            for i in range(bands)
+        ]
+    )
+    cols = [F.col(id_col)] + ([F.col("simhash")] if keep_signature else [])
+    return sigs.select(*cols, F.explode(slices).alias("band_key"))
+
+
+def build_simhash_band_store(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    mode: str = "overwrite",
+    epoch: int | None = None,
+) -> None:
+    """:func:`build_minhash_band_store` with SimHash semantics: one
+    ``(id, simhash, band_key)`` row per (doc, band), bucketed on
+    ``band_key``.  The 8-byte signature rides every band row, so the
+    exact Hamming rescore is a popcount on the matched row -- no
+    second join.  Pigeonhole makes the gate EXACT within
+    ``max_hamming`` (unlike MinHash's probabilistic bands): any doc
+    within that distance of a stored one shares at least one
+    bit-identical band.  ``epoch`` as in the exact/MinHash stores."""
+    from ..sources.layout import write_bucketed
+
+    sigs = simhash(df, text_col, id_col, bits)
+    rows = simhash_band_rows(sigs, id_col, bits, max_hamming, keep_signature=True)
+    if epoch is not None:
+        rows = rows.withColumn("__epoch", F.lit(int(epoch)))
+    write_bucketed(
+        rows, table_name, bucket_by="band_key", n_buckets=n_buckets,
+        path=path, mode=mode,
+    )
+
+
+def simhash_store_matches(
+    batch_sigs: DataFrame,
+    store_table: str,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    exclude_epoch: int | None = None,
+) -> DataFrame:
+    """Batch ids with a stored signature within ``max_hamming`` bits:
+    :func:`minhash_store_matches` with pigeonhole bands and an exact
+    popcount rescore riding the join condition.  Only the batch side
+    exchanges (plan-pinned); output may repeat ids -- consumers
+    anti-join."""
+    spark = batch_sigs.sparkSession
+    store = spark.table(store_table)
+    if exclude_epoch is not None:
+        store = store.filter(F.col("__epoch") != int(exclude_epoch))
+    bb = simhash_band_rows(
+        batch_sigs, id_col, bits, max_hamming, keep_signature=True
+    )
+    return (
+        bb.alias("b")
+        .join(store.alias("s"), "band_key")
+        .filter(
+            F.bit_count(
+                F.col("b.simhash").bitwiseXOR(F.col("s.simhash"))
+            ) <= F.lit(max_hamming)
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+    )
+
+
+def incremental_simhash_dedup(
+    new_docs: DataFrame,
+    store_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    exclude_epoch: int | None = None,
+) -> DataFrame:
+    """NEAR-dup dedup of a batch against the persisted SimHash band
+    store -- the Hamming-distance member of the gate family (exact
+    fingerprints / MinHash-Jaccard / SimHash-Hamming), and the only
+    probabilistic-free one: pigeonhole banding finds EVERY stored doc
+    within ``max_hamming`` bits.  Survivors ``(id, simhash)``: no store
+    match, then first of their within-batch cluster
+    (:func:`simhash_near_dup_pairs` -> :func:`dedup_clusters`
+    keep-min-id on the store-novel remainder).  Scale shape matches the
+    MinHash gate: map-only signatures, batch band rows exchange into
+    the store's bucketing, store never moves; every doc yields a
+    signature (empty texts hash to one shared signature and gate each
+    other), so nothing passes ungated.
+    """
+    sigs = simhash(new_docs, text_col, id_col, bits)
+    matched = simhash_store_matches(
+        sigs, store_table, id_col, bits, max_hamming,
+        exclude_epoch=exclude_epoch,
+    )
+    # same multi-reference materialization as the MinHash gate: `fresh`
+    # embeds the store join and feeds the pair stage plus the final
+    # anti-join
+    fresh = sigs.join(matched, id_col, "left_anti").localCheckpoint(eager=False)
+    pairs = simhash_near_dup_pairs(
+        fresh, max_hamming=max_hamming, bits=bits, id_col=id_col,
+        sig_col="simhash",
+    ).select("doc_a", "doc_b")
+    dropped = dedup_clusters(pairs).filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(F.col("doc_id").alias(id_col))
+    return fresh.join(dropped, id_col, "left_anti")
+
+
+def _simhash_dedup_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    store_table: str,
+    out_path: str,
+    text_col: str,
+    id_col: str,
+    bits: int,
+    max_hamming: int,
+) -> None:
+    """One epoch of :func:`streaming_incremental_simhash_dedup`; replay
+    decomposition identical to :func:`_minhash_dedup_epoch`."""
+    survivors = incremental_simhash_dedup(
+        batch_df, store_table, text_col=text_col, id_col=id_col,
+        bits=bits, max_hamming=max_hamming, exclude_epoch=int(epoch_id),
+    )
+    survivors = survivors.localCheckpoint()
+    spark = batch_df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            survivors.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("__epoch")
+            .parquet(out_path)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        simhash_band_rows(
+            survivors, id_col, bits, max_hamming, keep_signature=True
+        )
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("append")
+        .insertInto(store_table)
+    )
+
+
+def streaming_incremental_simhash_dedup(
+    stream: DataFrame,
+    store_table: str,
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+):
+    """Continuous-crawl SimHash admission:
+    :func:`streaming_incremental_minhash_dedup` with Hamming semantics
+    and pigeonhole-exact recall within ``max_hamming``.  Same observer
+    caveat (``refreshTable``) and same knob-match requirement
+    (``bits``/``max_hamming`` must equal the store's seeding).
+
+    Returns the started ``StreamingQuery``.
+    """
+    _require_epoch_layout(out_path)
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        _simhash_dedup_epoch(
+            batch_df, int(epoch_id), store_table, out_path, text_col,
+            id_col, bits, max_hamming,
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fb)
+        .start()
+    )
+
+
+def compact_simhash_band_store(
+    spark,
+    src_table: str,
+    dest_table: str,
+    dest_path: str,
+    n_buckets: int | None = None,
+) -> tuple[int, int]:
+    """:func:`compact_minhash_band_store` for the SimHash store: one
+    row per (band_key, doc), min-epoch tags, same bucket spec, fresh
+    table resolution (see the fingerprint compactor's staleness note).
+    Returns ``(rows_before, rows_after)``."""
+    from ..sources.layout import write_bucketed
+
+    spark.catalog.refreshTable(src_table)
+    src = spark.table(src_table)
+    if n_buckets is None:
+        meta = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE EXTENDED {src_table}").collect()
+        }
+        n_buckets = int(meta["Num Buckets"])
+    out = (
+        src.groupBy("band_key", "doc_id")
+        .agg(
+            F.any_value("simhash").alias("simhash"),
+            F.min("__epoch").alias("__epoch"),
+        )
+        .select("doc_id", "simhash", "band_key", "__epoch")
+    )
+    rows_before = src.count()
+    write_bucketed(
+        out, dest_table, bucket_by="band_key", n_buckets=n_buckets,
+        path=dest_path,
+    )
+    rows_after = spark.table(dest_table).count()
+    return rows_before, rows_after

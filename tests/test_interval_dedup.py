@@ -898,3 +898,95 @@ class TestIncrementalMinhashDedup:
             assert 5 not in store_ids and 7 in store_ids
         finally:
             spark.sql("DROP TABLE IF EXISTS mh_short_fn_t")
+
+
+class TestIncrementalSimhashDedup:
+    """incremental_simhash_dedup: the Hamming member of the gate family.
+    Fixture hamming distances (deterministic md5 SimHash, 32 bits):
+    one-word substitutions of BASE land at 0-3 bits; unrelated docs at
+    14-15 -- max_hamming=3 separates them with margin, and pigeonhole
+    banding makes the within-distance recall EXACT."""
+
+    BASE = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays on and the crowd cheers loudly in the warm summer "
+            "evening air near the lake")
+    NOVEL = ("completely different content about spark catalyst optimizer "
+             "rules and tungsten whole stage code generation for volcano "
+             "style iterators")
+    NOVEL2 = ("another unrelated document describing parquet column chunk "
+              "statistics predicate pushdown and row group pruning "
+              "behaviour in modern engines")
+
+    def _mk(self, spark, rows):
+        from pyspark.sql import Row
+        return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+    def _seed(self, spark, table, tmp_path):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            build_simhash_band_store,
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        build_simhash_band_store(
+            self._mk(spark, [(0, self.BASE), (1, self.NOVEL)]),
+            table, str(tmp_path / "store"), n_buckets=4, epoch=-1,
+        )
+
+    def test_gate_and_within_batch_cluster(self, spark, tmp_path):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            incremental_simhash_dedup,
+        )
+        self._seed(spark, "sh_store_fn_t", tmp_path)
+        try:
+            batch = self._mk(spark, [
+                (100, self.BASE.replace("warm", "cold")),  # h=2 of store 0: drop
+                (101, self.NOVEL2),                        # novel: keep
+                (102, self.NOVEL2.replace("modern", "legacy")),  # h=3 of 101: drop
+            ])
+            out = incremental_simhash_dedup(batch, "sh_store_fn_t")
+            got = {r.doc_id for r in out.collect()}
+            assert got == {101}
+            assert set(out.columns) == {"doc_id", "simhash"}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS sh_store_fn_t")
+
+    def test_epoch_replay_and_streaming(self, spark, tmp_path):
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            _simhash_dedup_epoch,
+            compact_simhash_band_store,
+        )
+        self._seed(spark, "sh_replay_fn_t", tmp_path)
+        out = str(tmp_path / "out")
+        try:
+            b1 = self._mk(spark, [
+                (100, self.NOVEL2),
+                (101, self.NOVEL2.replace("modern", "legacy")),
+            ])
+            for _ in range(2):  # replay excludes its own appends
+                _simhash_dedup_epoch(
+                    b1, 0, "sh_replay_fn_t", out, "text", "doc_id", 32, 3
+                )
+            rows = spark.read.parquet(out).collect()
+            assert sorted((r.doc_id, r["__epoch"]) for r in rows) == [(100, 0)]
+            # later epoch gates against epoch 0's survivor
+            b2 = self._mk(spark, [
+                (200, self.NOVEL2.replace("pruning", "skipping")),  # near 100
+                (201, "a wholly fresh text on shuffle partition coalescing "
+                      "and adaptive skew split behaviour at runtime"),
+            ])
+            _simhash_dedup_epoch(
+                b2, 1, "sh_replay_fn_t", out, "text", "doc_id", 32, 3
+            )
+            rows = spark.read.parquet(out).collect()
+            assert sorted((r.doc_id, r["__epoch"]) for r in rows) == [
+                (100, 0), (201, 1),
+            ]
+            # compaction collapses the replay duplicates (4 bands/doc):
+            # 2 seed + 100 (doubled) + 201 -> 4 docs x 4 bands
+            before, after = compact_simhash_band_store(
+                spark, "sh_replay_fn_t", "sh_replay_fn_c_t",
+                str(tmp_path / "store_c"),
+            )
+            assert (before, after) == (20, 16)
+        finally:
+            for t in ("sh_replay_fn_t", "sh_replay_fn_c_t"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")

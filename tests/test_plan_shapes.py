@@ -456,6 +456,57 @@ def test_minhash_store_gate_never_shuffles_store(spark, tmp_path):
     assert "band_key" in hash_ex[0]
 
 
+def test_simhash_store_gate_never_shuffles_store(spark, tmp_path):
+    """simhash_store_matches: same contract as the MinHash gate pin --
+    store scan bucketed with the epoch filter pushed, exactly one hash
+    exchange (the batch band rows), and the exact popcount rescore
+    riding the join condition."""
+    import re
+
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        build_simhash_band_store,
+        simhash,
+        simhash_store_matches,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.sql("DROP TABLE IF EXISTS sh_store_plan_t")
+    build_simhash_band_store(
+        docs, "sh_store_plan_t", str(tmp_path / "sh_store"),
+        n_buckets=n_buckets, epoch=-1,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        sigs = simhash(docs.limit(500))
+        plan = _explain(
+            simhash_store_matches(sigs, "sh_store_plan_t", exclude_epoch=3)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS sh_store_plan_t")
+    assert "SortMergeJoin" in plan
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    store_scan = [
+        b for b in blocks
+        if re.match(r"\(\d+\) Scan parquet .*sh_store_plan_t", b)
+    ]
+    assert store_scan, plan
+    assert "Bucketed: true" in store_scan[0], store_scan[0]
+    assert "__epoch" in store_scan[0] and "PushedFilters" in store_scan[0]
+    smj = [b for b in blocks if b.startswith("(") and "SortMergeJoin" in b]
+    assert smj and "bit_count" in smj[0], smj
+    hash_ex = [
+        b for b in blocks
+        if re.match(r"\(\d+\) Exchange", b) and "hashpartitioning" in b
+    ]
+    assert len(hash_ex) == 1, plan
+    assert "band_key" in hash_ex[0]
+
+
 def test_doc_signals_is_single_pass_map_only(spark):
     """The r13 fold's point: all four text signals (lang, quality, ws +
     BPE token counts) compute in ONE map-only projection over one scan
