@@ -1741,6 +1741,82 @@ def _sig_agreement(left: Column, right: Column) -> Column:
     return F.aggregate(eq, F.lit(0), lambda a, x: a + x) / F.size(left)
 
 
+def cross_corpus_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    min_agreement: float | None = None,
+    broadcast_eval: bool = True,
+    materialize_pairs: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Doc-level benchmark decontamination: drop every training doc that
+    is MinHash-near-duplicate to ANY eval/benchmark doc.
+
+    Complements :func:`~..curation.ngram_contamination` (which flags
+    n-gram overlap with eval *phrases*); this operator removes whole
+    training documents that are near-copies of eval documents -- the
+    doc-level leak that n-gram probes under-report when the copy is
+    lightly paraphrased.
+
+    Returns ``(clean_train_df, pairs_df)`` where ``pairs_df`` has
+    ``(id_col, eval_<id_col>, agreement)`` -- one row per contaminated
+    (train, eval) candidate pair (agreement is the signature-overlap
+    Jaccard estimate; 1.0 rows are exact-band matches when
+    ``min_agreement`` is None).
+
+    Scale shape (train = 100 TB, eval = benchmark suites, i.e. tiny):
+    signatures are per-row projections (:func:`minhash_signatures_text`,
+    zero shuffle); the eval band table is BROADCAST, so the candidate
+    join is map-side; the final removal is a broadcast left-anti join on
+    the (small) contaminated-id set.  The training corpus is never
+    shuffled -- the whole pass is map-only over the big side.  Eval docs
+    shorter than ``n`` chars produce no shingles and cannot contaminate;
+    train docs shorter than ``n`` always pass through.
+
+    ``pairs_df`` is lazily localCheckpoint-ed (unless
+    ``materialize_pairs=False``, e.g. for plan inspection): both return
+    values embed the same candidate join, and without materialization
+    consuming both would scan the training corpus twice
+    (multi-reference plans recompute -- measured in this repo's
+    incremental MinHash gate).
+    """
+    keep_sig = min_agreement is not None
+    eval_id = f"eval_{id_col}"
+
+    t_bands = band_rows(
+        minhash_signatures_text(train_df, text_col, id_col, n, num_hashes),
+        id_col, bands, rows_per_band, keep_signature=keep_sig,
+    )
+    e_sig = minhash_signatures_text(eval_df, text_col, id_col, n, num_hashes)
+    e_bands = band_rows(e_sig, id_col, bands, rows_per_band, keep_signature=keep_sig)
+    e_bands = e_bands.withColumnRenamed(id_col, eval_id)
+    if keep_sig:
+        t_bands = t_bands.withColumnRenamed("signature", "__t_sig")
+        e_bands = e_bands.withColumnRenamed("signature", "__e_sig")
+    if broadcast_eval:
+        e_bands = F.broadcast(e_bands)
+
+    cand = t_bands.join(e_bands, on="band_key")
+    if keep_sig:
+        cand = cand.withColumn(
+            "agreement", F.round(_sig_agreement(F.col("__t_sig"), F.col("__e_sig")), 9)
+        ).filter(F.col("agreement") >= F.lit(float(min_agreement)))
+    else:
+        cand = cand.withColumn("agreement", F.lit(1.0))
+    pairs = cand.select(id_col, eval_id, "agreement").distinct()
+    if materialize_pairs:
+        pairs = pairs.localCheckpoint(eager=False)
+
+    contaminated = pairs.select(id_col).distinct()
+    clean = train_df.join(F.broadcast(contaminated), on=id_col, how="left_anti")
+    return clean, pairs
+
+
 def build_minhash_band_store(
     df: DataFrame,
     table_name: str,

@@ -1,0 +1,109 @@
+"""Deterministic training-data ordering: epoch shuffle + shard layout.
+
+Engine extension beyond the reference surface (BASELINE.json north
+star): a training run over a 100 TB corpus needs a REPRODUCIBLE global
+example order (exact resume after preemption, bitwise-identical reruns)
+that still differs per epoch.  The naive ``orderBy(rand())`` fails both
+requirements at scale: ``rand()`` is not stable across retries of a
+task, and a global ``orderBy`` is a range exchange whose sampling pass
+and skewed ranges are pure overhead when no consumer needs a total
+order across shard boundaries.
+
+Shape used here instead:
+
+- order key  = md5(key | seed | epoch)  -- deterministic, uniform,
+  re-derivable by any engine (the repo-wide ``_md5_long`` idiom, DuckDB
+  bit-for-bit reproducible);
+- shard      = order_key % n_shards     -- balanced by hash uniformity,
+  no sampling pass, no skew (keys are unique);
+- layout     = ONE hash-partition shuffle on the shard id + a local
+  ``sortWithinPartitions(shard, order_key)``.
+
+Global order is shard-major: readers consume shard 0's file in order,
+then shard 1's, ... -- exactly the contract of sharded training
+loaders, obtained without any range exchange.  Changing ``epoch``
+reshuffles everything (both shard membership and intra-shard order)
+while staying one-shuffle cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _md5_long
+
+
+def epoch_order_key(key: Column, seed: int = 42, epoch: int = 0) -> Column:
+    """Deterministic 60-bit order key for (row key, seed, epoch).
+
+    Uniform over [0, 2^60); distinct row keys collide with ~2^-60
+    probability, so the key alone is (almost) a total order -- callers
+    still tie-break on the row key for exactness.
+    """
+    return _md5_long(
+        F.concat(key.cast("string"), F.lit(f"|{seed}|{epoch}"))
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    epoch: int = 0,
+    n_shards: int = 32,
+    order_col: str = "epoch_order",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministically shuffle ``df`` for one training epoch.
+
+    Output = input columns + ``order_col`` (the 60-bit order key) +
+    ``shard_col`` (int in [0, n_shards)), hash-partitioned on the shard
+    id and locally sorted by (shard, order, key) -- shard-major global
+    order with exactly ONE shuffle and no range exchange.  Same
+    (seed, epoch) is bitwise reproducible; any other epoch gives an
+    independent permutation.
+    """
+    order = epoch_order_key(F.col(key_col), seed, epoch)
+    out = (
+        df.withColumn(order_col, order)
+        .withColumn(shard_col, (F.col(order_col) % n_shards).cast("int"))
+    )
+    return out.repartition(n_shards, F.col(shard_col)).sortWithinPartitions(
+        shard_col, order_col, key_col
+    )
+
+
+def write_epoch_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    epoch: int = 0,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Materialize one epoch's shards: ``path/shard=K/`` parquet, each
+    shard's rows stored in epoch order (parquet preserves the
+    partition-local sort through a ``partitionBy`` write because the
+    frame is already partitioned AND sorted by the shard id -- one file
+    per shard value per task, rows in encounter order).
+
+    Returns the shard manifest -- ``(shard, n_rows, first_key,
+    last_key)`` -- computed by re-reading the written files (NOT from
+    the input plan: the write and a plan-side manifest would each run
+    the upstream scan once; re-reading costs one cheap metadata-sized
+    pass and keeps the corpus scan single-pass).
+    """
+    shuffled = epoch_shuffle(df, key_col, seed, epoch, n_shards)
+    shuffled.write.mode("overwrite").partitionBy("shard").parquet(path)
+    spark = df.sparkSession
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("epoch_order").alias("first_order"),
+            F.max("epoch_order").alias("last_order"),
+        )
+        .orderBy("shard")
+    )

@@ -1,0 +1,94 @@
+"""Deterministic epoch shuffle / shard layout (functions/ordering.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_stream_flink_user_address_spark.functions.ordering import (
+    epoch_order_key,
+    epoch_shuffle,
+    write_epoch_shards,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_bitwise_reproducible(docs):
+    a = epoch_shuffle(docs, n_shards=8).collect()
+    b = epoch_shuffle(docs, n_shards=8).collect()
+    assert a == b
+
+
+def test_epochs_differ(docs):
+    a = [r.doc_id for r in epoch_shuffle(docs, epoch=0, n_shards=8).collect()]
+    b = [r.doc_id for r in epoch_shuffle(docs, epoch=1, n_shards=8).collect()]
+    assert a != b
+    assert sorted(a) == sorted(b)  # permutation, no loss
+
+
+def test_seeds_differ(docs):
+    a = [r.doc_id for r in epoch_shuffle(docs, seed=1, n_shards=8).collect()]
+    b = [r.doc_id for r in epoch_shuffle(docs, seed=2, n_shards=8).collect()]
+    assert a != b
+
+
+def test_shard_balance_and_coverage(docs):
+    n = docs.count()
+    out = epoch_shuffle(docs, n_shards=8)
+    sizes = {r.shard: r.n for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert sum(sizes.values()) == n
+    # hash-uniform shards: no shard more than 2x the mean on 500 keys
+    mean = n / 8
+    assert max(sizes.values()) <= 2 * mean
+    assert min(sizes.values()) >= mean / 3
+
+
+def test_shard_assignment_matches_order_key(docs):
+    out = epoch_shuffle(docs, n_shards=8)
+    bad = out.filter(F.col("shard") != (F.col("epoch_order") % 8).cast("int"))
+    assert bad.count() == 0
+
+
+def test_order_key_duckdb_parity(spark, docs):
+    """The order key is re-derivable bit-for-bit outside Spark."""
+    got = {
+        r.doc_id: r.k
+        for r in docs.select(
+            "doc_id", epoch_order_key(F.col("doc_id"), seed=7, epoch=3).alias("k")
+        ).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"""
+            SELECT doc_id,
+                   ('0x' || substr(md5(doc_id::VARCHAR || '|7|3'), 1, 15))::BIGINT
+            FROM read_parquet('{SF}/documents.parquet')
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_written_shards_sorted(docs, tmp_path):
+    path = str(tmp_path / "epoch0")
+    manifest = write_epoch_shards(docs, path, n_shards=4).collect()
+    assert sorted(r.shard for r in manifest) == [0, 1, 2, 3]
+    assert sum(r.n_rows for r in manifest) == docs.count()
+    spark = docs.sparkSession
+    for shard in range(4):
+        orders = [
+            r.epoch_order
+            for r in spark.read.parquet(f"{path}/shard={shard}").select("epoch_order").collect()
+        ]
+        assert orders == sorted(orders)  # file preserves epoch order
+
+
+def test_one_shuffle_plan(docs):
+    plan = epoch_shuffle(docs, n_shards=8)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()
