@@ -1,0 +1,136 @@
+"""Measured cost of the r13b operators at growing corpus size.
+
+Times cross_corpus_decontaminate (map-only over the big side, broadcast
+eval bands), epoch_shuffle/write_epoch_shards (one hash shuffle, no
+range exchange), and the NB hashed-ngram quality classifier (train =
+one feature-count shuffle; apply = broadcast join + per-doc sum) on the
+English-shaped curation corpora at 10^4..10^6 docs.  Claims under
+test: decontamination recall is 1.0 on planted exact copies and wall
+grows with scan bytes (the eval side is constant); the epoch shuffle's
+shards stay balanced; classifier throughput is feature-stream bound.
+
+Writes R13B_OPS_SCALE.json.
+Run:  python bench_r13b_ops_scale.py
+      SPARK_GRAFT_R13B_SIZES=10000,100000 python bench_r13b_ops_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from bench_curation_scale import gen_corpus
+from data_stream_flink_user_address_spark.functions.classifier import (
+    apply_nb_quality,
+    train_nb_quality,
+)
+from data_stream_flink_user_address_spark.functions.dedup import (
+    cross_corpus_decontaminate,
+)
+from data_stream_flink_user_address_spark.functions.ordering import (
+    write_epoch_shards,
+)
+from data_stream_flink_user_address_spark.session import get_spark
+
+SIZES = [
+    int(s)
+    for s in os.environ.get(
+        "SPARK_GRAFT_R13B_SIZES", "10000,100000,1000000"
+    ).split(",")
+]
+N_EVAL = 200
+
+
+def main() -> None:
+    spark = get_spark("bench-r13b-ops")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"n_eval": N_EVAL, "sizes": []}
+    for n in SIZES:
+        docs = spark.read.parquet(gen_corpus(spark, n))
+        row = {"n_docs": n}
+
+        # --- cross-corpus decontamination: every (n // N_EVAL)-th train
+        # doc is copied verbatim into the eval set -> planted recall 1.0
+        step = max(n // N_EVAL, 1)
+        ev = (
+            docs.filter(F.col("doc_id") % step == 0)
+            .limit(N_EVAL)
+            .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        )
+        planted = ev.count()  # materialize eval outside the timed region
+        t0 = time.time()
+        clean, pairs = cross_corpus_decontaminate(
+            docs, ev, min_agreement=0.8
+        )
+        n_clean = clean.count()
+        n_pairs = pairs.count()
+        dt = time.time() - t0
+        removed = n - n_clean
+        row["decontaminate"] = {
+            "planted_eval": planted,
+            "removed": removed,
+            "candidate_pairs": n_pairs,
+            # planted copies are exact -> every eval doc MUST hit its
+            # train source (removed can exceed planted: DUP_EVERY twins
+            # of a planted doc fall too)
+            "planted_recall": round(
+                pairs.select("eval_doc_id").distinct().count() / max(planted, 1), 3
+            ),
+            "wall_s": round(dt, 2),
+            "docs_per_sec": round(n / dt, 1),
+        }
+
+        # --- epoch shuffle + sharded write
+        shard_path = f"/tmp/r13b_shards_n{n}"
+        shutil.rmtree(shard_path, ignore_errors=True)
+        t0 = time.time()
+        manifest = write_epoch_shards(
+            docs, shard_path, n_shards=32, seed=7, epoch=1
+        ).collect()
+        dt = time.time() - t0
+        sizes = [r.n_rows for r in manifest]
+        row["epoch_shuffle"] = {
+            "n_shards": len(sizes),
+            "rows_written": sum(sizes),
+            "shard_skew_max_over_mean": round(max(sizes) / (sum(sizes) / len(sizes)), 3),
+            "wall_s": round(dt, 2),
+            "docs_per_sec": round(n / dt, 1),
+        }
+        shutil.rmtree(shard_path, ignore_errors=True)
+
+        # --- NB classifier: label half the corpus positive (vocab is
+        # shared, so this measures throughput, not accuracy)
+        labeled = docs.withColumn("label", (F.col("doc_id") % 2).cast("int"))
+        t0 = time.time()
+        weights, info = train_nb_quality(labeled, n_features=1 << 18)
+        n_weights = weights.count()
+        t_train = time.time() - t0
+        t0 = time.time()
+        scored = apply_nb_quality(docs, weights, info)
+        scored.agg(F.sum("nb_score")).collect()
+        t_apply = time.time() - t0
+        row["nb_classifier"] = {
+            "n_weight_rows": n_weights,
+            "train_wall_s": round(t_train, 2),
+            "train_docs_per_sec": round(n / t_train, 1),
+            "apply_wall_s": round(t_apply, 2),
+            "apply_docs_per_sec": round(n / t_apply, 1),
+        }
+
+        out["sizes"].append(row)
+        print(json.dumps(row))
+
+    with open("R13B_OPS_SCALE.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote R13B_OPS_SCALE.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Linear quality classifier over hashed n-gram features (fastText-style).
+
+Engine extension beyond the reference surface (BASELINE.json north
+star): web-scale curation pipelines gate documents with a cheap linear
+text classifier trained on a labeled seed set ("does this look like the
+high-quality reference corpus?").  The model here is multinomial Naive
+Bayes with Laplace smoothing over hashing-trick unigram+bigram
+features -- the classic linear-in-log-space filter -- chosen over
+SGD-family training because NB training is a single COUNTING pass:
+pure DataFrame aggregation, deterministic, no iteration, no
+driver-side optimizer state.
+
+Scale shape (n docs, t tokens/doc, V = n_features buckets):
+
+- featurize: per-row projection (md5-hash the n-grams, drop the text
+  BEFORE anything wide happens) -- zero shuffle;
+- train:     explode feature hashes -> ONE groupBy(feature) count
+  shuffle with map-side combine (at most V rows survive per map task),
+  plus a 1-row totals aggregate (the only driver-visible scalar);
+- model:     <= V rows of (feature, weight) -- a few MB at V = 2^18 --
+  always broadcastable;
+- apply:     map-side broadcast join + per-doc sum.  A document's
+  exploded features stay inside its input partition, so partial
+  aggregation collapses them to one row per (partition, doc) before
+  the shuffle: the exchange carries ~n_docs 16-byte rows, never the
+  feature stream.
+
+All hashing is the repo-wide md5 idiom, so scores are bit-for-bit
+re-derivable by the DuckDB oracle harness (weights rounded to 1e-9,
+the repo's fixed-point determinism rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _md5_long
+from .text import tokens
+
+
+def hashed_ngram_features(
+    text: Column | str,
+    n_features: int = 1 << 18,
+    use_bigrams: bool = True,
+) -> Column:
+    """Multiset of feature hashes (array<bigint>, values in
+    [0, n_features)) for a document: lowercased whitespace unigrams
+    plus adjacent-pair bigrams, hashing-tricked into ``n_features``
+    buckets.  Pure projection -- the text column never leaves the row.
+    """
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    uni = F.transform(toks, lambda t: _md5_long(t) % n_features)
+    if not use_bigrams:
+        return uni
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so short docs
+    # must short-circuit to an empty bigram list instead
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bi = F.when(
+        F.size(toks) < 2, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(
+            idx,
+            lambda i: _md5_long(
+                F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1))
+            )
+            % n_features,
+        )
+    )
+    return F.concat(uni, bi)
+
+
+def train_nb_quality(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n_features: int = 1 << 18,
+    use_bigrams: bool = True,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, dict]:
+    """Train the NB quality model.  ``label_col`` is 0/1 (1 = keep).
+
+    Returns ``(weights_df, info)``: ``weights_df`` has
+    ``(feature, weight)`` rows -- weight = smoothed log-odds
+    log P(f|1) - log P(f|0) -- and ``info`` carries the scalars the
+    apply side needs: ``prior`` (log class-odds), ``default_weight``
+    (the log-odds of a feature never seen in training -- smoothing
+    makes it a nonzero constant), plus the config needed to featurize
+    identically (``n_features``, ``use_bigrams``).
+
+    One corpus pass: featurize (projection) -> explode -> ONE
+    feature-keyed count shuffle; the class totals ride the same
+    aggregate as a grand-total rollup (1 extra row), collected once.
+    """
+    lbl = F.col(label_col).cast("long")
+    feats = df.select(
+        lbl.alias("__y"),
+        F.explode(hashed_ngram_features(text_col, n_features, use_bigrams)).alias(
+            "feature"
+        ),
+    )
+    counts = feats.groupBy("feature").agg(
+        F.sum("__y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("__y")).alias("neg"),
+    )
+    counts = counts.localCheckpoint(eager=False)  # referenced by totals AND weights
+
+    tot = counts.agg(
+        F.sum("pos").alias("pos_tot"), F.sum("neg").alias("neg_tot")
+    ).collect()[0]
+    docs = df.agg(
+        F.sum(lbl).alias("n_pos"), (F.count(F.lit(1)) - F.sum(lbl)).alias("n_neg")
+    ).collect()[0]
+    if not docs.n_pos or not docs.n_neg:
+        raise ValueError("train_nb_quality needs at least one doc of each class")
+
+    pos_denom = float(tot.pos_tot or 0) + alpha * n_features
+    neg_denom = float(tot.neg_tot or 0) + alpha * n_features
+    import math
+
+    default_w = round(
+        math.log(alpha / pos_denom) - math.log(alpha / neg_denom), 9
+    )
+    info = {
+        "prior": round(math.log(docs.n_pos / docs.n_neg), 9),
+        "default_weight": default_w,
+        "n_features": n_features,
+        "use_bigrams": use_bigrams,
+        "alpha": alpha,
+        "pos_total": int(tot.pos_tot or 0),
+        "neg_total": int(tot.neg_tot or 0),
+    }
+    weights = counts.select(
+        "feature",
+        F.round(
+            F.log((F.col("pos") + alpha) / F.lit(pos_denom))
+            - F.log((F.col("neg") + alpha) / F.lit(neg_denom)),
+            9,
+        ).alias("weight"),
+    )
+    return weights, info
+
+
+def apply_nb_quality(
+    df: DataFrame,
+    weights: DataFrame,
+    info: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "nb_score",
+) -> DataFrame:
+    """Score every document: ``score = prior + sum_f w(f)`` over the
+    document's feature multiset (unseen features contribute
+    ``default_weight``).  Positive score => the doc looks like the
+    positive (keep) class.
+
+    Plan: projection featurize -> explode -> BROADCAST join on the
+    (<= n_features row) weight table -> per-doc sum -> join scores
+    back onto the input by id.  The corpus text rides no exchange; the
+    only corpus-sized shuffle carries (id, double) partial sums.
+    Zero-token docs score exactly ``prior``.
+    """
+    feats = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            hashed_ngram_features(text_col, info["n_features"], info["use_bigrams"])
+        ).alias("feature"),
+    )
+    joined = feats.join(F.broadcast(weights), on="feature", how="left")
+    contrib = F.when(F.col("feature").isNull(), F.lit(0.0)).otherwise(
+        F.coalesce(F.col("weight"), F.lit(info["default_weight"]))
+    )
+    scores = (
+        joined.select(id_col, contrib.alias("__w"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__w") + F.lit(info["prior"]), 9).alias(score_col))
+    )
+    return df.join(scores, on=id_col, how="left")
+
+
+def nb_quality_filter(
+    df: DataFrame,
+    weights: DataFrame,
+    info: dict,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents scoring above ``threshold`` (same columns as the
+    input; the score column is dropped after the gate)."""
+    scored = apply_nb_quality(df, weights, info, text_col, id_col)
+    return scored.filter(F.col("nb_score") > threshold).drop("nb_score")

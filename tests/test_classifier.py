@@ -1,0 +1,106 @@
+"""NB hashed-ngram quality classifier (functions/classifier.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_stream_flink_user_address_spark.functions.classifier import (
+    apply_nb_quality,
+    hashed_ngram_features,
+    nb_quality_filter,
+    train_nb_quality,
+)
+
+GOOD = [
+    "the committee published a thorough peer reviewed analysis of climate data",
+    "researchers measured the experiment carefully and reported detailed results",
+    "this well written article explains the historical context with citations",
+    "the study presents rigorous statistical evidence and clear methodology",
+]
+BAD = [
+    "click here buy now cheap pills best price limited offer click",
+    "win win win free money casino jackpot click subscribe now now",
+    "cheap cheap discount offer buy buy buy click here free free",
+    "subscribe like share follow giveaway free iphone click now",
+]
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    rows = [(i, t, 1) for i, t in enumerate(GOOD)] + [
+        (100 + i, t, 0) for i, t in enumerate(BAD)
+    ]
+    train = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    weights, info = train_nb_quality(train, n_features=1 << 14)
+    return train, weights, info
+
+
+def test_separates_classes(spark, model):
+    _, weights, info = model
+    test = spark.createDataFrame(
+        [
+            (1, "the reviewed analysis reported detailed statistical evidence"),
+            (2, "click now free offer buy cheap pills win money"),
+        ],
+        ["doc_id", "text"],
+    )
+    scored = {r.doc_id: r.nb_score for r in apply_nb_quality(test, weights, info).collect()}
+    assert scored[1] > 0 > scored[2]
+
+
+def test_filter_keeps_positive_only(spark, model):
+    _, weights, info = model
+    test = spark.createDataFrame(
+        [
+            (1, "rigorous methodology with peer reviewed citations"),
+            (2, "free free free click click casino jackpot now"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = [r.doc_id for r in nb_quality_filter(test, weights, info).collect()]
+    assert kept == [1]
+
+
+def test_empty_doc_scores_prior(spark, model):
+    _, weights, info = model
+    test = spark.createDataFrame([(1, ""), (2, "   ")], ["doc_id", "text"])
+    out = apply_nb_quality(test, weights, info).collect()
+    assert all(r.nb_score == pytest.approx(info["prior"], abs=1e-9) for r in out)
+
+
+def test_training_order_invariant(spark, model):
+    train, _, _ = model
+    w1, i1 = train_nb_quality(train, n_features=1 << 14)
+    w2, i2 = train_nb_quality(train.orderBy(F.desc("doc_id")), n_features=1 << 14)
+    assert i1 == i2
+    assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+
+
+def test_single_class_raises(spark):
+    df = spark.createDataFrame([(1, "a b", 1), (2, "c d", 1)], ["doc_id", "text", "label"])
+    with pytest.raises(ValueError):
+        train_nb_quality(df)
+
+
+def test_short_doc_features(spark):
+    """0- and 1-token docs must not hit the descending-sequence trap."""
+    df = spark.createDataFrame([(1, ""), (2, "one"), (3, "one two")], ["doc_id", "text"])
+    out = df.select("doc_id", F.size(hashed_ngram_features("text")).alias("n")).collect()
+    got = {r.doc_id: r.n for r in out}
+    assert got == {1: 0, 2: 1, 3: 3}  # 2 unigrams + 1 bigram
+
+
+def test_weights_fit_broadcast(model):
+    _, weights, info = model
+    assert weights.count() <= info["n_features"]
+
+
+def test_apply_broadcast_plan(spark, model):
+    _, weights, info = model
+    test = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    plan = (
+        apply_nb_quality(test, weights, info)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
