@@ -1,18 +1,24 @@
-"""End-to-end training-data prep: curate -> semantically dedup ->
-split -> pack -> write a partitioned, sorted dataset.
+"""End-to-end training-data prep: curate -> decontaminate -> classifier
+gate -> semantically dedup -> split -> pack -> epoch-sharded layout.
 
 Composes the round's engine extensions into the workflow an LLM data
 team actually runs, end to end on real Spark plans:
 
 1. quality gates: Gopher rule flags + the corpus-trained unigram-LM
    score (both broadcast/row-local -- no text shuffle);
-2. semantic dedup: Lloyd-trained k-means clusters over the embeddings
+2. benchmark decontamination: MinHash doc-level removal of training
+   docs near-duplicate to a (broadcast) eval set;
+3. NB classifier gate: weak labels from the unigram-LM score train a
+   hashed-ngram Naive Bayes filter, applied via a broadcast weight
+   join (the fastText-style curation gate, self-supervised here);
+4. semantic dedup: Lloyd-trained k-means clusters over the embeddings
    table, within-cluster cosine prune (SemDeDup);
-3. deterministic train/valid/test split (hash-based, replay-stable);
-4. sequence packing: two-phase prefix-sum offsets + the per-chunk
+5. deterministic train/valid/test split (hash-based, replay-stable);
+6. sequence packing: two-phase prefix-sum offsets + the per-chunk
    manifest for seq_len-token training blocks;
-5. layout: the train split written partitioned by split and sorted by
-   doc_id with real row-group stats (write_partitioned).
+7. layout: the dataset written partitioned by split with row-group
+   stats, plus epoch-0 training shards in reproducible shuffled order
+   (write_epoch_shards -- one hash shuffle, no range exchange).
 
 Documents pair with embeddings by id (doc_id == vec_id in the
 testdata).  Run: ``python examples/run_training_data_prep.py [sf_dir]``
@@ -27,8 +33,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from data_stream_flink_user_address_spark.functions.classifier import (
+    nb_quality_filter,
+    train_nb_quality,
+)
 from data_stream_flink_user_address_spark.functions.curation import (
     gopher_quality_flags,
+)
+from data_stream_flink_user_address_spark.functions.dedup import (
+    cross_corpus_decontaminate,
+)
+from data_stream_flink_user_address_spark.functions.ordering import (
+    write_epoch_shards,
 )
 from data_stream_flink_user_address_spark.functions.packing import (
     chunk_manifest,
@@ -70,29 +86,52 @@ def main() -> None:
     )
     n_gated = gated.count()
 
-    # 2. semantic dedup over the paired embeddings -----------------------
+    # 2. benchmark decontamination: the "benchmark" here is a planted
+    # copy of every 40th doc (id shifted out of range), so the stage
+    # demonstrably removes the leaked sources --------------------------
+    bench = gated.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    decon, leaks = cross_corpus_decontaminate(gated, bench, min_agreement=0.8)
+    n_decon = decon.count()
+
+    # 3. NB classifier gate: weak labels from the unigram-LM score
+    # (best third = positive, worst third = negative) train the
+    # hashed-ngram filter; threshold 0 keeps docs scoring positive ------
+    cuts = decon.agg(
+        F.expr("percentile_approx(logprob_score, 0.33)").alias("lo"),
+        F.expr("percentile_approx(logprob_score, 0.67)").alias("hi"),
+    ).collect()[0]
+    seed_set = decon.filter(
+        (F.col("logprob_score") <= cuts.lo) | (F.col("logprob_score") >= cuts.hi)
+    ).withColumn("label", (F.col("logprob_score") <= cuts.lo).cast("int"))
+    weights, info = train_nb_quality(seed_set, n_features=1 << 16)
+    classified = nb_quality_filter(decon, weights, info, threshold=-1.0)
+    n_classified = classified.count()
+
+    # 4. semantic dedup over the paired embeddings -----------------------
     cent = train_ivf_centroids(embs, iters=2, centroid_stride=31, dim=64)
     sem = semantic_dedup(embs, cent, threshold=0.3, dim=64)
-    survivors = gated.join(
+    survivors = classified.join(
         sem.filter("keep").select(F.col("vec_id").alias("doc_id")), "doc_id"
     )
     n_dedup = survivors.count()
 
-    # 3. deterministic split (cached: the gates + Lloyd training + the
+    # 5. deterministic split (cached: the gates + Lloyd training + the
     # cluster scan above feed every remaining action -- without the
     # cache each count/write below re-runs the whole curation plan)
     split = hash_split(
         survivors, {"train": 0.9, "valid": 0.05, "test": 0.05}, seed=13
     ).cache()
 
-    # 4. packing ---------------------------------------------------------
+    # 6. packing ---------------------------------------------------------
     train = split.filter(F.col("split") == "train")
     offs = sequence_pack_offsets(train, seq_len=512, bucket_size=1000)
     man = chunk_manifest(train, seq_len=512, bucket_size=1000)
     n_chunks = man.agg(F.max("chunk_id")).collect()[0][0]
     boundary = offs.filter(F.col("n_chunks_spanned") > 1).count()
 
-    # 5. layout ----------------------------------------------------------
+    # 7. layout ----------------------------------------------------------
     write_partitioned(
         split.select("doc_id", "text", "lang", "source", "split"),
         os.path.join(OUT, "dataset"),
@@ -100,11 +139,22 @@ def main() -> None:
         sort_by=["doc_id"],
     )
     man.write.mode("overwrite").parquet(os.path.join(OUT, "manifest"))
+    manifest = write_epoch_shards(
+        train.select("doc_id", "text"),
+        os.path.join(OUT, "epoch0"),
+        n_shards=8,
+        seed=13,
+        epoch=0,
+    )
+    n_shards = manifest.count()
 
     per_split = {r["split"]: r["n"] for r in
                  split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
-    print(f"docs: {n_all} -> quality-gated: {n_gated} -> semantically deduped: {n_dedup}")
+    print(f"docs: {n_all} -> quality-gated: {n_gated} "
+          f"-> decontaminated: {n_decon} (removed {leaks.select('doc_id').distinct().count()} leaks)"
+          f" -> classifier-gated: {n_classified} -> semantically deduped: {n_dedup}")
     print(f"splits: {per_split}")
+    print(f"epoch-0 train order written as {n_shards} shards under {OUT}/epoch0")
     print(f"train packs into {n_chunks + 1 if n_chunks is not None else 0} chunks "
           f"of 512 tokens; {boundary} docs cross a chunk boundary")
     print(f"dataset + manifest written under {OUT}")
