@@ -108,21 +108,32 @@ def main() -> None:
         # --- NB classifier: label half the corpus positive (vocab is
         # shared, so this measures throughput, not accuracy)
         labeled = docs.withColumn("label", (F.col("doc_id") % 2).cast("int"))
-        t0 = time.time()
-        weights, info = train_nb_quality(labeled, n_features=1 << 18)
-        n_weights = weights.count()
-        t_train = time.time() - t0
-        t0 = time.time()
-        scored = apply_nb_quality(docs, weights, info)
-        scored.agg(F.sum("nb_score")).collect()
-        t_apply = time.time() - t0
-        row["nb_classifier"] = {
-            "n_weight_rows": n_weights,
-            "train_wall_s": round(t_train, 2),
-            "train_docs_per_sec": round(n / t_train, 1),
-            "apply_wall_s": round(t_apply, 2),
-            "apply_docs_per_sec": round(n / t_apply, 1),
-        }
+        for hash_fn in ("md5", "xxhash"):
+            t0 = time.time()
+            weights, info = train_nb_quality(
+                labeled, n_features=1 << 18, hash_fn=hash_fn
+            )
+            n_weights = weights.count()
+            t_train = time.time() - t0
+            t0 = time.time()
+            scored = apply_nb_quality(docs, weights, info)
+            scored.agg(F.sum("nb_score")).collect()
+            t_apply = time.time() - t0
+            key = "nb_classifier" if hash_fn == "md5" else "nb_classifier_xxhash"
+            row[key] = {
+                "n_weight_rows": n_weights,
+                "train_wall_s": round(t_train, 2),
+                "train_docs_per_sec": round(n / t_train, 1),
+                "apply_wall_s": round(t_apply, 2),
+                "apply_docs_per_sec": round(n / t_apply, 1),
+            }
+            if hash_fn == "md5":
+                t0 = time.time()
+                scored = apply_nb_quality(docs, weights, info, method="gather")
+                scored.agg(F.sum("nb_score")).collect()
+                t_gather = time.time() - t0
+                row[key]["apply_gather_wall_s"] = round(t_gather, 2)
+                row[key]["apply_gather_docs_per_sec"] = round(n / t_gather, 1)
 
         out["sizes"].append(row)
         print(json.dumps(row))

@@ -43,14 +43,30 @@ def hashed_ngram_features(
     text: Column | str,
     n_features: int = 1 << 18,
     use_bigrams: bool = True,
+    hash_fn: str = "md5",
 ) -> Column:
     """Multiset of feature hashes (array<bigint>, values in
     [0, n_features)) for a document: lowercased whitespace unigrams
     plus adjacent-pair bigrams, hashing-tricked into ``n_features``
     buckets.  Pure projection -- the text column never leaves the row.
+
+    ``hash_fn='md5'`` (default) is the repo-wide oracle-reproducible
+    idiom; ``'xxhash'`` swaps in ``xxhash64`` -- the engine's native
+    codegen hash, measurably faster on the per-token stream (md5 inside
+    a higher-order ``transform`` evaluates interpreted) -- for
+    pipelines that don't need cross-engine score replay.  Train and
+    apply must use the SAME ``hash_fn`` (it rides the model info dict).
     """
+    if hash_fn not in ("md5", "xxhash"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash', got {hash_fn!r}")
+    if hash_fn == "xxhash":
+        def _h(c: Column) -> Column:
+            return F.pmod(F.xxhash64(c), F.lit(n_features))
+    else:
+        def _h(c: Column) -> Column:
+            return _md5_long(c) % n_features
     toks = F.transform(tokens(text), lambda t: F.lower(t))
-    uni = F.transform(toks, lambda t: _md5_long(t) % n_features)
+    uni = F.transform(toks, lambda t: _h(t))
     if not use_bigrams:
         return uni
     # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so short docs
@@ -61,10 +77,9 @@ def hashed_ngram_features(
     ).otherwise(
         F.transform(
             idx,
-            lambda i: _md5_long(
+            lambda i: _h(
                 F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1))
-            )
-            % n_features,
+            ),
         )
     )
     return F.concat(uni, bi)
@@ -77,6 +92,7 @@ def train_nb_quality(
     n_features: int = 1 << 18,
     use_bigrams: bool = True,
     alpha: float = 1.0,
+    hash_fn: str = "md5",
 ) -> tuple[DataFrame, dict]:
     """Train the NB quality model.  ``label_col`` is 0/1 (1 = keep).
 
@@ -95,9 +111,9 @@ def train_nb_quality(
     lbl = F.col(label_col).cast("long")
     feats = df.select(
         lbl.alias("__y"),
-        F.explode(hashed_ngram_features(text_col, n_features, use_bigrams)).alias(
-            "feature"
-        ),
+        F.explode(
+            hashed_ngram_features(text_col, n_features, use_bigrams, hash_fn)
+        ).alias("feature"),
     )
     counts = feats.groupBy("feature").agg(
         F.sum("__y").alias("pos"),
@@ -126,6 +142,7 @@ def train_nb_quality(
         "default_weight": default_w,
         "n_features": n_features,
         "use_bigrams": use_bigrams,
+        "hash_fn": hash_fn,
         "alpha": alpha,
         "pos_total": int(tot.pos_tot or 0),
         "neg_total": int(tot.neg_tot or 0),
@@ -148,22 +165,40 @@ def apply_nb_quality(
     text_col: str = "text",
     id_col: str = "doc_id",
     score_col: str = "nb_score",
+    method: str = "join",
 ) -> DataFrame:
     """Score every document: ``score = prior + sum_f w(f)`` over the
     document's feature multiset (unseen features contribute
     ``default_weight``).  Positive score => the doc looks like the
     positive (keep) class.
 
-    Plan: projection featurize -> explode -> BROADCAST join on the
-    (<= n_features row) weight table -> per-doc sum -> join scores
-    back onto the input by id.  The corpus text rides no exchange; the
-    only corpus-sized shuffle carries (id, double) partial sums.
-    Zero-token docs score exactly ``prior``.
+    ``method='join'`` (default): projection featurize -> explode ->
+    BROADCAST join on the (<= n_features row) weight table -> per-doc
+    sum -> join scores back onto the input by id.  The corpus text
+    rides no exchange; the only corpus-sized shuffle carries
+    (id, double) partial sums.  Deterministic to 1e-9 (rounded
+    fixed-order inputs), the oracle-exact path.
+
+    ``method='gather'``: the weight table is DENSIFIED into a
+    float64[n_features] numpy array (a few MB at 2^18), broadcast once,
+    and scores come from an Arrow-batched pandas UDF doing a vector
+    gather ``w[ids].sum()`` per row -- ZERO shuffle, zero join: the
+    score is a per-row projection.  Float summation order inside the
+    gather differs from the join path, so scores match to ~1e-9
+    relative, not bitwise; use 'join' when the oracle must replay the
+    exact value.  Zero-token docs score exactly ``prior`` either way.
     """
+    if method == "gather":
+        return _apply_nb_gather(df, weights, info, text_col, score_col)
     feats = df.select(
         F.col(id_col),
         F.explode_outer(
-            hashed_ngram_features(text_col, info["n_features"], info["use_bigrams"])
+            hashed_ngram_features(
+                text_col,
+                info["n_features"],
+                info["use_bigrams"],
+                info.get("hash_fn", "md5"),
+            )
         ).alias("feature"),
     )
     joined = feats.join(F.broadcast(weights), on="feature", how="left")
@@ -176,6 +211,113 @@ def apply_nb_quality(
         .agg(F.round(F.sum("__w") + F.lit(info["prior"]), 9).alias(score_col))
     )
     return df.join(scores, on=id_col, how="left")
+
+
+def _apply_nb_gather(
+    df: DataFrame,
+    weights: DataFrame,
+    info: dict,
+    text_col: str,
+    score_col: str,
+) -> DataFrame:
+    """The zero-shuffle scoring path: densify + broadcast the weight
+    vector, gather-sum per row in an Arrow-batched pandas UDF."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n = int(info["n_features"])
+    w_arr = np.full(n, float(info["default_weight"]), dtype=np.float64)
+    for r in weights.collect():
+        w_arr[int(r["feature"])] = float(r["weight"])
+    bw = df.sparkSession.sparkContext.broadcast(w_arr)
+    prior = float(info["prior"])
+
+    # no type hints: the module-wide `from __future__ import annotations`
+    # would stringify them past pyspark's eval-type inference
+    def _score_fn(feats):
+        w = bw.value
+        return pd.Series(
+            [
+                prior
+                + (w[np.asarray(ids, dtype=np.int64)].sum() if len(ids) else 0.0)
+                for ids in feats
+            ],
+            dtype="float64",
+        )
+
+    _score = F.pandas_udf(_score_fn, T.DoubleType())
+
+    arr = hashed_ngram_features(
+        text_col, n, info["use_bigrams"], info.get("hash_fn", "md5")
+    )
+    return df.withColumn(score_col, F.round(_score(arr), 9))
+
+
+def _nb_gate_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    weights: DataFrame,
+    info: dict,
+    out_path: str,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One epoch of :func:`streaming_nb_quality_gate` -- module-level so
+    the replay-idempotency contract (same epoch twice == once) is
+    directly unit-testable without a live stream."""
+    kept = nb_quality_filter(
+        batch_df, weights, info, threshold, text_col, id_col
+    ).withColumn("__epoch", F.lit(int(epoch_id)))
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(out_path)
+    )
+
+
+def streaming_nb_quality_gate(
+    stream: DataFrame,
+    weights: DataFrame,
+    info: dict,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuous-crawl admission through the trained NB quality model:
+    every micro-batch is scored against the (frozen, broadcast) weight
+    table and survivors land under an ``__epoch=<id>`` partition of
+    ``out_path`` with dynamic overwrite -- a replayed epoch rewrites
+    exactly its own partition, the same idempotency contract as the
+    dedup gates (they compose: chain this gate's output directory into
+    :func:`~.dedup.streaming_incremental_minhash_dedup` for
+    quality-then-novelty admission).
+
+    The model is train-once/score-many: training happens OFFLINE on the
+    labeled seed set (:func:`train_nb_quality`); the stream pays only
+    the map-side featurize + broadcast join per batch -- no state, no
+    shuffle of history.  Returns the started ``StreamingQuery``.
+    """
+    from .dedup import _require_epoch_layout
+
+    _require_epoch_layout(out_path)
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        _nb_gate_batch(
+            batch_df, int(epoch_id), weights, info, out_path,
+            threshold, text_col, id_col,
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fb)
+        .start()
+    )
 
 
 def nb_quality_filter(

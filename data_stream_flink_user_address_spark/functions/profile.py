@@ -1,0 +1,103 @@
+"""Single-pass corpus profiling: the summary report a data team runs
+before and after every curation stage.
+
+Engine extension beyond the reference surface (BASELINE.json north
+star).  One narrow projection computes the per-row signals (token
+count, char count, content fingerprint); everything else is aggregation
+of those few columns -- the document text is dropped before any
+exchange, so profiling a 100 TB corpus costs one scan plus two
+narrow-column aggregates (a 1-row global rollup and an optional
+per-group breakdown).  Duplicate rate uses HLL
+(``approx_count_distinct``) on the 32-byte fingerprint: no dedup
+shuffle, ~2% relative error, which is the right trade for a report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+
+def _signals(
+    df: DataFrame, text_col: str, id_col: str, keep: list[str]
+) -> DataFrame:
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        token_count(text_col).alias("__toks"),
+        F.length(text_col).alias("__chars"),
+        F.md5(norm).alias("__fp"),
+    )
+
+
+_PCTS = [0.5, 0.9, 0.99]
+
+
+def _agg_exprs() -> list:
+    return [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__toks").alias("total_tokens"),
+        F.sum("__chars").alias("total_chars"),
+        F.round(F.avg("__toks"), 2).alias("avg_tokens"),
+        F.min("__toks").alias("min_tokens"),
+        F.max("__toks").alias("max_tokens"),
+        F.expr(f"percentile_approx(__toks, array({', '.join(map(str, _PCTS))}))").alias(
+            "token_percentiles"
+        ),
+        F.approx_count_distinct("__fp").alias("approx_distinct_docs"),
+        F.round(
+            1.0 - F.approx_count_distinct("__fp") / F.count(F.lit(1)), 4
+        ).alias("approx_dup_rate"),
+        F.count(F.when(F.col("__toks") == 0, 1)).alias("n_empty_docs"),
+    ]
+
+
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str | None = None,
+) -> DataFrame:
+    """Corpus summary: one row (or one row per ``by`` group) of
+    document/token/char counts, token-length percentiles
+    (p50/p90/p99), HLL-estimated distinct-content count and duplicate
+    rate, and the empty-doc count.
+
+    ``by=None`` returns the 1-row global profile; ``by='source'`` (or
+    any column) returns the per-group breakdown, sorted by group.  The
+    profile plan is the SAME narrow projection either way -- at most
+    (id, group, 3 numeric, 1 fingerprint) columns ride the aggregate;
+    partial aggregation collapses each map partition to one row per
+    group before the (tiny) exchange.
+    """
+    sig = _signals(df, text_col, id_col, [by] if by else [])
+    if by is None:
+        return sig.agg(*_agg_exprs())
+    return sig.groupBy(by).agg(*_agg_exprs()).orderBy(by)
+
+
+def profile_funnel(
+    stages: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Profile a curation funnel: ``{stage_name: df}`` -> one profile
+    row per stage (insertion order preserved via an explicit stage
+    index), so kept-fractions and token losses between stages read off
+    a single small table.  Each stage is profiled independently --
+    unioning the 1-row profiles is free; the input frames are NOT
+    re-used across stages, so share/cache upstream frames yourself if
+    the funnel stages build on each other.
+    """
+    out = None
+    for i, (name, df) in enumerate(stages.items()):
+        row = corpus_profile(df, text_col, id_col).select(
+            F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"), F.col("*")
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("profile_funnel needs at least one stage")
+    return out.orderBy("stage_idx")

@@ -1,7 +1,11 @@
 """NB hashed-ngram quality classifier (functions/classifier.py)."""
 
+import json
+import os
+
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_stream_flink_user_address_spark.functions.classifier import (
     apply_nb_quality,
@@ -89,9 +93,123 @@ def test_short_doc_features(spark):
     assert got == {1: 0, 2: 1, 3: 3}  # 2 unigrams + 1 bigram
 
 
+def test_xxhash_variant_separates_classes(spark, model):
+    train, _, _ = model
+    weights, info = train_nb_quality(train, n_features=1 << 14, hash_fn="xxhash")
+    assert info["hash_fn"] == "xxhash"
+    test = spark.createDataFrame(
+        [
+            (1, "the reviewed analysis reported detailed statistical evidence"),
+            (2, "click now free offer buy cheap pills win money"),
+        ],
+        ["doc_id", "text"],
+    )
+    scored = {r.doc_id: r.nb_score for r in apply_nb_quality(test, weights, info).collect()}
+    assert scored[1] > 0 > scored[2]
+
+
+def test_gather_matches_join_scores(spark, model):
+    _, weights, info = model
+    test = spark.createDataFrame(
+        [(1, GOOD[0]), (2, BAD[0]), (3, ""), (4, "one")], ["doc_id", "text"]
+    )
+    j = {r.doc_id: r.nb_score for r in apply_nb_quality(test, weights, info).collect()}
+    g = {
+        r.doc_id: r.nb_score
+        for r in apply_nb_quality(test, weights, info, method="gather").collect()
+    }
+    for k in j:
+        assert g[k] == pytest.approx(j[k], abs=1e-8)
+
+
+def test_gather_zero_shuffle_plan(spark, model):
+    _, weights, info = model
+    test = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    plan = (
+        apply_nb_quality(test, weights, info, method="gather")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_bad_hash_fn_raises(spark):
+    with pytest.raises(ValueError, match="hash_fn"):
+        hashed_ngram_features("text", hash_fn="sha1")
+
+
 def test_weights_fit_broadcast(model):
     _, weights, info = model
     assert weights.count() <= info["n_features"]
+
+
+class TestStreamingGate:
+    def test_epoch_replay_is_idempotent(self, spark, model, tmp_path):
+        from data_stream_flink_user_address_spark.functions.classifier import (
+            _nb_gate_batch,
+        )
+
+        _, weights, info = model
+        out = str(tmp_path / "out")
+        batch = spark.createDataFrame(
+            [(1, GOOD[0]), (2, BAD[0])], ["doc_id", "text"]
+        )
+        _nb_gate_batch(batch, 0, weights, info, out)
+        _nb_gate_batch(batch, 0, weights, info, out)  # replay
+        rows = spark.read.parquet(out).collect()
+        assert [(r.doc_id, r["__epoch"]) for r in rows] == [(1, 0)]
+
+    def test_streaming_end_to_end(self, spark, model, tmp_path):
+        from data_stream_flink_user_address_spark.functions.classifier import (
+            streaming_nb_quality_gate,
+        )
+
+        _, weights, info = model
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        out = str(tmp_path / "out")
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType()),
+             T.StructField("text", T.StringType())]
+        )
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            f.write(json.dumps({"doc_id": 10, "text": GOOD[1]}) + "\n")
+            f.write(json.dumps({"doc_id": 11, "text": BAD[1]}) + "\n")
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).json(src)
+        q = streaming_nb_quality_gate(
+            stream, weights, info, out, str(tmp_path / "ck")
+        )
+        try:
+            q.processAllAvailable()
+            with open(os.path.join(src, "b2.json"), "w") as f:
+                f.write(json.dumps({"doc_id": 20, "text": GOOD[2]}) + "\n")
+                f.write(json.dumps({"doc_id": 21, "text": BAD[2]}) + "\n")
+            q.processAllAvailable()
+            q.stop()
+            rows = spark.read.parquet(out).collect()
+            assert sorted((r.doc_id, r["__epoch"]) for r in rows) == [
+                (10, 0), (20, 1),
+            ]
+        finally:
+            q.stop()
+
+    def test_flat_layout_rejected(self, spark, model, tmp_path):
+        from data_stream_flink_user_address_spark.functions.classifier import (
+            streaming_nb_quality_gate,
+        )
+
+        _, weights, info = model
+        out = str(tmp_path / "flat")
+        spark.createDataFrame([(1, "x")], ["doc_id", "text"]).write.parquet(out)
+        stream = spark.readStream.format("rate").load()
+        with pytest.raises(ValueError, match="flat-append"):
+            streaming_nb_quality_gate(
+                stream, weights, info, out, str(tmp_path / "ck")
+            )
 
 
 def test_apply_broadcast_plan(spark, model):

@@ -1,0 +1,81 @@
+"""Corpus profiling (functions/profile.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_stream_flink_user_address_spark.functions.profile import (
+    corpus_profile,
+    profile_funnel,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_global_profile_exact_fields(spark, docs):
+    got = corpus_profile(docs).collect()[0]
+    want = duckdb.sql(
+        f"""
+        SELECT count(*) AS n,
+               sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS toks,
+               sum(len(text)) AS chars,
+               min(len(regexp_split_to_array(trim(text), '\\s+'))) AS mn,
+               max(len(regexp_split_to_array(trim(text), '\\s+'))) AS mx
+        FROM read_parquet('{SF}/documents.parquet')
+        WHERE TRUE
+        """
+    ).fetchone()
+    assert got.n_docs == want[0]
+    assert got.total_chars == want[2]
+    assert got.min_tokens == want[3]
+    assert got.max_tokens == want[4]
+    assert got.n_empty_docs == 0
+    assert len(got.token_percentiles) == 3
+
+
+def test_dup_rate_sees_planted_duplicates(spark):
+    rows = [(i, "identical text body") for i in range(50)] + [
+        (100 + i, f"unique body number {i}") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = corpus_profile(df).collect()[0]
+    # 51 distinct contents out of 100 docs; HLL error ~2%
+    assert got.approx_dup_rate == pytest.approx(0.49, abs=0.05)
+
+
+def test_by_group_breakdown(spark, docs):
+    rows = corpus_profile(docs, by="source").collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert [r.source for r in rows] == sorted(r.source for r in rows)
+
+
+def test_empty_docs_counted(spark):
+    df = spark.createDataFrame([(1, ""), (2, "  "), (3, "one two")], ["doc_id", "text"])
+    got = corpus_profile(df).collect()[0]
+    assert got.n_empty_docs == 2
+
+
+def test_funnel_ordering_and_counts(spark, docs):
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    out = profile_funnel({"raw": docs, "halved": half}).collect()
+    assert [r.stage for r in out] == ["raw", "halved"]
+    assert out[0].n_docs == docs.count()
+    assert out[1].n_docs == half.count()
+
+
+def test_funnel_empty_raises():
+    with pytest.raises(ValueError):
+        profile_funnel({})
+
+
+def test_profile_two_phase_aggregate(docs):
+    """Map-side combine must collapse each partition to one row per
+    group before the exchange (the narrow-shuffle claim)."""
+    plan = corpus_profile(docs, by="source")._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in plan  # partial aggregation present
+    assert plan.index("partial_") > plan.index("Exchange")  # below the exchange
