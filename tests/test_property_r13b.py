@@ -1,0 +1,94 @@
+"""Property-based tests for the r13b operators: epoch shuffle
+permutation/determinism, decontamination partition, NB label-flip
+antisymmetry, profile vs a sequential reference."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_stream_flink_user_address_spark.functions.classifier import (
+    train_nb_quality,
+)
+from data_stream_flink_user_address_spark.functions.dedup import (
+    cross_corpus_decontaminate,
+)
+from data_stream_flink_user_address_spark.functions.ordering import epoch_shuffle
+from data_stream_flink_user_address_spark.functions.profile import corpus_profile
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+_DOC = st.lists(_WORD, min_size=0, max_size=12).map(" ".join)
+
+
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+       epoch=st.integers(0, 3))
+@settings(**_SETTINGS)
+def test_epoch_shuffle_is_deterministic_permutation(spark, ids, epoch):
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    a = epoch_shuffle(df, epoch=epoch, n_shards=4).collect()
+    b = epoch_shuffle(df, epoch=epoch, n_shards=4).collect()
+    assert a == b
+    assert sorted(r.doc_id for r in a) == sorted(ids)
+    assert all(r.shard == r.epoch_order % 4 for r in a)
+
+
+@given(docs=st.lists(_DOC.filter(lambda t: len(t) >= 8), min_size=2, max_size=20,
+                     unique=True),
+       n_eval=st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_decontaminate_partitions_train(spark, docs, n_eval):
+    train = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(1000 + i, docs[i]) for i in range(min(n_eval, len(docs)))],
+        ["doc_id", "text"],
+    )
+    clean, pairs = cross_corpus_decontaminate(train, ev, n=4, min_agreement=0.9)
+    kept = {r.doc_id for r in clean.collect()}
+    dropped = {r.doc_id for r in pairs.collect()}
+    assert kept | dropped == set(range(len(docs)))
+    assert kept & dropped == set()
+    # verbatim eval copies always fall
+    assert all(i in dropped for i in range(min(n_eval, len(docs))))
+
+
+@given(texts=st.lists(_DOC.filter(lambda t: t.strip()), min_size=2, max_size=10),
+       flip_seed=st.integers(0, 5))
+@settings(**_SETTINGS)
+def test_nb_label_flip_negates_model(spark, texts, flip_seed):
+    rows = [(i, t, (i + flip_seed) % 2) for i, t in enumerate(texts)]
+    if len({r[2] for r in rows}) < 2:
+        return
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    flipped = df.withColumn("label", 1 - F.col("label"))
+    w1, i1 = train_nb_quality(df, n_features=1 << 10)
+    w2, i2 = train_nb_quality(flipped, n_features=1 << 10)
+    assert i2["prior"] == -i1["prior"]
+    assert i2["default_weight"] == -i1["default_weight"]
+    m1 = {r.feature: r.weight for r in w1.collect()}
+    m2 = {r.feature: r.weight for r in w2.collect()}
+    assert set(m1) == set(m2)
+    assert all(abs(m1[f] + m2[f]) < 2e-9 for f in m1)
+
+
+@given(docs=st.lists(_DOC, min_size=1, max_size=15))
+@settings(**_SETTINGS)
+def test_profile_matches_sequential_reference(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = corpus_profile(df).collect()[0]
+    toks = [len(t.split()) if t.strip() else 0 for t in docs]
+    assert got.n_docs == len(docs)
+    assert got.total_tokens == sum(toks)
+    assert got.total_chars == sum(len(t) for t in docs)
+    assert got.min_tokens == min(toks)
+    assert got.max_tokens == max(toks)
+    assert got.n_empty_docs == sum(1 for t in toks if t == 0)
