@@ -37,6 +37,9 @@ from data_stream_flink_user_address_spark.functions.dedup import (
 from data_stream_flink_user_address_spark.functions.ordering import (
     write_epoch_shards,
 )
+from data_stream_flink_user_address_spark.functions.packing import (
+    histogram_pack,
+)
 from data_stream_flink_user_address_spark.session import get_spark
 
 SIZES = [
@@ -134,6 +137,33 @@ def main() -> None:
                 t_gather = time.time() - t0
                 row[key]["apply_gather_wall_s"] = round(t_gather, 2)
                 row[key]["apply_gather_docs_per_sec"] = round(n / t_gather, 1)
+
+        # --- SPFHP histogram packing: vary doc lengths 1..50 row-locally
+        # (the curation corpus is fixed-width; a one-bar histogram would
+        # trivialize the solve)
+        varied = docs.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.split(F.col("text"), " "),
+                    1,
+                    (F.pmod(F.xxhash64("doc_id"), F.lit(50)) + 1).cast("int"),
+                ),
+            ).alias("text"),
+        )
+        t0 = time.time()
+        assigned, stats = histogram_pack(varied, seq_len=512)
+        n_assigned = assigned.count()
+        dt = time.time() - t0
+        assert n_assigned == stats["n_docs"]
+        row["histogram_pack"] = {
+            "n_bins": stats["n_bins"],
+            "n_patterns": stats["n_patterns"],
+            "padding_frac": stats["padding_frac"],
+            "wall_s": round(dt, 2),
+            "docs_per_sec": round(n / dt, 1),
+        }
 
         out["sizes"].append(row)
         print(json.dumps(row))

@@ -254,6 +254,37 @@ def _apply_nb_gather(
     return df.withColumn(score_col, F.round(_score(arr), 9))
 
 
+def save_nb_model(weights: DataFrame, info: dict, path: str) -> None:
+    """Persist a trained model: ``path/weights/`` parquet + ``path/info.json``.
+
+    The streaming gate and any later session re-load from here --
+    train-once/score-many across restarts, the same persisted-artifact
+    contract as the PQ/IVF indexes.  The weight table is repartitioned
+    to 1 file: it is <= n_features rows (a few MB), and a single file
+    keeps the later broadcast scan trivially balanced.
+    """
+    import json as _json
+    import os as _os
+
+    weights.repartition(1).write.mode("overwrite").parquet(
+        _os.path.join(path, "weights")
+    )
+    tmp = _os.path.join(path, "info.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(info, f)
+    _os.replace(tmp, _os.path.join(path, "info.json"))
+
+
+def load_nb_model(spark, path: str) -> tuple[DataFrame, dict]:
+    """Inverse of :func:`save_nb_model`."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "info.json")) as f:
+        info = _json.load(f)
+    return spark.read.parquet(_os.path.join(path, "weights")), info
+
+
 def _nb_gate_batch(
     batch_df: DataFrame,
     epoch_id: int,

@@ -206,3 +206,303 @@ def overlap_chunks(
             " ", F.slice("__toks", F.col("start_tok") + 1, F.lit(chunk_len))
         ).alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# histogram packing (whole-document bins, no cross-contamination)
+# ---------------------------------------------------------------------------
+
+
+def _spfhp_solve(
+    hist: dict[int, int], seq_len: int, max_patterns: int = 50_000
+) -> list[tuple[tuple[int, ...], int]]:
+    """Shortest-pack-first histogram packing on the LENGTH HISTOGRAM.
+
+    Re-implements the published SPFHP idea (Krell et al., "Efficient
+    Sequence Packing without Cross-contamination", 2021): because the
+    solver sees only the histogram (<= seq_len rows, independent of
+    corpus size), packing a 100 TB corpus costs the same driver-side
+    milliseconds as packing 10k docs.  Greedy, longest lengths first;
+    each doc joins the OPEN pattern with the smallest remaining
+    capacity that still fits (ties broken by canonical pattern order
+    for determinism), else opens a new bin.
+
+    Returns ``[(pattern, count), ...]`` -- pattern = tuple of doc
+    lengths in CONSUMPTION order (descending), count = how many bins
+    use it -- in a deterministic canonical order.  ``max_patterns``
+    caps state: past it, the fullest open patterns are finalized
+    (closed) before new ones open, degrading packing quality, never
+    correctness.
+    """
+    open_pats: dict[tuple[int, ...], int] = {}
+    closed: dict[tuple[int, ...], int] = {}
+    for length in sorted(hist, reverse=True):
+        c = int(hist[length])
+        if c <= 0:
+            continue
+        if length > seq_len:
+            raise ValueError(f"length {length} > seq_len {seq_len}")
+        while c > 0:
+            fits = [
+                p for p in open_pats
+                if open_pats[p] > 0 and seq_len - sum(p) >= length
+            ]
+            if fits:
+                # shortest-pack-first: least remaining capacity wins
+                best = min(fits, key=lambda p: (seq_len - sum(p), p))
+                k = min(c, open_pats[best])
+                open_pats[best] -= k
+                if open_pats[best] == 0:
+                    del open_pats[best]
+                grown = best + (length,)
+                open_pats[grown] = open_pats.get(grown, 0) + k
+                c -= k
+            else:
+                open_pats[(length,)] = open_pats.get((length,), 0) + c
+                c = 0
+            if len(open_pats) > max_patterns:
+                fullest = sorted(
+                    open_pats, key=lambda p: (seq_len - sum(p), p)
+                )[: len(open_pats) // 2]
+                for p in fullest:
+                    closed[p] = closed.get(p, 0) + open_pats.pop(p)
+    for p, n in open_pats.items():
+        closed[p] = closed.get(p, 0) + n
+    _merge_patterns(closed, seq_len)
+    return sorted(closed.items())
+
+
+def _merge_patterns(closed: dict[tuple[int, ...], int], seq_len: int) -> None:
+    """Post-pass: combine whole bins whose contents fit together.
+
+    The SPF greedy is brittle near granularity boundaries -- two
+    histograms of near-identical shape can land at 2% vs 14% padding
+    when a pattern run misaligns and a tail of small-length bins stays
+    underfull.  Merging operates on PATTERN CLASSES (not individual
+    bins), so each step retires min(count) bins at once: repeatedly
+    give the emptiest pattern the fullest partner that still fits.
+    Strictly decreases bin count, terminates, and stays O(P^2) per
+    merge on the (tiny) pattern inventory.  In place.
+    """
+    while True:
+        pats = sorted(closed.items(), key=lambda kv: (sum(kv[0]), kv[0]))
+        merged = False
+        for p, c in pats:
+            if closed.get(p, 0) <= 0:
+                continue
+            rem = seq_len - sum(p)
+            best = None
+            for q, cq in pats:
+                if closed.get(q, 0) <= 0 or sum(q) > rem:
+                    continue
+                if q == p and closed[p] < 2:
+                    continue
+                if best is None or sum(q) > sum(best):
+                    best = q
+            if best is None:
+                continue
+            k = closed[p] // 2 if best == p else min(closed[p], closed[best])
+            if k <= 0:
+                continue
+            closed[p] -= k
+            closed[best] -= k
+            comb = tuple(sorted(p + best, reverse=True))
+            closed[comb] = closed.get(comb, 0) + k
+            for key in {p, best}:
+                if closed.get(key) == 0:
+                    del closed[key]
+            merged = True
+            break
+        if not merged:
+            return
+
+
+def histogram_pack(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    bucket_size: int = 100_000,
+) -> tuple[DataFrame, dict]:
+    """Whole-document bin packing: every doc lands in exactly one
+    ``seq_len``-capacity bin, bins never split a document -- the
+    packing used when cross-document attention contamination must be
+    avoided (vs :func:`sequence_pack_offsets`' concat-and-split
+    stream).  Docs longer than ``seq_len`` are clamped (``truncated``
+    flag); empty docs are excluded.
+
+    Returns ``(assignment_df, stats)``: one row per doc --
+    ``(doc_id, n_tokens, bin_id, truncated)`` with bin token sums
+    <= seq_len -- plus driver-side exact ``stats``
+    (``n_docs, n_bins, total_tokens, padding_frac, n_truncated,
+    n_patterns``) computed from the histogram, no second corpus pass.
+
+    Scale shape: ONE corpus pass builds the <= seq_len-row length
+    histogram (map-side combined); the SPFHP solve runs on the driver
+    against that histogram (corpus-size independent); assignment is
+    pure arithmetic -- each doc's RANK within its length class maps to
+    (pattern block, instance, slot) through a broadcast segment table.
+    The rank itself uses the module's two-phase trick keyed on
+    (length, id-bucket), so no window partition exceeds
+    ``bucket_size`` rows and a billion-doc length class never funnels
+    through one task.  Shuffle inventory: the (id, length, bucket)
+    triple through one exchange for the local rank window, a
+    histogram-sized aggregate, two broadcasts back.  Document text
+    never moves.
+    """
+    d = (
+        df.select(
+            F.col(id_col),
+            token_count(text_col).alias("__raw_tokens"),
+        )
+        .filter(F.col("__raw_tokens") > 0)
+        .select(
+            id_col,
+            F.least(F.col("__raw_tokens"), F.lit(seq_len)).alias("n_tokens"),
+            (F.col("__raw_tokens") > seq_len).alias("truncated"),
+        )
+        .withColumn("__bucket", F.floor(F.col(id_col) / bucket_size))
+    )
+    # the narrow (id, len, flag, bucket) frame feeds the histogram AND
+    # the rank path: materialize lazily or the text scan runs twice
+    # (multi-reference plans recompute; ~20 bytes/row, linear storage)
+    d = d.localCheckpoint(eager=False)
+
+    hist_rows = (
+        d.groupBy("n_tokens", "truncated").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    hist: dict[int, int] = {}
+    n_truncated = 0
+    for r in hist_rows:
+        hist[int(r.n_tokens)] = hist.get(int(r.n_tokens), 0) + int(r.c)
+        if r.truncated:
+            n_truncated += int(r.c)
+    if not hist:
+        spark = df.sparkSession
+        empty = spark.createDataFrame(
+            [], f"{id_col} long, n_tokens bigint, bin_id bigint, truncated boolean"
+        )
+        return empty, {
+            "n_docs": 0, "n_bins": 0, "total_tokens": 0,
+            "padding_frac": 0.0, "n_truncated": 0, "n_patterns": 0,
+        }
+
+    patterns = _spfhp_solve(hist, seq_len)
+
+    # segment table: for each length, the consumption ranges in pattern
+    # order -- (length, rank_start, n_per_inst, m_instances, bin_base)
+    seg_rows = []
+    next_rank: dict[int, int] = {length: 0 for length in hist}
+    bin_base = 0
+    for pat_id, (pat, m) in enumerate(patterns):
+        per_len: dict[int, int] = {}
+        for length in pat:
+            per_len[length] = per_len.get(length, 0) + 1
+        for length, n_per in sorted(per_len.items()):
+            start = next_rank[length]
+            seg_rows.append((length, start, n_per, m, bin_base, pat_id))
+            next_rank[length] = start + n_per * m
+        bin_base += m
+    spark = df.sparkSession
+    segs = spark.createDataFrame(
+        seg_rows,
+        "n_tokens bigint, rank_start bigint, n_per_inst int, "
+        "m_inst bigint, bin_base bigint, pattern_id int",
+    )
+
+    # two-phase rank within each length class, (length, bucket)-keyed so
+    # no single window partition outgrows bucket_size
+    wloc = Window.partitionBy("n_tokens", "__bucket").orderBy(F.col(id_col).asc())
+    local = d.withColumn("__local_rank", F.row_number().over(wloc))
+    per_lb = d.groupBy("n_tokens", "__bucket").agg(
+        F.count(F.lit(1)).alias("__lbc")
+    )
+    wb = (
+        Window.partitionBy("n_tokens")
+        .orderBy(F.col("__bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bases = per_lb.withColumn(
+        "__lbase", F.sum("__lbc").over(wb) - F.col("__lbc")
+    ).select("n_tokens", "__bucket", "__lbase")
+    ranked = local.join(F.broadcast(bases), ["n_tokens", "__bucket"]).withColumn(
+        "__rank", F.col("__lbase") + F.col("__local_rank") - 1
+    )
+
+    assigned = (
+        ranked.join(F.broadcast(segs), "n_tokens")
+        .filter(
+            (F.col("__rank") >= F.col("rank_start"))
+            & (F.col("__rank") < F.col("rank_start")
+               + F.col("n_per_inst").cast("bigint") * F.col("m_inst"))
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.col("bin_base")
+                + F.floor(
+                    (F.col("__rank") - F.col("rank_start")) / F.col("n_per_inst")
+                )
+            ).cast("bigint").alias("bin_id"),
+            "truncated",
+        )
+    )
+
+    n_docs = sum(hist.values())
+    total_tokens = sum(k * v for k, v in hist.items())
+    n_bins = sum(m for _, m in patterns)
+    stats = {
+        "n_docs": int(n_docs),
+        "n_bins": int(n_bins),
+        "total_tokens": int(total_tokens),
+        "padding_frac": round(1.0 - total_tokens / (n_bins * seq_len), 6),
+        "n_truncated": int(n_truncated),
+        "n_patterns": len(patterns),
+    }
+    return assigned, stats
+
+
+def pack_bins_text(
+    df: DataFrame,
+    assignment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Materialize :func:`histogram_pack` bins as training rows: one row
+    per bin -- ``(bin_id, n_docs, n_tokens, packed_text)`` -- with the
+    bin's documents concatenated in deterministic (id) order,
+    truncated members clipped to their packed token budget.
+
+    Scale shape: broadcast-join nothing -- the assignment frame is
+    corpus-sized, so this is one equi-join on the id (both sides hash
+    on the same key) followed by ONE bin-keyed shuffle that carries
+    each document's text exactly once (the unavoidable data movement:
+    bins must be assembled somewhere), with map-side nothing to
+    combine.  ``sort_array`` over the collected (id, text) structs
+    keeps assembly order deterministic regardless of arrival order.
+    """
+    joined = df.select(F.col(id_col), F.col(text_col)).join(
+        assignment.select(id_col, "n_tokens", "bin_id"), id_col
+    )
+    clipped = joined.select(
+        "bin_id",
+        "n_tokens",
+        F.struct(
+            F.col(id_col).alias("id"),
+            F.concat_ws(
+                sep, F.slice(F.split(F.trim(F.col(text_col)), r"\s+"), 1, F.col("n_tokens").cast("int"))
+            ).alias("t"),
+        ).alias("__member"),
+    )
+    return (
+        clipped.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.concat_ws(
+                sep, F.transform(F.sort_array(F.collect_list("__member")), lambda m: m["t"])
+            ).alias("packed_text"),
+        )
+    )

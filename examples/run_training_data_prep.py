@@ -48,6 +48,7 @@ from data_stream_flink_user_address_spark.functions.ordering import (
 )
 from data_stream_flink_user_address_spark.functions.packing import (
     chunk_manifest,
+    histogram_pack,
     sequence_pack_offsets,
 )
 from data_stream_flink_user_address_spark.functions.sampling import hash_split
@@ -130,6 +131,8 @@ def main() -> None:
     man = chunk_manifest(train, seq_len=512, bucket_size=1000)
     n_chunks = man.agg(F.max("chunk_id")).collect()[0][0]
     boundary = offs.filter(F.col("n_chunks_spanned") > 1).count()
+    # contamination-free alternative: whole-doc SPFHP bins
+    _, hp_stats = histogram_pack(train, seq_len=512)
 
     # 7. layout ----------------------------------------------------------
     write_partitioned(
@@ -157,6 +160,8 @@ def main() -> None:
     print(f"epoch-0 train order written as {n_shards} shards under {OUT}/epoch0")
     print(f"train packs into {n_chunks + 1 if n_chunks is not None else 0} chunks "
           f"of 512 tokens; {boundary} docs cross a chunk boundary")
+    print(f"no-split SPFHP packing: {hp_stats['n_bins']} bins, "
+          f"padding {hp_stats['padding_frac']:.1%} ({hp_stats['n_patterns']} patterns)")
     print(f"dataset + manifest written under {OUT}")
 
 

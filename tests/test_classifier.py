@@ -145,6 +145,23 @@ def test_weights_fit_broadcast(model):
     assert weights.count() <= info["n_features"]
 
 
+def test_save_load_roundtrip(spark, model, tmp_path):
+    from data_stream_flink_user_address_spark.functions.classifier import (
+        load_nb_model,
+        save_nb_model,
+    )
+
+    _, weights, info = model
+    save_nb_model(weights, info, str(tmp_path / "m"))
+    w2, i2 = load_nb_model(spark, str(tmp_path / "m"))
+    assert i2 == info
+    assert sorted(map(tuple, w2.collect())) == sorted(map(tuple, weights.collect()))
+    test = spark.createDataFrame([(1, GOOD[0]), (2, BAD[0])], ["doc_id", "text"])
+    a = {r.doc_id: r.nb_score for r in apply_nb_quality(test, weights, info).collect()}
+    b = {r.doc_id: r.nb_score for r in apply_nb_quality(test, w2, i2).collect()}
+    assert a == b
+
+
 class TestStreamingGate:
     def test_epoch_replay_is_idempotent(self, spark, model, tmp_path):
         from data_stream_flink_user_address_spark.functions.classifier import (

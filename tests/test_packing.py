@@ -186,3 +186,151 @@ class TestOverlapChunks:
         with contextlib.redirect_stdout(buf):
             overlap_chunks(df, chunk_len=4, overlap=1).explain("formatted")
         assert "Exchange" not in buf.getvalue()
+
+
+class TestHistogramPack:
+    def _mk(self, spark, lens, seq_len=None):
+        rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_every_doc_one_bin_within_capacity(self, spark):
+        from data_stream_flink_user_address_spark.functions.packing import (
+            histogram_pack,
+        )
+
+        lens = [5, 5, 3, 3, 3, 2, 7, 8, 1, 1, 4, 6]
+        df = self._mk(spark, lens)
+        out, stats = histogram_pack(df, seq_len=8, bucket_size=4)
+        rows = out.collect()
+        assert len(rows) == len(lens)  # every doc assigned exactly once
+        assert stats["n_docs"] == len(lens)
+        sums = {}
+        for r in rows:
+            sums[r.bin_id] = sums.get(r.bin_id, 0) + r.n_tokens
+        assert all(s <= 8 for s in sums.values())
+        assert len(sums) == stats["n_bins"]
+        assert stats["total_tokens"] == sum(lens)
+        # exact padding accounting
+        assert stats["padding_frac"] == round(
+            1 - sum(lens) / (stats["n_bins"] * 8), 6
+        )
+
+    def test_bin_contents_match_solver_patterns(self, spark):
+        from data_stream_flink_user_address_spark.functions.packing import (
+            _spfhp_solve,
+            histogram_pack,
+        )
+
+        lens = [6, 6, 4, 4, 4, 2, 2, 2, 2, 1, 8, 5, 3]
+        df = self._mk(spark, lens)
+        out, stats = histogram_pack(df, seq_len=8, bucket_size=5)
+        hist = {}
+        for n in lens:
+            hist[n] = hist.get(n, 0) + 1
+        want = []
+        for pat, m in _spfhp_solve(hist, 8):
+            want += [tuple(sorted(pat))] * m
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.bin_id, []).append(r.n_tokens)
+        assert sorted(tuple(sorted(v)) for v in got.values()) == sorted(want)
+        assert stats["n_patterns"] == len(set(want))
+
+    def test_deterministic(self, spark):
+        from data_stream_flink_user_address_spark.functions.packing import (
+            histogram_pack,
+        )
+
+        df = self._mk(spark, [3, 1, 4, 1, 5, 2, 6, 5, 3])
+        a, sa = histogram_pack(df, seq_len=8)
+        b, sb = histogram_pack(df, seq_len=8)
+        assert sa == sb
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_truncation_and_empty_docs(self, spark):
+        from data_stream_flink_user_address_spark.functions.packing import (
+            histogram_pack,
+        )
+
+        df = spark.createDataFrame(
+            [(1, " ".join(["w"] * 20)), (2, ""), (3, "a b")],
+            ["doc_id", "text"],
+        )
+        out, stats = histogram_pack(df, seq_len=8)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert set(rows) == {1, 3}  # empty doc excluded
+        assert rows[1].n_tokens == 8 and rows[1].truncated
+        assert not rows[3].truncated
+        assert stats["n_truncated"] == 1
+
+    def test_beats_one_doc_per_bin(self, spark):
+        from data_stream_flink_user_address_spark.functions.packing import (
+            histogram_pack,
+        )
+
+        lens = [2] * 20 + [3] * 10 + [5] * 6
+        df = self._mk(spark, lens)
+        _, stats = histogram_pack(df, seq_len=8)
+        assert stats["n_bins"] < len(lens)
+        assert stats["padding_frac"] < 1 - sum(lens) / (len(lens) * 8)
+
+    def test_solver_rejects_oversize(self):
+        from data_stream_flink_user_address_spark.functions.packing import (
+            _spfhp_solve,
+        )
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            _spfhp_solve({9: 1}, 8)
+
+    def test_empty_corpus(self, spark):
+        from data_stream_flink_user_address_spark.functions.packing import (
+            histogram_pack,
+        )
+
+        df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+        out, stats = histogram_pack(df, seq_len=8)
+        assert out.count() == 0
+        assert stats["n_bins"] == 0 and stats["padding_frac"] == 0.0
+
+
+class TestPackBinsText:
+    def test_bins_reassemble_and_clip(self, spark):
+        from data_stream_flink_user_address_spark.functions.packing import (
+            histogram_pack,
+            pack_bins_text,
+        )
+
+        rows = [
+            (1, " ".join(f"a{i}" for i in range(5))),
+            (2, " ".join(f"b{i}" for i in range(3))),
+            (3, " ".join(f"c{i}" for i in range(12))),  # truncated to 8
+            (4, " ".join(f"d{i}" for i in range(2))),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        assignment, stats = histogram_pack(df, seq_len=8)
+        packed = pack_bins_text(df, assignment).collect()
+        assert sum(r.n_docs for r in packed) == 4
+        assert stats["n_bins"] == len(packed)
+        for r in packed:
+            toks = r.packed_text.split()
+            assert len(toks) == r.n_tokens <= 8
+        # the truncated doc contributes exactly 8 tokens, in order
+        big = [r for r in packed if "c0" in r.packed_text][0]
+        assert "c7" in big.packed_text and "c8" not in big.packed_text
+
+    def test_member_order_is_by_id(self, spark):
+        from data_stream_flink_user_address_spark.functions.packing import (
+            histogram_pack,
+            pack_bins_text,
+        )
+
+        # two 4-token docs must share one 8-bin; lower id first
+        df = spark.createDataFrame(
+            [(7, "x x x x"), (2, "y y y y")], ["doc_id", "text"]
+        )
+        assignment, _ = histogram_pack(df, seq_len=8)
+        packed = pack_bins_text(df, assignment).collect()
+        assert len(packed) == 1
+        assert packed[0].packed_text == "y y y y x x x x"

@@ -80,6 +80,35 @@ def test_nb_label_flip_negates_model(spark, texts, flip_seed):
     assert all(abs(m1[f] + m2[f]) < 2e-9 for f in m1)
 
 
+@given(lens=st.lists(st.integers(1, 16), min_size=1, max_size=40),
+       seq_len=st.integers(16, 32))
+@settings(**_SETTINGS)
+def test_histogram_pack_invariants(spark, lens, seq_len):
+    from data_stream_flink_user_address_spark.functions.packing import (
+        _spfhp_solve,
+        histogram_pack,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)],
+        ["doc_id", "text"],
+    )
+    out, stats = histogram_pack(df, seq_len=seq_len, bucket_size=7)
+    rows = out.collect()
+    assert len(rows) == len(lens)
+    bins = {}
+    for r in rows:
+        bins.setdefault(r.bin_id, []).append(r.n_tokens)
+    assert all(sum(v) <= seq_len for v in bins.values())
+    hist = {}
+    for n in lens:
+        hist[n] = hist.get(n, 0) + 1
+    want = []
+    for pat, m in _spfhp_solve(hist, seq_len):
+        want += [tuple(sorted(pat))] * m
+    assert sorted(tuple(sorted(v)) for v in bins.values()) == sorted(want)
+
+
 @given(docs=st.lists(_DOC, min_size=1, max_size=15))
 @settings(**_SETTINGS)
 def test_profile_matches_sequential_reference(spark, docs):
