@@ -1,0 +1,193 @@
+"""Web-corpus ingestion primitives: URL normalization / domain keys and
+a dependency-free WARC record reader.
+
+Engine extension beyond the reference surface (BASELINE.json north
+star).  Web-crawl curation keys on URLs (canonical identity for dedup,
+registrable-domain keys for per-site caps and blocklists) and ingests
+WARC archives (ISO 28500 -- a plain-text record framing; the format is
+implemented here from the public spec, no external library).
+
+Scale shapes:
+- URL functions are single codegen'd projections (regexp chains) --
+  zero shuffle, linear in bytes;
+- blocklist filtering broadcasts the (small) blocklist;
+- WARC parsing runs over ``binaryFile``-sourced whole archives in
+  ``mapInPandas`` -- the repo's honest shape for byte-format codecs:
+  one archive per input row, records stream out as rows, nothing
+  shuffles until the caller asks for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tracking params stripped by normalize_url (the common analytics noise
+# that splits one logical page into many crawl identities)
+_TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "ref", "mc_cid", "mc_eid",
+)
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL: lowercase scheme+host, strip fragment, strip
+    default ports, strip tracking query params (empty query then drops
+    its '?'), strip trailing slash on a bare path.  Pure expression
+    chain -- the dedup-identity transform, deterministic and
+    oracle-replicable.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    u = F.trim(c)
+    # split off fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # lowercase scheme://host (leave path/query case alone)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    tail = F.regexp_replace(rest, r"^[^/?]*", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    u = F.when(scheme == "", u).otherwise(F.concat(scheme, F.lit("://"), host, tail))
+    # strip tracking params (each, whether first or later in the query)
+    for p in _TRACKING_PARAMS:
+        u = F.regexp_replace(u, rf"([?&]){p}=[^&#]*", "$1")
+    u = F.regexp_replace(u, r"\?&+", "?")      # '?&x' -> '?x'
+    u = F.regexp_replace(u, r"&&+", "&")        # collapse runs
+    u = F.regexp_replace(u, r"[?&]$", "")       # dangling separator
+    u = F.regexp_replace(u, r"^(https?://[^/?]+)/$", "$1")  # bare-path slash
+    return u
+
+
+def domain_of(url: Column | str) -> Column:
+    """Host part of a URL, lowercased, port stripped; empty string for
+    non-URLs.  (Registrable-domain semantics beyond host require the
+    public-suffix list -- callers with that table join it on this key.)
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    host = F.lower(
+        F.regexp_extract(F.trim(c), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1)
+    )
+    return host
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col_in_blocklist: str = "domain",
+    match_subdomains: bool = True,
+) -> DataFrame:
+    """Drop rows whose URL's host is on (or under, with
+    ``match_subdomains``) a blocked domain.  The blocklist BROADCASTS
+    (site blocklists are thousands of rows); the corpus side is an
+    anti-join -- map-side, no corpus shuffle.
+    """
+    d = df.withColumn("__host", domain_of(url_col))
+    b = F.broadcast(
+        blocklist.select(F.lower(F.col(domain_col_in_blocklist)).alias("__blocked"))
+    )
+    if match_subdomains:
+        cond = (F.col("__host") == F.col("__blocked")) | F.col("__host").endswith(
+            F.concat(F.lit("."), F.col("__blocked"))
+        )
+    else:
+        cond = F.col("__host") == F.col("__blocked")
+    return d.join(b, on=cond, how="left_anti").drop("__host")
+
+
+_WARC_SCHEMA = (
+    "archive string, record_type string, url string, warc_date string, "
+    "content_type string, content_length bigint, payload binary"
+)
+
+
+def _parse_warc_bytes(name: str, blob: bytes):
+    """Split one WARC file's bytes into records (generator of tuples
+    matching _WARC_SCHEMA).  Implements the ISO 28500 framing: records
+    start at a 'WARC/<ver>' line, headers run to a blank line, the body
+    is exactly Content-Length bytes, then CRLFCRLF record separator.
+    Tolerates LF-only files and truncated tails (partial final record
+    is dropped -- crawlers do truncate)."""
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        head_end = blob.find(b"\r\n\r\n", pos)
+        sep = 4
+        head_end_lf = blob.find(b"\n\n", pos)
+        if head_end == -1 or (head_end_lf != -1 and head_end_lf < head_end):
+            head_end, sep = head_end_lf, 2
+        if head_end == -1:
+            return
+        head = blob[pos:head_end].decode("utf-8", "replace")
+        lines = head.splitlines()
+        if not lines or not lines[0].startswith("WARC/"):
+            # scan forward to the next record marker
+            nxt = blob.find(b"WARC/", pos + 1)
+            if nxt == -1:
+                return
+            pos = nxt
+            continue
+        hdrs = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            if _:
+                hdrs[k.strip().lower()] = v.strip()
+        try:
+            clen = int(hdrs.get("content-length", "0"))
+        except ValueError:
+            clen = 0
+        body_start = head_end + sep
+        body_end = body_start + clen
+        if body_end > n:
+            return  # truncated final record
+        yield (
+            name,
+            hdrs.get("warc-type", ""),
+            hdrs.get("warc-target-uri", ""),
+            hdrs.get("warc-date", ""),
+            hdrs.get("content-type", ""),
+            clen,
+            bytes(blob[body_start:body_end]),
+        )
+        pos = body_end
+        # skip record separator / padding newlines
+        while pos < n and blob[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+
+
+def read_warc(
+    spark,
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """Read WARC archives under ``path`` into one row per record:
+    ``(archive, record_type, url, warc_date, content_type,
+    content_length, payload)``.
+
+    Plan: ``binaryFile`` scan (one row per archive; Spark assigns
+    whole files to tasks) -> ``mapInPandas`` running the spec parser
+    above -- records stream out of each task with zero shuffle; filter
+    by ``record_types`` before anything wide.  Archives must fit a
+    task's memory (the binaryFile contract); crawl archives are sized
+    for exactly that (~1 GB).
+    """
+    import pandas as pd
+
+    types = set(record_types)
+
+    def _gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "archive", "record_type", "url", "warc_date",
+                "content_type", "content_length", "payload",
+            )}
+            for name, blob in zip(pdf["path"], pdf["content"]):
+                for rec in _parse_warc_bytes(name, bytes(blob)):
+                    if types and rec[1] not in types:
+                        continue
+                    for k, v in zip(out, rec):
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    src = spark.read.format("binaryFile").load(path).select("path", "content")
+    return src.mapInPandas(_gen, _WARC_SCHEMA)

@@ -1,0 +1,132 @@
+"""URL normalization / domain keys / WARC reader (functions/web.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_stream_flink_user_address_spark.functions.web import (
+    _parse_warc_bytes,
+    domain_of,
+    filter_blocked_domains,
+    normalize_url,
+    read_warc,
+)
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return [r.n for r in df.select(normalize_url("url").alias("n")).collect()]
+
+
+class TestUrls:
+    def test_normalize(self, spark):
+        got = _norm(
+            spark,
+            [
+                "HTTPS://Example.COM:443/Path/?utm_source=x&q=1#frag",
+                "http://example.com/",
+                "http://example.com:80/a?utm_campaign=c",
+                "http://example.com/a?q=1&utm_medium=m&r=2",
+                "not a url",
+            ],
+        )
+        assert got == [
+            "https://example.com/Path/?q=1",
+            "http://example.com",
+            "http://example.com/a",
+            "http://example.com/a?q=1&r=2",
+            "not a url",
+        ]
+
+    def test_normalize_idempotent(self, spark):
+        urls = [
+            "HTTPS://A.B/c?utm_source=1&x=2#f",
+            "http://h/p?gclid=z",
+            "https://x.y/",
+        ]
+        once = _norm(spark, urls)
+        twice = _norm(spark, once)
+        assert once == twice
+
+    def test_domain(self, spark):
+        df = spark.createDataFrame(
+            [("https://Sub.Example.com:8080/p",), ("junk",)], ["url"]
+        )
+        got = [r.d for r in df.select(domain_of("url").alias("d")).collect()]
+        assert got == ["sub.example.com", ""]
+
+    def test_blocklist(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "https://spam.bad.com/x"),
+                (2, "https://bad.com/y"),
+                (3, "https://notbad.com/z"),
+                (4, "https://good.org/"),
+            ],
+            ["doc_id", "url"],
+        )
+        bl = spark.createDataFrame([("bad.com",)], ["domain"])
+        kept = sorted(r.doc_id for r in filter_blocked_domains(docs, bl).collect())
+        assert kept == [3, 4]  # subdomain + exact blocked; 'notbad.com' survives
+        kept2 = sorted(
+            r.doc_id
+            for r in filter_blocked_domains(docs, bl, match_subdomains=False).collect()
+        )
+        assert kept2 == [1, 3, 4]
+
+
+def _warc_bytes(sep=b"\r\n", pad=b"\r\n\r\n"):
+    def rec(rtype, uri, body):
+        hdr = b"WARC/1.0" + sep
+        hdr += b"WARC-Type: " + rtype + sep
+        if uri:
+            hdr += b"WARC-Target-URI: " + uri + sep
+        hdr += b"WARC-Date: 2026-01-01T00:00:00Z" + sep
+        hdr += b"Content-Type: text/plain" + sep
+        hdr += b"Content-Length: " + str(len(body)).encode() + sep
+        return hdr + sep + body + pad
+
+    return (
+        rec(b"warcinfo", b"", b"software: test")
+        + rec(b"response", b"https://a.example/x", b"hello world body")
+        + rec(b"request", b"https://a.example/x", b"GET /x")
+        + rec(b"response", b"https://b.example/y", b"second body")
+    )
+
+
+class TestWarc:
+    def test_parser_crlf_and_lf(self):
+        for sep, pad in ((b"\r\n", b"\r\n\r\n"), (b"\n", b"\n\n")):
+            recs = list(_parse_warc_bytes("f", _warc_bytes(sep, pad)))
+            assert [r[1] for r in recs] == [
+                "warcinfo", "response", "request", "response",
+            ]
+            assert recs[1][2] == "https://a.example/x"
+            assert recs[1][6] == b"hello world body"
+            assert recs[1][5] == len(b"hello world body")
+
+    def test_truncated_tail_dropped(self):
+        blob = _warc_bytes()[:-30]  # cut into the last record's body
+        recs = list(_parse_warc_bytes("f", blob))
+        assert [r[1] for r in recs] == ["warcinfo", "response", "request"]
+
+    def test_read_warc_end_to_end(self, spark, tmp_path):
+        p = tmp_path / "crawl"
+        p.mkdir()
+        (p / "a.warc").write_bytes(_warc_bytes())
+        (p / "b.warc").write_bytes(_warc_bytes())
+        df = read_warc(spark, str(p))
+        rows = df.collect()
+        assert len(rows) == 4  # 2 responses per archive
+        assert {r.record_type for r in rows} == {"response"}
+        assert {r.url for r in rows} == {
+            "https://a.example/x", "https://b.example/y",
+        }
+        assert all(isinstance(r.payload, (bytes, bytearray)) for r in rows)
+        # all record types when asked
+        all_rows = read_warc(spark, str(p), record_types=()).collect()
+        assert len(all_rows) == 8
+
+    def test_garbage_between_records_skipped(self):
+        blob = b"JUNK JUNK\n\n" + _warc_bytes()
+        recs = list(_parse_warc_bytes("f", blob))
+        assert len(recs) == 4
