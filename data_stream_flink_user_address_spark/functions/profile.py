@@ -79,6 +79,56 @@ def corpus_profile(
     return sig.groupBy(by).agg(*_agg_exprs()).orderBy(by)
 
 
+def _profile_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    out_path: str,
+    text_col: str,
+    id_col: str,
+) -> None:
+    """One epoch of :func:`streaming_profile`: module-level so replay
+    idempotency is unit-testable without a live stream."""
+    row = corpus_profile(batch_df, text_col, id_col).withColumn(
+        "__epoch", F.lit(int(epoch_id))
+    )
+    (
+        row.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(out_path)
+    )
+
+
+def streaming_profile(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuous ingestion observability: every micro-batch appends its
+    1-row :func:`corpus_profile` under ``__epoch=<id>`` -- token/char
+    volumes, length percentiles, HLL dup rate per batch.  Reading
+    ``out_path`` gives the ingest-rate/quality time series a crawl
+    operator watches; a replayed epoch rewrites exactly its own
+    partition (the gate family's idempotency contract).  Pair with the
+    admission gates: profile the RAW stream on one branch and the
+    gate's survivor directory on another, and the two series give
+    kept-fraction drift over time.  Returns the started
+    ``StreamingQuery``.
+    """
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        _profile_epoch(batch_df, int(epoch_id), out_path, text_col, id_col)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fb)
+        .start()
+    )
+
+
 def profile_funnel(
     stages: dict[str, DataFrame],
     text_col: str = "text",

@@ -79,3 +79,56 @@ def test_profile_two_phase_aggregate(docs):
     plan = corpus_profile(docs, by="source")._jdf.queryExecution().executedPlan().toString()
     assert "partial_" in plan  # partial aggregation present
     assert plan.index("partial_") > plan.index("Exchange")  # below the exchange
+
+
+class TestStreamingProfile:
+    def test_epoch_replay_idempotent(self, spark, tmp_path):
+        from data_stream_flink_user_address_spark.functions.profile import (
+            _profile_epoch,
+        )
+
+        out = str(tmp_path / "out")
+        batch = spark.createDataFrame(
+            [(1, "a b c"), (2, "d e")], ["doc_id", "text"]
+        )
+        _profile_epoch(batch, 0, out, "text", "doc_id")
+        _profile_epoch(batch, 0, out, "text", "doc_id")  # replay
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1
+        assert rows[0].n_docs == 2 and rows[0].total_tokens == 5
+
+    def test_streaming_end_to_end(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        from pyspark.sql import types as T
+
+        from data_stream_flink_user_address_spark.functions.profile import (
+            streaming_profile,
+        )
+
+        src = str(tmp_path / "src")
+        _os.makedirs(src)
+        out = str(tmp_path / "out")
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType()),
+             T.StructField("text", T.StringType())]
+        )
+        with open(_os.path.join(src, "b1.json"), "w") as f:
+            f.write(_json.dumps({"doc_id": 1, "text": "one two three"}) + "\n")
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).json(src)
+        q = streaming_profile(stream, out, str(tmp_path / "ck"))
+        try:
+            q.processAllAvailable()
+            with open(_os.path.join(src, "b2.json"), "w") as f:
+                f.write(_json.dumps({"doc_id": 2, "text": "four five"}) + "\n")
+                f.write(_json.dumps({"doc_id": 3, "text": "six"}) + "\n")
+            q.processAllAvailable()
+            q.stop()
+            rows = {r["__epoch"]: r for r in spark.read.parquet(out).collect()}
+            assert rows[0].n_docs == 1 and rows[0].total_tokens == 3
+            assert rows[1].n_docs == 2 and rows[1].total_tokens == 3
+        finally:
+            q.stop()
