@@ -48,8 +48,13 @@ def _agg_exprs() -> list:
             "token_percentiles"
         ),
         F.approx_count_distinct("__fp").alias("approx_distinct_docs"),
-        F.round(
-            1.0 - F.approx_count_distinct("__fp") / F.count(F.lit(1)), 4
+        # HLL can over-estimate distincts on near-duplicate-free data;
+        # clamp so the reported rate never goes (confusingly) negative
+        F.greatest(
+            F.lit(0.0),
+            F.round(
+                1.0 - F.approx_count_distinct("__fp") / F.count(F.lit(1)), 4
+            ),
         ).alias("approx_dup_rate"),
         F.count(F.when(F.col("__toks") == 0, 1)).alias("n_empty_docs"),
     ]
