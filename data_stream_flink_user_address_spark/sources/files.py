@@ -34,6 +34,26 @@ def read_parquet(
     return df.select(*columns) if columns else df
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[str] | None = None,
+    streaming: bool = False,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """ORC scan -- same contract as :func:`read_parquet` (column pruning
+    + predicate pushdown reach the ORC reader natively; Spark bundles
+    ORC, unlike Avro whose external datasource module is absent in this
+    container and is therefore not wrapped here)."""
+    if streaming:
+        if schema is None:
+            schema = spark.read.orc(path).schema
+        df = spark.readStream.schema(schema).orc(path)
+    else:
+        df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
 def read_json(
     spark: SparkSession,
     path: str,

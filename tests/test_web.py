@@ -130,3 +130,57 @@ class TestWarc:
         blob = b"JUNK JUNK\n\n" + _warc_bytes()
         recs = list(_parse_warc_bytes("f", blob))
         assert len(recs) == 4
+
+
+class TestCompressionRatio:
+    def test_repetitive_vs_prose_vs_noise(self, spark):
+        import random
+
+        from data_stream_flink_user_address_spark.functions.curation import (
+            compression_ratio,
+        )
+
+        rng = random.Random(7)
+        noise = " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+            for _ in range(60)
+        )
+        prose = (
+            "the quick brown fox jumps over the lazy dog while the river "
+            "carries autumn leaves past the quiet mill and the miller waits "
+            "for morning light to cross the valley floor with slow patience "
+        ) * 3
+        repetitive = "spam spam spam spam " * 40
+        df = spark.createDataFrame(
+            [(1, repetitive), (2, prose), (3, noise), (4, "")],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in compression_ratio(df).collect()}
+        assert got[1].compression_ratio < got[2].compression_ratio < got[3].compression_ratio
+        assert got[4].compression_ratio == 1.0 and got[4].n_bytes == 0
+        assert got[2].n_bytes == len(prose.encode())
+
+    def test_ratio_consistent_with_zlib(self, spark):
+        import zlib
+
+        from data_stream_flink_user_address_spark.functions.curation import (
+            compression_ratio,
+        )
+
+        txt = "hello compression world " * 10
+        df = spark.createDataFrame([(1, txt)], ["doc_id", "text"])
+        r = compression_ratio(df).collect()[0]
+        assert r.n_compressed == len(zlib.compress(txt.encode(), 6))
+
+
+class TestReadOrc:
+    def test_roundtrip_and_pruning(self, spark, tmp_path):
+        from data_stream_flink_user_address_spark.sources.files import read_orc
+
+        p = str(tmp_path / "t.orc")
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], ["id", "s", "v"]
+        ).write.orc(p)
+        df = read_orc(spark, p, columns=["id", "v"])
+        assert df.columns == ["id", "v"]
+        assert sorted((r.id, r.v) for r in df.collect()) == [(1, 10), (2, 20)]
