@@ -165,6 +165,20 @@ def main() -> None:
             "docs_per_sec": round(n / dt, 1),
         }
 
+        # --- compression-ratio signal (stdlib zlib via Arrow batches)
+        from data_stream_flink_user_address_spark.functions.curation import (
+            compression_ratio,
+        )
+
+        t0 = time.time()
+        cr = compression_ratio(docs)
+        cr.agg(F.avg("compression_ratio")).collect()
+        dt = time.time() - t0
+        row["compression_ratio"] = {
+            "wall_s": round(dt, 2),
+            "docs_per_sec": round(n / dt, 1),
+        }
+
         out["sizes"].append(row)
         print(json.dumps(row))
 
