@@ -100,3 +100,47 @@ def bm25_topk(
     return top.select(
         "doc_id", "score", F.row_number().over(w).cast("bigint").alias("rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (the standard hybrid
+    lexical+vector retrieval combiner, Cormack et al.'s RRF):
+    ``score(d) = sum over lists of 1/(k + rank_d)``; documents missing
+    from a list simply contribute nothing.  Inputs need
+    ``(id_col, rank)`` columns -- :func:`bm25_topk` and the
+    similarity-search top-ks both emit that shape.
+
+    Scale shape: the inputs are top-k result sets (tens of rows), so
+    the union + per-id sum is negligible at any corpus size -- the
+    heavy lifting already happened inside each retriever.  Scores
+    round to 1e-9 (sum order independence at double precision on
+    <=dozens of terms); ties break on the smaller id, matching the
+    BM25 contract.  Output: ``(id_col, rrf_score, rank)``, optionally
+    cut to ``topk``.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (
+        u.groupBy(id_col)
+        .agg(F.round(F.sum("__c"), 9).alias("rrf_score"))
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    out = fused.select(
+        id_col, "rrf_score", F.row_number().over(w).cast("bigint").alias("rank")
+    )
+    return out.filter(F.col("rank") <= topk) if topk else out

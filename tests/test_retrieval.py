@@ -54,3 +54,47 @@ def test_bm25_plan_partial_topk_no_global_window_over_corpus(spark):
     assert "CartesianProduct" not in plan
     # the only Window is the rank over the k survivors, AFTER the limit
     assert plan.count("Window") <= 2
+
+
+class TestRrfFuse:
+    def test_fusion_prefers_doc_ranked_by_both(self, spark):
+        from data_stream_flink_user_address_spark.functions.retrieval import (
+            rrf_fuse,
+        )
+
+        a = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"]
+        )
+        b = spark.createDataFrame(
+            [(2, 1), (4, 2), (1, 3)], ["doc_id", "rank"]
+        )
+        out = rrf_fuse([a, b], k=60)
+        rows = {r.doc_id: r for r in out.collect()}
+        # docs 1 and 2 appear in both lists -> outrank single-list docs
+        assert rows[1].rank <= 2 and rows[2].rank <= 2
+        assert rows[3].rank > 2 and rows[4].rank > 2
+        # exact RRF arithmetic
+        assert rows[1].rrf_score == round(1 / 61 + 1 / 63, 9)
+
+    def test_single_list_preserves_order(self, spark):
+        from data_stream_flink_user_address_spark.functions.retrieval import (
+            rrf_fuse,
+        )
+
+        a = spark.createDataFrame([(7, 1), (8, 2)], ["doc_id", "rank"])
+        out = rrf_fuse([a]).collect()
+        assert [(r.doc_id, r.rank) for r in sorted(out, key=lambda r: r.rank)] == [
+            (7, 1), (8, 2),
+        ]
+
+    def test_topk_cut_and_empty_input(self, spark):
+        import pytest as _pytest
+
+        from data_stream_flink_user_address_spark.functions.retrieval import (
+            rrf_fuse,
+        )
+
+        a = spark.createDataFrame([(i, i) for i in range(1, 6)], ["doc_id", "rank"])
+        assert rrf_fuse([a], topk=2).count() == 2
+        with _pytest.raises(ValueError):
+            rrf_fuse([])
