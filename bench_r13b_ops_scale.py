@@ -39,6 +39,7 @@ from data_stream_flink_user_address_spark.functions.ordering import (
 )
 from data_stream_flink_user_address_spark.functions.packing import (
     histogram_pack,
+    pack_bins_text,
 )
 from data_stream_flink_user_address_spark.session import get_spark
 
@@ -164,6 +165,14 @@ def main() -> None:
             "wall_s": round(dt, 2),
             "docs_per_sec": round(n / dt, 1),
         }
+        # materializer alone: pin the assignment so its plan is not
+        # re-run inside the timed region
+        pinned = assigned.localCheckpoint()
+        t0 = time.time()
+        pack_bins_text(varied, pinned).agg(F.sum("n_tokens")).collect()
+        dt = time.time() - t0
+        row["histogram_pack"]["materialize_wall_s"] = round(dt, 2)
+        row["histogram_pack"]["materialize_docs_per_sec"] = round(n / dt, 1)
 
         # --- compression-ratio signal (stdlib zlib via Arrow batches)
         from data_stream_flink_user_address_spark.functions.curation import (

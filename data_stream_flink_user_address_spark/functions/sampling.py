@@ -473,3 +473,52 @@ def quality_bucket_cuts(
         lambda acc, cut: acc + F.when(F.col(score_col) > cut, 1).otherwise(0),
     )
     return joined.withColumn("quality_bucket", bucket).drop("__cuts")
+
+
+def importance_resample(
+    df: DataFrame,
+    log_weight_col: str = "log_weight",
+    fraction: float = 0.1,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Sample ~``fraction`` of rows with probability proportional to
+    ``exp(log_weight)`` WITHOUT replacement -- the consume side of
+    :func:`dsir_importance` (select target-like docs by importance) via
+    the Gumbel-top-k identity: adding an independent Gumbel to each
+    log-weight and taking the k largest keys IS weighted sampling
+    without replacement.  The Gumbel is hash-derived
+    (``-log(-log((bucket + 0.5) / RESOLUTION))``), so the draw is
+    deterministic, replay-stable, and engine-reproducible like every
+    sampler here.
+
+    ``exact=True``: exactly ``ceil(fraction * n)`` rows via a
+    distributed partial top-k (TakeOrderedAndProject) -- right for
+    result-set-sized selections and the oracle path.  ``exact=False``
+    (default, the 100 TB path): the cutoff key is the (1-fraction)
+    approx-percentile -- one 1-row broadcast -- and selection is a
+    row-local filter; no global sort, no limit gather, count within
+    approx-percentile tolerance of the target.
+    """
+    u = (hash_bucket(F.col(key_col), seed) + F.lit(0.5)) / F.lit(
+        float(_RESOLUTION)
+    )
+    gkey = (F.col(log_weight_col) - F.log(-F.log(u))).alias("__gkey")
+    keyed = df.withColumn("__gkey", gkey)
+    if exact:
+        n = df.count()
+        k = max(1, int(-(-fraction * n // 1)))  # ceil
+        return (
+            keyed.orderBy(F.col("__gkey").desc(), F.col(key_col).asc())
+            .limit(k)
+            .drop("__gkey")
+        )
+    cutoff = keyed.agg(
+        F.expr(f"percentile_approx(__gkey, {1.0 - fraction})").alias("c")
+    )
+    return (
+        keyed.join(F.broadcast(cutoff))
+        .filter(F.col("__gkey") >= F.col("c"))
+        .drop("__gkey", "c")
+    )

@@ -121,3 +121,41 @@ def test_profile_matches_sequential_reference(spark, docs):
     assert got.min_tokens == min(toks)
     assert got.max_tokens == max(toks)
     assert got.n_empty_docs == sum(1 for t in toks if t == 0)
+
+
+def test_importance_resample_exact_and_biased(spark):
+    from pyspark.sql import functions as FF
+
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        importance_resample,
+    )
+
+    n = 400
+    df = spark.range(n).select(
+        FF.col("id").alias("doc_id"),
+        FF.when(FF.col("id") < 200, FF.lit(5.0)).otherwise(FF.lit(0.0)).alias(
+            "log_weight"
+        ),
+    )
+    out = importance_resample(df, fraction=0.25, exact=True)
+    rows = out.collect()
+    assert len(rows) == 100  # exactly ceil(0.25 * 400)
+    heavy = sum(1 for r in rows if r.doc_id < 200)
+    assert heavy >= 95  # e^5 odds ratio: essentially all picks are heavy
+    # deterministic
+    again = importance_resample(df, fraction=0.25, exact=True).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+
+
+def test_importance_resample_scale_path(spark):
+    from pyspark.sql import functions as FF
+
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        importance_resample,
+    )
+
+    df = spark.range(2000).select(
+        FF.col("id").alias("doc_id"), FF.lit(0.0).alias("log_weight")
+    )
+    got = importance_resample(df, fraction=0.1).count()
+    assert 150 <= got <= 260  # approx-percentile tolerance around 200
