@@ -349,6 +349,14 @@ def histogram_pack(
     triple through one exchange for the local rank window, a
     histogram-sized aggregate, two broadcasts back.  Document text
     never moves.
+
+    Sizing ``bucket_size``: the rank-base broadcast holds one row per
+    NON-EMPTY (length, bucket) pair -- up to ``seq_len * n_docs /
+    bucket_size`` rows -- so scale ``bucket_size`` with the corpus
+    (e.g. 1e8 at 1e11 docs keeps the broadcast at ~2M rows) rather
+    than leaving the 1e5 default; the window partitions grow to
+    ``bucket_size / seq_len`` rows per (length, bucket) on average,
+    which a task absorbs easily at any sane setting.
     """
     d = (
         df.select(
