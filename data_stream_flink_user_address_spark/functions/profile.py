@@ -156,3 +156,45 @@ def profile_funnel(
     if out is None:
         raise ValueError("profile_funnel needs at least one stage")
     return out.orderBy("stage_idx")
+
+
+def top_terms(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    by: str | None = None,
+) -> DataFrame:
+    """Heavy-hitter vocabulary: the ``k`` most frequent (lowercased,
+    whitespace) tokens corpus-wide, or per ``by`` group -- the
+    profiling companion to :func:`corpus_profile` (stopword drift,
+    boilerplate tokens, language mix all show up here first).
+
+    Output ``(term, n)`` ordered by count desc / term asc, or
+    ``(by, term, n, rank)`` per group.  Shape: tokens explode into a
+    two-phase count aggregate (map-side combine collapses each
+    partition to its distinct terms before the exchange); the global
+    top-k is TakeOrderedAndProject (partial top-k per partition, never
+    a single-task sort of the vocabulary), and the per-group variant
+    is a rank filter that Catalyst rewrites to WindowGroupLimit --
+    each map partition ships at most k rows per group, the
+    `per_source_cap` contract.
+    """
+    from .text import tokens
+
+    keep = [F.col(by)] if by else []
+    toks = df.select(
+        *keep, F.explode(tokens(text_col)).alias("term")
+    ).select(*keep, F.lower(F.col("term")).alias("term"))
+    counts = toks.groupBy(*([by] if by else []), "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    if by is None:
+        return counts.orderBy(F.col("n").desc(), F.col("term").asc()).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(by, "rank")
+    )

@@ -132,3 +132,44 @@ class TestStreamingProfile:
             assert rows[1].n_docs == 2 and rows[1].total_tokens == 3
         finally:
             q.stop()
+
+
+class TestTopTerms:
+    def test_global_counts_exact(self, spark):
+        from data_stream_flink_user_address_spark.functions.profile import (
+            top_terms,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b a C c a"), (2, "b c A x")], ["doc_id", "text"]
+        )
+        got = [(r.term, r.n) for r in top_terms(df, k=3).collect()]
+        assert got == [("a", 4), ("c", 3), ("b", 2)]
+
+    def test_per_group_rank(self, spark):
+        from data_stream_flink_user_address_spark.functions.profile import (
+            top_terms,
+        )
+
+        df = spark.createDataFrame(
+            [("s1", "x x y"), ("s2", "z z z y")], ["source", "text"]
+        )
+        got = [
+            (r.source, r.term, r.n, r.rank)
+            for r in top_terms(df, k=1, by="source").collect()
+        ]
+        assert got == [("s1", "x", 2, 1), ("s2", "z", 3, 1)]
+
+    def test_group_limit_plan(self, spark):
+        from data_stream_flink_user_address_spark.functions.profile import (
+            top_terms,
+        )
+
+        df = spark.createDataFrame([("s", "a b")], ["source", "text"])
+        plan = (
+            top_terms(df, k=2, by="source")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan
