@@ -282,8 +282,14 @@ def _merge_patterns(closed: dict[tuple[int, ...], int], seq_len: int) -> None:
     bins), so each step retires min(count) bins at once: repeatedly
     give the emptiest pattern the fullest partner that still fits.
     Strictly decreases bin count, terminates, and stays O(P^2) per
-    merge on the (tiny) pattern inventory.  In place.
+    merge on the (tiny) pattern inventory.  In place.  Guard: a
+    pathological inventory (adversarial length mixes can reach the
+    ``max_patterns`` cap) would make the quadratic scan the bottleneck,
+    so past 2000 patterns the pass is skipped -- packing quality
+    degrades toward plain SPFHP, correctness never.
     """
+    if len(closed) > 2000:
+        return
     while True:
         pats = sorted(closed.items(), key=lambda kv: (sum(kv[0]), kv[0]))
         merged = False

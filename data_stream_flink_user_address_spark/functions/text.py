@@ -590,3 +590,59 @@ def bpe_apply(
         .cast("bigint")
         .alias("n_bpe_tokens"),
     )
+
+
+def normalize_unicode(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFKC",
+    strip_control: bool = True,
+):
+    """Unicode normalization for ingest (the ftfy-lite step every web
+    pipeline runs before fingerprinting): ``unicodedata.normalize``
+    to ``form`` (NFKC default -- fullwidth/compatibility characters
+    collapse to their canonical ASCII-ish forms, so dedup fingerprints
+    and tokenizers see one spelling), plus optional control-character
+    stripping (C0/C1 except tab/newline) and NBSP -> space.
+
+    Output: the input columns with ``text_col`` rewritten plus
+    ``n_changed`` (count of docs is per-row 0/1 flag -- whether
+    normalization changed the text).  Scale shape: Arrow-batched
+    ``mapInPandas``, per-row independent, zero shuffle (Spark has no
+    builtin unicode-normalize expression; this is the honest Python
+    boundary, same contract as the codecs).
+    """
+    import pandas as pd  # noqa: F401
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{fields}, n_changed int"
+    cols = [f.name for f in df.schema.fields]
+
+    def _gen(batches):
+        import re
+        import unicodedata
+
+        import pandas as _pd
+
+        ctrl = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
+        for pdf in batches:
+            out = pdf.copy()
+            norm = []
+            changed = []
+            for t in pdf[text_col]:
+                s = t if isinstance(t, str) else ""
+                v = unicodedata.normalize(form, s).replace(" ", " ")
+                if strip_control:
+                    v = ctrl.sub("", v)
+                norm.append(v)
+                changed.append(int(v != s))
+            out[text_col] = norm
+            out["n_changed"] = _pd.Series(changed, index=pdf.index, dtype="int32")
+            yield _pd.DataFrame(out, columns=cols + ["n_changed"])
+
+    return df.mapInPandas(_gen, out_schema)

@@ -184,3 +184,38 @@ class TestReadOrc:
         df = read_orc(spark, p, columns=["id", "v"])
         assert df.columns == ["id", "v"]
         assert sorted((r.id, r.v) for r in df.collect()) == [(1, 10), (2, 20)]
+
+
+class TestNormalizeUnicode:
+    def test_nfkc_and_control_strip(self, spark):
+        from data_stream_flink_user_address_spark.functions.text import (
+            normalize_unicode,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "ﬁle ｆｕｌｌ"),       # ligature + NBSP + fullwidth
+                (2, "plain ascii"),
+                (3, "ctrl\x07here\ttab\nline"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in normalize_unicode(df).collect()}
+        assert got[1].text == "file full"
+        assert got[1].n_changed == 1
+        assert got[2].text == "plain ascii" and got[2].n_changed == 0
+        assert got[3].text == "ctrlhere\ttab\nline"  # bell gone, tab/nl kept
+
+    def test_schema_passthrough_and_bad_form(self, spark):
+        import pytest as _pytest
+
+        from data_stream_flink_user_address_spark.functions.text import (
+            normalize_unicode,
+        )
+
+        df = spark.createDataFrame([(1, "x", "web")], ["doc_id", "text", "source"])
+        out = normalize_unicode(df)
+        assert out.columns == ["doc_id", "text", "source", "n_changed"]
+        assert out.collect()[0].source == "web"
+        with _pytest.raises(ValueError):
+            normalize_unicode(df, form="NFX").collect()
