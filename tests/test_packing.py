@@ -334,3 +334,26 @@ class TestPackBinsText:
         packed = pack_bins_text(df, assignment).collect()
         assert len(packed) == 1
         assert packed[0].packed_text == "y y y y x x x x"
+
+
+def test_histogram_pack_rank_exchange_is_two_key(spark):
+    """The rank window must partition on (length, bucket), never on the
+    length alone -- a hot length class (billions of same-length docs at
+    100 TB) must not funnel through one task."""
+    from data_stream_flink_user_address_spark.functions.packing import (
+        histogram_pack,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * 4)) for i in range(30)], ["doc_id", "text"]
+    )
+    out, _ = histogram_pack(df, seq_len=8, bucket_size=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the corpus-sized rank window: row_number partitioned on BOTH keys
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]+, [^,]+),", plan)
+    assert specs, plan
+    assert any("n_tokens" in s and "__bucket" in s for s in specs)
+    # (the single-key n_tokens window that also appears runs on the
+    # aggregated (length, bucket)-count frame -- small by construction)

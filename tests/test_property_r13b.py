@@ -159,3 +159,19 @@ def test_importance_resample_scale_path(spark):
     )
     got = importance_resample(df, fraction=0.1).count()
     assert 150 <= got <= 260  # approx-percentile tolerance around 200
+
+
+@given(texts=st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_normalize_unicode_idempotent(spark, texts):
+    from data_stream_flink_user_address_spark.functions.text import (
+        normalize_unicode,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    once = normalize_unicode(df)
+    first = {r.doc_id: r.text for r in once.collect()}
+    twice = normalize_unicode(once.drop("n_changed"))
+    rows = twice.collect()
+    assert all(r.n_changed == 0 for r in rows)  # NFKC is idempotent
+    assert {r.doc_id: r.text for r in rows} == first
