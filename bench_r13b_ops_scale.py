@@ -188,6 +188,30 @@ def main() -> None:
             "docs_per_sec": round(n / dt, 1),
         }
 
+        # --- unicode normalization (Arrow-batched) + heavy-hitter terms
+        from data_stream_flink_user_address_spark.functions.profile import (
+            top_terms,
+        )
+        from data_stream_flink_user_address_spark.functions.text import (
+            normalize_unicode,
+        )
+
+        t0 = time.time()
+        normalize_unicode(docs).agg(F.sum("n_changed")).collect()
+        dt = time.time() - t0
+        row["normalize_unicode"] = {
+            "wall_s": round(dt, 2),
+            "docs_per_sec": round(n / dt, 1),
+        }
+        t0 = time.time()
+        n_terms = top_terms(docs, k=100).count()
+        dt = time.time() - t0
+        row["top_terms"] = {
+            "k_returned": n_terms,
+            "wall_s": round(dt, 2),
+            "docs_per_sec": round(n / dt, 1),
+        }
+
         out["sizes"].append(row)
         print(json.dumps(row))
 

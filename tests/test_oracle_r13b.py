@@ -1,0 +1,161 @@
+"""DuckDB-oracle parity for the r13b operators that are SQL-expressible
+(library-level; NOT in the driver registry -- the 94-query window is an
+exact two-round cycle, so these verify locally with the same harness
+the registry uses).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_stream_flink_user_address_spark.functions.classifier import (
+    apply_nb_quality,
+    train_nb_quality,
+)
+from data_stream_flink_user_address_spark.functions.ordering import epoch_shuffle
+from data_stream_flink_user_address_spark.functions.profile import top_terms
+from data_stream_flink_user_address_spark.functions.sampling import (
+    importance_resample,
+)
+from tests.oracle_harness import compare, duckdb_conn
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_conn(SF)
+    yield c
+    c.close()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_epoch_shuffle_assignment_oracle(spark, docs, con):
+    got = epoch_shuffle(docs, seed=11, epoch=2, n_shards=8).select(
+        "doc_id", "epoch_order", "shard"
+    )
+    sql = """
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR || '|11|2'), 1, 15))::BIGINT
+                   AS epoch_order,
+               ((('0x' || substr(md5(doc_id::VARCHAR || '|11|2'), 1, 15))::BIGINT)
+                   % 8)::INT AS shard
+        FROM documents
+    """
+    assert compare(got, con, sql, "epoch_shuffle") == []
+
+
+def test_top_terms_oracle(spark, docs, con):
+    got = top_terms(docs, k=25)
+    sql = """
+        SELECT term, count(*)::BIGINT AS n
+        FROM (
+            SELECT lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS term
+            FROM documents
+            WHERE trim(text) <> ''
+        )
+        GROUP BY term
+        ORDER BY n DESC, term ASC
+        LIMIT 25
+    """
+    assert compare(got, con, sql, "top_terms") == []
+
+
+def test_importance_resample_exact_oracle(spark, docs, con):
+    lw = docs.select(
+        "doc_id", (F.col("doc_id") % 7).cast("double").alias("log_weight")
+    )
+    got = importance_resample(lw, fraction=0.2, seed=5, exact=True).select("doc_id")
+    sql = """
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   (doc_id % 7)::DOUBLE
+                   - ln(-ln(
+                       ((('0x' || substr(md5(doc_id::VARCHAR || '|5'), 1, 15))::BIGINT
+                         % 1000000) + 0.5) / 1000000.0
+                     )) AS gkey
+            FROM documents
+        )
+        ORDER BY gkey DESC, doc_id ASC
+        LIMIT 100
+    """
+    n = docs.count()
+    assert n == 500  # sf0.001: ceil(0.2 * 500) = 100 drives the LIMIT above
+    assert compare(got, con, sql, "importance_resample") == []
+
+
+def test_nb_scores_oracle(spark, con):
+    """Full train-and-score replication in SQL: hashed unigram+bigram
+    counts -> smoothed log-odds -> per-doc score.  Weights round to
+    1e-9 in both engines; the per-doc sum re-rounds to 1e-6 on both
+    sides so double accumulation order cannot flip the comparison."""
+    rows = [
+        (0, "good solid analysis with careful methods", 1),
+        (1, "careful clear writing and solid evidence", 1),
+        (2, "click buy cheap offer now", 0),
+        (3, "cheap click spam offer free now now", 0),
+    ]
+    train = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    weights, info = train_nb_quality(train, n_features=1 << 12)
+    scored = apply_nb_quality(
+        train.drop("label"), weights, info
+    ).select("doc_id", F.round("nb_score", 6).alias("score"))
+
+    vals = ", ".join(f"({i}, '{t}', {y})" for i, t, y in rows)
+    v = 1 << 12
+    sql = f"""
+        WITH raw(doc_id, text, label) AS (VALUES {vals}),
+        arrs AS (
+            SELECT doc_id, label,
+                   regexp_split_to_array(trim(text), '\\s+') AS a
+            FROM raw
+        ),
+        toks AS (
+            SELECT doc_id, label, i AS pos, lower(a[i]) AS tok
+            FROM arrs, unnest(range(1, len(a) + 1)) AS t(i)
+        ),
+        uni AS (
+            SELECT doc_id, label,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT % {v} AS feature
+            FROM toks
+        ),
+        bi AS (
+            SELECT a.doc_id, a.label,
+                   ('0x' || substr(md5(a.tok || ' ' || b.tok), 1, 15))::BIGINT % {v}
+                       AS feature
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        counts AS (
+            SELECT feature,
+                   sum(label) AS pos, count(*) - sum(label) AS neg
+            FROM feats GROUP BY feature
+        ),
+        tot AS (SELECT sum(pos) AS pt, sum(neg) AS nt FROM counts),
+        w AS (
+            SELECT feature,
+                   round(ln((pos + 1.0) / (pt + 1.0 * {v}))
+                         - ln((neg + 1.0) / (nt + 1.0 * {v})), 9) AS weight
+            FROM counts, tot
+        ),
+        prior AS (
+            SELECT round(ln(sum(label)::DOUBLE / (count(*) - sum(label))), 9) AS p
+            FROM raw
+        ),
+        contrib AS (
+            SELECT f.doc_id, coalesce(w.weight,
+                   (SELECT round(ln(1.0 / (pt + 1.0 * {v}))
+                                - ln(1.0 / (nt + 1.0 * {v})), 9) FROM tot)) AS c
+            FROM feats f LEFT JOIN w USING (feature)
+        ),
+        scores AS (
+            SELECT doc_id, round(sum(c) + (SELECT p FROM prior), 9) AS s
+            FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id::BIGINT AS doc_id, round(s, 6) AS score FROM scores
+    """
+    assert compare(scored, con, sql, "nb_scores") == []
