@@ -159,3 +159,64 @@ def test_nb_scores_oracle(spark, con):
         SELECT doc_id::BIGINT AS doc_id, round(s, 6) AS score FROM scores
     """
     assert compare(scored, con, sql, "nb_scores") == []
+
+
+def test_cross_corpus_decontaminate_pairs_oracle(spark, docs, con):
+    """Exact-band decontamination pairs replicated in SQL: both corpora
+    ride ONE side-tagged signature chain (same md5 base hash, mix
+    params, and band-key layout as the registered minhash oracle)."""
+    import __spark_entry__ as em
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        MINHASH_PRIME,
+        cross_corpus_decontaminate,
+        minhash_mix_params,
+    )
+
+    ev = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    _, pairs = cross_corpus_decontaminate(docs, ev)  # defaults: 16 hashes, 4x4
+    got = pairs.select("doc_id", "eval_doc_id", "agreement")
+
+    params = minhash_mix_params(16)
+    mins = ", ".join(
+        f"min(({a} * h0 + {b}) % {MINHASH_PRIME})" for a, b in params
+    )
+    sql = f"""
+        WITH allc AS (
+            SELECT doc_id, text, 't' AS side FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text, 'e' FROM documents
+            WHERE doc_id % 10 = 0
+        ),
+        norm AS (SELECT doc_id, side, {em._sql_norm()} AS t FROM allc),
+        sh AS (
+            SELECT DISTINCT doc_id, side, substr(t, i, 5) AS shingle
+            FROM norm, unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS u(i)
+            WHERE length(substr(t, i, 5)) = 5
+        ),
+        hashed AS (
+            SELECT doc_id, side,
+                   ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h0
+            FROM sh
+        ),
+        sig AS (
+            SELECT doc_id, side, [{mins}] AS signature
+            FROM hashed GROUP BY doc_id, side
+        ),
+        bands AS (
+            SELECT doc_id, side,
+                   md5(b.i::VARCHAR || ',' ||
+                       array_to_string(signature[b.i * 4 + 1 : b.i * 4 + 4], ',')) AS band_key
+            FROM sig CROSS JOIN range(4) b(i)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS eval_doc_id,
+                   1.0::DOUBLE AS agreement
+            FROM bands a JOIN bands b USING (band_key)
+            WHERE a.side = 't' AND b.side = 'e'
+        )
+        SELECT * FROM pairs
+    """
+    assert got.count() >= 50  # every planted copy pairs with its source
+    assert compare(got, con, sql, "decontaminate_pairs") == []
