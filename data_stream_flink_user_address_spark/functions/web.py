@@ -80,19 +80,49 @@ def filter_blocked_domains(
     """Drop rows whose URL's host is on (or under, with
     ``match_subdomains``) a blocked domain.  The blocklist BROADCASTS
     (site blocklists are thousands of rows); the corpus side is an
-    anti-join -- map-side, no corpus shuffle.
+    equi anti-join -- map-side, no corpus shuffle.
+
+    Subdomain matching does NOT use an ``endswith`` join condition: a
+    non-equi predicate against a broadcast side plans as a nested-loop
+    join, i.e. every corpus row scans the whole blocklist (rows x
+    blocklist comparisons -- a scale-killer at 100 TB).  The exact
+    path is a plain hash equi anti-join; the subdomain path collects
+    the (thousands-row, by definition) blocklist into a broadcast
+    Python set and checks each host's handful of dot-suffixes against
+    it in an Arrow-batched filter -- O(labels) set lookups per row,
+    independent of blocklist size, zero shuffle.
     """
-    d = df.withColumn("__host", domain_of(url_col))
-    b = F.broadcast(
-        blocklist.select(F.lower(F.col(domain_col_in_blocklist)).alias("__blocked"))
+    b = blocklist.select(
+        F.lower(F.col(domain_col_in_blocklist)).alias("__blocked")
     )
-    if match_subdomains:
-        cond = (F.col("__host") == F.col("__blocked")) | F.col("__host").endswith(
-            F.concat(F.lit("."), F.col("__blocked"))
+    host = domain_of(url_col)
+    if not match_subdomains:
+        d = df.withColumn("__blocked", host)
+        return d.join(F.broadcast(b), on="__blocked", how="left_anti").drop(
+            "__blocked"
         )
-    else:
-        cond = F.col("__host") == F.col("__blocked")
-    return d.join(b, on=cond, how="left_anti").drop("__host")
+    import pandas as pd  # noqa: F401
+
+    blocked = {r["__blocked"] for r in b.collect()}
+    bw = df.sparkSession.sparkContext.broadcast(blocked)
+
+    def _keep_fn(hosts):
+        import pandas as _pd
+
+        s = bw.value
+
+        def ok(h):
+            if not h:
+                return True
+            parts = h.split(".")
+            return not any(
+                ".".join(parts[i:]) in s for i in range(len(parts))
+            )
+
+        return _pd.Series([ok(h) for h in hosts], dtype="bool")
+
+    _keep = F.pandas_udf(_keep_fn, "boolean")
+    return df.filter(_keep(host))
 
 
 _WARC_SCHEMA = (

@@ -219,3 +219,22 @@ class TestNormalizeUnicode:
         assert out.collect()[0].source == "web"
         with _pytest.raises(ValueError):
             normalize_unicode(df, form="NFX").collect()
+
+
+def test_blocklist_no_nested_loop_plan(spark):
+    """Neither blocklist path may plan a nested-loop join (per-row
+    blocklist scans don't survive 100 TB)."""
+    from data_stream_flink_user_address_spark.functions.web import (
+        filter_blocked_domains,
+    )
+
+    docs = spark.createDataFrame([(1, "https://a.b/x")], ["doc_id", "url"])
+    bl = spark.createDataFrame([("b",)], ["domain"])
+    for sub in (True, False):
+        plan = (
+            filter_blocked_domains(docs, bl, match_subdomains=sub)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "NestedLoop" not in plan
