@@ -607,8 +607,8 @@ def normalize_unicode(
     stripping (C0/C1 except tab/newline) and NBSP -> space.
 
     Output: the input columns with ``text_col`` rewritten plus
-    ``n_changed`` (count of docs is per-row 0/1 flag -- whether
-    normalization changed the text).  Scale shape: Arrow-batched
+    ``n_changed`` -- a per-row 0/1 flag for whether normalization
+    changed the text (sum it for the corpus-level count).  Scale shape: Arrow-batched
     ``mapInPandas``, per-row independent, zero shuffle (Spark has no
     builtin unicode-normalize expression; this is the honest Python
     boundary, same contract as the codecs).
