@@ -1,0 +1,112 @@
+"""10^7-doc scaling rows for the cheap r13b operators.
+
+Extends R13B_OPS_SCALE.json (a ``sizes_1e7`` section) with the
+operators whose per-doc cost is scan-bound -- epoch shuffle, unicode
+normalization, compression ratio, SPFHP packing, heavy-hitter terms --
+demonstrating the claimed shapes hold one decade past the main ladder.
+(The classifier/decontamination rows stay at 1e6: their feature streams
+make a 1e7 run minutes-long without changing the conclusion.)
+
+Run:  python bench_r13b_1e7.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from bench_curation_scale import gen_corpus
+from data_stream_flink_user_address_spark.functions.curation import (
+    compression_ratio,
+)
+from data_stream_flink_user_address_spark.functions.ordering import (
+    write_epoch_shards,
+)
+from data_stream_flink_user_address_spark.functions.packing import histogram_pack
+from data_stream_flink_user_address_spark.functions.profile import top_terms
+from data_stream_flink_user_address_spark.functions.text import normalize_unicode
+from data_stream_flink_user_address_spark.session import get_spark
+
+N = 10_000_000
+
+
+def main() -> None:
+    spark = get_spark("bench-r13b-1e7")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    docs = spark.read.parquet(gen_corpus(spark, N))
+    gen_s = round(time.time() - t0, 1)
+    row = {"n_docs": N, "corpus_gen_or_read_s": gen_s}
+
+    shard_path = "/tmp/r13b_shards_1e7"
+    shutil.rmtree(shard_path, ignore_errors=True)
+    t0 = time.time()
+    manifest = write_epoch_shards(docs, shard_path, n_shards=64, seed=7).collect()
+    dt = time.time() - t0
+    sizes = [r.n_rows for r in manifest]
+    row["epoch_shuffle"] = {
+        "n_shards": len(sizes),
+        "rows_written": sum(sizes),
+        "shard_skew_max_over_mean": round(max(sizes) / (sum(sizes) / len(sizes)), 3),
+        "wall_s": round(dt, 2),
+        "docs_per_sec": round(N / dt, 1),
+    }
+    shutil.rmtree(shard_path, ignore_errors=True)
+
+    t0 = time.time()
+    normalize_unicode(docs).agg(F.sum("n_changed")).collect()
+    dt = time.time() - t0
+    row["normalize_unicode"] = {"wall_s": round(dt, 2), "docs_per_sec": round(N / dt, 1)}
+
+    t0 = time.time()
+    compression_ratio(docs).agg(F.avg("compression_ratio")).collect()
+    dt = time.time() - t0
+    row["compression_ratio"] = {"wall_s": round(dt, 2), "docs_per_sec": round(N / dt, 1)}
+
+    varied = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.col("text"), " "),
+                1,
+                (F.pmod(F.xxhash64("doc_id"), F.lit(50)) + 1).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    assigned, stats = histogram_pack(varied, seq_len=512, bucket_size=1_000_000)
+    n_assigned = assigned.count()
+    dt = time.time() - t0
+    assert n_assigned == stats["n_docs"]
+    row["histogram_pack"] = {
+        "n_bins": stats["n_bins"],
+        "n_patterns": stats["n_patterns"],
+        "padding_frac": stats["padding_frac"],
+        "wall_s": round(dt, 2),
+        "docs_per_sec": round(N / dt, 1),
+    }
+
+    t0 = time.time()
+    top_terms(docs, k=100).count()
+    dt = time.time() - t0
+    row["top_terms"] = {"wall_s": round(dt, 2), "docs_per_sec": round(N / dt, 1)}
+
+    with open("R13B_OPS_SCALE.json") as f:
+        out = json.load(f)
+    out["sizes_1e7"] = row
+    with open("R13B_OPS_SCALE.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(row))
+    print("updated R13B_OPS_SCALE.json")
+
+
+if __name__ == "__main__":
+    main()
