@@ -172,21 +172,25 @@ def apply_nb_quality(
     ``default_weight``).  Positive score => the doc looks like the
     positive (keep) class.
 
-    ``method='join'`` (default): projection featurize -> explode ->
-    BROADCAST join on the (<= n_features row) weight table -> per-doc
-    sum -> join scores back onto the input by id.  The corpus text
-    rides no exchange; the only corpus-sized shuffle carries
-    (id, double) partial sums.  Deterministic to 1e-9 (rounded
-    fixed-order inputs), the oracle-exact path.
+    ``method='join'``: projection featurize -> explode -> BROADCAST
+    join on the (<= n_features row) weight table -> per-doc sum ->
+    join scores back onto the input by id.  The feature stream's
+    shuffle carries only (id, double) partial sums, but the FINAL
+    join-back re-shuffles the whole input (text included) by id --
+    scores are corpus-sized, so that join is sort-merge, not
+    broadcast.  Deterministic to 1e-9 (rounded fixed-order inputs):
+    the oracle-exact path, right for result-set-sized scoring and
+    cross-engine replay.
 
-    ``method='gather'``: the weight table is DENSIFIED into a
-    float64[n_features] numpy array (a few MB at 2^18), broadcast once,
-    and scores come from an Arrow-batched pandas UDF doing a vector
-    gather ``w[ids].sum()`` per row -- ZERO shuffle, zero join: the
-    score is a per-row projection.  Float summation order inside the
-    gather differs from the join path, so scores match to ~1e-9
-    relative, not bitwise; use 'join' when the oracle must replay the
-    exact value.  Zero-token docs score exactly ``prior`` either way.
+    ``method='gather'`` (the 100 TB path): the weight table is
+    DENSIFIED into a float64[n_features] numpy array (a few MB at
+    2^18), broadcast once, and scores come from an Arrow-batched
+    pandas UDF doing a vector gather ``w[ids].sum()`` per row -- ZERO
+    shuffle, zero join: the score is a per-row projection and the
+    corpus never moves.  Float summation order inside the gather
+    differs from the join path, so scores match to ~1e-9 relative,
+    not bitwise.  Zero-token and NULL-text docs score exactly
+    ``prior`` on both paths.
     """
     if method == "gather":
         return _apply_nb_gather(df, weights, info, text_col, score_col)
@@ -237,10 +241,16 @@ def _apply_nb_gather(
     # would stringify them past pyspark's eval-type inference
     def _score_fn(feats):
         w = bw.value
+        # NULL text -> null feature array -> None here: score = prior,
+        # matching the join path's explode_outer null-row behavior
         return pd.Series(
             [
                 prior
-                + (w[np.asarray(ids, dtype=np.int64)].sum() if len(ids) else 0.0)
+                + (
+                    w[np.asarray(ids, dtype=np.int64)].sum()
+                    if ids is not None and len(ids)
+                    else 0.0
+                )
                 for ids in feats
             ],
             dtype="float64",
@@ -358,8 +368,11 @@ def nb_quality_filter(
     threshold: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    method: str = "join",
 ) -> DataFrame:
     """Keep documents scoring above ``threshold`` (same columns as the
-    input; the score column is dropped after the gate)."""
-    scored = apply_nb_quality(df, weights, info, text_col, id_col)
+    input; the score column is dropped after the gate).  Pass
+    ``method='gather'`` for the zero-shuffle scoring path when gating
+    a full-scale corpus (see :func:`apply_nb_quality`)."""
+    scored = apply_nb_quality(df, weights, info, text_col, id_col, method=method)
     return scored.filter(F.col("nb_score") > threshold).drop("nb_score")

@@ -88,8 +88,9 @@ def write_epoch_shards(
     frame is already partitioned AND sorted by the shard id -- one file
     per shard value per task, rows in encounter order).
 
-    Returns the shard manifest -- ``(shard, n_rows, first_key,
-    last_key)`` -- computed by re-reading the written files (NOT from
+    Returns the shard manifest -- ``(shard, n_rows, first_order,
+    last_order)``, the order-key range each shard covers -- computed
+    by re-reading the written files (NOT from
     the input plan: the write and a plan-side manifest would each run
     the upstream scan once; re-reading costs one cheap metadata-sized
     pass and keeps the corpus scan single-pass).

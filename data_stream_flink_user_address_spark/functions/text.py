@@ -635,12 +635,15 @@ def normalize_unicode(
             norm = []
             changed = []
             for t in pdf[text_col]:
-                s = t if isinstance(t, str) else ""
-                v = unicodedata.normalize(form, s).replace(" ", " ")
+                if not isinstance(t, str):
+                    norm.append(None)  # NULL stays NULL, not ''
+                    changed.append(0)
+                    continue
+                v = unicodedata.normalize(form, t).replace(" ", " ")
                 if strip_control:
                     v = ctrl.sub("", v)
                 norm.append(v)
-                changed.append(int(v != s))
+                changed.append(int(v != t))
             out[text_col] = norm
             out["n_changed"] = _pd.Series(changed, index=pdf.index, dtype="int32")
             yield _pd.DataFrame(out, columns=cols + ["n_changed"])

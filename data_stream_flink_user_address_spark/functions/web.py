@@ -31,11 +31,14 @@ _TRACKING_PARAMS = (
 
 
 def normalize_url(url: Column | str) -> Column:
-    """Canonical URL: lowercase scheme+host, strip fragment, strip
-    default ports, strip tracking query params (empty query then drops
-    its '?'), strip trailing slash on a bare path.  Pure expression
-    chain -- the dedup-identity transform, deterministic and
-    oracle-replicable.
+    """Canonical URL: lowercase scheme+host, strip fragment, strip the
+    scheme's OWN default port (``:80`` only for http, ``:443`` only
+    for https -- a non-default port is a distinct resource), strip
+    tracking params FROM THE QUERY STRING ONLY (``&`` is a legal path
+    character per RFC 3986, so a literal ``&ref=...`` inside the path
+    survives), drop an emptied query's ``?``, and strip the trailing
+    slash on a bare path.  Pure expression chain -- the dedup-identity
+    transform, deterministic and oracle-replicable.
     """
     c = F.col(url) if isinstance(url, str) else url
     u = F.trim(c)
@@ -46,14 +49,22 @@ def normalize_url(url: Column | str) -> Column:
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     host = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
     tail = F.regexp_replace(rest, r"^[^/?]*", "")
-    host = F.regexp_replace(host, r":(80|443)$", "")
-    u = F.when(scheme == "", u).otherwise(F.concat(scheme, F.lit("://"), host, tail))
-    # strip tracking params (each, whether first or later in the query)
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
+    # clean tracking params out of the QUERY alone: split tail at the
+    # first '?' (path keeps its legal '&'s untouched)
+    path = F.substring_index(tail, "?", 1)
+    query = F.regexp_extract(tail, r"^[^?]*\?(.*)$", 1)  # '' when no query
     for p in _TRACKING_PARAMS:
-        u = F.regexp_replace(u, rf"([?&]){p}=[^&#]*", "$1")
-    u = F.regexp_replace(u, r"\?&+", "?")      # '?&x' -> '?x'
-    u = F.regexp_replace(u, r"&&+", "&")        # collapse runs
-    u = F.regexp_replace(u, r"[?&]$", "")       # dangling separator
+        query = F.regexp_replace(query, rf"(^|&){p}=[^&]*", "$1")
+    query = F.regexp_replace(query, r"^&+", "")    # leading separator
+    query = F.regexp_replace(query, r"&&+", "&")   # collapse runs
+    query = F.regexp_replace(query, r"&$", "")     # trailing separator
+    tail = F.when(query == "", path).otherwise(F.concat(path, F.lit("?"), query))
+    u = F.when(scheme == "", u).otherwise(F.concat(scheme, F.lit("://"), host, tail))
     u = F.regexp_replace(u, r"^(https?://[^/?]+)/$", "$1")  # bare-path slash
     return u
 

@@ -128,11 +128,9 @@ def main() -> None:
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     final = text.join(drop, "doc_id", "left_anti")
 
-    raw = recs.select(F.col("url").alias("u"), F.lit("x").alias("text")).withColumn(
-        "doc_id", F.monotonically_increasing_id()
-    )
     funnel = profile_funnel(
         {
+            "fetched": docs.select("doc_id", F.col("html").alias("text")),
             "url_deduped": by_url.select("doc_id", F.col("html").alias("text")),
             "unblocked": unblocked.select("doc_id", F.col("html").alias("text")),
             "near_dedup": final,

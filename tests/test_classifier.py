@@ -239,3 +239,20 @@ def test_apply_broadcast_plan(spark, model):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_gather_handles_null_text(spark, model):
+    """NULL text must score prior on BOTH paths, not crash the gather
+    UDF (regression: len(None) TypeError in the Python worker)."""
+    _, weights, info = model
+    test = spark.createDataFrame(
+        [(1, None), (2, GOOD[0])], ["doc_id", "text"]
+    ).withColumn("text", F.col("text").cast("string"))
+    j = {r.doc_id: r.nb_score for r in apply_nb_quality(test, weights, info).collect()}
+    g = {
+        r.doc_id: r.nb_score
+        for r in apply_nb_quality(test, weights, info, method="gather").collect()
+    }
+    assert j[1] == pytest.approx(info["prior"], abs=1e-9)
+    assert g[1] == pytest.approx(info["prior"], abs=1e-9)
+    assert g[2] == pytest.approx(j[2], abs=1e-8)

@@ -238,3 +238,56 @@ def test_blocklist_no_nested_loop_plan(spark):
             .toString()
         )
         assert "NestedLoop" not in plan
+
+
+class TestNormalizeUrlEdgeCases:
+    def test_path_ampersand_params_survive(self, spark):
+        """'&' is a legal path character: a literal '&ref=...' in the
+        PATH must not be stripped (regression: unanchored tracking
+        regex ate path segments)."""
+        got = _norm(
+            spark,
+            [
+                "https://x.com/a&ref=b/c",
+                "https://x.com/a&utm_source=feed",
+                "https://x.com/a&ref=b/c?utm_source=f&q=1",
+            ],
+        )
+        assert got == [
+            "https://x.com/a&ref=b/c",
+            "https://x.com/a&utm_source=feed",
+            "https://x.com/a&ref=b/c?q=1",
+        ]
+
+    def test_default_port_is_scheme_specific(self, spark):
+        """:80 is only default for http, :443 only for https."""
+        got = _norm(
+            spark,
+            [
+                "http://h:443/x",
+                "https://h:80/x",
+                "http://h:80/x",
+                "https://h:443/x",
+            ],
+        )
+        assert got == [
+            "http://h:443/x",
+            "https://h:80/x",
+            "http://h/x",
+            "https://h/x",
+        ]
+
+
+def test_normalize_unicode_preserves_null(spark):
+    from pyspark.sql import functions as FF
+
+    from data_stream_flink_user_address_spark.functions.text import (
+        normalize_unicode,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, "ok")], ["doc_id", "text"]).withColumn(
+        "text", FF.col("text").cast("string")
+    )
+    got = {r.doc_id: r for r in normalize_unicode(df).collect()}
+    assert got[1].text is None and got[1].n_changed == 0
+    assert got[2].text == "ok"
