@@ -522,3 +522,60 @@ def importance_resample(
         .filter(F.col("__gkey") >= F.col("c"))
         .drop("__gkey", "c")
     )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+    train_label: str | None = None,
+    min_agreement: float = 0.8,
+    **minhash_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`hash_split` plus a cross-split LEAKAGE GUARD: after the
+    deterministic assignment, any TRAIN document that is MinHash-near-
+    duplicate to a held-out (non-train) document is DROPPED from the
+    result -- the held-out copy stays, so evaluation data is never
+    discarded and train can no longer memorize an eval row's twin.
+    (Hash splitting alone separates exact rows, not near-duplicates:
+    two lightly-edited copies of one page hash independently and land
+    in different splits -- the classic silent eval leak.)
+
+    ``train_label`` defaults to the first key of ``splits``.  Returns
+    ``(split_df, leaks_df)``: the assigned frame minus leaking train
+    rows, and the (train key, eval key, agreement) report.
+
+    Scale shape: the split column is a row-local hash decision; the
+    guard is :func:`~.dedup.cross_corpus_decontaminate` with the
+    held-out side broadcast (held-out fractions are small by
+    construction) -- map-only over the train side, one small anti-join
+    back.  Deterministic end to end: same seed -> same splits, same
+    drops.
+    """
+    from .dedup import cross_corpus_decontaminate
+
+    train_label = train_label if train_label is not None else next(iter(splits))
+    if train_label not in splits:
+        raise ValueError(f"train_label {train_label!r} not in splits")
+    assigned = hash_split(df, splits, key_col, seed, out_col)
+    # the assignment column is a pure projection: re-deriving it on each
+    # side is free and keeps this a single-scan-per-side plan
+    train = assigned.filter(F.col(out_col) == train_label)
+    held = assigned.filter(F.col(out_col) != train_label).select(
+        key_col, text_col
+    )
+    clean_train, leaks = cross_corpus_decontaminate(
+        train,
+        held,
+        text_col=text_col,
+        id_col=key_col,
+        min_agreement=min_agreement,
+        **minhash_kwargs,
+    )
+    out = clean_train.unionByName(
+        assigned.filter(F.col(out_col) != train_label)
+    )
+    return out, leaks

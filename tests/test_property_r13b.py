@@ -175,3 +175,55 @@ def test_normalize_unicode_idempotent(spark, texts):
     rows = twice.collect()
     assert all(r.n_changed == 0 for r in rows)  # NFKC is idempotent
     assert {r.doc_id: r.text for r in rows} == first
+
+
+def test_leakage_free_split_drops_cross_split_twins(spark):
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        hash_split,
+        leakage_free_split,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while autumn leaves drift slowly across the quiet water surface"
+    )
+    import random as _random
+
+    def _words(i):
+        rng = _random.Random(1000 + i)
+        return " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(9))
+            for _ in range(20)
+        )
+
+    rows = [(i, _words(i)) for i in range(40)]
+    # find an id pair landing in different splits, then plant near-dups there
+    probe = spark.createDataFrame(rows, ["doc_id", "text"])
+    s = {r.doc_id: r.split for r in hash_split(
+        probe, {"train": 0.7, "test": 0.3}, seed=3).collect()}
+    train_id = next(i for i in s if s[i] == "train")
+    test_id = next(i for i in s if s[i] == "test")
+    rows = [
+        (i, base if i == train_id
+         else base.replace("autumn", "winter") if i == test_id
+         else t)
+        for i, t in rows
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out, leaks = leakage_free_split(
+        df, {"train": 0.7, "test": 0.3}, seed=3, min_agreement=0.5,
+        num_hashes=16, bands=8, rows_per_band=2,
+    )
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert train_id not in got          # leaking train twin dropped
+    assert got[test_id] == "test"       # eval copy retained
+    assert len(got) == 39
+    assert {(r.doc_id, r.eval_doc_id) for r in leaks.collect()} == {
+        (train_id, test_id)
+    }
+    # determinism
+    out2, _ = leakage_free_split(
+        df, {"train": 0.7, "test": 0.3}, seed=3, min_agreement=0.5,
+        num_hashes=16, bands=8, rows_per_band=2,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
