@@ -579,3 +579,41 @@ def leakage_free_split(
         assigned.filter(F.col(out_col) != train_label)
     )
     return out, leaks
+
+
+def upsample(
+    df: DataFrame,
+    factor_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic FRACTIONAL repetition -- the weights-above-1 side
+    of data mixing (:func:`token_budget_mixture` and
+    :func:`mixture_sample` only thin; a 2.7x-weighted source needs
+    every doc 2 times plus a deterministic 70% third copy).  Each row
+    emits ``floor(factor)`` copies plus one more with probability
+    ``frac(factor)``, decided by the row's hash bucket -- replay-stable
+    and oracle-replicable like every sampler here, and E[copies] =
+    factor exactly.  Output rows carry ``copy_col`` (0-based) so
+    downstream shuffles (:func:`~.ordering.epoch_shuffle` keyed on
+    (key, copy)) spread the copies apart instead of training on them
+    back-to-back.
+
+    Scale shape: pure row-local explode of a ``sequence()`` -- zero
+    shuffle, output size = sum(factor).  Factors < 1 thin (the row
+    survives with probability factor), so one column drives the whole
+    mixture curve; factor <= 0 or NULL drops the row.
+    """
+    f = F.col(factor_col).cast("double")
+    base = F.floor(f).cast("int")
+    frac = f - F.floor(f)
+    extra = (
+        hash_bucket(F.col(key_col), seed)
+        < (frac * _RESOLUTION).cast("bigint")
+    ).cast("int")
+    n = F.when(f.isNull() | (f <= 0), F.lit(0)).otherwise(base + extra)
+    out = df.withColumn("__n_copies", n).filter(F.col("__n_copies") > 0)
+    return out.withColumn(
+        copy_col, F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1))
+    ).drop("__n_copies")

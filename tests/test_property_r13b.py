@@ -227,3 +227,42 @@ def test_leakage_free_split_drops_cross_split_twins(spark):
         num_hashes=16, bands=8, rows_per_band=2,
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_upsample_exact_copies_and_determinism(spark):
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        hash_bucket,
+        upsample,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 300, F.lit(2.5))
+        .when(F.col("id") < 600, F.lit(1.0))
+        .when(F.col("id") < 900, F.lit(0.4))
+        .otherwise(F.lit(0.0))
+        .alias("factor"),
+    )
+    out = upsample(df, "factor")
+    rows = out.groupBy("doc_id").count().collect()
+    per = {r.doc_id: r["count"] for r in rows}
+    # factor 2.5 -> 2 or 3 copies; 1.0 -> exactly 1; 0.4 -> 0/1; 0 -> gone
+    assert all(per[i] in (2, 3) for i in per if i < 300)
+    assert all(per[i] == 1 for i in per if 300 <= i < 600)
+    assert all(per[i] == 1 for i in per if 600 <= i < 900)  # survivors only
+    assert all(i < 900 for i in per)
+    # expectation: mean copies within sampling noise of the factor
+    n_25 = sum(per[i] for i in per if i < 300)
+    assert 0.9 * 2.5 * 300 <= n_25 <= 1.1 * 2.5 * 300
+    n_04 = sum(1 for i in per if 600 <= i < 900)
+    assert 0.8 * 0.4 * 300 <= n_04 <= 1.2 * 0.4 * 300
+    # copy indices are dense 0..n-1
+    idx = [r.copy_idx for r in out.filter(F.col("doc_id") == 0).collect()]
+    assert sorted(idx) == list(range(per[0]))
+    # deterministic
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, upsample(df, "factor").collect())
+    )
+    # zero-shuffle plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
