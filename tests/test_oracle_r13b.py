@@ -220,3 +220,32 @@ def test_cross_corpus_decontaminate_pairs_oracle(spark, docs, con):
     """
     assert got.count() >= 50  # every planted copy pairs with its source
     assert compare(got, con, sql, "decontaminate_pairs") == []
+
+
+def test_upsample_oracle(spark, docs, con):
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        upsample,
+    )
+
+    w = docs.select(
+        "doc_id", ((F.col("doc_id") % 30) / F.lit(10.0)).alias("factor")
+    )
+    got = upsample(w, "factor").select("doc_id", "copy_idx")
+    sql = """
+        WITH w AS (
+            SELECT doc_id, (doc_id % 30) / 10.0 AS factor FROM documents
+        ),
+        n AS (
+            SELECT doc_id,
+                   (floor(factor)
+                    + CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 15))::BIGINT
+                                 % 1000000)
+                               < CAST((factor - floor(factor)) * 1000000 AS BIGINT)
+                           THEN 1 ELSE 0 END)::INT AS n_copies
+            FROM w
+            WHERE factor > 0
+        )
+        SELECT doc_id, unnest(range(0, n_copies))::INT AS copy_idx
+        FROM n WHERE n_copies > 0
+    """
+    assert compare(got, con, sql, "upsample") == []
