@@ -1921,16 +1921,23 @@ def incremental_minhash_dedup(
     the store-novel remainder, and its pair graph is collision-bounded,
     never all-pairs.  The store side never moves, at any corpus size.
 
-    Sub-shingle docs (normalized text shorter than ``n``) cannot be
-    MinHashed; they pass through UNGATED as survivors with an empty
-    ``signature`` -- an admission gate must not silently lose rows.
+    Sub-shingle docs (normalized text shorter than ``n``, including
+    NULL text) cannot be MinHashed; they pass through UNGATED as
+    survivors with an empty ``signature`` -- an admission gate must not
+    silently lose rows.  NULL text is coalesced to '' *before* the
+    length test: a bare ``length(NULL) < n`` is NULL, which fails the
+    filter and would silently drop the row from both branches (it also
+    fails :func:`minhash_signatures_text`'s ``length >= n`` filter).
     They are below the similarity resolution, so near-dup semantics do
     not apply to them (gate them upstream with the exact path); the
     epoch body excludes empty signatures from the store append, so they
     never become degenerate hot band keys.
     """
     norm_len = F.length(
-        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+        F.coalesce(
+            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "),
+            F.lit(""),
+        )
     )
     subshingle = new_docs.filter(norm_len < n).select(
         F.col(id_col),
@@ -2062,12 +2069,31 @@ def streaming_incremental_minhash_dedup(
     )
 
 
+def _band_store_id_col(src: DataFrame, id_col: str | None, sig_col: str) -> str:
+    """Resolve a band store's id column.  The builders parameterize
+    ``id_col`` while the stored layout is always (id, sig, band_key,
+    __epoch), so when the caller doesn't say, the id column is the one
+    column that isn't structural -- deriving it here means a store
+    seeded with a non-default id still compacts instead of raising
+    AnalysisException long after seeding."""
+    if id_col is not None:
+        return id_col
+    rest = [c for c in src.columns if c not in {sig_col, "band_key", "__epoch"}]
+    if len(rest) != 1:
+        raise ValueError(
+            f"cannot infer id column from store schema {src.columns}; "
+            "pass id_col explicitly"
+        )
+    return rest[0]
+
+
 def compact_minhash_band_store(
     spark,
     src_table: str,
     dest_table: str,
     dest_path: str,
     n_buckets: int | None = None,
+    id_col: str | None = None,
 ) -> tuple[int, int]:
     """:func:`compact_bucketed_fingerprint_store` for the MinHash band
     store: collapse replay-appended duplicates to one row per
@@ -2076,13 +2102,16 @@ def compact_minhash_band_store(
     Duplicate rows for a (band_key, doc) pair are byte-identical apart
     from provenance -- the signature is a pure function of the doc and
     only a replay of the SAME epoch re-appends -- so ``any_value``
-    picks the one signature there is.  Returns
+    picks the one signature there is.  ``id_col`` defaults to the one
+    non-structural column in the store schema, matching whatever
+    :func:`build_minhash_band_store` was seeded with.  Returns
     ``(rows_before, rows_after)``; same new-table atomic-swap stance as
     the fingerprint compactor."""
     from ..sources.layout import write_bucketed
 
     spark.catalog.refreshTable(src_table)  # see the fingerprint compactor
     src = spark.table(src_table)
+    id_col = _band_store_id_col(src, id_col, "signature")
     if n_buckets is None:
         meta = {
             r.col_name: r.data_type
@@ -2090,12 +2119,12 @@ def compact_minhash_band_store(
         }
         n_buckets = int(meta["Num Buckets"])
     out = (
-        src.groupBy("band_key", "doc_id")
+        src.groupBy("band_key", id_col)
         .agg(
             F.any_value("signature").alias("signature"),
             F.min("__epoch").alias("__epoch"),
         )
-        .select("doc_id", "signature", "band_key", "__epoch")
+        .select(id_col, "signature", "band_key", "__epoch")
     )
     rows_before = src.count()
     write_bucketed(
@@ -2326,15 +2355,18 @@ def compact_simhash_band_store(
     dest_table: str,
     dest_path: str,
     n_buckets: int | None = None,
+    id_col: str | None = None,
 ) -> tuple[int, int]:
     """:func:`compact_minhash_band_store` for the SimHash store: one
     row per (band_key, doc), min-epoch tags, same bucket spec, fresh
-    table resolution (see the fingerprint compactor's staleness note).
+    table resolution (see the fingerprint compactor's staleness note),
+    schema-derived ``id_col`` default.
     Returns ``(rows_before, rows_after)``."""
     from ..sources.layout import write_bucketed
 
     spark.catalog.refreshTable(src_table)
     src = spark.table(src_table)
+    id_col = _band_store_id_col(src, id_col, "simhash")
     if n_buckets is None:
         meta = {
             r.col_name: r.data_type
@@ -2342,12 +2374,12 @@ def compact_simhash_band_store(
         }
         n_buckets = int(meta["Num Buckets"])
     out = (
-        src.groupBy("band_key", "doc_id")
+        src.groupBy("band_key", id_col)
         .agg(
             F.any_value("simhash").alias("simhash"),
             F.min("__epoch").alias("__epoch"),
         )
-        .select("doc_id", "simhash", "band_key", "__epoch")
+        .select(id_col, "simhash", "band_key", "__epoch")
     )
     rows_before = src.count()
     write_bucketed(

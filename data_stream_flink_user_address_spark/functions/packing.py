@@ -349,9 +349,11 @@ def histogram_pack(
     pure arithmetic -- each doc's RANK within its length class maps to
     (pattern block, instance, slot) through a broadcast segment table.
     The rank itself uses the module's two-phase trick keyed on
-    (length, id-bucket), so no window partition exceeds
-    ``bucket_size`` rows and a billion-doc length class never funnels
-    through one task.  Shuffle inventory: the (id, length, bucket)
+    (length, id-bucket) -- the bucket is ``xxhash64(id) %
+    ceil(n_docs / bucket_size)``, so it accepts ANY id type and keeps
+    mean window-partition occupancy at ``bucket_size`` rows; a
+    billion-doc length class never funnels through one task.
+    Shuffle inventory: the (id, length, bucket)
     triple through one exchange for the local rank window, a
     histogram-sized aggregate, two broadcasts back.  Document text
     never moves.
@@ -375,7 +377,6 @@ def histogram_pack(
             F.least(F.col("__raw_tokens"), F.lit(seq_len)).alias("n_tokens"),
             (F.col("__raw_tokens") > seq_len).alias("truncated"),
         )
-        .withColumn("__bucket", F.floor(F.col(id_col) / bucket_size))
     )
     # the narrow (id, len, flag, bucket) frame feeds the histogram AND
     # the rank path: materialize lazily or the text scan runs twice
@@ -393,13 +394,28 @@ def histogram_pack(
             n_truncated += int(r.c)
     if not hist:
         spark = df.sparkSession
+        id_type = df.schema[id_col].dataType.simpleString()
         empty = spark.createDataFrame(
-            [], f"{id_col} long, n_tokens bigint, bin_id bigint, truncated boolean"
+            [],
+            f"{id_col} {id_type}, n_tokens bigint, bin_id bigint, "
+            "truncated boolean",
         )
         return empty, {
             "n_docs": 0, "n_bins": 0, "total_tokens": 0,
             "padding_frac": 0.0, "n_truncated": 0, "n_patterns": 0,
         }
+
+    # bucket ids by HASH, not floor(id / bucket_size): hashing needs no
+    # numeric-id assumption (string ids raise CAST_INVALID_INPUT under
+    # ANSI, or NULL-bucket away every row with ANSI off) and spreads
+    # arbitrary key distributions evenly; the histogram collect above
+    # already fixed n_docs, so the bucket count lands mean occupancy at
+    # bucket_size without a second pass
+    n_docs = sum(hist.values())
+    n_buckets = max(1, -(-n_docs // bucket_size))
+    d = d.withColumn(
+        "__bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    )
 
     patterns = _spfhp_solve(hist, seq_len)
 
@@ -463,7 +479,6 @@ def histogram_pack(
         )
     )
 
-    n_docs = sum(hist.values())
     total_tokens = sum(k * v for k, v in hist.items())
     n_bins = sum(m for _, m in patterns)
     stats = {

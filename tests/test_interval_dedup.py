@@ -899,6 +899,60 @@ class TestIncrementalMinhashDedup:
         finally:
             spark.sql("DROP TABLE IF EXISTS mh_short_fn_t")
 
+    def test_null_text_passes_through_ungated(self, spark, tmp_path):
+        """NULL text must ride the sub-shingle pass-through, not vanish:
+        a bare length(NULL) < n is NULL, which fails BOTH branch filters
+        and silently lost the row before the coalesce fix (the exact and
+        SimHash gates both retain NULL-text rows)."""
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            incremental_minhash_dedup,
+        )
+        self._seed(spark, "mh_null_fn_t", tmp_path)
+        try:
+            batch = self._mk(spark, [
+                (10, None),          # NULL text: pass through ungated
+                (11, self.BASE),     # store dup: drop
+                (12, self.NOVEL2),   # novel: keep
+            ])
+            out = incremental_minhash_dedup(batch, "mh_null_fn_t")
+            got = {r.doc_id: list(r.signature) for r in out.collect()}
+            assert set(got) == {10, 12}
+            assert got[10] == [] and len(got[12]) == 16
+        finally:
+            spark.sql("DROP TABLE IF EXISTS mh_null_fn_t")
+
+    def test_compaction_with_custom_id_col(self, spark, tmp_path):
+        """A store seeded with a non-default id column compacts without
+        the caller restating it: the compactor derives the id column
+        from the store schema (it used to hard-code 'doc_id' and raise
+        AnalysisException at compaction time)."""
+        from pyspark.sql import Row
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            build_minhash_band_store,
+            compact_minhash_band_store,
+        )
+        spark.sql("DROP TABLE IF EXISTS mh_cid_src_t")
+        df = spark.createDataFrame([
+            Row(page_id="pg-a", text=self.BASE),
+            Row(page_id="pg-b", text=self.NOVEL),
+        ])
+        build_minhash_band_store(
+            df, "mh_cid_src_t", str(tmp_path / "cid_store"), n_buckets=4,
+            id_col="page_id", epoch=-1,
+        )
+        try:
+            before, after = compact_minhash_band_store(
+                spark, "mh_cid_src_t", "mh_cid_dst_t",
+                str(tmp_path / "cid_store_c"),
+            )
+            assert (before, after) == (8, 8)
+            dst = spark.table("mh_cid_dst_t")
+            assert "page_id" in dst.columns
+            assert dst.select("page_id").distinct().count() == 2
+        finally:
+            for t in ("mh_cid_src_t", "mh_cid_dst_t"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
 
 class TestIncrementalSimhashDedup:
     """incremental_simhash_dedup: the Hamming member of the gate family.

@@ -294,6 +294,32 @@ class TestHistogramPack:
         assert out.count() == 0
         assert stats["n_bins"] == 0 and stats["padding_frac"] == 0.0
 
+    def test_string_ids_pack_correctly(self, spark):
+        """The rank bucket is hash-derived, so non-numeric ids work:
+        floor(id / bucket_size) used to raise CAST_INVALID_INPUT under
+        ANSI (or NULL-bucket every row away with ANSI off)."""
+        from data_stream_flink_user_address_spark.functions.packing import (
+            histogram_pack,
+        )
+
+        lens = [5, 5, 3, 3, 3, 2, 7, 8, 1, 1, 4, 6]
+        rows = [(f"doc-{i:03d}", " ".join(["w"] * n)) for i, n in enumerate(lens)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out, stats = histogram_pack(df, seq_len=8, bucket_size=4)
+        got = out.collect()
+        assert len(got) == len(lens)
+        assert {r.doc_id for r in got} == {f"doc-{i:03d}" for i in range(len(lens))}
+        sums = {}
+        for r in got:
+            sums[r.bin_id] = sums.get(r.bin_id, 0) + r.n_tokens
+        assert all(s <= 8 for s in sums.values())
+        assert len(sums) == stats["n_bins"]
+        # empty-corpus schema keeps the caller's id type too
+        empty_out, _ = histogram_pack(
+            spark.createDataFrame([("x", "")], ["doc_id", "text"]), seq_len=8
+        )
+        assert empty_out.schema["doc_id"].dataType.simpleString() == "string"
+
 
 class TestPackBinsText:
     def test_bins_reassemble_and_clip(self, spark):
