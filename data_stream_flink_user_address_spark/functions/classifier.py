@@ -93,6 +93,7 @@ def train_nb_quality(
     use_bigrams: bool = True,
     alpha: float = 1.0,
     hash_fn: str = "md5",
+    min_df: int = 1,
 ) -> tuple[DataFrame, dict]:
     """Train the NB quality model.  ``label_col`` is 0/1 (1 = keep).
 
@@ -107,6 +108,14 @@ def train_nb_quality(
     One corpus pass: featurize (projection) -> explode -> ONE
     feature-keyed count shuffle; the class totals ride the same
     aggregate as a grand-total rollup (1 extra row), collected once.
+
+    ``min_df`` prunes features with total occurrence count below the
+    threshold from the WEIGHT TABLE only: hash buckets touched once or
+    twice carry ~no class signal yet dominate the table's row count
+    (natural-text Zipf tail), so pruning shrinks the apply-side
+    broadcast/densify collect without moving accuracy.  Smoothing
+    denominators still count every occurrence; a pruned feature scores
+    as unseen (``default_weight``) at apply time.
     """
     lbl = F.col(label_col).cast("long")
     feats = df.select(
@@ -144,9 +153,12 @@ def train_nb_quality(
         "use_bigrams": use_bigrams,
         "hash_fn": hash_fn,
         "alpha": alpha,
+        "min_df": int(min_df),
         "pos_total": int(tot.pos_tot or 0),
         "neg_total": int(tot.neg_tot or 0),
     }
+    if min_df > 1:
+        counts = counts.filter((F.col("pos") + F.col("neg")) >= min_df)
     weights = counts.select(
         "feature",
         F.round(

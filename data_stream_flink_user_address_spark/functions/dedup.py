@@ -1774,7 +1774,14 @@ def cross_corpus_decontaminate(
     zero shuffle); the eval band table is BROADCAST, so the candidate
     join is map-side; the final removal is a broadcast left-anti join on
     the (small) contaminated-id set.  The training corpus is never
-    shuffled -- the whole pass is map-only over the big side.  Eval docs
+    shuffled -- the whole pass is map-only over the big side.  When the
+    "eval" side is NOT tiny (e.g. a split's percentage-sized holdout --
+    see :func:`~.sampling.leakage_free_split`, which size-gates this),
+    pass ``broadcast_eval=False``: the candidate join becomes a shuffle
+    equi-join on ``band_key`` carrying only the slim (id, band_key)
+    projections of both sides -- the corpus text still never moves, and
+    AQE may still pick a broadcast at runtime if the eval bands turn
+    out small.  Eval docs
     shorter than ``n`` chars produce no shingles and cannot contaminate;
     train docs shorter than ``n`` always pass through.
 

@@ -533,6 +533,8 @@ def leakage_free_split(
     out_col: str = "split",
     train_label: str | None = None,
     min_agreement: float = 0.8,
+    broadcast_eval: bool | None = None,
+    broadcast_max_rows: int = 2_000_000,
     **minhash_kwargs,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`hash_split` plus a cross-split LEAKAGE GUARD: after the
@@ -549,11 +551,19 @@ def leakage_free_split(
     rows, and the (train key, eval key, agreement) report.
 
     Scale shape: the split column is a row-local hash decision; the
-    guard is :func:`~.dedup.cross_corpus_decontaminate` with the
-    held-out side broadcast (held-out fractions are small by
-    construction) -- map-only over the train side, one small anti-join
-    back.  Deterministic end to end: same seed -> same splits, same
-    drops.
+    guard is :func:`~.dedup.cross_corpus_decontaminate`, and the
+    held-out side's band table is SIZE-GATED, not blindly broadcast:
+    unlike that function's stated regime (eval = benchmark suites,
+    i.e. tiny), a split's held-out side is a FRACTION of the corpus --
+    a 1% holdout of a 100 TB corpus is ~4e8 docs, far past any
+    broadcast threshold.  ``broadcast_eval=None`` (default) counts the
+    held-out keys (a column-pruned scan) and broadcasts only when they
+    fit under ``broadcast_max_rows``; above it the guard's candidate
+    join falls back to a shuffle equi-join on ``band_key``, which is
+    cheap because the band rows are slim (key, band_key) projections --
+    the corpus text still never moves.  Pass ``True``/``False`` to
+    skip the count and force a side.  Deterministic end to end: same
+    seed -> same splits, same drops.
     """
     from .dedup import cross_corpus_decontaminate
 
@@ -567,12 +577,20 @@ def leakage_free_split(
     held = assigned.filter(F.col(out_col) != train_label).select(
         key_col, text_col
     )
+    if broadcast_eval is None:
+        held_rows = (
+            assigned.filter(F.col(out_col) != train_label)
+            .select(key_col)
+            .count()
+        )
+        broadcast_eval = held_rows <= broadcast_max_rows
     clean_train, leaks = cross_corpus_decontaminate(
         train,
         held,
         text_col=text_col,
         id_col=key_col,
         min_agreement=min_agreement,
+        broadcast_eval=broadcast_eval,
         **minhash_kwargs,
     )
     out = clean_train.unionByName(

@@ -200,6 +200,7 @@ def read_warc(
     spark,
     path: str,
     record_types: tuple[str, ...] = ("response",),
+    records_per_chunk: int = 1024,
 ) -> DataFrame:
     """Read WARC archives under ``path`` into one row per record:
     ``(archive, record_type, url, warc_date, content_type,
@@ -210,25 +211,35 @@ def read_warc(
     above -- records stream out of each task with zero shuffle; filter
     by ``record_types`` before anything wide.  Archives must fit a
     task's memory (the binaryFile contract); crawl archives are sized
-    for exactly that (~1 GB).
+    for exactly that (~1 GB).  Parsed records are yielded in
+    ``records_per_chunk``-row Arrow batches rather than one
+    archive-sized frame, so peak task memory is the raw archive plus
+    ONE bounded chunk of parsed copies -- not a second full copy of
+    every payload.
     """
     import pandas as pd
 
     types = set(record_types)
+    keys = (
+        "archive", "record_type", "url", "warc_date",
+        "content_type", "content_length", "payload",
+    )
+    per_chunk = max(1, int(records_per_chunk))
 
     def _gen(batches):
         for pdf in batches:
-            out = {k: [] for k in (
-                "archive", "record_type", "url", "warc_date",
-                "content_type", "content_length", "payload",
-            )}
+            out = {k: [] for k in keys}
             for name, blob in zip(pdf["path"], pdf["content"]):
                 for rec in _parse_warc_bytes(name, bytes(blob)):
                     if types and rec[1] not in types:
                         continue
                     for k, v in zip(out, rec):
                         out[k].append(v)
-            yield pd.DataFrame(out)
+                    if len(out["archive"]) >= per_chunk:
+                        yield pd.DataFrame(out)
+                        out = {k: [] for k in keys}
+            if out["archive"]:
+                yield pd.DataFrame(out)
 
     src = spark.read.format("binaryFile").load(path).select("path", "content")
     return src.mapInPandas(_gen, _WARC_SCHEMA)

@@ -256,3 +256,40 @@ def test_gather_handles_null_text(spark, model):
     assert j[1] == pytest.approx(info["prior"], abs=1e-9)
     assert g[1] == pytest.approx(info["prior"], abs=1e-9)
     assert g[2] == pytest.approx(j[2], abs=1e-8)
+
+
+def test_min_df_prunes_weight_table_not_denominators(spark, model):
+    """min_df shrinks the WEIGHT TABLE only: smoothing denominators
+    still count every occurrence, and a pruned feature scores as
+    unseen (default_weight) at apply time -- so pruned-model scores
+    equal scoring with the full model's table manually filtered."""
+    train, weights_full, info_full = model
+    weights_pruned, info_pruned = train_nb_quality(
+        train, n_features=1 << 14, min_df=2
+    )
+    n_full, n_pruned = weights_full.count(), weights_pruned.count()
+    assert n_pruned < n_full  # the fixture vocab has singleton features
+    # denominators and scalars unchanged by the prune
+    for k in ("prior", "default_weight", "pos_total", "neg_total"):
+        assert info_pruned[k] == info_full[k], k
+    assert info_pruned["min_df"] == 2
+    test = spark.createDataFrame(
+        [(1, "the reviewed analysis reported detailed statistical evidence"),
+         (2, "click now free offer buy cheap pills win money"),
+         (3, "")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.nb_score
+        for r in apply_nb_quality(test, weights_pruned, info_pruned).collect()
+    }
+    # equivalence oracle: full model with rows below min_df dropped
+    kept = weights_full.join(
+        weights_pruned.select("feature"), "feature", "left_semi"
+    )
+    want = {
+        r.doc_id: r.nb_score
+        for r in apply_nb_quality(test, kept, info_full).collect()
+    }
+    assert got == want
+    assert got[1] > 0 > got[2]  # still separates classes after pruning

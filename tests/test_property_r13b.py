@@ -227,6 +227,15 @@ def test_leakage_free_split_drops_cross_split_twins(spark):
         num_hashes=16, bands=8, rows_per_band=2,
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+    # the size-gated shuffle fallback computes IDENTICAL splits/drops
+    out3, leaks3 = leakage_free_split(
+        df, {"train": 0.7, "test": 0.3}, seed=3, min_agreement=0.5,
+        num_hashes=16, bands=8, rows_per_band=2, broadcast_max_rows=0,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out3.collect()))
+    assert {(r.doc_id, r.eval_doc_id) for r in leaks3.collect()} == {
+        (train_id, test_id)
+    }
 
 
 def test_upsample_exact_copies_and_determinism(spark):

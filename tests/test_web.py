@@ -131,6 +131,25 @@ class TestWarc:
         recs = list(_parse_warc_bytes("f", blob))
         assert len(recs) == 4
 
+    def test_chunked_yields_bound_batch_memory(self, spark, tmp_path):
+        """A multi-record archive streams out as records_per_chunk-row
+        Arrow batches -- peak task memory is the raw archive plus ONE
+        bounded chunk of parsed copies, never a second full copy of
+        every payload.  Chunk size must not change the result set."""
+        p = tmp_path / "crawl"
+        p.mkdir()
+        many = b"".join([_warc_bytes() for _ in range(10)])  # 40 records
+        (p / "big.warc").write_bytes(many)
+        whole = read_warc(spark, str(p), record_types=(), records_per_chunk=10**6)
+        chunked = read_warc(spark, str(p), record_types=(), records_per_chunk=3)
+        rows_w = sorted(map(tuple, whole.collect()))
+        rows_c = sorted(map(tuple, chunked.collect()))
+        assert len(rows_c) == 40 and rows_c == rows_w
+        # type filter composes with chunking mid-archive
+        resp = read_warc(spark, str(p), records_per_chunk=3).collect()
+        assert len(resp) == 20
+        assert {r.record_type for r in resp} == {"response"}
+
 
 class TestCompressionRatio:
     def test_repetitive_vs_prose_vs_noise(self, spark):
