@@ -55,6 +55,9 @@ from data_stream_flink_user_address_spark.functions.dedup import (
     boilerplate_line_dedup,
     build_fingerprint_store,
     incremental_exact_dedup,
+    build_minhash_band_store,
+    cross_corpus_decontaminate,
+    incremental_minhash_dedup,
 )
 from data_stream_flink_user_address_spark.functions.similarity import (
     brute_force_topk,
@@ -87,9 +90,27 @@ from data_stream_flink_user_address_spark.functions.pq import (
     pq_topk,
     train_pq_codebooks,
 )
-from data_stream_flink_user_address_spark.functions.retrieval import bm25_topk
+from data_stream_flink_user_address_spark.functions.retrieval import (
+    bm25_topk,
+    rrf_fuse,
+)
+from data_stream_flink_user_address_spark.functions.classifier import (
+    apply_nb_quality,
+    train_nb_quality,
+)
+from data_stream_flink_user_address_spark.functions.ordering import epoch_shuffle
+from data_stream_flink_user_address_spark.functions.profile import top_terms
+from data_stream_flink_user_address_spark.functions.web import (
+    domain_of,
+    filter_blocked_domains,
+    normalize_url,
+)
+from data_stream_flink_user_address_spark.functions.curation import (
+    compression_ratio,
+)
 from data_stream_flink_user_address_spark.functions.packing import (
     chunk_manifest,
+    histogram_pack,
     overlap_chunks,
     sequence_pack_offsets,
 )
@@ -112,7 +133,10 @@ from data_stream_flink_user_address_spark.functions.multimodal import (
 )
 from data_stream_flink_user_address_spark.functions.sampling import (
     hash_split,
+    importance_resample,
+    leakage_free_split,
     mixture_sample,
+    upsample,
 )
 from data_stream_flink_user_address_spark.functions.text import (
     BPE_SPLIT_PATTERN,
@@ -128,6 +152,7 @@ from data_stream_flink_user_address_spark.functions.text import (
     bigram_logprob_scores,
     bpe_apply,
     bpe_train_and_encode,
+    normalize_unicode,
     strip_markup,
     winnow_fingerprint,
 )
@@ -2275,29 +2300,300 @@ def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(corpus, bench, n=_CONTAM_N)
 
 
+# ---------------------------------------------------------------------------
+# r14 registrations: the r13b operator family (VERDICT r13 ask #1) as
+# composite driver queries -- web ingestion, NB quality classifier,
+# cross-corpus decontamination, leakage-guarded splitting, deterministic
+# upsampling + epoch shuffle, Gumbel importance resampling, the
+# incremental MinHash gate, heavy-hitter terms + RRF fusion, and SPFHP
+# packing + compression-ratio (rows-only: zlib and the greedy solve have
+# no SQL spelling).
+# ---------------------------------------------------------------------------
+
+# deterministic synthetic hosts for the web-ingest query: two blocked
+# (one exact, one by subdomain), two surviving
+_WEB_HOSTS = ["Blocked.Example.com", "sub.Tracker.net", "good.org", "news.site.io"]
+_WEB_BLOCKLIST = ["tracker.net", "blocked.example.com"]
+
+
+def _q_web_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl admission in ONE pass (functions/web.py + text.py):
+    deterministic in-plan URLs (mixed-case scheme/host, default port,
+    tracking params, fragment) ride normalize_url + domain_of; a
+    broadcast blocklist drops two of four host classes (one exact match,
+    one via the subdomain suffix walk -- never an endswith nested-loop);
+    survivors' text gets a planted fullwidth 'A' (U+FF21) and runs
+    through the NFKC normalize_unicode mapInPandas boundary.  The oracle
+    replays the URL algebra in string SQL and pins NFKC by the planted
+    char's known canonical form -- the corpus text is pure ASCII
+    (verified), so the normalized text is exactly text || 'A' with
+    n_changed = 1 everywhere."""
+    d = _docs(spark, sf_dir)
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _WEB_HOSTS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("HTTP://"), host, F.lit(":80/path/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&id="), (F.col("doc_id") % 50).cast("string"),
+        F.lit("#frag"),
+    )
+    d = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("Ａ")).alias("text"),
+        url.alias("url"),
+    )
+    bl = spark.createDataFrame([(b,) for b in _WEB_BLOCKLIST], ["domain"])
+    kept = filter_blocked_domains(d, bl, url_col="url")
+    kept = kept.select(
+        "doc_id",
+        normalize_url("url").alias("url_norm"),
+        domain_of("url").alias("domain"),
+        "text",
+    )
+    out = normalize_unicode(kept)
+    return out.select(
+        "doc_id", "url_norm", "domain",
+        F.col("text").alias("text_norm"),
+        F.col("n_changed").cast("int").alias("n_changed"),
+    )
+
+
+_NB_FEATURES = 1 << 12
+
+
+def _q_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB hashed-ngram quality classifier, trained AND applied in-plan
+    (functions/classifier.py): label = doc_id % 2 (classes share the
+    synthetic vocabulary, so this pins the count/smoothing/log-odds
+    arithmetic, not separability), md5 hashing for oracle replay.  The
+    oracle re-derives the whole model in SQL -- hashed unigram+bigram
+    counts, smoothed log-odds, per-doc score -- with the repo's
+    fixed-point rounding (weights 1e-9, scores re-rounded 1e-6 so
+    double accumulation order cannot flip the compare)."""
+    d = _docs(spark, sf_dir)
+    labeled = d.withColumn("label", (F.col("doc_id") % 2).cast("int"))
+    weights, info = train_nb_quality(labeled, n_features=_NB_FEATURES)
+    scored = apply_nb_quality(d.select("doc_id", "text"), weights, info)
+    return scored.select("doc_id", F.round("nb_score", 6).alias("nb_score"))
+
+
+def _q_decontaminate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus benchmark decontamination
+    (functions/dedup.py:cross_corpus_decontaminate): every 10th doc
+    plays the eval suite (id-shifted), the full corpus plays train; the
+    eval band table broadcasts and the train side is map-only.  Output
+    is the contaminated-pair report.  r14 registry fold: absorbs the
+    retired ``contamination_check`` slot's decontamination duty at doc
+    level (phrase-level n-gram overlap stays driver-checked inside
+    ``curation_pipeline``, whose single-pass plan embeds the identical
+    %25 eval split + broadcast gram anti-join)."""
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    _, pairs = cross_corpus_decontaminate(d, ev)
+    return pairs.select("doc_id", "eval_doc_id", "agreement")
+
+
+def _q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-guarded train/valid/test split
+    (functions/sampling.py:leakage_free_split): the deterministic
+    hash_split assignment (same _SPLITS/seed as the retired
+    ``dataset_split`` -- this query is its strict superset, stage 1
+    identical) followed by the cross-split MinHash twin guard: any
+    TRAIN doc near-duplicate (signature agreement >= 0.8) to a held-out
+    doc is dropped; the held-out copy stays.  The size gate counts the
+    holdout and picks broadcast here (500-5000 rows); above
+    broadcast_max_rows the same call falls back to a band_key shuffle
+    join (plan-pinned in tests/test_plan_shapes.py)."""
+    d = _docs(spark, sf_dir)
+    out, _ = leakage_free_split(d, _SPLITS, seed=42, min_agreement=0.8)
+    return out.select("doc_id", "split")
+
+
+def _q_upsample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional upsampling composed with the epoch
+    shuffle -- the training-prep order (functions/sampling.py:upsample
+    -> functions/ordering.py:epoch_shuffle): each doc emits
+    floor(factor) copies plus a hash-decided fractional one, then every
+    (doc, copy) gets its md5 epoch-order key and shard, spreading the
+    copies apart instead of training on them back-to-back.  One hash
+    exchange total; both stages are row-local arithmetic."""
+    d = _docs(spark, sf_dir)
+    w = d.select(
+        "doc_id", ((F.col("doc_id") % 30) / F.lit(10.0)).alias("factor")
+    )
+    copies = upsample(w, "factor")
+    keyed = copies.withColumn(
+        "pkey",
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("#"),
+            F.col("copy_idx").cast("string"),
+        ),
+    )
+    shuffled = epoch_shuffle(keyed, key_col="pkey", seed=11, epoch=2, n_shards=8)
+    return shuffled.select("doc_id", "copy_idx", "epoch_order", "shard")
+
+
+def _q_importance_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k importance resampling, exact path
+    (functions/sampling.py:importance_resample): weighted sampling
+    without replacement via hash-derived Gumbel keys over synthetic
+    log-weights (doc_id % 7) -- deterministic, so the oracle sorts the
+    same keys.  The exact path's distributed partial top-k
+    (TakeOrderedAndProject) is the oracle-friendly spelling; the
+    default approx-cutoff path (broadcast percentile + row-local
+    filter) is the 100 TB one and stays bench/unit-pinned."""
+    d = _docs(spark, sf_dir)
+    lw = d.select(
+        "doc_id", (F.col("doc_id") % 7).cast("double").alias("log_weight")
+    )
+    out = importance_resample(lw, fraction=0.2, seed=5, exact=True)
+    return out.select("doc_id")
+
+
+def _q_incremental_minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-crawl NEAR-dup admission gate
+    (functions/dedup.py:build_minhash_band_store +
+    incremental_minhash_dedup): even docs seed the persisted
+    band_key-bucketed store, odd docs arrive as the batch; survivors
+    have no store near-match (band collision + signature agreement >=
+    0.7) and win their within-batch cluster (min-id keep rule).  The
+    store-side join reads the bucket layout with zero store exchange
+    (plan-pinned in tests/test_plan_shapes.py).  r14 registry fold
+    note: the banding + min-label clustering this gate runs per batch
+    are the same stages the retired ``minhash_lsh_pairs`` /
+    ``dedup_clusters`` slots checked standalone (both remain stage 1+2
+    of ``fuzzy_dedup_keep``, still in-window).  The oracle re-derives
+    signatures, store hits (exact k/16 agreement -- binary-exact
+    division), the batch pair graph, and the recursive-CTE components."""
+    d = _docs(spark, sf_dir)
+    store_docs = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tbl = f"mh_gate_store_q_{key}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_mh_gate_{key}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    build_minhash_band_store(store_docs, tbl, path, n_buckets=8, epoch=-1)
+    out = incremental_minhash_dedup(batch, tbl)
+    return out.select("doc_id")
+
+
+def _q_top_terms_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter vocabulary fused across two rankings
+    (functions/profile.py:top_terms + functions/retrieval.py:rrf_fuse):
+    term-frequency top-50 and document-frequency top-50, reciprocal-rank
+    fused (k=60) to the final top-30 -- the profiling spelling of the
+    hybrid-retrieval combiner (rank-only inputs, no score rescaling).
+    Both rankings bound to 50 rows before any single-partition window
+    touches them."""
+    d = _docs(spark, sf_dir)
+    tf = top_terms(d, k=50)
+    w1 = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    r1 = tf.select("term", F.row_number().over(w1).alias("rank"))
+    toks = d.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).select("doc_id", F.lower(F.col("term")).alias("term"))
+    dfc = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("nd"))
+    top_df = dfc.orderBy(F.col("nd").desc(), F.col("term").asc()).limit(50)
+    w2 = Window.orderBy(F.col("nd").desc(), F.col("term").asc())
+    r2 = top_df.select("term", F.row_number().over(w2).alias("rank"))
+    return rrf_fuse([r1, r2], id_col="term", k=60, topk=30)
+
+
+def _q_pack_bins_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPFHP whole-document bin packing + the zlib compression-ratio
+    signal (functions/packing.py:histogram_pack +
+    functions/curation.py:compression_ratio), reported per bin: doc
+    count, token sum (<= seq_len by the solver's contract), mean
+    compression ratio, any-truncated flag.  Deliberately rows-only at
+    the driver (no oracle_sql): the greedy histogram solve and zlib
+    have no SQL spelling -- the assignment's invariants are pinned by
+    tests/test_packing.py and the local property suite instead."""
+    d = _docs(spark, sf_dir)
+    assigned, _stats = histogram_pack(d, seq_len=128)
+    cr = compression_ratio(d).select("doc_id", "compression_ratio")
+    joined = assigned.join(cr, "doc_id")
+    return joined.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.round(F.avg("compression_ratio"), 6).alias("mean_compression_ratio"),
+        F.max(F.col("truncated").cast("int")).alias("any_truncated"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver check window (first 50, verified in declaration order).
-    # r13 rotation (VERDICT r12 asks #1 + #5): the registry shrank
-    # 104 -> 94 by folding near-duplicate checks (merge list in
-    # tests/test_oracle_parity.py::test_driver_window_covers_r13_rotation),
-    # restoring an exact TWO-round full-coverage cycle:
+    # r14 rotation (VERDICT r13 asks #1 + #2): the registry holds at 94
+    # via nine folds (merge list in tests/test_oracle_parity.py::
+    # R14_FOLDED) paying for the nine r13b-family registrations, so the
+    # exact TWO-round full-coverage cycle stands:
     #   6 pinned parity + 2 x 44 rotating slots = 94.
-    # This window = 6 parity + the 13 r12 additions taking their FIRST
-    # driver rows + doc_signals (new fold, changed plan) + 30 of the
-    # 38-query relational/TPC-H set last green r11.  The remaining 8
-    # (events_json_extract .. scd2_customer_segments) plus the 36
-    # queries green in r12 itself are below the window and fill r14's
-    # 44 rotating slots EXACTLY -- r13 union r14 covers all 94.
-    # reference parity (6, always in-window; windowed_value_sum folded
-    # into windowed_count_by_type this round)
+    # This window = 6 parity + the 35 surviving below-window queries
+    # from r13 (8 relational green r11, 26 green r12, bpe_apply_docs
+    # taking its FIRST driver row) + the 9 new r13b composites (first
+    # driver rows).  Below the window: the 44 queries green in r13's
+    # own window -- exactly r15's rotating slots, so r14 union r15
+    # covers all 94.
+    # reference parity (6, always in-window)
     "user_address_counts": _q_user_address_counts,
     "count_by_state": _q_count_by_state,
     "count_by_country": _q_count_by_country,
     "windowed_count_by_type": _q_windowed_count_by_type,
     "stateful_join_trace": _q_stateful_join_trace,
     "windowed_trace_inflation": _q_windowed_trace_inflation,
-    # the 13 operators added in r12, never yet in a driver window
-    # (VERDICT r12 ask #1 -- their first hard correctness rows)
+    # the 8 relational queries last green r11 (rolled past r13's window)
+    "events_json_extract": _q_events_json_extract,
+    "cube_order_stats": _q_cube_order_stats,
+    "running_customer_revenue": _q_running_customer_revenue,
+    "set_ops_customers": _q_set_ops_customers,
+    "orders_above_customer_avg": _q_orders_above_customer_avg,
+    "scalar_function_showcase": _q_scalar_function_showcase,
+    "grouping_sets_revenue": _q_grouping_sets_revenue,
+    "scd2_customer_segments": _q_scd2_customer_segments,
+    # the 26 surviving queries green in r12's window + bpe_apply_docs
+    # (registered r13, oracle-verified locally, FIRST driver row here)
+    "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
+    "multimodal_pixel_roundtrip": _q_multimodal_pixel_roundtrip,
+    "audio_features_real": _q_audio_features_real,
+    "gopher_quality": _q_gopher_quality,
+    "chunk_manifest": _q_chunk_manifest,
+    "cluster_balanced_sample": _q_cluster_balanced_sample,
+    "substring_dup_spans": _q_substring_dup_spans,
+    "similarity_ivf_trained": _q_similarity_ivf_trained,
+    "semantic_dedup": _q_semantic_dedup,
+    "bm25_search": _q_bm25_search,
+    "text_stats": _q_text_stats,
+    "corpus_report": _q_corpus_report,
+    "winnow_fingerprints": _q_winnow_fingerprints,
+    "bpe_apply_docs": _q_bpe_apply_docs,
+    "dedup_exact": _q_dedup_exact,
+    "fuzzy_dedup_keep": _q_fuzzy_dedup_keep,
+    "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+    "simhash_pairs": _q_simhash_pairs,
+    "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+    "similarity_topk": _q_similarity_topk,
+    "multimodal_meta": _q_multimodal_meta,
+    "pii_redact": _q_pii_redact,
+    "repetition_stats": _q_repetition_stats,
+    "unigram_quality": _q_unigram_quality,
+    "q12_late_shipments": _q_q12_late_shipments,
+    "session_window_stats": _q_session_window_stats,
+    "asof_purchase_view": _q_asof_purchase_view,
+    # the 9 r13b-family composites (VERDICT r13 ask #1 -- first rows)
+    "web_ingest_pipeline": _q_web_ingest_pipeline,
+    "nb_quality_scores": _q_nb_quality_scores,
+    "decontaminate_pairs": _q_decontaminate_pairs,
+    "leakage_split": _q_leakage_split,
+    "upsample_epoch_shuffle": _q_upsample_epoch_shuffle,
+    "importance_resample_docs": _q_importance_resample_docs,
+    "incremental_minhash_gate": _q_incremental_minhash_gate,
+    "top_terms_rrf": _q_top_terms_rrf,
+    "pack_bins_report": _q_pack_bins_report,
+    # --- below the 50-row window: the 44 queries green in r13's own
+    # window (CORRECTNESS_r13.json) -- exactly r15's rotating slots ---
     "dsir_weights": _q_dsir_weights,
     "token_budget_mixture": _q_token_budget_mixture,
     "image_phash_pairs": _q_image_phash_pairs,
@@ -2311,10 +2607,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": _q_bpe_train,
     "incremental_dedup": _q_incremental_dedup,
     "bpe_encode": _q_bpe_encode,
-    # changed-this-round slot: the r13 fold of lang_id_pred +
-    # quality_scores + bpe_token_counts into one single-pass query
     "doc_signals": _q_doc_signals,
-    # 30 of the 38-query relational/TPC-H set (last green r11)
     "paragraph_dedup": _q_paragraph_dedup,
     "curation_pipeline": _q_curation_pipeline,
     "embedding_quantize": _q_embedding_quantize,
@@ -2345,55 +2638,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_function_showcase": _q_window_function_showcase,
     "top_parts_per_brand": _q_top_parts_per_brand,
     "rollup_returns": _q_rollup_returns,
-    # --- below the 50-row window: 8 relational queries rolling to r14
-    # (green r11) + 35 queries green in r12's own window (corpus_curation
-    # folded into curation_pipeline, its strict superset) + the new
-    # bpe_apply_docs (pytest/contract-verified now, first driver row
-    # r14) -- 44 total, exactly r14's rotating slots ---
-    "events_json_extract": _q_events_json_extract,
-    "cube_order_stats": _q_cube_order_stats,
-    "running_customer_revenue": _q_running_customer_revenue,
-    "set_ops_customers": _q_set_ops_customers,
-    "orders_above_customer_avg": _q_orders_above_customer_avg,
-    "scalar_function_showcase": _q_scalar_function_showcase,
-    "grouping_sets_revenue": _q_grouping_sets_revenue,
-    "scd2_customer_segments": _q_scd2_customer_segments,
-    "similarity_pq_topk": _q_similarity_pq_topk,
-    "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
-    "multimodal_pixel_roundtrip": _q_multimodal_pixel_roundtrip,
-    "audio_features_real": _q_audio_features_real,
-    "gopher_quality": _q_gopher_quality,
-    "sequence_pack": _q_sequence_pack,
-    "chunk_manifest": _q_chunk_manifest,
-    "cluster_balanced_sample": _q_cluster_balanced_sample,
-    "substring_dup_spans": _q_substring_dup_spans,
-    "similarity_ivf_trained": _q_similarity_ivf_trained,
-    "semantic_dedup": _q_semantic_dedup,
-    "similarity_quantized_topk": _q_similarity_quantized_topk,
-    "bm25_search": _q_bm25_search,
-    "dataset_split": _q_dataset_split,
-    "text_stats": _q_text_stats,
-    "corpus_report": _q_corpus_report,
-    "winnow_fingerprints": _q_winnow_fingerprints,
-    "bpe_apply_docs": _q_bpe_apply_docs,
-    "dedup_exact": _q_dedup_exact,
-    "minhash_lsh_pairs": _q_minhash_lsh_pairs,
-    "dedup_clusters": _q_dedup_clusters,
-    "fuzzy_dedup_keep": _q_fuzzy_dedup_keep,
-    "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-    "simhash_pairs": _q_simhash_pairs,
-    "embedding_near_dup": _q_embedding_near_dup,
-    "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-    "similarity_topk": _q_similarity_topk,
-    "similarity_lsh_topk": _q_similarity_lsh_topk,
-    "multimodal_meta": _q_multimodal_meta,
-    "pii_redact": _q_pii_redact,
-    "repetition_stats": _q_repetition_stats,
-    "contamination_check": _q_contamination_check,
-    "unigram_quality": _q_unigram_quality,
-    "q12_late_shipments": _q_q12_late_shipments,
-    "session_window_stats": _q_session_window_stats,
-    "asof_purchase_view": _q_asof_purchase_view,
 }
 
 
@@ -2605,6 +2849,40 @@ _MINHASH_PAIR_CTES = f"""{_sql_shingles(5)},
           FROM bands a JOIN bands b USING (band_key)
           WHERE a.doc_id < b.doc_id
         )"""
+
+
+
+def _sql_sig_agreement(a: str, b: str, k: int = 16) -> str:
+    """Signature-agreement fraction, rounded like the engine's
+    round(_sig_agreement, 9).  k is a power of two, so matches/k is a
+    binary-exact double and threshold compares match across engines."""
+    return (
+        f"round(list_sum(list_transform(range(1, {k + 1}), "
+        f"i -> CASE WHEN {a}[i] = {b}[i] THEN 1 ELSE 0 END)) / {k}.0, 9)"
+    )
+
+
+# sig + signature-carrying band rows over `documents` -- the shared CTE
+# block for the r14 gate/guard oracles (the pair CTEs above drop the
+# signature; these keep it for agreement rescoring)
+_MINHASH_SIG_BAND_CTES = f"""{_sql_shingles(5)},
+        hashed AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h0
+          FROM sh
+        ),
+        sig AS (
+          SELECT doc_id,
+                 [{", ".join(f"min(({a} * h0 + {b}) % {_MINHASH_P})" for a, b in _MINHASH_PARAMS)}] AS signature
+          FROM hashed GROUP BY doc_id
+        ),
+        sbands AS (
+          SELECT doc_id, signature,
+                 md5(b.i::VARCHAR || ',' ||
+                     array_to_string(signature[b.i * {_LSH_ROWS} + 1 : b.i * {_LSH_ROWS} + {_LSH_ROWS}], ',')) AS band_key
+          FROM sig CROSS JOIN range({_LSH_BANDS}) b(i)
+        )"""
+
 
 ORACLE_SQL: dict[str, str] = {
     # ---------------- reference parity ----------------
@@ -3223,25 +3501,6 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # concat-then-chunk offsets: exclusive prefix sum over (n_tokens+1)
     # in doc_id order; chunk c covers [c*512, (c+1)*512)
-    "sequence_pack": f"""
-        WITH t AS (
-          SELECT doc_id, len({_sql_tokens()})::BIGINT AS n FROM documents
-        ),
-        c AS (
-          SELECT doc_id, n,
-                 sum(n + 1) OVER (ORDER BY doc_id
-                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS incl
-          FROM t
-        )
-        SELECT doc_id, n AS n_tokens,
-               (incl - n - 1) AS start_offset,
-               (incl - 1) AS end_offset,
-               (incl - n - 1) // 512 AS first_chunk,
-               greatest(incl - 2, incl - n - 1) // 512 AS last_chunk,
-               (greatest(incl - 2, incl - n - 1) // 512
-                - (incl - n - 1) // 512 + 1) AS n_chunks_spanned
-        FROM c
-    """,
     # trained-centroid assignment + mean-size flattening; md5 hash
     # threshold identical to the other samplers
     "cluster_balanced_sample": f"""
@@ -3444,24 +3703,6 @@ ORACLE_SQL: dict[str, str] = {
         FROM counts c LEFT JOIN rebuilt r USING (doc_id)
         WHERE coalesce(r.n_content, 0) > 0
     """,
-    "minhash_lsh_pairs": f"""
-        WITH {_MINHASH_PAIR_CTES}
-        SELECT doc_a, doc_b FROM pairs
-    """,
-    "dedup_clusters": f"""
-        WITH RECURSIVE {_MINHASH_PAIR_CTES},
-        edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION ALL
-          SELECT doc_b AS src, doc_a AS dst FROM pairs
-        ),
-        comp(doc_id, lab) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.src, c.lab FROM edges e JOIN comp c ON c.doc_id = e.dst
-        )
-        SELECT doc_id, min(lab) AS cluster_id FROM comp GROUP BY doc_id
-    """,
     # candidates come from low-df shingles only (stop-shingle pruning);
     # n_common is then recomputed over the candidates' FULL shingle sets,
     # so every emitted score is the exact Jaccard (pruning = recall only)
@@ -3524,13 +3765,6 @@ ORACLE_SQL: dict[str, str] = {
                (max(pos) + 7 - min(pos) + 1)::INT AS span_tokens
         FROM isl GROUP BY doc_id, island
     """,
-    "embedding_near_dup": f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round({_sql_cosine("a.embedding", "b.embedding")}, 6) AS cosine
-        FROM embeddings a, embeddings b
-        WHERE a.vec_id < b.vec_id
-          AND round({_sql_cosine("a.embedding", "b.embedding")}, 6) >= 0.4
-    """,
     # same 8-table hyperplane bucketing as the Spark path (plane sets
     # seeded 42..49 baked into both plans); a pair qualifies if it
     # collides in ANY table -- the oracle checks the approximate
@@ -3546,22 +3780,6 @@ ORACLE_SQL: dict[str, str] = {
                             c.vec_id ASC) AS rank
           FROM embeddings c, embeddings q WHERE q.vec_id < 10
         ) WHERE rank <= 10
-    """,
-    "similarity_lsh_topk": f"""
-        WITH bucketed AS (
-          SELECT vec_id, embedding, {_sql_plane_bucket("embedding", _PLANES)} AS bucket
-          FROM embeddings
-        )
-        SELECT query_id, vec_id, cosine, rank FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-                 round({_sql_cosine("c.embedding", "q.embedding")}, 6) AS cosine,
-                 row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY round({_sql_cosine("c.embedding", "q.embedding")}, 6) DESC,
-                            c.vec_id ASC) AS rank
-          FROM bucketed c JOIN bucketed q ON c.bucket = q.bucket
-          WHERE q.vec_id < 10
-        ) WHERE rank <= 5
     """,
     # IVF-flat ANN: identical deterministic coarse quantizer (centroids =
     # vec_id % stride = 0, argmax-cosine assignment with round-6 +
@@ -3648,138 +3866,12 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # two-stage SQ8 search: candidate rank by reconstructed int8 dot
     # (scale_c * scale_q * <codes>), exact float rescore of the top 20
-    "similarity_quantized_topk": """
-        WITH s AS (
-          SELECT vec_id, embedding,
-                 greatest(list_max(list_transform(embedding,
-                          x -> abs(x::DOUBLE))), 1e-30) / 127.0 AS scale
-          FROM embeddings
-        ),
-        qz AS (
-          SELECT vec_id, embedding, scale,
-                 list_transform(embedding,
-                                x -> round(x::DOUBLE / scale)::INT) AS qvec
-          FROM s
-        ),
-        cand AS (
-          SELECT query_id, vec_id, c_emb, q_emb FROM (
-            SELECT c.vec_id AS vec_id, q.vec_id AS query_id,
-                   c.embedding AS c_emb, q.embedding AS q_emb,
-                   row_number() OVER (
-                     PARTITION BY q.vec_id
-                     ORDER BY (c.scale * q.scale *
-                               list_sum(list_transform(list_zip(c.qvec, q.qvec),
-                                        p -> p[1]::DOUBLE * p[2]::DOUBLE))) DESC,
-                              c.vec_id ASC) AS crank
-            FROM qz c CROSS JOIN qz q WHERE q.vec_id < 10
-          ) WHERE crank <= 20
-        )
-        SELECT query_id, vec_id, cosine, rank FROM (
-          SELECT query_id, vec_id,
-                 round(list_sum(list_transform(list_zip(c_emb, q_emb),
-                         p -> p[1]::DOUBLE * p[2]::DOUBLE))
-                       / (greatest(sqrt(list_sum(list_transform(c_emb,
-                            x -> x::DOUBLE * x::DOUBLE))), 1e-300)
-                          * greatest(sqrt(list_sum(list_transform(q_emb,
-                              x -> x::DOUBLE * x::DOUBLE))), 1e-300)), 6) AS cosine,
-                 row_number() OVER (
-                   PARTITION BY query_id
-                   ORDER BY round(list_sum(list_transform(list_zip(c_emb, q_emb),
-                              p -> p[1]::DOUBLE * p[2]::DOUBLE))
-                            / (greatest(sqrt(list_sum(list_transform(c_emb,
-                                 x -> x::DOUBLE * x::DOUBLE))), 1e-300)
-                               * greatest(sqrt(list_sum(list_transform(q_emb,
-                                   x -> x::DOUBLE * x::DOUBLE))), 1e-300)), 6) DESC,
-                            vec_id ASC) AS rank
-          FROM cand
-        ) WHERE rank <= 5
-    """,
     # full two-stage TRAINED-PQ pipeline mirroring functions/pq.py:
     # stride-seeded codebooks, fixed-point argmin encode, ONE Lloyd
     # round (per-(s,code) subvector means rounded to 6, emptied cells
     # re-densified to 0..k'-1 by old-code order), re-encode against the
     # trained books, integer ADC sum (order-independent), exact cosine
     # rescore
-    "similarity_pq_topk": f"""
-        WITH seeds AS (
-          SELECT embedding::DOUBLE[] AS sv,
-                 row_number() OVER (ORDER BY vec_id) - 1 AS code
-          FROM embeddings
-          WHERE vec_id % 15 = 0 AND vec_id < 480
-        ),
-        cb0 AS (
-          SELECT sp.s, seeds.code, seeds.sv[sp.s*8+1 : sp.s*8+8] AS cvec
-          FROM seeds CROSS JOIN
-               (SELECT unnest(generate_series(0, 7)) AS s) sp
-        ),
-        enc0 AS (
-          SELECT vec_id, s, code FROM (
-            SELECT c.vec_id, b.s, b.code,
-                   row_number() OVER (
-                     PARTITION BY c.vec_id, b.s
-                     ORDER BY CAST(round(((c.embedding[b.s*8+1] - b.cvec[1]) * (c.embedding[b.s*8+1] - b.cvec[1]) + (c.embedding[b.s*8+2] - b.cvec[2]) * (c.embedding[b.s*8+2] - b.cvec[2]) + (c.embedding[b.s*8+3] - b.cvec[3]) * (c.embedding[b.s*8+3] - b.cvec[3]) + (c.embedding[b.s*8+4] - b.cvec[4]) * (c.embedding[b.s*8+4] - b.cvec[4]) + (c.embedding[b.s*8+5] - b.cvec[5]) * (c.embedding[b.s*8+5] - b.cvec[5]) + (c.embedding[b.s*8+6] - b.cvec[6]) * (c.embedding[b.s*8+6] - b.cvec[6]) + (c.embedding[b.s*8+7] - b.cvec[7]) * (c.embedding[b.s*8+7] - b.cvec[7]) + (c.embedding[b.s*8+8] - b.cvec[8]) * (c.embedding[b.s*8+8] - b.cvec[8])) * 1000000) AS BIGINT) ASC,
-                              b.code ASC) AS rn
-            FROM embeddings c CROSS JOIN cb0 b
-          ) WHERE rn = 1
-        ),
-        means AS (
-          SELECT a.s, a.code, gs.i AS i,
-                 round(avg(e.embedding[a.s*8 + gs.i]::DOUBLE), 6) AS v
-          FROM enc0 a
-          JOIN embeddings e USING (vec_id)
-          CROSS JOIN generate_series(1, 8) gs(i)
-          GROUP BY a.s, a.code, gs.i
-        ),
-        cbm AS (
-          SELECT s, code, list(v ORDER BY i) AS cvec FROM means GROUP BY s, code
-        ),
-        cb AS (
-          SELECT s,
-                 CAST(row_number() OVER (PARTITION BY s ORDER BY code ASC) - 1 AS INT) AS code,
-                 cvec
-          FROM cbm
-        ),
-        enc AS (
-          SELECT vec_id, s, code FROM (
-            SELECT c.vec_id, b.s, b.code,
-                   row_number() OVER (
-                     PARTITION BY c.vec_id, b.s
-                     ORDER BY CAST(round(((c.embedding[b.s*8+1] - b.cvec[1]) * (c.embedding[b.s*8+1] - b.cvec[1]) + (c.embedding[b.s*8+2] - b.cvec[2]) * (c.embedding[b.s*8+2] - b.cvec[2]) + (c.embedding[b.s*8+3] - b.cvec[3]) * (c.embedding[b.s*8+3] - b.cvec[3]) + (c.embedding[b.s*8+4] - b.cvec[4]) * (c.embedding[b.s*8+4] - b.cvec[4]) + (c.embedding[b.s*8+5] - b.cvec[5]) * (c.embedding[b.s*8+5] - b.cvec[5]) + (c.embedding[b.s*8+6] - b.cvec[6]) * (c.embedding[b.s*8+6] - b.cvec[6]) + (c.embedding[b.s*8+7] - b.cvec[7]) * (c.embedding[b.s*8+7] - b.cvec[7]) + (c.embedding[b.s*8+8] - b.cvec[8]) * (c.embedding[b.s*8+8] - b.cvec[8])) * 1000000) AS BIGINT) ASC,
-                              b.code ASC) AS rn
-            FROM embeddings c CROSS JOIN cb b
-          ) WHERE rn = 1
-        ),
-        lut AS (
-          SELECT q.vec_id AS query_id, b.s, b.code,
-                 CAST(round(((q.embedding[b.s*8+1] * b.cvec[1]) + (q.embedding[b.s*8+2] * b.cvec[2]) + (q.embedding[b.s*8+3] * b.cvec[3]) + (q.embedding[b.s*8+4] * b.cvec[4]) + (q.embedding[b.s*8+5] * b.cvec[5]) + (q.embedding[b.s*8+6] * b.cvec[6]) + (q.embedding[b.s*8+7] * b.cvec[7]) + (q.embedding[b.s*8+8] * b.cvec[8])) * 1000000) AS BIGINT) AS p
-          FROM embeddings q CROSS JOIN cb b
-          WHERE q.vec_id < 10
-        ),
-        approx AS (
-          SELECT e.vec_id, l.query_id, sum(l.p) AS approx_fp
-          FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code
-          GROUP BY e.vec_id, l.query_id
-        ),
-        cand AS (
-          SELECT query_id, vec_id FROM (
-            SELECT query_id, vec_id,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY approx_fp DESC, vec_id ASC) AS rn
-            FROM approx
-          ) WHERE rn <= 160
-        )
-        SELECT query_id, vec_id, cosine, rank FROM (
-          SELECT cd.query_id, cd.vec_id,
-                 round({_sql_cosine("e.embedding", "q.embedding")}, 6) AS cosine,
-                 row_number() OVER (
-                   PARTITION BY cd.query_id
-                   ORDER BY round({_sql_cosine("e.embedding", "q.embedding")}, 6) DESC,
-                            cd.vec_id ASC) AS rank
-          FROM cand cd
-          JOIN embeddings e ON cd.vec_id = e.vec_id
-          JOIN embeddings q ON cd.query_id = q.vec_id
-        ) WHERE rank <= 10
-    """,
     # IVF-PQ, production layout: Lloyd-trained CAPPED coarse centroids
     # (seed = FIRST _IVF_KCENT stride-matching vec_ids ascending --
     # order-independent, holds for sparse/negative id spaces; one round
@@ -4145,39 +4237,6 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # Benchmark contamination: every 25th doc is the stand-in eval set;
     # distinct 5-word-gram overlap, same tokenization and slicing.
-    "contamination_check": r"""
-        WITH t AS (
-          SELECT doc_id,
-                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                      ELSE string_split_regex(trim(text), '\s+') END AS toks
-          FROM documents
-        ),
-        g AS (
-          SELECT doc_id,
-                 CASE WHEN len(toks) >= 5 THEN
-                   list_distinct(list_transform(range(1, len(toks) - 3),
-                     i -> array_to_string(toks[i:i+4], ' ')))
-                 ELSE CAST([] AS VARCHAR[]) END AS grams
-          FROM t
-        ),
-        bench AS (
-          SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 25 = 0
-        ),
-        corp AS (SELECT doc_id, grams FROM g WHERE doc_id % 25 <> 0),
-        hits AS (
-          SELECT doc_id, count(*) AS n_overlap FROM (
-            SELECT doc_id, unnest(grams) AS gram FROM corp
-          ) e JOIN bench USING (gram) GROUP BY doc_id
-        )
-        SELECT corp.doc_id,
-               len(grams)::BIGINT AS n_ngrams,
-               coalesce(n_overlap, 0)::BIGINT AS n_overlap,
-               CASE WHEN len(grams) > 0
-                    THEN round(coalesce(n_overlap, 0) / len(grams), 6)
-                    ELSE 0.0 END AS overlap_frac,
-               coalesce(n_overlap, 0) > 0 AS contaminated
-        FROM corp LEFT JOIN hits USING (doc_id)
-    """,
     # Deterministic mixture sampling: identical md5-prefix bucket
     # (15 hex chars -> bigint % 1e6) and integer thresholds.  src0-3
     # keep 1.0, src4-9 keep 0.4, default 0.1, seed 42.
@@ -4256,18 +4315,6 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # Reproducible split assignment: cumulative bucket ranges
     # train [0, 800000), valid [800000, 900000), test [900000, 1e6).
-    "dataset_split": """
-        SELECT doc_id,
-               CASE WHEN bucket < 800000 THEN 'train'
-                    WHEN bucket < 900000 THEN 'valid'
-                    ELSE 'test' END AS split
-        FROM (
-          SELECT doc_id,
-                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 15))
-                      AS BIGINT) % 1000000 AS bucket
-          FROM documents
-        )
-    """,
     # DSIR importance weights: identical hashing (md5-prefix buckets over
     # whitespace unigrams + adjacent bigrams), identical add-0.5 smoothed
     # distributions, and the same 1e-9 fixed-point rounding of per-bucket
@@ -4537,6 +4584,280 @@ ORACLE_SQL: dict[str, str] = {
         WHERE fingerprint NOT IN (
           SELECT fingerprint FROM f WHERE doc_id % 2 = 0
         )
+    """,
+    # ---------------- r14: the r13b operator family ----------------
+    # web ingestion: the URL algebra in string SQL; survivors are the
+    # two unblocked host classes; NFKC pinned by the planted fullwidth
+    # 'A' (corpus text is pure ASCII, so normalize == append 'A')
+    "web_ingest_pipeline": """
+        SELECT doc_id,
+               'http://' || host || '/path/' || doc_id
+                   || '?id=' || (doc_id % 50) AS url_norm,
+               host AS domain,
+               text || 'A' AS text_norm,
+               1::INT AS n_changed
+        FROM (
+          SELECT doc_id, text,
+                 CASE (doc_id % 4) WHEN 2 THEN 'good.org'
+                                   WHEN 3 THEN 'news.site.io' END AS host
+          FROM documents
+          WHERE doc_id % 4 IN (2, 3)
+        )
+    """,
+    # NB classifier, full train-and-score replication: hashed
+    # unigram+bigram counts -> smoothed log-odds (round 1e-9) ->
+    # per-doc score (re-round 1e-6 on both sides)
+    "nb_quality_scores": f"""
+        WITH arrs AS (
+            SELECT doc_id, doc_id % 2 AS label, {_sql_tokens()} AS a
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, label, i AS pos, lower(a[i]) AS tok
+            FROM arrs, unnest(range(1, len(a) + 1)) AS t(i)
+        ),
+        uni AS (
+            SELECT doc_id, label,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT % {_NB_FEATURES}
+                       AS feature
+            FROM toks
+        ),
+        bi AS (
+            SELECT a.doc_id, a.label,
+                   ('0x' || substr(md5(a.tok || ' ' || b.tok), 1, 15))::BIGINT
+                       % {_NB_FEATURES} AS feature
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        counts AS (
+            SELECT feature,
+                   sum(label) AS pos, count(*) - sum(label) AS neg
+            FROM feats GROUP BY feature
+        ),
+        tot AS (SELECT sum(pos) AS pt, sum(neg) AS nt FROM counts),
+        w AS (
+            SELECT feature,
+                   round(ln((pos + 1.0) / (pt + 1.0 * {_NB_FEATURES}))
+                         - ln((neg + 1.0) / (nt + 1.0 * {_NB_FEATURES})), 9)
+                       AS weight
+            FROM counts, tot
+        ),
+        prior AS (
+            SELECT round(ln(sum(doc_id % 2)::DOUBLE
+                            / (count(*) - sum(doc_id % 2))), 9) AS p
+            FROM documents
+        ),
+        contrib AS (
+            SELECT f.doc_id, coalesce(w.weight,
+                   (SELECT round(ln(1.0 / (pt + 1.0 * {_NB_FEATURES}))
+                                - ln(1.0 / (nt + 1.0 * {_NB_FEATURES})), 9)
+                    FROM tot)) AS c
+            FROM feats f LEFT JOIN w USING (feature)
+        ),
+        scores AS (
+            SELECT doc_id, round(sum(c) + (SELECT p FROM prior), 9) AS s
+            FROM contrib GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               round(coalesce(s.s, (SELECT p FROM prior)), 6) AS nb_score
+        FROM documents d LEFT JOIN scores s USING (doc_id)
+    """,
+    # doc-level decontamination pairs: both corpora ride ONE
+    # side-tagged signature chain (same md5 base hash, mix params, and
+    # band layout as the engine); exact-band matches emit agreement 1.0
+    "decontaminate_pairs": f"""
+        WITH allc AS (
+            SELECT doc_id, text, 't' AS side FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text, 'e' FROM documents
+            WHERE doc_id % 10 = 0
+        ),
+        norm AS (SELECT doc_id, side, {_sql_norm()} AS t FROM allc),
+        sh AS (
+            SELECT DISTINCT doc_id, side, substr(t, i, 5) AS shingle
+            FROM norm, unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS u(i)
+            WHERE length(substr(t, i, 5)) = 5
+        ),
+        hashed AS (
+            SELECT doc_id, side,
+                   ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h0
+            FROM sh
+        ),
+        sig AS (
+            SELECT doc_id, side, [{", ".join(f"min(({a} * h0 + {b}) % {_MINHASH_P})" for a, b in _MINHASH_PARAMS)}] AS signature
+            FROM hashed GROUP BY doc_id, side
+        ),
+        bands AS (
+            SELECT doc_id, side,
+                   md5(b.i::VARCHAR || ',' ||
+                       array_to_string(signature[b.i * {_LSH_ROWS} + 1 : b.i * {_LSH_ROWS} + {_LSH_ROWS}], ',')) AS band_key
+            FROM sig CROSS JOIN range({_LSH_BANDS}) b(i)
+        )
+        SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS eval_doc_id,
+               1.0::DOUBLE AS agreement
+        FROM bands a JOIN bands b USING (band_key)
+        WHERE a.side = 't' AND b.side = 'e'
+    """,
+    # leakage-guarded split: the dataset_split hash ranges (this
+    # query's stage 1 -- r14 fold absorber) + the cross-split MinHash
+    # twin drop at agreement >= 0.8
+    "leakage_split": f"""
+        WITH {_MINHASH_SIG_BAND_CTES},
+        split AS (
+            SELECT doc_id,
+                   CASE WHEN bucket < 800000 THEN 'train'
+                        WHEN bucket < 900000 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 15))
+                          AS BIGINT) % 1000000 AS bucket
+              FROM documents
+            )
+        ),
+        leaks AS (
+            SELECT DISTINCT a.doc_id
+            FROM sbands a
+            JOIN sbands b USING (band_key)
+            JOIN split st ON st.doc_id = a.doc_id AND st.split = 'train'
+            JOIN split se ON se.doc_id = b.doc_id AND se.split <> 'train'
+            WHERE {_sql_sig_agreement("a.signature", "b.signature")} >= 0.8
+        )
+        SELECT s.doc_id, s.split FROM split s
+        WHERE s.split <> 'train'
+           OR s.doc_id NOT IN (SELECT doc_id FROM leaks)
+    """,
+    # fractional upsample -> per-(doc, copy) epoch order key + shard
+    "upsample_epoch_shuffle": """
+        WITH w AS (
+            SELECT doc_id, (doc_id % 30) / 10.0 AS factor FROM documents
+        ),
+        n AS (
+            SELECT doc_id,
+                   (floor(factor)
+                    + CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 15))::BIGINT
+                                 % 1000000)
+                               < CAST((factor - floor(factor)) * 1000000 AS BIGINT)
+                           THEN 1 ELSE 0 END)::INT AS n_copies
+            FROM w
+            WHERE factor > 0
+        ),
+        c AS (
+            SELECT doc_id, unnest(range(0, n_copies))::INT AS copy_idx
+            FROM n WHERE n_copies > 0
+        ),
+        k AS (
+            SELECT doc_id, copy_idx,
+                   doc_id::VARCHAR || '#' || copy_idx::VARCHAR AS pkey
+            FROM c
+        )
+        SELECT doc_id, copy_idx,
+               ('0x' || substr(md5(pkey || '|11|2'), 1, 15))::BIGINT
+                   AS epoch_order,
+               ((('0x' || substr(md5(pkey || '|11|2'), 1, 15))::BIGINT)
+                   % 8)::INT AS shard
+        FROM k
+    """,
+    # Gumbel top-k without replacement, exact path: same hash-derived
+    # Gumbel keys, rank cut at ceil(fraction * n)
+    "importance_resample_docs": """
+        WITH g AS (
+            SELECT doc_id,
+                   (doc_id % 7)::DOUBLE
+                   - ln(-ln(
+                       ((('0x' || substr(md5(doc_id::VARCHAR || '|5'), 1, 15))::BIGINT
+                         % 1000000) + 0.5) / 1000000.0
+                     )) AS gkey
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY gkey DESC, doc_id ASC) AS rn
+            FROM g
+        )
+        SELECT doc_id FROM r
+        WHERE rn <= (SELECT CAST(ceil(0.2 * count(*)) AS BIGINT) FROM documents)
+    """,
+    # incremental MinHash gate: store hits (odd batch vs even store,
+    # exact k/16 agreement), then the within-batch pair graph and its
+    # recursive-CTE components' min-id keep rule; sub-shingle docs
+    # (none in this corpus, guarded anyway) pass through ungated
+    "incremental_minhash_gate": f"""
+        WITH RECURSIVE {_MINHASH_SIG_BAND_CTES},
+        store_hit AS (
+            SELECT DISTINCT a.doc_id
+            FROM sbands a JOIN sbands b USING (band_key)
+            WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+              AND {_sql_sig_agreement("a.signature", "b.signature")} >= 0.7
+        ),
+        fresh AS (
+            SELECT doc_id FROM sig
+            WHERE doc_id % 2 = 1
+              AND doc_id NOT IN (SELECT doc_id FROM store_hit)
+        ),
+        bpairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sbands a JOIN sbands b USING (band_key)
+            JOIN fresh fa ON fa.doc_id = a.doc_id
+            JOIN fresh fb ON fb.doc_id = b.doc_id
+            WHERE a.doc_id < b.doc_id
+              AND {_sql_sig_agreement("a.signature", "b.signature")} >= 0.7
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM bpairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM bpairs
+        ),
+        comp(doc_id, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, c.lab FROM edges e JOIN comp c ON c.doc_id = e.dst
+        ),
+        dropped AS (
+            SELECT doc_id
+            FROM (SELECT doc_id, min(lab) AS cl FROM comp GROUP BY doc_id)
+            WHERE doc_id <> cl
+        )
+        SELECT doc_id FROM fresh
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        UNION ALL
+        SELECT doc_id FROM documents
+        WHERE doc_id % 2 = 1 AND length({_sql_norm()}) < 5
+    """,
+    # tf top-50 and df top-50, reciprocal-rank fused to the top-30
+    "top_terms_rrf": """
+        WITH tok AS (
+            SELECT doc_id,
+                   lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS term
+            FROM documents WHERE trim(text) <> ''
+        ),
+        tf AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term),
+        r1 AS (
+            SELECT term, row_number() OVER (ORDER BY n DESC, term ASC) AS rank
+            FROM (SELECT * FROM tf ORDER BY n DESC, term ASC LIMIT 50)
+        ),
+        dfc AS (
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS nd
+            FROM tok GROUP BY term
+        ),
+        r2 AS (
+            SELECT term, row_number() OVER (ORDER BY nd DESC, term ASC) AS rank
+            FROM (SELECT * FROM dfc ORDER BY nd DESC, term ASC LIMIT 50)
+        ),
+        u AS (
+            SELECT term, 1.0 / (60 + rank) AS c FROM r1
+            UNION ALL
+            SELECT term, 1.0 / (60 + rank) FROM r2
+        ),
+        f AS (SELECT term, round(sum(c), 9) AS rrf_score FROM u GROUP BY term),
+        rr AS (
+            SELECT term, rrf_score,
+                   row_number() OVER (ORDER BY rrf_score DESC, term ASC)::BIGINT
+                       AS rank
+            FROM f
+        )
+        SELECT term, rrf_score, rank FROM rr WHERE rank <= 30
     """,
 }
 

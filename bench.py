@@ -96,7 +96,6 @@ HEADLINE = [
     "scd2_customer_segments",
     "unigram_quality",
     "gopher_quality",
-    "sequence_pack",
     "chunk_manifest",
     "cluster_balanced_sample",
     "text_stats",
@@ -107,27 +106,19 @@ HEADLINE = [
     "dedup_exact",
     "paragraph_dedup",
     "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "dedup_clusters",
     "fuzzy_dedup_keep",
     "simhash_pairs",
     "substring_dup_spans",
-    "embedding_near_dup",
     "embedding_near_dup_lsh",
     "similarity_topk",
-    "similarity_lsh_topk",
     "similarity_ivf_trained",
     "semantic_dedup",
     "embedding_quantize",
-    "similarity_quantized_topk",
-    "similarity_pq_topk",
     "similarity_ivfpq_topk",
     "bm25_search",
     "multimodal_meta",
     "pii_redact",
     "repetition_stats",
-    "contamination_check",
-    "dataset_split",
     "curation_pipeline",
     "multimodal_pixel_roundtrip",
     "audio_features_real",

@@ -106,34 +106,101 @@ R13_FOLDED = {
 }
 
 
-def test_driver_window_covers_r13_rotation():
-    """The external driver verifies only the FIRST 50 entries of
-    queries() in declaration order.  r13 (VERDICT r12 asks #1 + #5):
-    the registry folded 104 -> 94 queries (merge list in R13_FOLDED
-    above), restoring an exact TWO-round full-coverage cycle:
-    6 pinned parity + 2 x 44 rotating slots = 94 = every registered
-    query, so green-within-2-rounds is the invariant again.
+# r14 registry fold (VERDICT r13 ask #1's budget) -- nine retired slots
+# pay for the nine r13b-family registrations; each retired query's
+# semantics stay checked through its absorber:
+#   dataset_split             -> leakage_split (STRICT superset: stage 1
+#                                is the identical hash_split ranges)
+#   contamination_check       -> curation_pipeline (same %25-eval
+#                                broadcast gram anti-join is its
+#                                decontamination stage) + the new
+#                                doc-level decontaminate_pairs
+#   minhash_lsh_pairs         -> fuzzy_dedup_keep (its stage 1) +
+#                                incremental_minhash_gate (same banding)
+#   dedup_clusters            -> fuzzy_dedup_keep (its stage 2) +
+#                                incremental_minhash_gate (same min-id
+#                                keep rule, SQL recursive-CTE checked)
+#   sequence_pack             -> chunk_manifest (the offsets ARE its
+#                                first stage; manifest explodes them)
+#   embedding_near_dup        -> embedding_near_dup_lsh (same exact-
+#                                cosine pair predicate as its verify
+#                                stage; the exhaustive variant stays
+#                                unit-tested with ANN_SCALE crossover)
+#   similarity_pq_topk        -> similarity_ivfpq_topk (the ADC scan is
+#                                its stage 2; plain-PQ plan contract
+#                                stays pinned in tests/test_pq.py)
+#   similarity_quantized_topk -> embedding_quantize (SQ8 encode/decode)
+#                                + similarity_topk (exact ranking);
+#                                plan contract stays in test_plan_shapes
+#   similarity_lsh_topk       -> embedding_near_dup_lsh (hyperplane
+#                                bucketing) + similarity_topk (ranking);
+#                                recall stays pinned in TOPK_RECALL.json
+R14_FOLDED = {
+    "dataset_split", "contamination_check", "minhash_lsh_pairs",
+    "dedup_clusters", "sequence_pack", "embedding_near_dup",
+    "similarity_pq_topk", "similarity_quantized_topk",
+    "similarity_lsh_topk",
+}
 
-    r13's window = 6 parity + the 13 operators added in r12 taking
-    their FIRST driver rows + doc_signals (the new fold, changed plan)
-    + 30 of the 38-query relational/TPC-H set last green r11.  Below
-    the window: the 8 remaining relational queries (green r11, roll to
-    r14) + 35 queries green in r12's own window + the new
-    bpe_apply_docs (oracle-verified by this suite now) -- together
-    exactly the 44 rotating slots of r14's window, so r13 union r14
-    covers all 94."""
+
+def test_driver_window_covers_r14_rotation():
+    """The external driver verifies only the FIRST 50 entries of
+    queries() in declaration order.  r14 (VERDICT r13 asks #1 + #2):
+    nine R14_FOLDED retirements pay for the nine r13b-family
+    registrations, so the registry holds at 94 and the exact TWO-round
+    cycle stands: 6 pinned parity + 2 x 44 rotating slots.
+
+    r14's window = 6 parity + the 8 relational queries last green r11
+    + the 26 surviving r12-green queries + bpe_apply_docs (registered
+    r13, FIRST driver row here) + the 9 new composites (first rows).
+    Below the window: exactly the 44 queries green in r13's own window
+    (CORRECTNESS_r13.json minus the 6 pinned), so r14 union r15 covers
+    all 94 and r13 union r14 covers everything registered before r14."""
     names = list(entrymod.queries())
     window = names[:50]
     assert len(names) == 94, len(names)
-    assert not R13_FOLDED & set(names), "folded query still registered"
-    first_rows = {
+    assert not (R13_FOLDED | R14_FOLDED) & set(names), (
+        "folded query still registered"
+    )
+    relational_r11 = {
+        "events_json_extract", "cube_order_stats",
+        "running_customer_revenue", "set_ops_customers",
+        "orders_above_customer_avg", "scalar_function_showcase",
+        "grouping_sets_revenue", "scd2_customer_segments",
+    }
+    r12_green_surviving = {
+        "similarity_ivfpq_topk", "multimodal_pixel_roundtrip",
+        "audio_features_real", "gopher_quality", "chunk_manifest",
+        "cluster_balanced_sample", "substring_dup_spans",
+        "similarity_ivf_trained", "semantic_dedup", "bm25_search",
+        "text_stats", "corpus_report", "winnow_fingerprints",
+        "dedup_exact", "fuzzy_dedup_keep", "ngram_jaccard_pairs",
+        "simhash_pairs", "embedding_near_dup_lsh", "similarity_topk",
+        "multimodal_meta", "pii_redact", "repetition_stats",
+        "unigram_quality", "q12_late_shipments", "session_window_stats",
+        "asof_purchase_view",
+    }
+    new_r14 = {
+        "web_ingest_pipeline", "nb_quality_scores", "decontaminate_pairs",
+        "leakage_split", "upsample_epoch_shuffle",
+        "importance_resample_docs", "incremental_minhash_gate",
+        "top_terms_rrf", "pack_bins_report",
+    }
+    want = (
+        PARITY_PINNED | relational_r11 | r12_green_surviving
+        | {"bpe_apply_docs"} | new_r14
+    )
+    missing = want - set(window)
+    assert not missing, f"evicted from the driver's 50-query window: {missing}"
+    assert len(window) == 50
+    assert set(window) == want
+    # below the window: exactly the 44 r13-green rotating queries
+    r13_green_rotating = {
         "dsir_weights", "token_budget_mixture", "image_phash_pairs",
         "audio_fingerprint_pairs", "boilerplate_line_dedup",
         "bigram_quality", "overlap_chunks", "per_source_cap",
         "quality_buckets", "strip_markup", "bpe_train",
         "incremental_dedup", "bpe_encode", "doc_signals",
-    }
-    r11_green_in = {
         "paragraph_dedup", "curation_pipeline", "embedding_quantize",
         "q1_pricing_summary", "q2_min_cost_supplier",
         "q3_shipping_priority", "q4_order_priority",
@@ -150,13 +217,8 @@ def test_driver_window_covers_r13_rotation():
         "window_function_showcase", "top_parts_per_brand",
         "rollup_returns",
     }
-    want = PARITY_PINNED | first_rows | r11_green_in
-    missing = want - set(window)
-    assert not missing, f"evicted from the driver's 50-query window: {missing}"
-    assert len(window) == 50
-    assert set(window) == want
-    # the 44 below-window queries must all fit r14's rotating slots
     below = set(names[50:])
+    assert below == r13_green_rotating
     assert len(below) == 44, len(below)
 
 

@@ -79,8 +79,17 @@ def test_interval_keyed_join_is_equi_with_residual_range(spark):
 def test_topk_queries_use_window_group_limit(spark):
     # rank<=k after row_number must become a partial top-k before the
     # shuffle (WindowGroupLimit), not a full sort of all candidates
-    for name in ("similarity_topk", "top_parts_per_brand", "similarity_quantized_topk"):
-        plan = _plan(spark, name)
+    # similarity_quantized_topk folded out of the registry in r14 (its
+    # SQ8 encode/decode rides embedding_quantize, exact ranking rides
+    # similarity_topk) -- the plan contract still holds on the library fn
+    plans = {
+        "similarity_topk": _plan(spark, "similarity_topk"),
+        "top_parts_per_brand": _plan(spark, "top_parts_per_brand"),
+        "similarity_quantized_topk": _explain(
+            entrymod._q_similarity_quantized_topk(spark, SF)
+        ),
+    }
+    for name, plan in plans.items():
         assert "WindowGroupLimit" in plan, name
         assert "CartesianProduct" not in plan, name
 
@@ -138,7 +147,10 @@ def test_substring_dup_spans_shuffles_hashes_never_text(spark):
 def test_contamination_broadcasts_benchmark_set(spark):
     # the eval-set gram side must broadcast; the corpus side must never
     # feed a cartesian or a sort-merge join on gram strings
-    plan = _plan(spark, "contamination_check")
+    # contamination_check folded out of the registry in r14 (the same
+    # %25-eval broadcast gram anti-join is curation_pipeline's
+    # decontamination stage); the plan contract holds on the library fn
+    plan = _explain(entrymod._q_contamination_check(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     # no sort-merge on the GRAM key (the corpus-side membership test);

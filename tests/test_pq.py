@@ -329,7 +329,10 @@ def test_driver_pq_query_has_no_training_stage_and_scans_persisted_codes(spark):
     import contextlib
     import __spark_entry__ as entrymod
 
-    df = entrymod.queries()["similarity_pq_topk"](spark, SF)
+    # similarity_pq_topk folded out of the registry in r14 (its ADC scan
+    # is a stage of the registered similarity_ivfpq_topk); the persisted-
+    # artifact plan contract holds on the retained query function
+    df = entrymod._q_similarity_pq_topk(spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
