@@ -99,6 +99,37 @@ def main() -> None:
     dt = time.time() - t0
     row["top_terms"] = {"wall_s": round(dt, 2), "docs_per_sec": round(N / dt, 1)}
 
+    # --- NB classifier at 1e7 (VERDICT r13 ask #4): the 1e5->1e6
+    # throughput was flat (~15k docs/s xxhash), so the constant should
+    # hold one more decade.  Shipped-scale config: xxhash features,
+    # min_df=2 prune (a no-op on this saturated uniform corpus -- the
+    # ladder bench records the honest A/B -- but the 100 TB default),
+    # gather apply (the zero-shuffle path).
+    from data_stream_flink_user_address_spark.functions.classifier import (
+        apply_nb_quality,
+        train_nb_quality,
+    )
+
+    labeled = docs.withColumn("label", (F.col("doc_id") % 2).cast("int"))
+    t0 = time.time()
+    weights, info = train_nb_quality(
+        labeled, n_features=1 << 18, hash_fn="xxhash", min_df=2
+    )
+    n_weights = weights.count()
+    t_train = time.time() - t0
+    t0 = time.time()
+    apply_nb_quality(docs, weights, info, method="gather").agg(
+        F.sum("nb_score")
+    ).collect()
+    t_apply = time.time() - t0
+    row["nb_classifier_xxhash_min_df2"] = {
+        "n_weight_rows": n_weights,
+        "train_wall_s": round(t_train, 2),
+        "train_docs_per_sec": round(N / t_train, 1),
+        "apply_gather_wall_s": round(t_apply, 2),
+        "apply_gather_docs_per_sec": round(N / t_apply, 1),
+    }
+
     with open("R13B_OPS_SCALE.json") as f:
         out = json.load(f)
     out["sizes_1e7"] = row

@@ -139,6 +139,34 @@ def main() -> None:
                 row[key]["apply_gather_wall_s"] = round(t_gather, 2)
                 row[key]["apply_gather_docs_per_sec"] = round(n / t_gather, 1)
 
+        # --- min_df prune A/B (VERDICT r13 ask #4): the prune shrinks
+        # the weight TABLE only (denominators unchanged).  Expected
+        # regime split on this corpus: at 1e4 docs most hash buckets
+        # are singletons (big prune); by 1e6 the 2^18 buckets saturate
+        # (mean occupancy ~500) and the prune removes ~nothing -- the
+        # table is V-capped either way, which is the honest negative
+        # result for uniform synthetic text (real Zipf text keeps a
+        # singleton tail at any V).
+        t0 = time.time()
+        w_pruned, info_p = train_nb_quality(
+            labeled, n_features=1 << 18, hash_fn="xxhash", min_df=2
+        )
+        n_pruned = w_pruned.count()
+        t_train_p = time.time() - t0
+        t0 = time.time()
+        apply_nb_quality(docs, w_pruned, info_p).agg(
+            F.sum("nb_score")
+        ).collect()
+        t_apply_p = time.time() - t0
+        row["nb_classifier_min_df2"] = {
+            "n_weight_rows": n_pruned,
+            "rows_vs_unpruned": round(
+                n_pruned / max(row["nb_classifier_xxhash"]["n_weight_rows"], 1), 4
+            ),
+            "train_wall_s": round(t_train_p, 2),
+            "apply_wall_s": round(t_apply_p, 2),
+        }
+
         # --- SPFHP histogram packing: vary doc lengths 1..50 row-locally
         # (the curation corpus is fixed-width; a one-bar histogram would
         # trivialize the solve)
@@ -210,6 +238,37 @@ def main() -> None:
             "k_returned": n_terms,
             "wall_s": round(dt, 2),
             "docs_per_sec": round(n / dt, 1),
+        }
+
+        # --- leakage-guarded split with a 10% holdout (VERDICT r13 ask
+        # #3's measurement): the size gate picks broadcast under the
+        # default threshold and the band_key shuffle join when forced
+        # (broadcast_max_rows=0) -- both paths must agree on the drop
+        # set, and the shuffle fallback must stay in the same cost
+        # class (its exchange carries only slim (id, band_key) rows).
+        from data_stream_flink_user_address_spark.functions.sampling import (
+            leakage_free_split,
+        )
+
+        split_cfg = {"train": 0.9, "heldout": 0.1}
+        t0 = time.time()
+        out_b, leaks_b = leakage_free_split(
+            docs, split_cfg, min_agreement=0.8
+        )
+        n_b = out_b.count()
+        dt_b = time.time() - t0
+        t0 = time.time()
+        out_s, leaks_s = leakage_free_split(
+            docs, split_cfg, min_agreement=0.8, broadcast_max_rows=0
+        )
+        n_s = out_s.count()
+        dt_s = time.time() - t0
+        assert n_b == n_s, (n_b, n_s)
+        row["leakage_split_10pct"] = {
+            "rows_out": n_b,
+            "train_dropped": n - n_b,
+            "broadcast_wall_s": round(dt_b, 2),
+            "shuffle_fallback_wall_s": round(dt_s, 2),
         }
 
         out["sizes"].append(row)

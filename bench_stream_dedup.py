@@ -167,6 +167,40 @@ def main() -> None:
     entry_mh["n_buckets"] = n_buckets
     spark.sql("DROP TABLE IF EXISTS mh_sdd_bench_t")
 
+    # the COMPOSED crawl topology: ingest -> near-dup gate -> funnel
+    # profile -> sink, all inside ONE streaming query (profile_path
+    # rides the gate's foreachBatch; a second stream would re-scan the
+    # source).  Overhead vs the bare gate = the profile's two narrow
+    # aggregates per epoch.
+    spark.sql("DROP TABLE IF EXISTS mh_sddp_bench_t")
+    build_minhash_band_store(
+        spark.createDataFrame([], "doc_id long, text string"),
+        "mh_sddp_bench_t", os.path.join(ROOT, "store_mhp"),
+        n_buckets=n_buckets, epoch=-1,
+    )
+    prof_dir = os.path.join(ROOT, "profile_mhp")
+    entry_mhp = run(
+        lambda s, o, c: streaming_incremental_minhash_dedup(
+            s, "mh_sddp_bench_t", o, c, profile_path=prof_dir
+        ),
+        os.path.join(ROOT, "out_mhp"), os.path.join(ROOT, "ck_mhp"),
+        lambda: (
+            spark.catalog.refreshTable("mh_sddp_bench_t"),
+            spark.table("mh_sddp_bench_t").select("doc_id").distinct().count(),
+        )[1],
+    )
+    entry_mhp["n_buckets"] = n_buckets
+    prof = spark.read.parquet(prof_dir)
+    raw_total, adm_total = (
+        prof.groupBy().pivot("stage", ["raw", "admitted"])
+        .sum("n_docs").collect()[0]
+    )
+    entry_mhp["profile_epochs"] = prof.select("__epoch").distinct().count()
+    entry_mhp["profile_raw_docs"] = raw_total
+    entry_mhp["profile_admitted_docs"] = adm_total
+    entry_mhp["profile_kept_frac"] = round(adm_total / raw_total, 4)
+    spark.sql("DROP TABLE IF EXISTS mh_sddp_bench_t")
+
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "STREAM_BENCH.json"
     )
@@ -175,11 +209,13 @@ def main() -> None:
     data["incremental_dedup_stream"] = entry
     data["incremental_dedup_stream_bucketed"] = entry_bkt
     data["incremental_dedup_stream_minhash"] = entry_mh
+    data["incremental_dedup_stream_minhash_profiled"] = entry_mhp
     with open(path, "w") as f:
         json.dump(data, f, indent=1)
     print(json.dumps(entry))
     print(json.dumps(entry_bkt))
     print(json.dumps(entry_mh))
+    print(json.dumps(entry_mhp))
     print("updated STREAM_BENCH.json")
 
 

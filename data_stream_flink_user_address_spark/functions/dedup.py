@@ -1995,13 +1995,17 @@ def _minhash_dedup_epoch(
     num_hashes: int,
     bands: int,
     rows_per_band: int,
+    profile_path: str | None = None,
 ) -> None:
     """One epoch of :func:`streaming_incremental_minhash_dedup`; same
     replay decomposition as :func:`_bucketed_dedup_epoch` (survivor
     partitions dynamic-overwrite; the band store only appends, with the
     epoch's own rows excluded from its gate, so a replayed epoch
     computes identical survivors and the duplicate band rows are
-    membership-harmless until compaction)."""
+    membership-harmless until compaction).  With ``profile_path``, the
+    epoch also dynamic-overwrites its own ``__epoch`` partition there
+    with the raw-vs-admitted :func:`..profile.profile_funnel` rows, so
+    a replayed epoch rewrites its profile too instead of double-counting."""
     survivors = incremental_minhash_dedup(
         batch_df, store_table, text_col=text_col, id_col=id_col,
         threshold=threshold, n=n, num_hashes=num_hashes, bands=bands,
@@ -2018,6 +2022,30 @@ def _minhash_dedup_epoch(
             .partitionBy("__epoch")
             .parquet(out_path)
         )
+        if profile_path is not None:
+            # raw-vs-admitted funnel per epoch: kept-fraction drift is
+            # the crawl operator's live health signal.  Survivors carry
+            # only (id, signature), so the admitted leg recovers text
+            # with a batch-sized semi-join against the survivor ids
+            # (broadcast: the checkpointed id set is micro-batch-sized,
+            # never corpus-sized).
+            from pyspark.sql.functions import broadcast
+
+            from .profile import profile_funnel
+
+            admitted = batch_df.join(
+                broadcast(survivors.select(id_col)), id_col, "semi"
+            )
+            (
+                profile_funnel(
+                    {"raw": batch_df, "admitted": admitted},
+                    text_col=text_col, id_col=id_col,
+                )
+                .withColumn("__epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .partitionBy("__epoch")
+                .parquet(profile_path)
+            )
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
@@ -2046,6 +2074,7 @@ def streaming_incremental_minhash_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     rows_per_band: int = 4,
+    profile_path: str | None = None,
 ):
     """Continuous-crawl NEAR-dup admission: each micro-batch runs
     :func:`incremental_minhash_dedup` against the persisted band store,
@@ -2058,6 +2087,12 @@ def streaming_incremental_minhash_dedup(
     store's seeding; band keys are derived values, so Spark cannot
     validate the mismatch for you.
 
+    ``profile_path`` composes observability into the SAME query: each
+    epoch also writes its raw-vs-admitted
+    :func:`..profile.profile_funnel` rows under ``__epoch=<id>`` there
+    -- one streaming query, not a second source-scanning stream, and
+    the profile inherits the gate's exactly-once epoch replay.
+
     Returns the started ``StreamingQuery``.
     """
     _require_epoch_layout(out_path)
@@ -2066,6 +2101,7 @@ def streaming_incremental_minhash_dedup(
         _minhash_dedup_epoch(
             batch_df, int(epoch_id), store_table, out_path, text_col,
             id_col, threshold, n, num_hashes, bands, rows_per_band,
+            profile_path=profile_path,
         )
 
     return (

@@ -771,6 +771,35 @@ class TestIncrementalMinhashDedup:
         finally:
             spark.sql("DROP TABLE IF EXISTS mh_replay_fn_t")
 
+    def test_epoch_profile_funnel(self, spark, tmp_path):
+        """profile_path writes raw-vs-admitted funnel rows per epoch,
+        and a replayed epoch REWRITES its partition (no double count)."""
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            _minhash_dedup_epoch,
+        )
+        self._seed(spark, "mh_prof_fn_t", tmp_path)
+        out = str(tmp_path / "out")
+        prof = str(tmp_path / "prof")
+        try:
+            b1 = self._mk(spark, [
+                (100, self.NOVEL2),              # novel: admitted
+                (101, self.NOVEL2 + " extra"),   # within-batch near-dup: dropped
+                (102, self.BASE),                # exact dup of seed: dropped
+            ])
+            for _ in range(2):  # replay must rewrite, not append
+                _minhash_dedup_epoch(
+                    b1, 0, "mh_prof_fn_t", out, "text", "doc_id",
+                    0.7, 5, 16, 4, 4, profile_path=prof,
+                )
+            rows = spark.read.parquet(prof).collect()
+            got = {(r.stage, r["__epoch"]): r.n_docs for r in rows}
+            assert got == {("raw", 0): 3, ("admitted", 0): 1}
+            # admitted leg recovered text: token stats are non-trivial
+            adm = [r for r in rows if r.stage == "admitted"][0]
+            assert adm.total_tokens > 0 and adm.n_empty_docs == 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS mh_prof_fn_t")
+
     def test_streaming_end_to_end(self, spark, tmp_path):
         from data_stream_flink_user_address_spark.functions.dedup import (
             streaming_incremental_minhash_dedup,
