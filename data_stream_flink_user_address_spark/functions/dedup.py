@@ -1571,10 +1571,13 @@ def _bucketed_dedup_epoch(
     out_path: str,
     text_col: str,
     id_col: str,
+    profile_path: str | None = None,
 ) -> None:
     """One epoch of :func:`streaming_incremental_dedup_bucketed` --
     module-level so the replay-idempotency contract (same epoch twice
     == once) is directly unit-testable without a running stream.
+    ``profile_path`` adds the shared :func:`_write_epoch_profile`
+    funnel leg.
 
     Replay safety decomposes per sink:
 
@@ -1607,6 +1610,11 @@ def _bucketed_dedup_epoch(
             .partitionBy("__epoch")
             .parquet(out_path)
         )
+        if profile_path is not None:
+            _write_epoch_profile(
+                batch_df, survivors, int(epoch_id), profile_path,
+                text_col, id_col,
+            )
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
@@ -1625,6 +1633,7 @@ def streaming_incremental_dedup_bucketed(
     checkpoint_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    profile_path: str | None = None,
 ):
     """:func:`streaming_incremental_dedup` for a store too large to
     re-shuffle (or even fully hash) per micro-batch: the fingerprint
@@ -1649,13 +1658,18 @@ def streaming_incremental_dedup_bucketed(
     ``spark.catalog.refreshTable(store_table)``.  The stream itself is
     unaffected: each epoch's gate resolves inside the writing session.
 
+    ``profile_path`` composes the per-epoch raw-vs-admitted funnel
+    profile into the same query (see
+    :func:`streaming_incremental_minhash_dedup`).
+
     Returns the started ``StreamingQuery``.
     """
     _require_epoch_layout(out_path)
 
     def fb(batch_df: DataFrame, epoch_id: int) -> None:
         _bucketed_dedup_epoch(
-            batch_df, int(epoch_id), store_table, out_path, text_col, id_col
+            batch_df, int(epoch_id), store_table, out_path, text_col,
+            id_col, profile_path=profile_path,
         )
 
     return (
@@ -1983,6 +1997,41 @@ def incremental_minhash_dedup(
     return fresh.join(dropped, id_col, "left_anti").unionByName(subshingle)
 
 
+def _write_epoch_profile(
+    batch_df: DataFrame,
+    survivors: DataFrame,
+    epoch_id: int,
+    profile_path: str,
+    text_col: str,
+    id_col: str,
+) -> None:
+    """Write one epoch's raw-vs-admitted
+    :func:`..profile.profile_funnel` rows under ``__epoch=<id>`` --
+    the streaming gates' shared observability leg.  Kept-fraction
+    drift per epoch is the crawl operator's live health signal.
+    Survivor frames may carry only (id, signature), so the admitted
+    leg recovers text with a semi-join against the survivor ids
+    (broadcast: the checkpointed survivor set is micro-batch-sized,
+    never corpus-sized).  Callers run this inside a dynamic
+    partitionOverwriteMode scope, so a replayed epoch REWRITES its
+    profile partition instead of double-counting."""
+    from .profile import profile_funnel
+
+    admitted = batch_df.join(
+        F.broadcast(survivors.select(id_col)), id_col, "semi"
+    )
+    (
+        profile_funnel(
+            {"raw": batch_df, "admitted": admitted},
+            text_col=text_col, id_col=id_col,
+        )
+        .withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .parquet(profile_path)
+    )
+
+
 def _minhash_dedup_epoch(
     batch_df: DataFrame,
     epoch_id: int,
@@ -2023,28 +2072,9 @@ def _minhash_dedup_epoch(
             .parquet(out_path)
         )
         if profile_path is not None:
-            # raw-vs-admitted funnel per epoch: kept-fraction drift is
-            # the crawl operator's live health signal.  Survivors carry
-            # only (id, signature), so the admitted leg recovers text
-            # with a batch-sized semi-join against the survivor ids
-            # (broadcast: the checkpointed id set is micro-batch-sized,
-            # never corpus-sized).
-            from pyspark.sql.functions import broadcast
-
-            from .profile import profile_funnel
-
-            admitted = batch_df.join(
-                broadcast(survivors.select(id_col)), id_col, "semi"
-            )
-            (
-                profile_funnel(
-                    {"raw": batch_df, "admitted": admitted},
-                    text_col=text_col, id_col=id_col,
-                )
-                .withColumn("__epoch", F.lit(int(epoch_id)))
-                .write.mode("overwrite")
-                .partitionBy("__epoch")
-                .parquet(profile_path)
+            _write_epoch_profile(
+                batch_df, survivors, int(epoch_id), profile_path,
+                text_col, id_col,
             )
     finally:
         if prev is not None:
@@ -2327,9 +2357,11 @@ def _simhash_dedup_epoch(
     id_col: str,
     bits: int,
     max_hamming: int,
+    profile_path: str | None = None,
 ) -> None:
     """One epoch of :func:`streaming_incremental_simhash_dedup`; replay
-    decomposition identical to :func:`_minhash_dedup_epoch`."""
+    decomposition (and the optional ``profile_path`` funnel leg)
+    identical to :func:`_minhash_dedup_epoch`."""
     survivors = incremental_simhash_dedup(
         batch_df, store_table, text_col=text_col, id_col=id_col,
         bits=bits, max_hamming=max_hamming, exclude_epoch=int(epoch_id),
@@ -2345,6 +2377,11 @@ def _simhash_dedup_epoch(
             .partitionBy("__epoch")
             .parquet(out_path)
         )
+        if profile_path is not None:
+            _write_epoch_profile(
+                batch_df, survivors, int(epoch_id), profile_path,
+                text_col, id_col,
+            )
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
@@ -2367,12 +2404,14 @@ def streaming_incremental_simhash_dedup(
     id_col: str = "doc_id",
     bits: int = 32,
     max_hamming: int = 3,
+    profile_path: str | None = None,
 ):
     """Continuous-crawl SimHash admission:
     :func:`streaming_incremental_minhash_dedup` with Hamming semantics
     and pigeonhole-exact recall within ``max_hamming``.  Same observer
-    caveat (``refreshTable``) and same knob-match requirement
-    (``bits``/``max_hamming`` must equal the store's seeding).
+    caveat (``refreshTable``), same knob-match requirement
+    (``bits``/``max_hamming`` must equal the store's seeding), and the
+    same composed ``profile_path`` funnel leg.
 
     Returns the started ``StreamingQuery``.
     """
@@ -2381,7 +2420,7 @@ def streaming_incremental_simhash_dedup(
     def fb(batch_df: DataFrame, epoch_id: int) -> None:
         _simhash_dedup_epoch(
             batch_df, int(epoch_id), store_table, out_path, text_col,
-            id_col, bits, max_hamming,
+            id_col, bits, max_hamming, profile_path=profile_path,
         )
 
     return (

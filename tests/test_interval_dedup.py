@@ -631,6 +631,38 @@ class TestStreamingBucketedDedup:
         finally:
             spark.sql("DROP TABLE IF EXISTS fp_replay_bkt_t")
 
+    def test_epoch_profile_funnel(self, spark, tmp_path):
+        """The exact bucketed gate shares _write_epoch_profile; the
+        admitted leg recovers text even though exact survivors DO carry
+        it (one uniform recovery path across the gate family)."""
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            _bucketed_dedup_epoch,
+            build_bucketed_fingerprint_store,
+        )
+
+        out = str(tmp_path / "out")
+        prof = str(tmp_path / "prof")
+        spark.sql("DROP TABLE IF EXISTS fp_prof_bkt_t")
+        build_bucketed_fingerprint_store(
+            self._mk(spark, [(0, "alpha")]),
+            "fp_prof_bkt_t", str(tmp_path / "store"), n_buckets=4,
+            epoch=-1,
+        )
+        try:
+            b1 = self._mk(spark, [(10, "alpha"), (11, "beta"), (12, "beta")])
+            for _ in range(2):
+                _bucketed_dedup_epoch(
+                    b1, 0, "fp_prof_bkt_t", out, "text", "doc_id",
+                    profile_path=prof,
+                )
+            got = {
+                (r.stage, r["__epoch"]): r.n_docs
+                for r in spark.read.parquet(prof).collect()
+            }
+            assert got == {("raw", 0): 3, ("admitted", 0): 1}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS fp_prof_bkt_t")
+
     def test_compaction_reclaims_replay_duplicates(self, spark, tmp_path):
         """After a replayed epoch double-appends its fingerprints,
         compaction rewrites the store to one row per fingerprint with
@@ -1073,3 +1105,30 @@ class TestIncrementalSimhashDedup:
         finally:
             for t in ("sh_replay_fn_t", "sh_replay_fn_c_t"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_epoch_profile_funnel(self, spark, tmp_path):
+        """The SimHash gate shares _write_epoch_profile: replayed epoch
+        rewrites its funnel partition."""
+        from data_stream_flink_user_address_spark.functions.dedup import (
+            _simhash_dedup_epoch,
+        )
+        self._seed(spark, "sh_prof_fn_t", tmp_path)
+        out = str(tmp_path / "out")
+        prof = str(tmp_path / "prof")
+        try:
+            b1 = self._mk(spark, [
+                (100, self.NOVEL2),                               # admitted
+                (101, self.NOVEL2.replace("modern", "legacy")),   # near-dup
+            ])
+            for _ in range(2):
+                _simhash_dedup_epoch(
+                    b1, 0, "sh_prof_fn_t", out, "text", "doc_id", 32, 3,
+                    profile_path=prof,
+                )
+            got = {
+                (r.stage, r["__epoch"]): r.n_docs
+                for r in spark.read.parquet(prof).collect()
+            }
+            assert got == {("raw", 0): 2, ("admitted", 0): 1}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS sh_prof_fn_t")
