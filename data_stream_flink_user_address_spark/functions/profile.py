@@ -158,6 +158,62 @@ def profile_funnel(
     return out.orderBy("stage_idx")
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint_col: str | None = None,
+) -> DataFrame:
+    """Classify every document across two corpus snapshots:
+    ``added`` (id only in ``new``), ``removed`` (only in ``old``),
+    ``changed`` (both, different content), ``unchanged`` -- the
+    operator that turns a re-crawl into an INCREMENTAL pipeline run
+    (process ``added``+``changed``, retire ``removed``, skip the
+    unchanged bulk, which on a stable corpus is nearly everything).
+
+    Content identity is the profile family's whitespace-normalized md5
+    fingerprint, so "changed" agrees with :func:`corpus_profile`'s
+    duplicate-rate notion; pass ``fingerprint_col`` to reuse a
+    precomputed fingerprint (e.g. the incremental exact-dedup store's)
+    and skip the text scan entirely.  NULL text fingerprints NULL and
+    compares null-safely: NULL -> NULL is ``unchanged``, text <-> NULL
+    is ``changed`` -- a diff must not silently lose rows.
+
+    Returns ``(id, status, old_fp, new_fp)``.  Scale shape: each side
+    projects to (id, 16-byte fp) BEFORE the full-outer join, so the
+    exchange never carries text; ids are assumed unique per snapshot
+    (it is a snapshot key).  When both snapshots are bucketed by id
+    (``sources/layout.write_bucketed``) the join is zero-exchange;
+    status is a row-local CASE either way.
+    """
+    def fp() -> F.Column:
+        if fingerprint_col is not None:
+            return F.col(fingerprint_col)
+        return F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+
+    # explicit presence flags: a present row with NULL text has a NULL
+    # fingerprint and must not read as absent from its snapshot
+    o = old.select(
+        F.col(id_col), fp().alias("old_fp"), F.lit(True).alias("__in_old")
+    )
+    n = new.select(
+        F.col(id_col), fp().alias("new_fp"), F.lit(True).alias("__in_new")
+    )
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("unchanged")
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, on=id_col, how="full_outer")
+        .select(F.col(id_col), status.alias("status"), "old_fp", "new_fp")
+    )
+
+
 def top_terms(
     df: DataFrame,
     k: int = 100,

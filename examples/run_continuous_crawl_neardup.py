@@ -108,8 +108,12 @@ def main() -> None:
         "doc_id long, text string"
     ).json(src)
 
-    # stream b1 + b2, then KILL
-    q = streaming_incremental_minhash_dedup(stream_of(), table, out, ck)
+    # stream b1 + b2, then KILL; the composed funnel profile rides the
+    # same query (profile_path), one raw-vs-admitted pair per epoch
+    prof = os.path.join(work, "profile")
+    q = streaming_incremental_minhash_dedup(
+        stream_of(), table, out, ck, profile_path=prof
+    )
     feed(1)
     q.processAllAvailable()
     feed(2)
@@ -119,12 +123,22 @@ def main() -> None:
     print(f"admitted after b1+b2:     {admitted_12:6d} docs (query killed here)")
 
     # fresh query, same checkpoint + store: history must hold
-    q2 = streaming_incremental_minhash_dedup(stream_of(), table, out, ck)
+    q2 = streaming_incremental_minhash_dedup(
+        stream_of(), table, out, ck, profile_path=prof
+    )
     feed(3)
     q2.processAllAvailable()
     q2.stop()
     streamed = {r.doc_id for r in spark.read.parquet(out).collect()}
     print(f"admitted after restart:   {len(streamed):6d} docs")
+    for r in (
+        spark.read.parquet(prof)
+        .orderBy("__epoch", "stage_idx")
+        .select("__epoch", "stage", "n_docs", "approx_dup_rate")
+        .collect()
+    ):
+        print(f"  epoch {r['__epoch']} {r.stage:>8}: {r.n_docs:5d} docs "
+              f"(dup rate {r.approx_dup_rate:.2f})")
 
     # streaming == batch: replay the same batches through the batch
     # operator against a fresh store (one code path, two modes)

@@ -249,3 +249,43 @@ def test_upsample_oracle(spark, docs, con):
         FROM n WHERE n_copies > 0
     """
     assert compare(got, con, sql, "upsample") == []
+
+
+def test_corpus_diff_oracle(spark, docs, con):
+    """Full diff classification (incl. the md5 fingerprints themselves)
+    replicated in DuckDB over derived old/new snapshots of documents."""
+    from data_stream_flink_user_address_spark.functions.profile import (
+        corpus_diff,
+    )
+
+    old = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 2,
+            F.concat(F.col("text"), F.lit(" edited")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    got = corpus_diff(old, new)
+    sql = r"""
+        WITH olds AS (
+            SELECT doc_id,
+                   md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS old_fp
+            FROM documents WHERE doc_id % 10 <> 0
+        ), news AS (
+            SELECT doc_id,
+                   md5(regexp_replace(trim(
+                       CASE WHEN doc_id % 10 = 2 THEN text || ' edited'
+                            ELSE text END), '\s+', ' ', 'g')) AS new_fp
+            FROM documents WHERE doc_id % 10 <> 1
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.old_fp IS NOT DISTINCT FROM n.new_fp
+                         THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               o.old_fp, n.new_fp
+        FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+    """
+    assert compare(got, con, sql, "corpus_diff") == []

@@ -173,3 +173,70 @@ class TestTopTerms:
             .toString()
         )
         assert "WindowGroupLimit" in plan
+
+
+class TestCorpusDiff:
+    def test_planted_statuses(self, spark):
+        from pyspark.sql import Row
+
+        from data_stream_flink_user_address_spark.functions.profile import (
+            corpus_diff,
+        )
+
+        old = spark.createDataFrame([
+            Row(doc_id=1, text="alpha beta"),
+            Row(doc_id=2, text="gamma"),
+            Row(doc_id=3, text="delta"),          # removed in new
+            Row(doc_id=4, text=None),             # NULL -> NULL: unchanged
+            Row(doc_id=5, text=None),             # NULL -> text: changed
+        ])
+        new = spark.createDataFrame([
+            Row(doc_id=1, text="alpha   beta "),  # ws-normalized: unchanged
+            Row(doc_id=2, text="gamma edited"),   # changed
+            Row(doc_id=4, text=None),
+            Row(doc_id=5, text="now present"),
+            Row(doc_id=6, text="brand new"),      # added
+        ])
+        got = {
+            r.doc_id: r.status for r in corpus_diff(old, new).collect()
+        }
+        assert got == {
+            1: "unchanged", 2: "changed", 3: "removed",
+            4: "unchanged", 5: "changed", 6: "added",
+        }
+
+    def test_fingerprint_col_reuse(self, spark):
+        """A precomputed fingerprint column skips the text scan -- the
+        store-reuse path (e.g. incremental exact-dedup fingerprints)."""
+        from pyspark.sql import Row
+
+        from data_stream_flink_user_address_spark.functions.profile import (
+            corpus_diff,
+        )
+
+        old = spark.createDataFrame([Row(doc_id=1, fp="aa"), Row(doc_id=2, fp="bb")])
+        new = spark.createDataFrame([Row(doc_id=1, fp="aa"), Row(doc_id=2, fp="XX")])
+        got = {
+            r.doc_id: r.status
+            for r in corpus_diff(old, new, fingerprint_col="fp").collect()
+        }
+        assert got == {1: "unchanged", 2: "changed"}
+
+    def test_text_never_in_exchange(self, spark):
+        """The diff's join exchange carries (id, fp) only: the text
+        column must not appear in the physical plan past the project."""
+        from pyspark.sql import Row
+
+        from data_stream_flink_user_address_spark.functions.profile import (
+            corpus_diff,
+        )
+
+        old = spark.createDataFrame([Row(doc_id=1, text="alpha")])
+        new = spark.createDataFrame([Row(doc_id=1, text="alpha")])
+        plan = (
+            corpus_diff(old, new)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "text" not in line, line
