@@ -74,6 +74,90 @@ def epoch_shuffle(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int = 4,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    epoch: int = 0,
+    n_shards: int = 32,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Deterministic curriculum ordering: global example order is
+    STAGE-major (stage 0 = lowest ``score_col`` quantile first; negate
+    the score for hard-first), with an independent :func:`epoch_shuffle`
+    permutation inside each stage -- curriculum learning's data
+    contract (easy-to-hard progression, shuffled within difficulty
+    bands, reproducible across reruns and resumable after preemption).
+
+    Shape: stage boundaries come from ONE ``percentile_approx``
+    aggregate (GK sketch, mergeable partials, error ``1/accuracy``);
+    the 1-row cut frame broadcasts back and every row assigns its
+    stage ROW-LOCALLY by counting cuts below its score -- the
+    :func:`..sampling.quality_bucket_cuts` idiom, so no window, no
+    global sort, and the only wide operation is the same single hash
+    exchange :func:`epoch_shuffle` pays.  Two corpus passes total
+    (sketch + shuffle).
+
+    Output = input + ``stage`` + ``epoch_order`` + ``shard``,
+    hash-partitioned on (stage, shard) and locally sorted by
+    (stage, shard, order, key): readers consume ``stage=0/shard=0..N``
+    then ``stage=1/...`` for stage-major order without a range
+    exchange.
+    """
+    fracs = F.array(*[F.lit(i / n_stages) for i in range(1, int(n_stages))])
+    cuts = df.select(
+        F.percentile_approx(F.col(score_col), fracs, F.lit(int(accuracy))).alias(
+            "__cuts"
+        )
+    )
+    stage = F.aggregate(
+        "__cuts",
+        F.lit(0),
+        lambda acc, cut: acc + F.when(F.col(score_col) > cut, 1).otherwise(0),
+    )
+    out = (
+        df.join(F.broadcast(cuts))
+        .withColumn("stage", stage.cast("int"))
+        .drop("__cuts")
+        .withColumn("epoch_order", epoch_order_key(F.col(key_col), seed, epoch))
+    )
+    out = out.withColumn("shard", (F.col("epoch_order") % n_shards).cast("int"))
+    return out.repartition(
+        int(n_stages) * int(n_shards), F.col("stage"), F.col("shard")
+    ).sortWithinPartitions("stage", "shard", "epoch_order", key_col)
+
+
+def write_curriculum_shards(
+    df: DataFrame,
+    path: str,
+    score_col: str,
+    n_stages: int = 4,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    epoch: int = 0,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Materialize a curriculum epoch: ``path/stage=S/shard=K/``
+    parquet, rows of each file in epoch order (same already-partitioned
+    + already-sorted write contract as :func:`write_epoch_shards`).
+    Returns the ``(stage, shard, n_rows)`` manifest computed by
+    re-reading the written layout, keeping the corpus scan single-pass.
+    """
+    ordered = curriculum_order(
+        df, score_col, n_stages, key_col, seed, epoch, n_shards
+    )
+    ordered.write.mode("overwrite").partitionBy("stage", "shard").parquet(path)
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy("stage", "shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("stage", "shard")
+    )
+
+
 def write_epoch_shards(
     df: DataFrame,
     path: str,

@@ -92,3 +92,80 @@ def test_one_shuffle_plan(docs):
     plan = epoch_shuffle(docs, n_shards=8)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" not in plan.lower()
+
+
+class TestCurriculum:
+    """curriculum_order / write_curriculum_shards: stage-major
+    easy-to-hard order, epoch_shuffle permutation within stages."""
+
+    def _scored(self, docs):
+        # deterministic score with unambiguous quartile boundaries
+        return docs.select("doc_id", (F.col("doc_id") % 100).alias("score"))
+
+    def test_stage_assignment_monotone(self, docs):
+        from data_stream_flink_user_address_spark.functions.ordering import (
+            curriculum_order,
+        )
+
+        out = curriculum_order(
+            self._scored(docs), "score", n_stages=4, n_shards=4
+        )
+        rows = out.select("score", "stage").collect()
+        # stages partition the score axis: every stage-s score is <=
+        # every stage-(s+1) score
+        by_stage = {}
+        for r in rows:
+            by_stage.setdefault(r.stage, []).append(r.score)
+        stages = sorted(by_stage)
+        assert stages == [0, 1, 2, 3]
+        for lo, hi in zip(stages, stages[1:]):
+            assert max(by_stage[lo]) <= min(by_stage[hi])
+
+    def test_bitwise_reproducible_and_epochs_differ(self, docs):
+        from data_stream_flink_user_address_spark.functions.ordering import (
+            curriculum_order,
+        )
+
+        scored = self._scored(docs)
+        a = curriculum_order(scored, "score", n_shards=4).collect()
+        b = curriculum_order(scored, "score", n_shards=4).collect()
+        assert a == b
+        c = curriculum_order(scored, "score", n_shards=4, epoch=1).collect()
+        assert [r.doc_id for r in a] != [r.doc_id for r in c]
+        # epoch changes the within-stage order, never the stage
+        assert {r.doc_id: r.stage for r in a} == {r.doc_id: r.stage for r in c}
+
+    def test_written_layout_stage_major(self, docs, tmp_path):
+        from data_stream_flink_user_address_spark.functions.ordering import (
+            write_curriculum_shards,
+        )
+
+        path = str(tmp_path / "curr0")
+        manifest = write_curriculum_shards(
+            self._scored(docs), path, "score", n_stages=2, n_shards=2
+        ).collect()
+        assert [(r.stage, r.shard) for r in manifest] == [
+            (0, 0), (0, 1), (1, 0), (1, 1),
+        ]
+        assert sum(r.n_rows for r in manifest) == docs.count()
+        spark = docs.sparkSession
+        orders = [
+            r.epoch_order
+            for r in spark.read.parquet(f"{path}/stage=0/shard=1")
+            .select("epoch_order").collect()
+        ]
+        assert orders == sorted(orders)  # file preserves epoch order
+
+    def test_two_pass_no_range_exchange(self, docs):
+        from data_stream_flink_user_address_spark.functions.ordering import (
+            curriculum_order,
+        )
+
+        plan = (
+            curriculum_order(self._scored(docs), "score", n_shards=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "rangepartitioning" not in plan.lower()
+        # one hash exchange for the layout + the sketch aggregate's
+        # 1-row exchanges; the corpus itself is exchanged exactly once
+        assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
