@@ -609,3 +609,41 @@ def test_leakage_split_guard_size_gates_the_holdout_broadcast(spark):
         docs, splits, broadcast_eval=False, materialize_pairs=False
     )
     assert "BroadcastExchange" not in _explain(leaks_forced)
+
+
+def test_corpus_diff_bucketed_snapshots_zero_exchange(spark, tmp_path):
+    """The re-crawl regime corpus_diff is built for: both snapshots
+    stored id-bucketed (sources/layout.write_bucketed), so the
+    full-outer fingerprint join reads both bucket layouts directly --
+    ZERO Exchange anywhere in the plan (the md5 projection preserves
+    the scan's output partitioning).  Broadcast stays enabled; the
+    join must not need it."""
+    import re
+
+    from data_stream_flink_user_address_spark.functions.profile import (
+        corpus_diff,
+    )
+    from data_stream_flink_user_address_spark.sources.layout import (
+        write_bucketed,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    for t in ("diff_old_t", "diff_new_t"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed(
+        docs.select("doc_id", "text"), "diff_old_t", "doc_id", 8,
+        str(tmp_path / "old"),
+    )
+    write_bucketed(
+        docs.select("doc_id", "text"), "diff_new_t", "doc_id", 8,
+        str(tmp_path / "new"),
+    )
+    try:
+        plan = _explain(
+            corpus_diff(spark.table("diff_old_t"), spark.table("diff_new_t"))
+        )
+        assert not re.search(r"\(\d+\) Exchange", plan), plan
+        assert "SortMergeJoin FullOuter" in plan
+    finally:
+        for t in ("diff_old_t", "diff_new_t"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
