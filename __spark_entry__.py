@@ -4738,7 +4738,7 @@ ORACLE_SQL: dict[str, str] = {
                    (floor(factor)
                     + CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 15))::BIGINT
                                  % 1000000)
-                               < CAST((factor - floor(factor)) * 1000000 AS BIGINT)
+                               < CAST(trunc((factor - floor(factor)) * 1000000) AS BIGINT)
                            THEN 1 ELSE 0 END)::INT AS n_copies
             FROM w
             WHERE factor > 0
@@ -4823,7 +4823,7 @@ ORACLE_SQL: dict[str, str] = {
         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         UNION ALL
         SELECT doc_id FROM documents
-        WHERE doc_id % 2 = 1 AND length({_sql_norm()}) < 5
+        WHERE doc_id % 2 = 1 AND length(coalesce({_sql_norm()}, '')) < 5
     """,
     # tf top-50 and df top-50, reciprocal-rank fused to the top-30
     "top_terms_rrf": """

@@ -83,6 +83,7 @@ def curriculum_order(
     epoch: int = 0,
     n_shards: int = 32,
     accuracy: int = 10000,
+    null_stage: int | None = None,
 ) -> DataFrame:
     """Deterministic curriculum ordering: global example order is
     STAGE-major (stage 0 = lowest ``score_col`` quantile first; negate
@@ -90,6 +91,12 @@ def curriculum_order(
     permutation inside each stage -- curriculum learning's data
     contract (easy-to-hard progression, shuffled within difficulty
     bands, reproducible across reruns and resumable after preemption).
+
+    NULL scores (a difficulty scorer that could not rate the doc) are
+    kept -- an ordering must not silently lose rows -- and land in
+    ``null_stage`` (default: the LAST stage, ``n_stages - 1``, so
+    unrated docs never jump the easy-first queue); the quantile cuts
+    themselves ignore NULLs (``percentile_approx`` semantics).
 
     Shape: stage boundaries come from ONE ``percentile_approx``
     aggregate (GK sketch, mergeable partials, error ``1/accuracy``);
@@ -112,11 +119,15 @@ def curriculum_order(
             "__cuts"
         )
     )
-    stage = F.aggregate(
+    counted = F.aggregate(
         "__cuts",
         F.lit(0),
         lambda acc, cut: acc + F.when(F.col(score_col) > cut, 1).otherwise(0),
     )
+    stage = F.when(
+        F.col(score_col).isNull(),
+        F.lit(int(n_stages) - 1 if null_stage is None else int(null_stage)),
+    ).otherwise(counted)
     out = (
         df.join(F.broadcast(cuts))
         .withColumn("stage", stage.cast("int"))

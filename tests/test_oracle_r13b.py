@@ -240,7 +240,7 @@ def test_upsample_oracle(spark, docs, con):
                    (floor(factor)
                     + CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 15))::BIGINT
                                  % 1000000)
-                               < CAST((factor - floor(factor)) * 1000000 AS BIGINT)
+                               < CAST(trunc((factor - floor(factor)) * 1000000) AS BIGINT)
                            THEN 1 ELSE 0 END)::INT AS n_copies
             FROM w
             WHERE factor > 0

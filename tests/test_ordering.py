@@ -166,6 +166,37 @@ class TestCurriculum:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "rangepartitioning" not in plan.lower()
-        # one hash exchange for the layout + the sketch aggregate's
-        # 1-row exchanges; the corpus itself is exchanged exactly once
-        assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
+        # the corpus rides exactly ONE hash exchange (the layout
+        # repartition); the sketch side is a SinglePartition 1-row
+        # aggregate that broadcasts back -- pin all three so a second
+        # corpus-wide exchange (or a non-broadcast cuts join) fails
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Exchange SinglePartition" in plan, plan
+        assert "BroadcastExchange" in plan, plan
+
+    def test_null_scores_kept_in_declared_stage(self, spark, docs):
+        """NULL difficulty scores must not be silently front-loaded:
+        default lands them in the LAST stage; null_stage overrides."""
+        from data_stream_flink_user_address_spark.functions.ordering import (
+            curriculum_order,
+        )
+
+        scored = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 0, None)
+            .otherwise(F.col("doc_id") % 100)
+            .cast("int")
+            .alias("score"),
+        )
+        out = curriculum_order(scored, "score", n_stages=4, n_shards=4)
+        rows = out.select("doc_id", "score", "stage").collect()
+        assert len(rows) == docs.count()  # no rows lost
+        assert all(r.stage == 3 for r in rows if r.score is None)
+        out0 = curriculum_order(
+            scored, "score", n_stages=4, n_shards=4, null_stage=0
+        )
+        assert all(
+            r.stage == 0
+            for r in out0.select("score", "stage").collect()
+            if r.score is None
+        )
