@@ -243,3 +243,192 @@ def read_warc(
 
     src = spark.read.format("binaryFile").load(path).select("path", "content")
     return src.mapInPandas(_gen, _WARC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt politeness (RFC 9309, implemented from the public spec)
+# ---------------------------------------------------------------------------
+
+def _parse_robots_text(text: str) -> list[tuple[str, bool, str]]:
+    """Parse one robots.txt body into (agent, allow, pattern) rules per
+    RFC 9309: ``#`` comments strip, keys are case-insensitive,
+    consecutive ``User-agent`` lines open a group whose following
+    Allow/Disallow rules apply to every named agent, and an EMPTY
+    Disallow value is no rule at all (legacy allow-all idiom).
+    Module-level and pure so the grammar is unit-testable without
+    Spark."""
+    rules: list[tuple[str, bool, str]] = []
+    agents: list[str] = []
+    in_group_header = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_group_header:
+                agents = []  # a new group header run starts
+            agents.append(val.lower())
+            in_group_header = True
+            continue
+        in_group_header = False
+        if key in ("allow", "disallow"):
+            if not val:
+                continue  # empty pattern = no rule (RFC 9309 §2.2.2)
+            for a in agents:
+                rules.append((a, key == "allow", val))
+    return rules
+
+
+def _robots_pattern_matches(pattern: str, target: str) -> bool:
+    """RFC 9309 path matching: the pattern anchors at the path start,
+    ``*`` matches any run of characters, a trailing ``$`` anchors the
+    end; all other characters match literally."""
+    import re as _re
+
+    anchored_end = pattern.endswith("$")
+    body = pattern[:-1] if anchored_end else pattern
+    rx = "".join(".*" if ch == "*" else _re.escape(ch) for ch in body)
+    rx = "^" + rx + ("$" if anchored_end else "")
+    return _re.match(rx, target) is not None
+
+
+def _robots_allowed(
+    rules: list[tuple[bool, str]], target: str
+) -> bool:
+    """Longest-match wins (pattern length in characters, RFC 9309
+    §2.2.2); on a tie the Allow rule wins; no matching rule allows."""
+    best_len = -1
+    best_allow = True
+    for allow, pattern in rules:
+        if _robots_pattern_matches(pattern, target):
+            plen = len(pattern)
+            if plen > best_len or (plen == best_len and allow and not best_allow):
+                best_len = plen
+                best_allow = allow
+    return best_allow
+
+
+def parse_robots(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Explode fetched robots.txt bodies into one row per
+    ``(domain, agent, allow, pattern)`` rule -- the relational form
+    downstream politeness filtering joins on.  Parsing is row-local
+    (Arrow-batched pandas UDF; text grammar is the honest UDF boundary,
+    like :func:`read_warc`), so the only data movement is whatever the
+    caller does with the result.
+    """
+    import pandas as pd
+
+    def _parse(texts):
+        return pd.Series(
+            [
+                [
+                    {"agent": a, "allow": al, "pattern": p}
+                    for a, al, p in _parse_robots_text(t)
+                ]
+                for t in texts
+            ]
+        )
+
+    parse = F.pandas_udf(
+        _parse, "array<struct<agent:string,allow:boolean,pattern:string>>"
+    )
+    return (
+        robots.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(parse(F.col(robots_col))).alias("r"),
+        )
+        .select("domain", "r.agent", "r.allow", "r.pattern")
+    )
+
+
+def filter_robots_allowed(
+    df: DataFrame,
+    robots: DataFrame,
+    user_agent: str = "*",
+    url_col: str = "url",
+    domain_col: str = "domain",
+    robots_col: str = "robots_txt",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Keep only URLs a polite crawler identifying as ``user_agent``
+    may fetch under each domain's robots.txt (RFC 9309).
+
+    Group selection per spec: a domain with rules for ``user_agent``
+    (case-insensitive product token) uses exactly those; otherwise its
+    ``*`` group; a domain with no robots row (or an unparseable body,
+    which yields zero rules) is fully allowed.  Matching runs against
+    path + query, longest-match wins, Allow wins ties.
+
+    Scale shape: rules collapse to ONE slim row per domain (a pattern
+    array), joined to the corpus on the domain key -- broadcast by
+    default (a crawl frontier's robots table is domains-sized, far
+    smaller than the corpus; pass ``broadcast_rules=False`` to let the
+    planner shuffle both sides when the frontier itself is huge), then
+    a row-local Arrow-batched longest-match over each URL's own
+    domain rule list.  The corpus never shuffles on the broadcast
+    path.
+    """
+    import pandas as pd
+
+    ua = user_agent.lower()
+    rules = parse_robots(robots, domain_col, robots_col)
+    mine = rules.filter(F.col("agent").isin(ua, "*")).select(
+        "domain",
+        "allow",
+        "pattern",
+        (F.col("agent") == ua).cast("int").alias("__specific"),
+    )
+    # RFC group selection: the ua-specific group REPLACES '*' when it
+    # exists for a domain -- keep rows at each domain's max specificity
+    per_domain = (
+        mine.groupBy("domain")
+        .agg(
+            F.max("__specific").alias("__best"),
+            F.collect_list(
+                F.struct("allow", "pattern", "__specific")
+            ).alias("__all"),
+        )
+        .select(
+            F.col("domain").alias("__rdomain"),
+            F.filter(
+                "__all", lambda r: r["__specific"] == F.col("__best")
+            ).alias("__rules"),
+        )
+    )
+    if broadcast_rules:
+        per_domain = F.broadcast(per_domain)
+    d = df.withColumn("__domain", domain_of(url_col)).join(
+        per_domain, F.col("__domain") == F.col("__rdomain"), "left"
+    )
+
+    def _allowed(urls, rule_lists):
+        out = []
+        for u, rl in zip(urls, rule_lists):
+            if rl is None or len(rl) == 0:
+                out.append(True)
+                continue
+            u = u or ""
+            # match target = path + optional ?query (RFC 9309 §2.2.2)
+            rest = u.split("://", 1)[-1]
+            slash = rest.find("/")
+            target = rest[slash:] if slash >= 0 else "/"
+            target = target.split("#", 1)[0]
+            out.append(
+                _robots_allowed(
+                    [(r["allow"], r["pattern"]) for r in rl], target
+                )
+            )
+        return pd.Series(out, dtype="bool")
+
+    allowed = F.pandas_udf(_allowed, "boolean")
+    return (
+        d.filter(allowed(F.col(url_col), F.col("__rules")))
+        .drop("__domain", "__rdomain", "__rules")
+    )

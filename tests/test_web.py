@@ -310,3 +310,124 @@ def test_normalize_unicode_preserves_null(spark):
     got = {r.doc_id: r for r in normalize_unicode(df).collect()}
     assert got[1].text is None and got[1].n_changed == 0
     assert got[2].text == "ok"
+
+
+class TestRobots:
+    """RFC 9309 politeness: grammar units on the pure parser/matcher,
+    then the Spark group-selection + longest-match path end to end."""
+
+    ROBOTS = "\n".join([
+        "# site policy",
+        "User-agent: crawlerx",
+        "Disallow: /private/",
+        "Allow: /private/public$",
+        "",
+        "User-agent: otherbot",
+        "User-agent: thirdbot",
+        "Disallow: /",
+        "",
+        "User-agent: *",
+        "Disallow: /tmp/*",
+        "Disallow:",          # empty = no rule
+        "Crawl-delay: 10",    # unknown key: ignored
+    ])
+
+    def test_parser_grammar(self):
+        from data_stream_flink_user_address_spark.functions.web import (
+            _parse_robots_text,
+        )
+
+        rules = _parse_robots_text(self.ROBOTS)
+        assert ("crawlerx", False, "/private/") in rules
+        assert ("crawlerx", True, "/private/public$") in rules
+        # a multi-agent group header applies its rules to EVERY agent
+        assert ("otherbot", False, "/") in rules
+        assert ("thirdbot", False, "/") in rules
+        assert ("*", False, "/tmp/*") in rules
+        # empty Disallow contributes no rule; unknown keys ignored
+        assert len([r for r in rules if r[0] == "*"]) == 1
+
+    def test_matcher_semantics(self):
+        from data_stream_flink_user_address_spark.functions.web import (
+            _robots_allowed,
+            _robots_pattern_matches,
+        )
+
+        assert _robots_pattern_matches("/a/*/c", "/a/b/c")
+        assert _robots_pattern_matches("/a$", "/a")
+        assert not _robots_pattern_matches("/a$", "/a/b")
+        assert not _robots_pattern_matches("/b", "/a/b")  # start-anchored
+        # longest match wins; Allow wins length ties
+        rules = [(False, "/p/"), (True, "/p/ok")]
+        assert _robots_allowed(rules, "/p/ok/page")
+        assert not _robots_allowed(rules, "/p/deny")
+        assert _robots_allowed([(False, "/x"), (True, "/x")], "/x/y")
+        assert _robots_allowed([], "/anything")
+
+    def _frames(self, spark):
+        from pyspark.sql import Row
+
+        robots = spark.createDataFrame([
+            Row(domain="a.example", robots_txt=self.ROBOTS),
+            Row(domain="b.example", robots_txt="User-agent: *\nDisallow: /"),
+        ])
+        urls = spark.createDataFrame([
+            Row(doc_id=1, url="https://a.example/private/page"),
+            Row(doc_id=2, url="https://a.example/private/public"),
+            Row(doc_id=3, url="https://a.example/tmp/x"),      # '*' rule: but crawlerx group wins
+            Row(doc_id=4, url="https://a.example/open"),
+            Row(doc_id=5, url="https://b.example/anything"),
+            Row(doc_id=6, url="https://c.example/no-robots"),
+        ])
+        return robots, urls
+
+    def test_group_selection_and_filter(self, spark):
+        from data_stream_flink_user_address_spark.functions.web import (
+            filter_robots_allowed,
+        )
+
+        robots, urls = self._frames(spark)
+        got = {
+            r.doc_id
+            for r in filter_robots_allowed(
+                urls, robots, user_agent="CrawlerX"
+            ).collect()
+        }
+        # crawlerx group REPLACES '*' on a.example: /tmp/* is NOT
+        # blocked for crawlerx; /private/ is, except the $-anchored
+        # public page; b.example blocks all; c.example has no robots
+        assert got == {2, 3, 4, 6}
+
+    def test_star_group_and_no_shuffle_plan(self, spark):
+        from data_stream_flink_user_address_spark.functions.web import (
+            filter_robots_allowed,
+        )
+
+        robots, urls = self._frames(spark)
+        out = filter_robots_allowed(urls, robots, user_agent="unlisted")
+        got = {r.doc_id for r in out.collect()}
+        # unlisted agent falls back to '*': /tmp blocked on a.example
+        assert got == {1, 2, 4, 6}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # the corpus side must not hash-exchange for the rules join
+        import re
+
+        for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "url" not in frag, plan
+
+    def test_parse_robots_relational_shape(self, spark):
+        from pyspark.sql import Row
+
+        from data_stream_flink_user_address_spark.functions.web import (
+            parse_robots,
+        )
+
+        robots = spark.createDataFrame(
+            [Row(domain="a.example", robots_txt=self.ROBOTS)]
+        )
+        rows = parse_robots(robots).collect()
+        assert {(r.domain, r.agent, r.allow, r.pattern) for r in rows} >= {
+            ("a.example", "crawlerx", False, "/private/"),
+            ("a.example", "*", False, "/tmp/*"),
+        }
