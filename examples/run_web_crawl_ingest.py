@@ -7,6 +7,7 @@ Composes the web-ingestion surface end to end on synthetic WARC files
 2. URL canonicalization: tracking params / fragments / case collapse,
    then URL-identity dedup (first fetch wins);
 3. domain blocklist (broadcast anti-join, subdomains included);
+3b. robots.txt politeness (RFC 9309 longest-match, broadcast rules);
 4. markup strip -> text corpus;
 5. MinHash near-dup removal across the fetched pages;
 6. corpus_profile funnel report at every stage.
@@ -33,6 +34,7 @@ from data_stream_flink_user_address_spark.functions.profile import profile_funne
 from data_stream_flink_user_address_spark.functions.text import strip_markup
 from data_stream_flink_user_address_spark.functions.web import (
     filter_blocked_domains,
+    filter_robots_allowed,
     normalize_url,
     read_warc,
 )
@@ -118,7 +120,20 @@ def main() -> None:
         [("blocked.example",)], ["domain"]
     ))
 
-    text = strip_markup(unblocked, text_col="html").select("doc_id", "text").join(
+    # politeness: site0 disallows its /article/ tree to everyone,
+    # site1 disallows it for OTHER agents but allows our crawler
+    robots = spark.createDataFrame(
+        [
+            ("site0.example", "User-agent: *\nDisallow: /article/"),
+            ("site1.example",
+             "User-agent: graftbot\nAllow: /\n"
+             "User-agent: *\nDisallow: /article/"),
+        ],
+        ["domain", "robots_txt"],
+    )
+    polite = filter_robots_allowed(unblocked, robots, user_agent="graftbot")
+
+    text = strip_markup(polite, text_col="html").select("doc_id", "text").join(
         unblocked.select("doc_id", "url"), "doc_id"
     )
 
@@ -133,6 +148,7 @@ def main() -> None:
             "fetched": docs.select("doc_id", F.col("html").alias("text")),
             "url_deduped": by_url.select("doc_id", F.col("html").alias("text")),
             "unblocked": unblocked.select("doc_id", F.col("html").alias("text")),
+            "robots_ok": polite.select("doc_id", F.col("html").alias("text")),
             "near_dedup": final,
         }
     )
