@@ -110,6 +110,50 @@ def main() -> None:
         }
         shutil.rmtree(path, ignore_errors=True)
 
+        # --- robots politeness filter: 1000-domain frontier, 5 rules
+        # each; the corpus joins the broadcast one-row-per-domain rule
+        # table and longest-matches row-locally (Arrow batches).  The
+        # UDF is the honest boundary (regex grammar); throughput should
+        # be flat in corpus size and independent of frontier size.
+        from data_stream_flink_user_address_spark.functions.web import (
+            filter_robots_allowed,
+        )
+
+        robots = spark.range(1000).select(
+            F.concat(F.lit("site"), F.col("id"), F.lit(".example")).alias(
+                "domain"
+            ),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private/\n"),
+                F.lit("Allow: /private/public\nDisallow: /tmp/*\n"),
+                F.lit("Disallow: /drafts$\n"),
+            ).alias("robots_txt"),
+        )
+        urls = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://site"),
+                F.pmod(F.col("doc_id"), F.lit(2000)),  # half have no robots
+                F.lit(".example/"),
+                F.element_at(
+                    F.array(
+                        F.lit("private/x"), F.lit("private/public/y"),
+                        F.lit("tmp/z"), F.lit("open/page"), F.lit("drafts"),
+                    ),
+                    (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+                ),
+            ).alias("url"),
+        )
+        t0 = time.time()
+        n_ok = filter_robots_allowed(urls, robots, user_agent="graftbot").count()
+        dt = time.time() - t0
+        row["robots_filter"] = {
+            "urls_in": n,
+            "urls_allowed": n_ok,
+            "wall_s": round(dt, 2),
+            "urls_per_sec": round(n / dt, 1),
+        }
+
         out["sizes"].append(row)
         print(json.dumps(row))
 
