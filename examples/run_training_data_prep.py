@@ -18,7 +18,9 @@ team actually runs, end to end on real Spark plans:
    manifest for seq_len-token training blocks;
 7. layout: the dataset written partitioned by split with row-group
    stats, plus epoch-0 training shards in reproducible shuffled order
-   (write_epoch_shards -- one hash shuffle, no range exchange).
+   (write_epoch_shards -- one hash shuffle, no range exchange) AND a
+   curriculum variant: quality-quantile stages, shuffled within stage
+   (write_curriculum_shards -- easy-to-hard training order).
 
 Documents pair with embeddings by id (doc_id == vec_id in the
 testdata).  Run: ``python examples/run_training_data_prep.py [sf_dir]``
@@ -44,6 +46,7 @@ from data_stream_flink_user_address_spark.functions.dedup import (
     cross_corpus_decontaminate,
 )
 from data_stream_flink_user_address_spark.functions.ordering import (
+    write_curriculum_shards,
     write_epoch_shards,
 )
 from data_stream_flink_user_address_spark.functions.packing import (
@@ -150,6 +153,20 @@ def main() -> None:
         epoch=0,
     )
     n_shards = manifest.count()
+    # curriculum twin: the unigram-LM score is the difficulty axis
+    # (LOW logprob = most fluent = stage 0 trains first)
+    curr = write_curriculum_shards(
+        train.select("doc_id", "text", "logprob_score"),
+        os.path.join(OUT, "curriculum_epoch0"),
+        "logprob_score",
+        n_stages=3,
+        n_shards=4,
+        seed=13,
+    )
+    stage_sizes = {
+        r.stage: r.n for r in
+        curr.groupBy("stage").agg(F.sum("n_rows").alias("n")).collect()
+    }
 
     per_split = {r["split"]: r["n"] for r in
                  split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
@@ -158,6 +175,7 @@ def main() -> None:
           f" -> classifier-gated: {n_classified} -> semantically deduped: {n_dedup}")
     print(f"splits: {per_split}")
     print(f"epoch-0 train order written as {n_shards} shards under {OUT}/epoch0")
+    print(f"curriculum epoch-0 (easy-first by LM score): stage sizes {stage_sizes}")
     print(f"train packs into {n_chunks + 1 if n_chunks is not None else 0} chunks "
           f"of 512 tokens; {boundary} docs cross a chunk boundary")
     print(f"no-split SPFHP packing: {hp_stats['n_bins']} bins, "
