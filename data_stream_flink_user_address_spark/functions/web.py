@@ -432,3 +432,95 @@ def filter_robots_allowed(
         d.filter(allowed(F.col(url_col), F.col("__rules")))
         .drop("__domain", "__rdomain", "__rules")
     )
+
+
+# ---------------------------------------------------------------------------
+# sitemaps (sitemaps.org XML protocol, implemented from the public spec)
+# ---------------------------------------------------------------------------
+
+def _parse_sitemap_text(text: str) -> list[tuple[str, str, str, str, float]]:
+    """Parse one sitemap XML body into ``(kind, loc, lastmod,
+    changefreq, priority)`` tuples; ``kind`` is ``'url'`` for
+    ``<urlset>`` entries and ``'sitemap'`` for ``<sitemapindex>``
+    references (the crawler fetches those next).  Namespace-agnostic
+    ElementTree walk; malformed XML falls back to a bare ``<loc>``
+    regex sweep (crawl reality: broken sitemaps are common, and a
+    parser that drops them silently loses frontier).  Module-level and
+    pure for Spark-free unit tests."""
+    import re as _re
+    import xml.etree.ElementTree as _ET
+
+    def strip_ns(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    out: list[tuple[str, str, str, str, float]] = []
+    try:
+        root = _ET.fromstring(text or "")
+    except _ET.ParseError:
+        for m in _re.finditer(r"<loc>\s*([^<]+?)\s*</loc>", text or ""):
+            out.append(("url", m.group(1), None, None, None))
+        return out
+    kind = "sitemap" if strip_ns(root.tag) == "sitemapindex" else "url"
+    for node in root:
+        fields = {"loc": None, "lastmod": None, "changefreq": None,
+                  "priority": None}
+        for child in node:
+            t = strip_ns(child.tag)
+            if t in fields:
+                fields[t] = (child.text or "").strip() or None
+        if not fields["loc"]:
+            continue
+        prio = None
+        if fields["priority"] is not None:
+            try:
+                prio = float(fields["priority"])
+            except ValueError:
+                prio = None
+        out.append(
+            (kind, fields["loc"], fields["lastmod"], fields["changefreq"],
+             prio)
+        )
+    return out
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame,
+    xml_col: str = "sitemap_xml",
+    source_col: str = "sitemap_url",
+) -> DataFrame:
+    """Explode fetched sitemap bodies (sitemaps.org protocol) into one
+    row per discovered URL: ``(source, kind, loc, lastmod, changefreq,
+    priority)`` -- ``kind='sitemap'`` rows are nested sitemap-index
+    references to fetch next, ``kind='url'`` rows join the crawl
+    frontier.  Row-local Arrow-batched parse (XML grammar is the
+    honest UDF boundary, like :func:`parse_robots`); pair with
+    :func:`normalize_url` for frontier identity and
+    :func:`filter_robots_allowed` before fetching.
+    """
+    import pandas as pd
+
+    def _parse(texts):
+        return pd.Series(
+            [
+                [
+                    {"kind": k, "loc": l, "lastmod": lm, "changefreq": cf,
+                     "priority": p}
+                    for k, l, lm, cf, p in _parse_sitemap_text(t)
+                ]
+                for t in texts
+            ]
+        )
+
+    parse = F.pandas_udf(
+        _parse,
+        "array<struct<kind:string,loc:string,lastmod:string,"
+        "changefreq:string,priority:double>>",
+    )
+    return (
+        sitemaps.select(
+            F.col(source_col).alias("source"),
+            F.explode(parse(F.col(xml_col))).alias("e"),
+        )
+        .select("source", "e.kind", "e.loc", "e.lastmod", "e.changefreq",
+                "e.priority")
+    )

@@ -431,3 +431,69 @@ class TestRobots:
             ("a.example", "crawlerx", False, "/private/"),
             ("a.example", "*", False, "/tmp/*"),
         }
+
+
+class TestSitemaps:
+    URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://a.example/p1</loc><lastmod>2026-01-01</lastmod>
+       <changefreq>daily</changefreq><priority>0.8</priority></url>
+  <url><loc>https://a.example/p2</loc></url>
+  <url><lastmod>2026-01-01</lastmod></url>
+</urlset>"""
+    INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://a.example/sitemap-1.xml</loc></sitemap>
+  <sitemap><loc>https://a.example/sitemap-2.xml</loc></sitemap>
+</sitemapindex>"""
+    BROKEN = "<urlset><url><loc>https://a.example/ok</loc></url><url>"
+
+    def test_urlset_and_index_grammar(self):
+        from data_stream_flink_user_address_spark.functions.web import (
+            _parse_sitemap_text,
+        )
+
+        rows = _parse_sitemap_text(self.URLSET)
+        # the loc-less entry is dropped; fields parse typed
+        assert rows == [
+            ("url", "https://a.example/p1", "2026-01-01", "daily", 0.8),
+            ("url", "https://a.example/p2", None, None, None),
+        ]
+        idx = _parse_sitemap_text(self.INDEX)
+        assert [(k, l) for k, l, *_ in idx] == [
+            ("sitemap", "https://a.example/sitemap-1.xml"),
+            ("sitemap", "https://a.example/sitemap-2.xml"),
+        ]
+
+    def test_malformed_falls_back_to_loc_sweep(self):
+        from data_stream_flink_user_address_spark.functions.web import (
+            _parse_sitemap_text,
+        )
+
+        rows = _parse_sitemap_text(self.BROKEN)
+        assert rows == [("url", "https://a.example/ok", None, None, None)]
+        assert _parse_sitemap_text("") == []
+        assert _parse_sitemap_text(None) == []
+
+    def test_spark_explode(self, spark):
+        from pyspark.sql import Row
+
+        from data_stream_flink_user_address_spark.functions.web import (
+            parse_sitemaps,
+        )
+
+        df = spark.createDataFrame([
+            Row(sitemap_url="https://a.example/sitemap.xml",
+                sitemap_xml=self.URLSET),
+            Row(sitemap_url="https://a.example/index.xml",
+                sitemap_xml=self.INDEX),
+        ])
+        got = parse_sitemaps(df).collect()
+        kinds = {(r.source, r.kind, r.loc) for r in got}
+        assert ("https://a.example/sitemap.xml", "url",
+                "https://a.example/p1") in kinds
+        assert ("https://a.example/index.xml", "sitemap",
+                "https://a.example/sitemap-2.xml") in kinds
+        assert len(got) == 4
+        prio = {r.loc: r.priority for r in got}
+        assert prio["https://a.example/p1"] == 0.8
