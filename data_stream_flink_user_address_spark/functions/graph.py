@@ -1,0 +1,140 @@
+"""Crawl-graph scoring: iterative PageRank over a (src, dst) edge list.
+
+Engine extension beyond the reference surface (BASELINE.json north
+star).  Web-corpus curation uses link-graph centrality as a
+domain-quality prior (the Common-Crawl-style ranking signal: a page
+corpus is sampled/weighted by how reputable its domain neighborhood
+is).  PageRank is the canonical iterative Spark workload, expressed
+here entirely in DataFrame ops:
+
+- the EDGE table is the big immutable side: deduplicated, projected to
+  two columns, repartitioned ONCE on ``src`` and CACHED -- an
+  ``InMemoryTableScan`` preserves its partitioning, so every
+  iteration's join reads the cache with no exchange above it
+  (plan-pinned; ``localCheckpoint`` would NOT work here -- PySpark's
+  checkpoint drops outputPartitioning to Unknown and the edges would
+  re-shuffle every iteration, measured before switching) and the
+  per-iteration cost is the rank table's (tiny, two-column) shuffle,
+  never the edges';
+- out-degrees are computed once and live with the edges;
+- each iteration is contribution = rank/degree joined src-side, then
+  one ``groupBy(dst)`` aggregate (map-side partial) plus the damping
+  re-base; dangling nodes (no outlinks) redistribute their mass
+  uniformly via a 1-row aggregate broadcast -- mass is conserved, so
+  ranks sum to n at every step;
+- lineage is truncated with ``localCheckpoint`` every
+  ``checkpoint_every`` iterations (the repo-wide iterative-plan idiom,
+  same as BPE training) -- without it the plan doubles per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Rank every node of the directed graph ``edges`` -- returns
+    ``(node, rank)`` with ranks summing to the node count (the
+    classic normalization: rank 1.0 = average importance).
+
+    Self-loops are dropped and duplicate edges collapse (an edge list
+    scraped from HTML is full of both); nodes appearing only as
+    destinations still get ranked.  Dangling mass (nodes with no
+    outlinks) is redistributed uniformly each iteration, so the
+    result is a true probability flow, not the leaky shortcut.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # the big immutable side: partition once on the join key, CACHE
+    # (not localCheckpoint -- see module docstring); every iteration's
+    # join co-locates against the in-memory layout with no exchange
+    linked = e.join(deg, "src").repartition(n_part, "src").cache()
+    nodes = nodes.repartition(n_part, F.col("node")).cache()
+    n = nodes.count()
+
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for i in range(int(iters)):
+        contribs = (
+            linked.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .select("dst", (F.col("rank") / F.col("__deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass = total rank that had no outlinks to carry it
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+        )
+        ranks = (
+            nodes.join(
+                contribs.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .join(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("m") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % int(checkpoint_every) == 0 and (i + 1) < int(iters):
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def domain_pagerank(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Domain-level link-graph quality prior straight from a fetched
+    page corpus: :func:`..web.extract_links` pulls each page's
+    outlinks (codegen regex, zero UDF), :func:`..web.domain_of`
+    collapses both ends to domains, cross-domain edges dedup, and
+    :func:`pagerank` scores the domain graph.  Output
+    ``(domain, rank)`` joins back onto the corpus as a per-source
+    weight for sampling/mixing.
+    """
+    from .web import domain_of, extract_links
+
+    edges = (
+        docs.select(
+            domain_of(url_col).alias("src"),
+            F.explode(extract_links(html_col, url_col)).alias("out_url"),
+        )
+        .select("src", domain_of("out_url").alias("dst"))
+        .filter((F.col("src") != "") & (F.col("dst") != ""))
+    )
+    return pagerank(edges, iters=iters, damping=damping).select(
+        F.col("node").alias("domain"), "rank"
+    )

@@ -524,3 +524,32 @@ def parse_sitemaps(
         .select("source", "e.kind", "e.loc", "e.lastmod", "e.changefreq",
                 "e.priority")
     )
+
+
+def extract_links(html: Column | str, base_url: Column | str | None = None) -> Column:
+    """All ``href`` targets in an HTML column as an array of absolute
+    URLs -- the crawl-graph edge extractor.  Pure codegen projection
+    (``regexp_extract_all``), zero UDF: absolute http(s) links pass
+    through, protocol-relative ``//host/...`` links inherit the base
+    URL's scheme, and root-relative ``/path`` links resolve against the
+    base's scheme://host when ``base_url`` is given; other relative
+    forms (``../x``, ``x/y``) are dropped -- full RFC 3986 reference
+    resolution needs segment normalization that belongs in a UDF, and
+    crawl-graph builders overwhelmingly consume the absolute+rooted
+    subset.  Pair with :func:`domain_of` for a domain-level edge list.
+    """
+    h = F.col(html) if isinstance(html, str) else html
+    raw = F.regexp_extract_all(h, F.lit(r'''href\s*=\s*["']([^"'#][^"']*)["']'''), 1)
+    if base_url is None:
+        return F.filter(raw, lambda u: u.rlike("^https?://"))
+    b = F.col(base_url) if isinstance(base_url, str) else base_url
+    scheme = F.regexp_extract(b, r"^(https?)://", 1)
+    origin = F.regexp_extract(b, r"^(https?://[^/?#]+)", 1)
+    resolve = lambda u: (  # noqa: E731
+        F.when(u.rlike("^https?://"), u)
+        .when(u.startswith("//"), F.concat(scheme, F.lit(":"), u))
+        .when(u.startswith("/"), F.concat(origin, u))
+    )
+    return F.filter(
+        F.transform(raw, resolve), lambda r: r.isNotNull() & (origin != "")
+    )
