@@ -154,6 +154,37 @@ def main() -> None:
             "urls_per_sec": round(n / dt, 1),
         }
 
+        # --- pagerank: 10 outlinks per node (edges = 10x docs), 10
+        # iterations.  Per-iteration cost must be rank-table-sized: the
+        # cached edge layout never re-exchanges (plan-pinned in
+        # tests/test_graph.py), so wall per iteration should be flat in
+        # iteration count and linear in edges.
+        from data_stream_flink_user_address_spark.functions.graph import (
+            pagerank,
+        )
+
+        n_nodes = n // 10
+        edges = (
+            spark.range(n_nodes * 10)
+            .select(
+                (F.col("id") % n_nodes).alias("src"),
+                F.pmod(
+                    F.col("id") * 2654435761 + F.col("id") % 97, F.lit(n_nodes)
+                ).alias("dst"),
+            )
+        )
+        t0 = time.time()
+        total_rank = pagerank(edges, iters=10).agg(F.sum("rank")).collect()[0][0]
+        dt = time.time() - t0
+        row["pagerank"] = {
+            "n_edges": n_nodes * 10,
+            "n_nodes_ranked": n_nodes,
+            "iters": 10,
+            "rank_mass_error": round(abs(total_rank - n_nodes) / n_nodes, 8),
+            "wall_s": round(dt, 2),
+            "edges_x_iters_per_sec": round(n_nodes * 10 * 10 / dt, 1),
+        }
+
         out["sizes"].append(row)
         print(json.dumps(row))
 

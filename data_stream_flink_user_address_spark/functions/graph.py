@@ -39,7 +39,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
-    checkpoint_every: int = 5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Rank every node of the directed graph ``edges`` -- returns
     ``(node, rank)`` with ranks summing to the node count (the
@@ -49,7 +49,19 @@ def pagerank(
     scraped from HTML is full of both); nodes appearing only as
     destinations still get ranked.  Dangling mass (nodes with no
     outlinks) is redistributed uniformly each iteration, so the
-    result is a true probability flow, not the leaky shortcut.
+    result is a true probability flow, not the leaky shortcut; the
+    dangling NODE SET is computed once before the loop (from the
+    cached layouts -- re-deriving it per iteration would re-scan and
+    re-shuffle the raw edge source every round).  Each iteration's
+    rank frame is lazily localCheckpointed: it is referenced twice
+    (contribution join + dangling mass) and feeds the next iteration,
+    so without truncation the plan doubles per round.  The final
+    frame is materialized eagerly so the three internal caches can be
+    unpersisted before returning -- callers get a self-contained
+    result, not a handle pinning session cache memory
+    (``materialize=False`` skips that and returns the raw lazy plan
+    with the caches still pinned: for plan inspection or further
+    composition inside one job; the caller then owns the unpersist).
     """
     e = (
         edges.select(
@@ -72,9 +84,24 @@ def pagerank(
     linked = e.join(deg, "src").repartition(n_part, "src").cache()
     nodes = nodes.repartition(n_part, F.col("node")).cache()
     n = nodes.count()
+    # dangling node set, ONCE, from the cached frames (slim: one col)
+    no_out = (
+        nodes.join(
+            linked.select(F.col("src").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .cache()
+    )
 
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for i in range(int(iters)):
+        if i:
+            # truncate the previous iteration's lineage BEFORE building
+            # on it: ranks is referenced twice below (contribution join
+            # + dangling mass) and feeds the next round -- without the
+            # lazy checkpoint the plan doubles per iteration
+            ranks = ranks.localCheckpoint(eager=False)
         contribs = (
             linked.join(
                 ranks.withColumnRenamed("node", "src"), "src"
@@ -83,9 +110,9 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling mass = total rank that had no outlinks to carry it
+        # dangling mass = total rank sitting on no-outlink nodes
         dangling = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            ranks.join(no_out, "node", "semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
         )
         ranks = (
@@ -105,9 +132,12 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % int(checkpoint_every) == 0 and (i + 1) < int(iters):
-            ranks = ranks.localCheckpoint()
-    return ranks
+    if not materialize:
+        return ranks
+    out = ranks.localCheckpoint()
+    for frame in (no_out, nodes, linked):
+        frame.unpersist()
+    return out
 
 
 def domain_pagerank(

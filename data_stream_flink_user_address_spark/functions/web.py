@@ -282,6 +282,22 @@ def _parse_robots_text(text: str) -> list[tuple[str, bool, str]]:
     return rules
 
 
+def _robots_agents(text: str) -> set[str]:
+    """Every agent token DECLARED by a ``User-agent`` line, regardless
+    of whether its group carries any surviving rules -- RFC 9309 group
+    presence is decided by the headers, and an empty declared group
+    means allow-all rather than fall-back-to-``*``."""
+    agents: set[str] = set()
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "user-agent" and val.strip():
+            agents.add(val.strip().lower())
+    return agents
+
+
 def _robots_pattern_matches(pattern: str, target: str) -> bool:
     """RFC 9309 path matching: the pattern anchors at the path start,
     ``*`` matches any run of characters, a trailing ``$`` anchors the
@@ -318,9 +334,12 @@ def parse_robots(
 ) -> DataFrame:
     """Explode fetched robots.txt bodies into one row per
     ``(domain, agent, allow, pattern)`` rule -- the relational form
-    downstream politeness filtering joins on.  Parsing is row-local
-    (Arrow-batched pandas UDF; text grammar is the honest UDF boundary,
-    like :func:`read_warc`), so the only data movement is whatever the
+    downstream politeness filtering joins on.  The domain key is
+    lowercased (DNS names are case-insensitive, and :func:`domain_of`
+    lowercases the URL side -- a case-mismatched join would silently
+    fail politeness OPEN).  Parsing is row-local (Arrow-batched pandas
+    UDF; text grammar is the honest UDF boundary, like
+    :func:`read_warc`), so the only data movement is whatever the
     caller does with the result.
     """
     import pandas as pd
@@ -341,7 +360,7 @@ def parse_robots(
     )
     return (
         robots.select(
-            F.col(domain_col).alias("domain"),
+            F.lower(F.col(domain_col)).alias("domain"),
             F.explode(parse(F.col(robots_col))).alias("r"),
         )
         .select("domain", "r.agent", "r.allow", "r.pattern")
@@ -360,11 +379,14 @@ def filter_robots_allowed(
     """Keep only URLs a polite crawler identifying as ``user_agent``
     may fetch under each domain's robots.txt (RFC 9309).
 
-    Group selection per spec: a domain with rules for ``user_agent``
-    (case-insensitive product token) uses exactly those; otherwise its
-    ``*`` group; a domain with no robots row (or an unparseable body,
-    which yields zero rules) is fully allowed.  Matching runs against
-    path + query, longest-match wins, Allow wins ties.
+    Group selection per spec: a domain whose robots.txt DECLARES a
+    group for ``user_agent`` (case-insensitive product token) uses
+    exactly that group's rules -- even when the group is empty, which
+    per RFC 9309 means fully allowed, NOT a fallback to ``*`` (group
+    presence is tracked independently of whether any rule rows
+    survive parsing); otherwise its ``*`` group applies; a domain with
+    no robots row or an unparseable body is fully allowed.  Matching
+    runs against path + query, longest-match wins, Allow wins ties.
 
     Scale shape: rules collapse to ONE slim row per domain (a pattern
     array), joined to the corpus on the domain key -- broadcast by
@@ -379,28 +401,28 @@ def filter_robots_allowed(
 
     ua = user_agent.lower()
     rules = parse_robots(robots, domain_col, robots_col)
-    mine = rules.filter(F.col("agent").isin(ua, "*")).select(
-        "domain",
-        "allow",
-        "pattern",
-        (F.col("agent") == ua).cast("int").alias("__specific"),
+
+    def _has_ua(texts):
+        return pd.Series(
+            [ua in _robots_agents(t) for t in texts], dtype="bool"
+        )
+
+    has_ua = F.pandas_udf(_has_ua, "boolean")
+    declared = robots.select(
+        F.lower(F.col(domain_col)).alias("domain"),
+        has_ua(F.col(robots_col)).alias("__has_ua"),
     )
-    # RFC group selection: the ua-specific group REPLACES '*' when it
-    # exists for a domain -- keep rows at each domain's max specificity
+    # RFC group selection: a DECLARED ua-specific group replaces '*'
+    # even if it parsed to zero rules (empty group = allow all); the
+    # presence bit comes from the group headers, not the rule rows
+    mine = rules.join(declared, "domain").filter(
+        (F.col("__has_ua") & (F.col("agent") == ua))
+        | (~F.col("__has_ua") & (F.col("agent") == "*"))
+    )
     per_domain = (
         mine.groupBy("domain")
-        .agg(
-            F.max("__specific").alias("__best"),
-            F.collect_list(
-                F.struct("allow", "pattern", "__specific")
-            ).alias("__all"),
-        )
-        .select(
-            F.col("domain").alias("__rdomain"),
-            F.filter(
-                "__all", lambda r: r["__specific"] == F.col("__best")
-            ).alias("__rules"),
-        )
+        .agg(F.collect_list(F.struct("allow", "pattern")).alias("__rules"))
+        .select(F.col("domain").alias("__rdomain"), "__rules")
     )
     if broadcast_rules:
         per_domain = F.broadcast(per_domain)
@@ -454,11 +476,26 @@ def _parse_sitemap_text(text: str) -> list[tuple[str, str, str, str, float]]:
         return tag.rsplit("}", 1)[-1].lower()
 
     out: list[tuple[str, str, str, str, float]] = []
-    try:
-        root = _ET.fromstring(text or "")
-    except _ET.ParseError:
+    # crawled XML is adversarial input: reject entity definitions
+    # BEFORE ElementTree sees them (stdlib etree expands internal
+    # entities -- a billion-laughs body would OOM the Arrow worker);
+    # the regex fallback below still recovers the plain <loc> list
+    hostile = _re.search(r"<!\s*ENTITY", text or "", _re.I) is not None
+    # a broken body keeps its index/urlset identity: emitting nested
+    # sitemap references as page URLs would silently lose the subtree
+    fb_kind = (
+        "sitemap" if _re.search(r"<\s*sitemapindex", text or "", _re.I)
+        else "url"
+    )
+    root = None
+    if not hostile:
+        try:
+            root = _ET.fromstring(text or "")
+        except _ET.ParseError:
+            root = None
+    if root is None:
         for m in _re.finditer(r"<loc>\s*([^<]+?)\s*</loc>", text or ""):
-            out.append(("url", m.group(1), None, None, None))
+            out.append((fb_kind, m.group(1), None, None, None))
         return out
     kind = "sitemap" if strip_ns(root.tag) == "sitemapindex" else "url"
     for node in root:
@@ -543,13 +580,18 @@ def extract_links(html: Column | str, base_url: Column | str | None = None) -> C
     if base_url is None:
         return F.filter(raw, lambda u: u.rlike("^https?://"))
     b = F.col(base_url) if isinstance(base_url, str) else base_url
-    scheme = F.regexp_extract(b, r"^(https?)://", 1)
-    origin = F.regexp_extract(b, r"^(https?://[^/?#]+)", 1)
+    scheme = F.regexp_extract(F.coalesce(b, F.lit("")), r"^(https?)://", 1)
+    origin = F.regexp_extract(F.coalesce(b, F.lit("")), r"^(https?://[^/?#]+)", 1)
+    # absolute links survive unconditionally -- an unparseable (or
+    # NULL) base must not discard them; only the relative branches
+    # need a usable origin
     resolve = lambda u: (  # noqa: E731
         F.when(u.rlike("^https?://"), u)
-        .when(u.startswith("//"), F.concat(scheme, F.lit(":"), u))
-        .when(u.startswith("/"), F.concat(origin, u))
+        .when(
+            u.startswith("//") & (scheme != ""),
+            F.concat(scheme, F.lit(":"), u),
+        )
+        .when(u.startswith("/") & ~u.startswith("//") & (origin != ""),
+              F.concat(origin, u))
     )
-    return F.filter(
-        F.transform(raw, resolve), lambda r: r.isNotNull() & (origin != "")
-    )
+    return F.filter(F.transform(raw, resolve), lambda r: r.isNotNull())

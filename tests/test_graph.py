@@ -66,19 +66,18 @@ class TestPagerank:
         for v in want:
             assert got[v] == pytest.approx(want[v], abs=1e-9)
 
-    def test_checkpoint_interval_does_not_change_values(self, spark):
+    def test_materialize_modes_agree(self, spark):
+        """materialize=False returns the raw lazy plan; values must be
+        identical to the default eager path (caller unpersists)."""
         a = {
             r.node: r.rank
-            for r in pagerank(
-                self._df(spark, self.EDGES), iters=7, checkpoint_every=2
-            ).collect()
+            for r in pagerank(self._df(spark, self.EDGES), iters=7).collect()
         }
-        b = {
-            r.node: r.rank
-            for r in pagerank(
-                self._df(spark, self.EDGES), iters=7, checkpoint_every=100
-            ).collect()
-        }
+        lazy = pagerank(
+            self._df(spark, self.EDGES), iters=7, materialize=False
+        )
+        b = {r.node: r.rank for r in lazy.collect()}
+        spark.catalog.clearCache()
         for v in a:
             assert a[v] == pytest.approx(b[v], abs=1e-12)
 
@@ -162,7 +161,7 @@ def test_pagerank_edges_read_from_cache_without_exchange(spark):
         edges = spark.createDataFrame(
             [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
         )
-        out = pagerank(edges, iters=2, checkpoint_every=100)
+        out = pagerank(edges, iters=2, materialize=False)
         lines = (
             out._jdf.queryExecution().executedPlan().toString().splitlines()
         )
@@ -173,8 +172,11 @@ def test_pagerank_edges_read_from_cache_without_exchange(spark):
             assert "InMemoryTableScan" not in child, "\n".join(lines)
         assert any("InMemoryTableScan" in l for l in lines)
     finally:
+        spark.catalog.clearCache()
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         if prev_aqe is not None:
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe
             )
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

@@ -497,3 +497,98 @@ class TestSitemaps:
         assert len(got) == 4
         prio = {r.loc: r.priority for r in got}
         assert prio["https://a.example/p1"] == 0.8
+
+
+class TestRobotsReviewFixes:
+    """Round-14 review findings: case-insensitive domain join, empty
+    declared group allows all (no '*' fallback)."""
+
+    def test_domain_case_insensitive_join(self, spark):
+        from pyspark.sql import Row
+
+        from data_stream_flink_user_address_spark.functions.web import (
+            filter_robots_allowed,
+        )
+
+        robots = spark.createDataFrame([
+            Row(domain="Site0.Example", robots_txt="User-agent: *\nDisallow: /"),
+        ])
+        urls = spark.createDataFrame([
+            Row(doc_id=1, url="https://site0.example/x"),
+        ])
+        assert filter_robots_allowed(urls, robots).count() == 0
+
+    def test_empty_declared_group_allows_all(self, spark):
+        from pyspark.sql import Row
+
+        from data_stream_flink_user_address_spark.functions.web import (
+            filter_robots_allowed,
+        )
+
+        # graftbot's group exists but carries no rules (empty Disallow
+        # + unknown directive): RFC 9309 = fully allowed, NOT the '*'
+        # group's Disallow-all
+        robots = spark.createDataFrame([
+            Row(domain="a.example", robots_txt=(
+                "User-agent: graftbot\nDisallow:\nCrawl-delay: 10\n\n"
+                "User-agent: *\nDisallow: /"
+            )),
+        ])
+        urls = spark.createDataFrame([
+            Row(doc_id=1, url="https://a.example/anything"),
+        ])
+        got = filter_robots_allowed(urls, robots, user_agent="graftbot")
+        assert got.count() == 1
+        # while any OTHER agent is still blocked by '*'
+        assert filter_robots_allowed(urls, robots, user_agent="x").count() == 0
+
+
+class TestExtractLinksReviewFixes:
+    def test_absolute_links_survive_null_or_bad_base(self, spark):
+        from pyspark.sql import Row
+
+        from data_stream_flink_user_address_spark.functions.web import (
+            extract_links,
+        )
+
+        df = spark.createDataFrame([
+            Row(url=None,
+                html='<a href="https://x.example/a">a</a><a href="/rel">r</a>'),
+            Row(url="ftp://weird.example/base",
+                html='<a href="https://y.example/b">b</a>'),
+        ])
+        got = {
+            tuple(r.l)
+            for r in df.select(extract_links("html", "url").alias("l")).collect()
+        }
+        # absolute links kept; relative dropped (no usable origin)
+        assert got == {("https://x.example/a",), ("https://y.example/b",)}
+
+
+class TestSitemapReviewFixes:
+    def test_entity_bodies_never_reach_elementtree(self):
+        from data_stream_flink_user_address_spark.functions.web import (
+            _parse_sitemap_text,
+        )
+
+        hostile = (
+            '<?xml version="1.0"?><!DOCTYPE lolz [<!ENTITY a "ha">]>'
+            "<urlset><url><loc>https://a.example/p&a;</loc></url>"
+            "<url><loc>https://a.example/ok</loc></url></urlset>"
+        )
+        rows = _parse_sitemap_text(hostile)
+        # regex fallback path: both locs recovered, entities NOT expanded
+        assert ("url", "https://a.example/ok", None, None, None) in rows
+        assert all("ha" not in loc for _, loc, *_ in rows)
+
+    def test_broken_index_keeps_sitemap_kind(self):
+        from data_stream_flink_user_address_spark.functions.web import (
+            _parse_sitemap_text,
+        )
+
+        broken = ("<sitemapindex><sitemap>"
+                  "<loc>https://a.example/sitemap-1.xml</loc></sitemap><sitemap>")
+        rows = _parse_sitemap_text(broken)
+        assert rows == [
+            ("sitemap", "https://a.example/sitemap-1.xml", None, None, None)
+        ]
