@@ -22,9 +22,10 @@ here entirely in DataFrame ops:
   re-base; dangling nodes (no outlinks) redistribute their mass
   uniformly via a 1-row aggregate broadcast -- mass is conserved, so
   ranks sum to n at every step;
-- lineage is truncated with ``localCheckpoint`` every
-  ``checkpoint_every`` iterations (the repo-wide iterative-plan idiom,
-  same as BPE training) -- without it the plan doubles per round.
+- rank lineage is truncated with a lazy ``localCheckpoint`` at the top
+  of every iteration (the repo-wide iterative-plan idiom, same as BPE
+  training) -- the rank frame is referenced twice per round, so
+  without truncation the plan doubles per iteration.
 """
 
 from __future__ import annotations
@@ -167,4 +168,49 @@ def domain_pagerank(
     )
     return pagerank(edges, iters=iters, damping=damping).select(
         F.col("node").alias("domain"), "rank"
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components of an undirected graph given as a
+    (possibly directed, possibly duplicated) edge list -- returns
+    ``(node, component)`` with ``component`` = the minimum node id in
+    the component, covering EVERY node that appears on either edge
+    end (isolated endpoints of self-loops included).
+
+    The engine already ships an industrial-strength component solver
+    as the fuzzy-dedup cluster step (:func:`..dedup.dedup_clusters`:
+    hybrid driver union-find under a size threshold, Pregel-style
+    min-label propagation with pointer jumping above it, lineage
+    truncation, measured in ``CC_BENCH.json``) -- this is the
+    graph-facing name for the same machinery, plus the singleton
+    completion dedup does not need: nodes whose only edges were
+    self-loops still come back, labeled by themselves.
+    """
+    from .dedup import dedup_clusters
+
+    labels = dedup_clusters(
+        edges.select(
+            F.col(src_col).alias("doc_a"), F.col(dst_col).alias("doc_b")
+        ).filter(F.col("doc_a") != F.col("doc_b")),
+        max_iter=max_iter,
+        stats=stats,
+    ).select(F.col("doc_id").alias("node"), F.col("cluster_id").alias("component"))
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
     )

@@ -180,3 +180,31 @@ def test_pagerank_edges_read_from_cache_without_exchange(spark):
             )
         else:
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+class TestConnectedComponents:
+    def test_components_with_singletons(self, spark):
+        from data_stream_flink_user_address_spark.functions.graph import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 4), (7, 7), (2, 1)], ["src", "dst"]
+        )
+        got = {
+            r.node: r.component
+            for r in connected_components(edges).collect()
+        }
+        # {1,2,3} -> 1; {4,5} -> 4; 7's only edge is a self-loop ->
+        # singleton labeled by itself
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 7: 7}
+
+    def test_stats_surface_passthrough(self, spark):
+        from data_stream_flink_user_address_spark.functions.graph import (
+            connected_components,
+        )
+
+        stats = {}
+        edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        connected_components(edges, stats=stats).collect()
+        assert stats["mode"] in ("driver", "distributed")
