@@ -323,7 +323,20 @@ def dedup_clusters(
         rows = [(node, root_min[find(node)]) for node in parent]
         if stats is not None:
             stats.update(mode="driver", rounds=0)
-        return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+        # schema follows the input id type (string URL/domain graphs
+        # route through here too, via graph.connected_components --
+        # a hard-coded long schema crashed them below the threshold
+        # while the distributed branch accepted them, r14 review find)
+        from pyspark.sql import types as T
+
+        id_type = pairs.schema[a_col].dataType
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", id_type),
+                T.StructField("cluster_id", id_type),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
 
     p = p.localCheckpoint()
     # Width scales with the graph: one partition per ~1M directed edges,

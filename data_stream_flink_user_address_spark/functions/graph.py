@@ -176,6 +176,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 20,
+    driver_threshold: int = 5_000_000,
     stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of an undirected graph given as a
@@ -191,20 +192,30 @@ def connected_components(
     truncation, measured in ``CC_BENCH.json``) -- this is the
     graph-facing name for the same machinery, plus the singleton
     completion dedup does not need: nodes whose only edges were
-    self-loops still come back, labeled by themselves.
+    self-loops still come back, labeled by themselves.  Node ids may
+    be any orderable type (string domain graphs included).
+
+    The projected edge frame is lazily materialized ONCE up front:
+    the solver's size probe, the node union, and the solve itself all
+    reference it, and an uncached expensive upstream (a parsed WARC
+    corpus, an LSH pair stage) would otherwise re-run per reference
+    (memory pitfall #1).  ``driver_threshold`` forwards to the
+    solver's driver-union-find cutoff.
     """
     from .dedup import dedup_clusters
 
+    e = edges.select(
+        F.col(src_col).alias("doc_a"), F.col(dst_col).alias("doc_b")
+    ).localCheckpoint(eager=False)
     labels = dedup_clusters(
-        edges.select(
-            F.col(src_col).alias("doc_a"), F.col(dst_col).alias("doc_b")
-        ).filter(F.col("doc_a") != F.col("doc_b")),
+        e.filter(F.col("doc_a") != F.col("doc_b")),
         max_iter=max_iter,
+        driver_threshold=driver_threshold,
         stats=stats,
     ).select(F.col("doc_id").alias("node"), F.col("cluster_id").alias("component"))
     nodes = (
-        edges.select(F.col(src_col).alias("node"))
-        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        e.select(F.col("doc_a").alias("node"))
+        .unionByName(e.select(F.col("doc_b").alias("node")))
         .distinct()
     )
     return (

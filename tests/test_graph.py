@@ -208,3 +208,29 @@ class TestConnectedComponents:
         edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
         connected_components(edges, stats=stats).collect()
         assert stats["mode"] in ("driver", "distributed")
+
+    def test_string_node_ids(self, spark):
+        """URL/domain graphs are the advertised input: string ids must
+        work through BOTH solver branches (driver union-find below the
+        threshold, distributed min-label above it)."""
+        from data_stream_flink_user_address_spark.functions.graph import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [("a.com", "b.com"), ("b.com", "c.com"), ("z.com", "z.com")],
+            ["src", "dst"],
+        )
+        for thresh in (5_000_000, 0):  # driver path, distributed path
+            stats = {}
+            got = {
+                r.node: r.component
+                for r in connected_components(
+                    edges, driver_threshold=thresh, stats=stats
+                ).collect()
+            }
+            assert got == {
+                "a.com": "a.com", "b.com": "a.com", "c.com": "a.com",
+                "z.com": "z.com",
+            }, stats
+        assert stats["mode"] == "distributed"

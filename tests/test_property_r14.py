@@ -107,9 +107,14 @@ def test_corpus_diff_partition_laws(spark, old, new):
     assert {k for k, s in got.items() if s == "removed"} == set(old) - set(new)
 
     def fp(t):
+        # mirror the ENGINE's normalization exactly: Spark F.trim
+        # strips SPACES only (a leading tab survives into the regex
+        # collapse), so the oracle must strip(" "), not strip()
         if t is None:
             return None
-        return hashlib.md5(re.sub(r"\s+", " ", t.strip()).encode()).hexdigest()
+        return hashlib.md5(
+            re.sub(r"\s+", " ", t.strip(" ")).encode()
+        ).hexdigest()
 
     for k in set(old) & set(new):
         want = "unchanged" if fp(old[k]) == fp(new[k]) else "changed"
@@ -149,12 +154,11 @@ def test_curriculum_is_lossless_and_monotone(spark, scores, epoch):
         min_size=1,
         max_size=12,
     ),
-    data=st.data(),
 )
 @settings(max_examples=3, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
-def test_pagerank_matches_sequential_reference(spark, edges, data):
+def test_pagerank_matches_sequential_reference(spark, edges):
     clean = sorted({(s, d) for s, d in edges if s != d})
     if not clean:
         return
