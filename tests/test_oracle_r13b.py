@@ -289,3 +289,36 @@ def test_corpus_diff_oracle(spark, docs, con):
         FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
     """
     assert compare(got, con, sql, "corpus_diff") == []
+
+
+def test_curriculum_order_oracle(spark, docs, con):
+    """Full curriculum assignment replicated in DuckDB: stage from
+    quantile_disc cuts (percentile_approx is GK-exact at this n and
+    both engines pick the same discrete rank element -- probed before
+    pinning), order key and shard from the md5 idiom."""
+    from data_stream_flink_user_address_spark.functions.ordering import (
+        curriculum_order,
+    )
+
+    scored = docs.select("doc_id", (F.col("doc_id") % 97).alias("score"))
+    got = curriculum_order(
+        scored, "score", n_stages=4, n_shards=8, seed=11, epoch=2
+    ).select("doc_id", "score", "stage", "epoch_order", "shard")
+    sql = """
+        WITH cuts AS (
+            SELECT quantile_disc(doc_id % 97, [0.25, 0.5, 0.75]) AS c
+            FROM documents
+        )
+        SELECT doc_id,
+               (doc_id % 97)::BIGINT AS score,
+               (CASE WHEN doc_id % 97 > c[1] THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 97 > c[2] THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 97 > c[3] THEN 1 ELSE 0 END)::INT
+                   AS stage,
+               ('0x' || substr(md5(doc_id::VARCHAR || '|11|2'), 1, 15))::BIGINT
+                   AS epoch_order,
+               ((('0x' || substr(md5(doc_id::VARCHAR || '|11|2'), 1, 15))::BIGINT)
+                   % 8)::INT AS shard
+        FROM documents, cuts
+    """
+    assert compare(got, con, sql, "curriculum_order") == []
