@@ -649,3 +649,103 @@ def normalize_unicode(
             yield _pd.DataFrame(out, columns=cols + ["n_changed"])
 
     return df.mapInPandas(_gen, out_schema)
+
+
+def _main_content_blocks(
+    html: str,
+    min_chars: int,
+    max_link_density: float,
+) -> str | None:
+    """Pure block-density extractor behind :func:`extract_main_content`
+    (module-level so the heuristic is unit-testable without Spark).
+
+    The public jusText/Arc90 idea re-derived: split markup into
+    block-level segments, score each by text length and LINK density
+    (navigation/footer chrome is short and link-saturated; article
+    prose is long and link-sparse), keep the dense-prose blocks.  No
+    DOM is built -- blocks come from block-level tag boundaries, text
+    from tag stripping -- which is the honest regex-grade trade the
+    rest of the text stack makes.
+    """
+    import re as _re
+
+    if html is None:
+        return None
+    # script/style/noscript bodies are never content
+    s = _re.sub(
+        r"<(script|style|noscript)\b[^>]*>.*?</\1\s*>", " ", html,
+        flags=_re.S | _re.I,
+    )
+    s = _re.sub(r"<!--.*?-->", " ", s, flags=_re.S)
+    blocks = _re.split(
+        r"</?(?:p|div|section|article|main|aside|nav|header|footer|"
+        r"h[1-6]|ul|ol|li|table|tr|td|th|blockquote|pre|br)\b[^>]*>",
+        s,
+        flags=_re.I,
+    )
+    kept: list[str] = []
+    for b in blocks:
+        anchor_text = " ".join(
+            _re.sub(r"<[^>]*>", " ", m)
+            for m in _re.findall(r"<a\b[^>]*>(.*?)</a\s*>", b, _re.S | _re.I)
+        )
+        text = _re.sub(r"\s+", " ", _re.sub(r"<[^>]*>", " ", b)).strip()
+        if len(text) < min_chars:
+            continue
+        link_chars = len(_re.sub(r"\s+", " ", anchor_text).strip())
+        if link_chars / max(len(text), 1) > max_link_density:
+            continue
+        kept.append(text)
+    return "\n".join(kept) if kept else ""
+
+
+def extract_main_content(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 25,
+    max_link_density: float = 0.3,
+) -> DataFrame:
+    """Main-content extraction for raw web pages: keep the long,
+    link-sparse blocks (article prose), drop the short or
+    link-saturated ones (navigation, footers, sidebars, tag clouds) --
+    the step between the crawler and :func:`strip_markup`-grade
+    cleaning that decides WHICH text a page contributes at all.
+
+    Output ``(id, text, n_kept_chars, kept_frac)`` where ``kept_frac``
+    is kept-text over total stripped-text length -- a per-page chrome
+    signal worth profiling (template-heavy sites sit near 0).
+
+    Scale shape: row-local Arrow-batched pandas UDF (block grammar +
+    nested anchor extraction is beyond a sane regexp_replace chain --
+    the same honest-boundary call as :func:`..web.read_warc`); zero
+    shuffle, one scan at 100 TB.
+    """
+    import pandas as pd
+
+    def _extract(texts):
+        return pd.Series(
+            [
+                _main_content_blocks(t, min_chars, max_link_density)
+                for t in texts
+            ]
+        )
+
+    extract = F.pandas_udf(_extract, "string")
+    total = F.length(
+        F.trim(F.regexp_replace(F.regexp_replace(text_col, r"<[^>]*>", " "),
+                                r"\s+", " "))
+    )
+    out = df.withColumn("__main", extract(F.col(text_col)))
+    return out.select(
+        F.col(id_col),
+        F.col("__main").alias("text"),
+        F.coalesce(F.length("__main"), F.lit(0)).cast("bigint").alias(
+            "n_kept_chars"
+        ),
+        F.round(
+            F.coalesce(F.length("__main"), F.lit(0))
+            / F.greatest(total.cast("double"), F.lit(1.0)),
+            4,
+        ).alias("kept_frac"),
+    )

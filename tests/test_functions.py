@@ -1177,3 +1177,49 @@ def test_bpe_apply_matches_vocab_encoding_and_handles_oov(spark):
     assert out[3].encoded == f"{enc['low']} {enc['low']}"
     # token count = total symbols across words
     assert out[0].n_bpe_tokens == len(out[0].encoded.split(" "))
+
+
+class TestExtractMainContent:
+    PAGE = (
+        "<html><head><title>T</title><style>body{x:1}</style>"
+        "<script>var a=1; tracking();</script></head><body>"
+        '<nav><a href="/">Home</a> | <a href="/a">About</a> | '
+        '<a href="/c">Contact</a></nav>'
+        "<article><p>This is the actual article prose, long enough to "
+        "clear the minimum and containing almost no links at all.</p>"
+        '<p>A second paragraph with one <a href="/ref">reference</a> '
+        "inside a lot of surrounding body text keeps its block.</p>"
+        "</article>"
+        '<footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a>'
+        "</footer></body></html>"
+    )
+
+    def test_block_heuristic_pure(self):
+        from data_stream_flink_user_address_spark.functions.text import (
+            _main_content_blocks,
+        )
+
+        got = _main_content_blocks(self.PAGE, 25, 0.3)
+        assert "actual article prose" in got
+        assert "second paragraph" in got
+        assert "Home" not in got and "Privacy" not in got  # chrome dropped
+        assert "tracking" not in got and "body{x:1}" not in got
+        assert _main_content_blocks(None, 25, 0.3) is None
+        assert _main_content_blocks("<p>tiny</p>", 25, 0.3) == ""
+
+    def test_spark_columns(self, spark):
+        from pyspark.sql import Row
+
+        from data_stream_flink_user_address_spark.functions.text import (
+            extract_main_content,
+        )
+
+        df = spark.createDataFrame([
+            Row(doc_id=1, text=self.PAGE),
+            Row(doc_id=2, text=None),
+            Row(doc_id=3, text='<nav><a href="/">only chrome here</a></nav>'),
+        ])
+        got = {r.doc_id: r for r in extract_main_content(df).collect()}
+        assert got[1].n_kept_chars > 100 and 0 < got[1].kept_frac < 1
+        assert got[2].text is None and got[2].n_kept_chars == 0
+        assert got[3].text == "" and got[3].kept_frac == 0.0
