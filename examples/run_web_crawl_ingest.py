@@ -8,7 +8,8 @@ Composes the web-ingestion surface end to end on synthetic WARC files
    then URL-identity dedup (first fetch wins);
 3. domain blocklist (broadcast anti-join, subdomains included);
 3b. robots.txt politeness (RFC 9309 longest-match, broadcast rules);
-4. markup strip -> text corpus;
+4. main-content extraction (block link-density: the nav chrome
+   drops here) -> markup strip -> text corpus;
 5. MinHash near-dup removal across the fetched pages;
 6. corpus_profile funnel report at every stage.
 
@@ -31,7 +32,10 @@ from data_stream_flink_user_address_spark.functions.dedup import (
     minhash_signatures_text,
 )
 from data_stream_flink_user_address_spark.functions.profile import profile_funnel
-from data_stream_flink_user_address_spark.functions.text import strip_markup
+from data_stream_flink_user_address_spark.functions.text import (
+    extract_main_content,
+    strip_markup,
+)
 from data_stream_flink_user_address_spark.functions.web import (
     filter_blocked_domains,
     filter_robots_allowed,
@@ -133,8 +137,12 @@ def main() -> None:
     )
     polite = filter_robots_allowed(unblocked, robots, user_agent="graftbot")
 
-    text = strip_markup(polite, text_col="html").select("doc_id", "text").join(
-        unblocked.select("doc_id", "url"), "doc_id"
+    # main-content extraction: the per-page nav chrome drops here
+    content = extract_main_content(polite, text_col="html").select(
+        "doc_id", F.col("text").alias("html")
+    )
+    text = strip_markup(content, text_col="html").select("doc_id", "text").join(
+        polite.select("doc_id", "url"), "doc_id"
     )
 
     sigs = minhash_signatures_text(text, num_hashes=16)
@@ -149,6 +157,7 @@ def main() -> None:
             "url_deduped": by_url.select("doc_id", F.col("html").alias("text")),
             "unblocked": unblocked.select("doc_id", F.col("html").alias("text")),
             "robots_ok": polite.select("doc_id", F.col("html").alias("text")),
+            "main_content": content.select("doc_id", F.col("html").alias("text")),
             "near_dedup": final,
         }
     )
