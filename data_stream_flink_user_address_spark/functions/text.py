@@ -304,6 +304,17 @@ _HTML_ENTITIES: list[tuple[str, str]] = [
 ]
 
 
+def _tags_to_spaces(col: Column) -> Column:
+    """``<...>`` tags to single spaces -- THE tag regex, shared by
+    :func:`strip_markup` and :func:`extract_main_content` so the two
+    cannot drift."""
+    return F.regexp_replace(col, r"<[^>]*>", " ")
+
+
+def _collapse_ws(col: Column) -> Column:
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
 def strip_markup(
     df: DataFrame,
     text_col: str = "text",
@@ -332,10 +343,10 @@ def strip_markup(
     """
     tag = r"<[^>]*>"
     src = F.col(text_col)
-    cleaned = F.regexp_replace(src, tag, " ")
+    cleaned = _tags_to_spaces(src)
     for ent, ch in _HTML_ENTITIES:
         cleaned = F.replace(cleaned, F.lit(ent), F.lit(ch))
-    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    cleaned = _collapse_ws(cleaned)
     return df.select(
         F.col(id_col),
         cleaned.alias("text"),
@@ -671,29 +682,60 @@ def _main_content_blocks(
 
     if html is None:
         return None
-    # script/style/noscript bodies are never content
+    # head/title and script/style/noscript bodies are never content
     s = _re.sub(
-        r"<(script|style|noscript)\b[^>]*>.*?</\1\s*>", " ", html,
-        flags=_re.S | _re.I,
+        r"<(head|title|script|style|noscript)\b[^>]*>.*?</\1\s*>", " ",
+        html, flags=_re.S | _re.I,
     )
+    # any opener still standing is UNCLOSED (the paired ones are gone):
+    # browsers consume to the closing tag or EOF, so a truncated
+    # <script> swallows the rest of the page -- keep that invariant
+    # instead of leaking raw JS/CSS into "content"
+    m = _re.search(r"<(?:script|style|noscript)\b", s, _re.I)
+    if m:
+        s = s[: m.start()]
     s = _re.sub(r"<!--.*?-->", " ", s, flags=_re.S)
-    blocks = _re.split(
+
+    # positional masks instead of per-block regex: an anchor that WRAPS
+    # block-level tags (link cards: <a><h3>..</h3><p>..</p></a>) is
+    # split apart by the block cut, so its text must be attributed by
+    # POSITION, not by re-matching <a>..</a> inside each fragment
+    in_tag = bytearray(len(s))
+    for t in _re.finditer(r"<[^>]*>", s):
+        for i in range(t.start(), t.end()):
+            in_tag[i] = 1
+    in_anchor = bytearray(len(s))
+    for a in _re.finditer(r"<a\b[^>]*>(.*?)</a\s*>", s, _re.S | _re.I):
+        for i in range(a.start(1), a.end(1)):
+            in_anchor[i] = 1
+
+    block_tag = _re.compile(
         r"</?(?:p|div|section|article|main|aside|nav|header|footer|"
         r"h[1-6]|ul|ol|li|table|tr|td|th|blockquote|pre|br)\b[^>]*>",
-        s,
-        flags=_re.I,
+        _re.I,
     )
+    bounds: list[tuple[int, int]] = []
+    prev = 0
+    for bm in block_tag.finditer(s):
+        bounds.append((prev, bm.start()))
+        prev = bm.end()
+    bounds.append((prev, len(s)))
+
     kept: list[str] = []
-    for b in blocks:
-        anchor_text = " ".join(
-            _re.sub(r"<[^>]*>", " ", m)
-            for m in _re.findall(r"<a\b[^>]*>(.*?)</a\s*>", b, _re.S | _re.I)
-        )
-        text = _re.sub(r"\s+", " ", _re.sub(r"<[^>]*>", " ", b)).strip()
+    for lo, hi in bounds:
+        text = _re.sub(
+            r"\s+", " ", _re.sub(r"<[^>]*>", " ", s[lo:hi])
+        ).strip()
         if len(text) < min_chars:
             continue
-        link_chars = len(_re.sub(r"\s+", " ", anchor_text).strip())
-        if link_chars / max(len(text), 1) > max_link_density:
+        content_chars = link_chars = 0
+        for i in range(lo, hi):
+            if in_tag[i] or s[i].isspace():
+                continue
+            content_chars += 1
+            if in_anchor[i]:
+                link_chars += 1
+        if link_chars / max(content_chars, 1) > max_link_density:
             continue
         kept.append(text)
     return "\n".join(kept) if kept else ""
@@ -714,7 +756,8 @@ def extract_main_content(
 
     Output ``(id, text, n_kept_chars, kept_frac)`` where ``kept_frac``
     is kept-text over total stripped-text length -- a per-page chrome
-    signal worth profiling (template-heavy sites sit near 0).
+    signal worth profiling (template-heavy sites sit near 0; a NULL
+    page profiles as NULL, never as "all chrome").
 
     Scale shape: row-local Arrow-batched pandas UDF (block grammar +
     nested anchor extraction is beyond a sane regexp_replace chain --
@@ -732,20 +775,23 @@ def extract_main_content(
         )
 
     extract = F.pandas_udf(_extract, "string")
-    total = F.length(
-        F.trim(F.regexp_replace(F.regexp_replace(text_col, r"<[^>]*>", " "),
-                                r"\s+", " "))
-    )
+    total = F.length(_collapse_ws(_tags_to_spaces(F.col(text_col))))
     out = df.withColumn("__main", extract(F.col(text_col)))
+    null_in = F.col(text_col).isNull()
     return out.select(
         F.col(id_col),
         F.col("__main").alias("text"),
-        F.coalesce(F.length("__main"), F.lit(0)).cast("bigint").alias(
-            "n_kept_chars"
-        ),
-        F.round(
-            F.coalesce(F.length("__main"), F.lit(0))
-            / F.greatest(total.cast("double"), F.lit(1.0)),
-            4,
-        ).alias("kept_frac"),
+        F.when(null_in, F.lit(None))
+        .otherwise(F.coalesce(F.length("__main"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_kept_chars"),
+        F.when(null_in, F.lit(None))
+        .otherwise(
+            F.round(
+                F.coalesce(F.length("__main"), F.lit(0))
+                / F.greatest(total.cast("double"), F.lit(1.0)),
+                4,
+            )
+        )
+        .alias("kept_frac"),
     )

@@ -137,12 +137,20 @@ def main() -> None:
     )
     polite = filter_robots_allowed(unblocked, robots, user_agent="graftbot")
 
-    # main-content extraction: the per-page nav chrome drops here
+    # main-content extraction: the per-page nav chrome drops here.
+    # content/text feed the funnel AND the dedup chain AND the final
+    # write -- lazy checkpoints stop the pandas-UDF extractor from
+    # re-running per reference (multi-ref recompute pitfall); pages
+    # whose every block was chrome leave the corpus entirely
     content = extract_main_content(polite, text_col="html").select(
         "doc_id", F.col("text").alias("html")
-    )
-    text = strip_markup(content, text_col="html").select("doc_id", "text").join(
-        polite.select("doc_id", "url"), "doc_id"
+    ).localCheckpoint(eager=False)
+    text = (
+        strip_markup(content, text_col="html")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+        .join(polite.select("doc_id", "url"), "doc_id")
+        .localCheckpoint(eager=False)
     )
 
     sigs = minhash_signatures_text(text, num_hashes=16)

@@ -1207,6 +1207,42 @@ class TestExtractMainContent:
         assert _main_content_blocks(None, 25, 0.3) is None
         assert _main_content_blocks("<p>tiny</p>", 25, 0.3) == ""
 
+    def test_review_hardening(self):
+        from data_stream_flink_user_address_spark.functions.text import (
+            _main_content_blocks,
+        )
+
+        # anchors WRAPPING block tags (link cards): density must see
+        # the anchor text even though the block cut splits the <a> pair
+        cards = "".join(
+            f'<a href="/s/{i}"><h3>Related story {i}</h3>'
+            f"<p>teaser text for the related story card {i}</p></a>"
+            for i in range(4)
+        )
+        page = ("<div>" + cards + "</div><article><p>The one real "
+                "paragraph of body prose, long and with no links in it "
+                "at all, survives.</p></article>")
+        got = _main_content_blocks(page, 25, 0.3)
+        assert "real paragraph" in got.replace("\n", " ").replace(
+            "one real \nparagraph", "one real paragraph"
+        ) or "real" in got
+        assert "Related story" not in got and "teaser" not in got
+        # unclosed <script> swallows the rest (browser invariant)
+        trunc = ("<p>Good opening paragraph that is long enough to be "
+                 "kept by the extractor as content.</p>"
+                 "<script>var config = { lots: 'of json-looking data that "
+                 "is long and link-free and must never leak out' }")
+        got2 = _main_content_blocks(trunc, 25, 0.3)
+        assert "Good opening paragraph" in got2
+        assert "json-looking" not in got2
+        # long SEO title never leaks as the leading content line
+        titled = ("<html><head><title>Best 100 cheap hotel deals in "
+                  "Barcelona - book now | TravelSite</title></head>"
+                  "<body><p>Actual article body text that clears the "
+                  "minimum character bar easily.</p></body></html>")
+        got3 = _main_content_blocks(titled, 25, 0.3)
+        assert "Barcelona" not in got3 and "Actual article body" in got3
+
     def test_spark_columns(self, spark):
         from pyspark.sql import Row
 
@@ -1221,5 +1257,7 @@ class TestExtractMainContent:
         ])
         got = {r.doc_id: r for r in extract_main_content(df).collect()}
         assert got[1].n_kept_chars > 100 and 0 < got[1].kept_frac < 1
-        assert got[2].text is None and got[2].n_kept_chars == 0
+        # NULL page profiles as NULL (missing != all-chrome)
+        assert got[2].text is None and got[2].n_kept_chars is None
+        assert got[2].kept_frac is None
         assert got[3].text == "" and got[3].kept_frac == 0.0
