@@ -383,3 +383,73 @@ def test_histogram_pack_rank_exchange_is_two_key(spark):
     assert any("n_tokens" in s and "__bucket" in s for s in specs)
     # (the single-key n_tokens window that also appears runs on the
     # aggregated (length, bucket)-count frame -- small by construction)
+
+
+def test_spfhp_oracle_sql_fuzz():
+    """The DuckDB replica of the SPFHP solve (pack_bins_report's oracle:
+    greedy over list-state + the bin-merge post-pass, both recursive
+    CTEs) must agree with _spfhp_solve pattern-for-pattern on random
+    histograms -- including cases where the merge pass changes the
+    answer.  Spark-free: compares the solver layers directly."""
+    import random
+
+    import duckdb
+
+    from __spark_entry__ import _SQL_SPFHP_PACK
+    from data_stream_flink_user_address_spark.functions.packing import (
+        _spfhp_solve,
+    )
+
+    # snip the oracle to the pattern-solve layers: drop the corpus CTEs
+    # (the test drives hist directly) and the assignment tail
+    body = _SQL_SPFHP_PACK
+    start = body.index("hlist AS (")
+    end = body.index(",\npat_rows AS (")
+    pattern_sql = (
+        "WITH RECURSIVE\n"
+        + body[start:end]
+        + "\nSELECT u.pat AS pat, u.tot AS tot, u.cnt AS cnt\n"
+        + "FROM (SELECT unnest(pats) AS u FROM final_pats) ORDER BY pat"
+    )
+
+    rng = random.Random(20260815)
+    merge_mattered = 0
+    for _ in range(25):
+        hist = {
+            rng.randint(1, 128): rng.randint(1, 50)
+            for _ in range(rng.randint(1, 40))
+        }
+        want = sorted(
+            (",".join(f"{x:03d}" for x in p), sum(p), n)
+            for p, n in _spfhp_solve(dict(hist), 128)
+        )
+        # count cases where the merge post-pass changed the greedy output
+        greedy_only: dict[tuple[int, ...], int] = {}
+        for length in sorted(hist, reverse=True):
+            c = int(hist[length])
+            while c > 0:
+                fits = [p for p in greedy_only if 128 - sum(p) >= length]
+                if fits:
+                    b = min(fits, key=lambda p: (128 - sum(p), p))
+                    k = min(c, greedy_only[b])
+                    greedy_only[b] -= k
+                    if greedy_only[b] == 0:
+                        del greedy_only[b]
+                    g = b + (length,)
+                    greedy_only[g] = greedy_only.get(g, 0) + k
+                    c -= k
+                else:
+                    greedy_only[(length,)] = greedy_only.get((length,), 0) + c
+                    c = 0
+        if sorted(greedy_only.items()) != sorted(
+            dict(_spfhp_solve(dict(hist), 128)).items()
+        ):
+            merge_mattered += 1
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE hist(n INT, c BIGINT)")
+        con.executemany("INSERT INTO hist VALUES (?, ?)", list(hist.items()))
+        got = sorted(tuple(r) for r in con.execute(pattern_sql).fetchall())
+        con.close()
+        assert got == want, (hist, got[:5], want[:5])
+    assert merge_mattered >= 3, merge_mattered
