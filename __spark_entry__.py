@@ -10,20 +10,18 @@ Query inventory (SURVEY.md SS2 + BASELINE.json north-star extensions):
 Reference parity (operators of the Flink job, FIXTURES.md SS6 mapping --
 customer plays user, orders plays address, events plays the Kafka stream):
   user_address_counts, count_by_state, count_by_country,
-  windowed_count_by_type, windowed_value_sum, stateful_join_trace,
-  windowed_trace_inflation
+  windowed_count_by_type, stateful_join_trace, windowed_trace_inflation
 
 Relational breadth (standard OLAP surface on the same engine):
-  q1_pricing_summary, q3_shipping_priority, q5_local_supplier_volume,
-  q6_forecast_revenue, top_parts_per_brand, customers_without_orders,
-  high_discount_orders, rollup_returns, events_json_extract,
-  session_window_stats
+  the TPC-H 22, cube/grouping-sets/pivot, window analytics, set ops,
+  interval/asof/session temporal joins, SCD2, events JSON extraction
 
-LLM-data-pipeline extensions:
-  text_stats, lang_id_pred, quality_scores, dedup_exact,
-  minhash_lsh_pairs, ngram_jaccard_pairs, simhash_docs,
-  substring_dup_spans, embedding_near_dup, similarity_topk,
-  similarity_lsh_topk, similarity_ivf_trained, multimodal_meta
+LLM-data-pipeline extensions (examples; see QUERIES for the registry):
+  text_stats, dedup_exact, fuzzy_dedup_keep, ngram_jaccard_pairs,
+  substring_dup_spans, embedding_near_dup_lsh, similarity_topk,
+  similarity_ivf_trained, multimodal_meta, nb_quality_scores,
+  incremental_minhash_gate, pack_bins_report, crawl_frontier_gate,
+  domain_pagerank_ranks, corpus_diff_status, curriculum_assignment
 
 Column-name discipline: every computed column is aliased identically in
 the Spark code and the oracle SQL.  Doubles are rounded in BOTH engines;
@@ -98,12 +96,24 @@ from data_stream_flink_user_address_spark.functions.classifier import (
     apply_nb_quality,
     train_nb_quality,
 )
-from data_stream_flink_user_address_spark.functions.ordering import epoch_shuffle
-from data_stream_flink_user_address_spark.functions.profile import top_terms
+from data_stream_flink_user_address_spark.functions.graph import (
+    connected_components,
+    domain_pagerank,
+)
+from data_stream_flink_user_address_spark.functions.ordering import (
+    curriculum_order,
+    epoch_shuffle,
+)
+from data_stream_flink_user_address_spark.functions.profile import (
+    corpus_diff,
+    top_terms,
+)
 from data_stream_flink_user_address_spark.functions.web import (
     domain_of,
     filter_blocked_domains,
+    filter_robots_allowed,
     normalize_url,
+    parse_sitemaps,
 )
 from data_stream_flink_user_address_spark.functions.curation import (
     compression_ratio,
@@ -111,7 +121,6 @@ from data_stream_flink_user_address_spark.functions.curation import (
 from data_stream_flink_user_address_spark.functions.packing import (
     chunk_manifest,
     histogram_pack,
-    overlap_chunks,
     sequence_pack_offsets,
 )
 from data_stream_flink_user_address_spark.functions.curation import (
@@ -149,9 +158,9 @@ from data_stream_flink_user_address_spark.functions.text import (
     token_count,
     tokens,
     unigram_logprob_scores,
-    bigram_logprob_scores,
     bpe_apply,
     bpe_train_and_encode,
+    extract_main_content,
     normalize_unicode,
     strip_markup,
     winnow_fingerprint,
@@ -493,23 +502,6 @@ def _q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
-    )
-
-
-def _q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
-    return (
-        p.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"), F.col("rnk").cast("bigint").alias("rnk"))
-    )
-
-
-def _q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n")
     )
 
 
@@ -1169,17 +1161,6 @@ def _q_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles of event value per type (Spark
-    ``percentile`` = DuckDB ``quantile_cont``)."""
-    events = _t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
-    )
-
-
 def _q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``F.session_window`` (30-min gap) per user: start, end
     (last event + gap), count, value sum.  This is the engine-native
@@ -1467,28 +1448,6 @@ def _q_boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_line_dedup(d, min_df=3)
 
 
-def _q_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-sensitive LM quality scoring (functions/text.py:
-    bigram_logprob_scores): per-doc mean -log2 of the Laplace-smoothed
-    bigram conditional under the corpus' own counts -- the CCNet/KenLM
-    filter one order above unigram_quality, catching scrambled or
-    templated text whose unigram profile looks fluent.  Token
-    instances never ride a join shuffle (per-doc bigram multiplicities
-    join the global bigram table; left-context totals aggregate OF
-    that table); V broadcasts as one row."""
-    return bigram_logprob_scores(_docs(spark, sf_dir))
-
-
-def _q_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAG-style sliding-window chunking (functions/packing.py:
-    overlap_chunks): 24-token windows advancing by 16 (8 tokens of
-    shared context), one output row per chunk with its in-doc token
-    offset and re-joined text.  Entirely row-local -- zero shuffles;
-    chunk rows inherit the scan's partitioning so a downstream
-    embed/index stage starts co-located by document."""
-    return overlap_chunks(_docs(spark, sf_dir), chunk_len=24, overlap=8)
-
-
 def _q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma/RefinedWeb domain balancing (functions/sampling.py:
     per_source_cap): keep the 30 documents per source with the
@@ -1526,26 +1485,6 @@ def _q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, score_col="n_chars", n_buckets=4, strata_col="source"
     ).select("doc_id", F.col("quality_bucket").alias("quality_bucket_approx"))
     return exact.join(approx, "doc_id")
-
-
-def _q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Markup stripping (functions/text.py: strip_markup) over a
-    deterministic in-plan HTML wrapping of each document: tags drop to
-    spaces (no token fusion across <br/>), the six dominant entities
-    decode (&amp; strictly last -- double-escaped text decodes one
-    level, never into a live tag), whitespace collapses.  Entirely
-    row-local expression chain: zero shuffles at any corpus size."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.concat(
-            F.lit('<html><body class="page"><h1>T&amp;itle &quot;'),
-            (F.col("doc_id") % 7).cast("string"),
-            F.lit('&quot;</h1><p id=\'b\'>'),
-            F.col("text"),
-            F.lit("</p><br/>x &lt; y &gt; z&nbsp;&#39;q&#39;&amp;lt;tag&amp;gt;</body></html>"),
-        ).alias("text"),
-    )
-    return strip_markup(d)
 
 
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2529,19 +2468,250 @@ def _q_pack_bins_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_diff_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl snapshot diff (functions/profile.py:corpus_diff):
+    derived old/new snapshots of documents -- every 10th doc removed,
+    every (10k+1)th added, every (10k+2)th edited -- classified
+    added/removed/changed/unchanged with both md5 fingerprints in the
+    output, so the driver hash pins the fingerprint normalization too.
+    Scale shape: each side projects to (id, 16-byte fp) BEFORE the
+    full-outer join; text never rides the exchange (plan-pinned in
+    tests/test_plan_shapes.py); zero-exchange over id-bucketed
+    snapshots.  Oracle: the same derivation + full-outer join in SQL
+    (first committed in tests/test_oracle_r13b.py, r14)."""
+    d = _docs(spark, sf_dir)
+    old = d.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 2,
+            F.concat(F.col("text"), F.lit(" edited")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return corpus_diff(old, new)
+
+
+def _q_curriculum_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering (functions/ordering.py:
+    curriculum_order): stage from one broadcast percentile_approx cut
+    frame (row-local cut counting -- no window, no global sort), the
+    md5 epoch_order key, and the shard assignment.  The oracle
+    re-derives all three in SQL (quantile_disc == percentile_approx at
+    this n is probed+pinned in tests/test_oracle_r13b.py, where this
+    oracle was first committed in r14).  Registry fold: absorbs the
+    retired ``value_percentiles`` slot's percentile duty -- the cut
+    computation IS a percentile aggregate, and the interpolated
+    variant stays oracle-checked inside ``quality_buckets``'s
+    quality_bucket_cuts stage."""
+    d = _docs(spark, sf_dir)
+    scored = d.select("doc_id", (F.col("doc_id") % 97).alias("score"))
+    return curriculum_order(
+        scored, "score", n_stages=4, n_shards=8, seed=11, epoch=2
+    ).select("doc_id", "score", "stage", "epoch_order", "shard")
+
+
+def _q_connected_components_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-facing connected components (functions/graph.py:
+    connected_components) over a deterministic edge list derived from
+    documents: five disjoint vertex classes (node ids congruent mod 5)
+    each carrying the functional graph x -> 3x on Z7 (one 6-cycle
+    component + the x=0 self-loop singleton per class), plus three
+    pure self-loop nodes -- pinning min-label choice, component
+    disjointness, and the singleton completion dedup does not need.
+    Oracle: recursive-CTE reachability closure + min per node (the
+    incremental_minhash_gate idiom)."""
+    d = _docs(spark, sf_dir)
+    g = (F.col("doc_id") % 5).cast("bigint")
+    edges = d.select(
+        (g + 5 * (F.col("doc_id") % 7)).alias("src"),
+        (g + 5 * ((F.col("doc_id") * 3) % 7)).alias("dst"),
+    ).unionByName(
+        d.select(
+            (F.lit(100) + F.col("doc_id") % 3).alias("src"),
+            (F.lit(100) + F.col("doc_id") % 3).alias("dst"),
+        )
+    )
+    return connected_components(edges)
+
+
+_PR_DOMAINS = 12
+_PR_ITERS = 5
+
+
+def _q_domain_pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link-graph reputation (functions/graph.py:
+    domain_pagerank -> pagerank): deterministic in-plan pages -- each
+    doc lives on domain d{doc_id%12}.example and links to the next
+    ring domain, a mod-7 hub class, and a pure-sink domain with no
+    outlinks (so the dangling-mass redistribution path is exercised,
+    not just the inflow sum).  extract_links (codegen regex) and
+    domain_of run inside the plan; the oracle re-derives the edge list
+    arithmetically and unrolls the 5 rank iterations as chained CTEs
+    with the same dangling-mass term (the bpe_train merge-round
+    idiom).  Scale shape: pagerank caches the partitioned edge layout
+    once; each iteration pays one slim rank shuffle (measured flat
+    1e6->1e8 edges, R14_OPS_SCALE.json)."""
+    d = _docs(spark, sf_dir)
+    hc = F.col("doc_id") % _PR_DOMAINS
+    url = F.concat(
+        F.lit("https://d"), hc.cast("string"), F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    link = lambda dom: F.concat(  # noqa: E731
+        F.lit('<a href="https://'), dom, F.lit('.example/x">l</a>')
+    )
+    html = F.concat(
+        link(F.concat(F.lit("d"), ((hc + 1) % _PR_DOMAINS).cast("string"))),
+        link(F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string"))),
+        link(F.lit("sink")),
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    ranks = domain_pagerank(pages, iters=_PR_ITERS)
+    return ranks.select("domain", F.round("rank", 6).alias("rank"))
+
+
+_CRAWL_ROBOTS = [
+    # prefix rules + longest-match Allow override
+    ("h0.example.com", "User-agent: *\nDisallow: /p/\nAllow: /p/1"),
+    # agent-specific group replaces '*' (RFC 9309 group selection)
+    ("h1.example.com",
+     "User-agent: graftbot\nDisallow: /p/3\nUser-agent: *\nDisallow: /"),
+    # DECLARED-EMPTY graftbot group = fully allowed, NOT fallback to '*'
+    # (the empty Disallow: line is no rule but does close the header run)
+    ("h2.example.com",
+     "User-agent: graftbot\nDisallow:\nUser-agent: *\nDisallow: /"),
+    # blanket block, including the domain's own sitemap refs
+    ("h3.example.com", "User-agent: *\nDisallow: /"),
+    # h4.example.com has no robots row: fully allowed
+]
+
+
+def _q_crawl_frontier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier admission end to end (functions/web.py):
+    deterministic per-host sitemap XML is built in-plan (one urlset per
+    host h{doc_id%5}.example.com plus a sitemapindex referencing it),
+    parse_sitemaps explodes both (nested refs come out kind='sitemap'),
+    normalize_url drops the planted utm tracking param, and
+    filter_robots_allowed applies RFC 9309 politeness for agent
+    'graftbot': longest-match Allow override (h0), agent-specific group
+    selection (h1), the declared-EMPTY-group = allow-all edge case
+    (h2), blanket block (h3), and the no-robots default (h4).  The
+    oracle replays URL construction and each domain's rule outcome in
+    SQL.  Scale shape: XML parse is the honest Arrow-batched UDF
+    boundary; rules collapse to one slim row per domain and broadcast;
+    the frontier never shuffles."""
+    d = _docs(spark, sf_dir)
+    hc = (F.col("doc_id") % 5).cast("string")
+    loc = F.concat(
+        F.lit("https://h"), hc, F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"), F.lit("?utm_source=s"),
+    )
+    entry_xml = F.concat(
+        F.lit("<url><loc>"), loc, F.lit("</loc><priority>0."),
+        (F.col("doc_id") % 9).cast("string"), F.lit("</priority></url>"),
+    )
+    per_host = (
+        d.select(hc.alias("hc"), entry_xml.alias("x"))
+        .groupBy("hc")
+        .agg(F.concat_ws("", F.array_sort(F.collect_list("x"))).alias("body"))
+    )
+    urlsets = per_host.select(
+        F.concat(
+            F.lit("https://h"), F.col("hc"),
+            F.lit(".example.com/sitemap-pages.xml"),
+        ).alias("sitemap_url"),
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.col("body"), F.lit("</urlset>"),
+        ).alias("sitemap_xml"),
+    )
+    indexes = per_host.select(
+        F.concat(
+            F.lit("https://h"), F.col("hc"), F.lit(".example.com/sitemap.xml")
+        ).alias("sitemap_url"),
+        F.concat(
+            F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                  "<sitemap><loc>https://h"),
+            F.col("hc"),
+            F.lit(".example.com/sitemap-pages.xml</loc></sitemap>"
+                  "</sitemapindex>"),
+        ).alias("sitemap_xml"),
+    )
+    entries = parse_sitemaps(urlsets.unionByName(indexes))
+    pages = entries.select(
+        "kind", normalize_url(F.col("loc")).alias("url"), "priority"
+    )
+    robots = spark.createDataFrame(
+        _CRAWL_ROBOTS,
+        "domain string, robots_txt string",
+    )
+    polite = filter_robots_allowed(pages, robots, user_agent="graftbot")
+    return polite.select(
+        "kind",
+        "url",
+        domain_of("url").alias("domain"),
+        F.when(
+            F.col("kind") == "url",
+            F.regexp_extract("url", r"/p/(\d+)", 1).cast("bigint"),
+        ).alias("page_id"),
+        "priority",
+    )
+
+
+def _q_main_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction -> markup cleaning, composed the way a
+    crawl funnel runs them (functions/text.py:extract_main_content then
+    strip_markup): each doc's text is wrapped in a deterministic page
+    (head/title chrome, a short link-saturated nav, the prose block
+    carrying planted entities, a link-dense card div above the 0.3
+    density cap, a short footer); the extractor must keep exactly the
+    prose block, and the strip stage then decodes the planted
+    ``&lt;``/``&amp;amp;`` entities (one level only).  Output pins the
+    kept text, kept-char count, kept_frac chrome signal, and the strip
+    stage's net shrink.  Registry fold: absorbs the retired
+    ``strip_markup`` slot (the strip stage here runs the identical
+    entity ladder + tag/whitespace chain on every row).  Oracle:
+    block outcomes replayed in SQL -- the fixture makes each block's
+    keep/drop decision closed-form, and the page-total denominator is
+    recomputed by applying the same tag->space + collapse regex chain
+    to the same SQL-built page string."""
+    d = _docs(spark, sf_dir)
+    page = F.concat(
+        F.lit("<html><head><title>Site "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('</title></head><body>'
+              '<nav><a href="/">Home</a> <a href="/about">About</a>'
+              ' <a href="/tags">Tags</a></nav><p>'),
+        F.col("text"),
+        F.lit(" x &lt; y &amp;amp; z</p>"
+              '<div><a href="/p1">rel one</a> <a href="/p2">rel two</a>'
+              " and more chrome</div>"
+              "<footer>(c) 2026 example site</footer></body></html>"),
+    )
+    main = extract_main_content(d.select("doc_id", page.alias("text")))
+    cleaned = strip_markup(main).select(
+        "doc_id", "text", "n_chars_removed"
+    )
+    return (
+        main.select("doc_id", "n_kept_chars", "kept_frac")
+        .join(cleaned, "doc_id")
+        .select(
+            "doc_id", "text", "n_kept_chars", "kept_frac", "n_chars_removed"
+        )
+    )
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver check window (first 50, verified in declaration order).
-    # r14 rotation (VERDICT r13 asks #1 + #2): the registry holds at 94
-    # via nine folds (merge list in tests/test_oracle_parity.py::
-    # R14_FOLDED) paying for the nine r13b-family registrations, so the
-    # exact TWO-round full-coverage cycle stands:
-    #   6 pinned parity + 2 x 44 rotating slots = 94.
-    # This window = 6 parity + the 35 surviving below-window queries
-    # from r13 (8 relational green r11, 26 green r12, bpe_apply_docs
-    # taking its FIRST driver row) + the 9 new r13b composites (first
-    # driver rows).  Below the window: the 44 queries green in r13's
-    # own window -- exactly r15's rotating slots, so r14 union r15
-    # covers all 94.
+    # r15 rotation (VERDICT r14 asks #2 + #3): six folds (merge list in
+    # tests/test_oracle_parity.py::R15_FOLDED) pay for the six crawl-graph
+    # composites, so the registry holds at 94 and the exact TWO-round
+    # full-coverage cycle stands: 6 pinned parity + 2 x 44 rotating slots.
+    # This window = 6 parity + the 38 surviving r13-green rotating queries
+    # + the 6 new crawl-graph composites (first driver rows).  Below the
+    # window: the 44 queries green in r14's own window -- exactly r16's
+    # rotating slots, so r14 union r15 covers all 94.
     # reference parity (6, always in-window)
     "user_address_counts": _q_user_address_counts,
     "count_by_state": _q_count_by_state,
@@ -2549,66 +2719,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_count_by_type": _q_windowed_count_by_type,
     "stateful_join_trace": _q_stateful_join_trace,
     "windowed_trace_inflation": _q_windowed_trace_inflation,
-    # the 8 relational queries last green r11 (rolled past r13's window)
-    "events_json_extract": _q_events_json_extract,
-    "cube_order_stats": _q_cube_order_stats,
-    "running_customer_revenue": _q_running_customer_revenue,
-    "set_ops_customers": _q_set_ops_customers,
-    "orders_above_customer_avg": _q_orders_above_customer_avg,
-    "scalar_function_showcase": _q_scalar_function_showcase,
-    "grouping_sets_revenue": _q_grouping_sets_revenue,
-    "scd2_customer_segments": _q_scd2_customer_segments,
-    # the 26 surviving queries green in r12's window + bpe_apply_docs
-    # (registered r13, oracle-verified locally, FIRST driver row here)
-    "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
-    "multimodal_pixel_roundtrip": _q_multimodal_pixel_roundtrip,
-    "audio_features_real": _q_audio_features_real,
-    "gopher_quality": _q_gopher_quality,
-    "chunk_manifest": _q_chunk_manifest,
-    "cluster_balanced_sample": _q_cluster_balanced_sample,
-    "substring_dup_spans": _q_substring_dup_spans,
-    "similarity_ivf_trained": _q_similarity_ivf_trained,
-    "semantic_dedup": _q_semantic_dedup,
-    "bm25_search": _q_bm25_search,
-    "text_stats": _q_text_stats,
-    "corpus_report": _q_corpus_report,
-    "winnow_fingerprints": _q_winnow_fingerprints,
-    "bpe_apply_docs": _q_bpe_apply_docs,
-    "dedup_exact": _q_dedup_exact,
-    "fuzzy_dedup_keep": _q_fuzzy_dedup_keep,
-    "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-    "simhash_pairs": _q_simhash_pairs,
-    "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-    "similarity_topk": _q_similarity_topk,
-    "multimodal_meta": _q_multimodal_meta,
-    "pii_redact": _q_pii_redact,
-    "repetition_stats": _q_repetition_stats,
-    "unigram_quality": _q_unigram_quality,
-    "q12_late_shipments": _q_q12_late_shipments,
-    "session_window_stats": _q_session_window_stats,
-    "asof_purchase_view": _q_asof_purchase_view,
-    # the 9 r13b-family composites (VERDICT r13 ask #1 -- first rows)
-    "web_ingest_pipeline": _q_web_ingest_pipeline,
-    "nb_quality_scores": _q_nb_quality_scores,
-    "decontaminate_pairs": _q_decontaminate_pairs,
-    "leakage_split": _q_leakage_split,
-    "upsample_epoch_shuffle": _q_upsample_epoch_shuffle,
-    "importance_resample_docs": _q_importance_resample_docs,
-    "incremental_minhash_gate": _q_incremental_minhash_gate,
-    "top_terms_rrf": _q_top_terms_rrf,
-    "pack_bins_report": _q_pack_bins_report,
-    # --- below the 50-row window: the 44 queries green in r13's own
-    # window (CORRECTNESS_r13.json) -- exactly r15's rotating slots ---
+    # the 38 r13-green rotating queries (below r14's window) kept by the fold
     "dsir_weights": _q_dsir_weights,
     "token_budget_mixture": _q_token_budget_mixture,
     "image_phash_pairs": _q_image_phash_pairs,
     "audio_fingerprint_pairs": _q_audio_fingerprint_pairs,
     "boilerplate_line_dedup": _q_boilerplate_line_dedup,
-    "bigram_quality": _q_bigram_quality,
-    "overlap_chunks": _q_overlap_chunks,
     "per_source_cap": _q_per_source_cap,
     "quality_buckets": _q_quality_buckets,
-    "strip_markup": _q_strip_markup,
     "bpe_train": _q_bpe_train,
     "incremental_dedup": _q_incremental_dedup,
     "bpe_encode": _q_bpe_encode,
@@ -2637,12 +2755,62 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_promo_heavy_suppliers": _q_q20_promo_heavy_suppliers,
     "q21_sole_blame_supplier": _q_q21_sole_blame_supplier,
     "q22_global_sales_opportunity": _q_q22_global_sales_opportunity,
-    "value_percentiles": _q_value_percentiles,
     "interval_view_purchase": _q_interval_view_purchase,
     "pivot_priority_status": _q_pivot_priority_status,
     "window_function_showcase": _q_window_function_showcase,
-    "top_parts_per_brand": _q_top_parts_per_brand,
-    "rollup_returns": _q_rollup_returns,
+    # the 6 crawl-graph composites (VERDICT r14 ask #2 -- first rows)
+    "crawl_frontier_gate": _q_crawl_frontier_gate,
+    "main_content_extract": _q_main_content_extract,
+    "domain_pagerank_ranks": _q_domain_pagerank_ranks,
+    "connected_components_labels": _q_connected_components_labels,
+    "corpus_diff_status": _q_corpus_diff_status,
+    "curriculum_assignment": _q_curriculum_assignment,
+    # --- below the 50-row window: the 44 queries green in r14's own
+    # window (CORRECTNESS_r14.json) -- exactly r16's rotating slots ---
+    "events_json_extract": _q_events_json_extract,
+    "cube_order_stats": _q_cube_order_stats,
+    "running_customer_revenue": _q_running_customer_revenue,
+    "set_ops_customers": _q_set_ops_customers,
+    "orders_above_customer_avg": _q_orders_above_customer_avg,
+    "scalar_function_showcase": _q_scalar_function_showcase,
+    "grouping_sets_revenue": _q_grouping_sets_revenue,
+    "scd2_customer_segments": _q_scd2_customer_segments,
+    "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
+    "multimodal_pixel_roundtrip": _q_multimodal_pixel_roundtrip,
+    "audio_features_real": _q_audio_features_real,
+    "gopher_quality": _q_gopher_quality,
+    "chunk_manifest": _q_chunk_manifest,
+    "cluster_balanced_sample": _q_cluster_balanced_sample,
+    "substring_dup_spans": _q_substring_dup_spans,
+    "similarity_ivf_trained": _q_similarity_ivf_trained,
+    "semantic_dedup": _q_semantic_dedup,
+    "bm25_search": _q_bm25_search,
+    "text_stats": _q_text_stats,
+    "corpus_report": _q_corpus_report,
+    "winnow_fingerprints": _q_winnow_fingerprints,
+    "bpe_apply_docs": _q_bpe_apply_docs,
+    "dedup_exact": _q_dedup_exact,
+    "fuzzy_dedup_keep": _q_fuzzy_dedup_keep,
+    "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+    "simhash_pairs": _q_simhash_pairs,
+    "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+    "similarity_topk": _q_similarity_topk,
+    "multimodal_meta": _q_multimodal_meta,
+    "pii_redact": _q_pii_redact,
+    "repetition_stats": _q_repetition_stats,
+    "unigram_quality": _q_unigram_quality,
+    "q12_late_shipments": _q_q12_late_shipments,
+    "session_window_stats": _q_session_window_stats,
+    "asof_purchase_view": _q_asof_purchase_view,
+    "web_ingest_pipeline": _q_web_ingest_pipeline,
+    "nb_quality_scores": _q_nb_quality_scores,
+    "decontaminate_pairs": _q_decontaminate_pairs,
+    "leakage_split": _q_leakage_split,
+    "upsample_epoch_shuffle": _q_upsample_epoch_shuffle,
+    "importance_resample_docs": _q_importance_resample_docs,
+    "incremental_minhash_gate": _q_incremental_minhash_gate,
+    "top_terms_rrf": _q_top_terms_rrf,
+    "pack_bins_report": _q_pack_bins_report,
 }
 
 
@@ -2887,6 +3055,51 @@ _MINHASH_SIG_BAND_CTES = f"""{_sql_shingles(5)},
                      array_to_string(signature[b.i * {_LSH_ROWS} + 1 : b.i * {_LSH_ROWS} + {_LSH_ROWS}], ',')) AS band_key
           FROM sig CROSS JOIN range({_LSH_BANDS}) b(i)
         )"""
+
+
+def _sql_pagerank_ctes(iters: int) -> str:
+    """Chained-CTE PageRank unroll for the domain_pagerank_ranks oracle
+    (the _sql_bpe_cte idiom): deterministic edge derivation from
+    documents, degree table, hoisted dangling set, then ``iters`` rank
+    rounds with the same damping/dangling-mass arithmetic
+    functions/graph.py:pagerank runs (init 1.0, rank = 0.15 + 0.85 *
+    (inflow + m/n))."""
+    parts = ["""
+        WITH e0 AS (
+          SELECT 'd' || (doc_id % 12) || '.example' AS src,
+                 'd' || ((doc_id % 12 + 1) % 12) || '.example' AS dst
+          FROM documents
+          UNION ALL
+          SELECT 'd' || (doc_id % 12) || '.example',
+                 'd' || (doc_id % 7) || '.example' FROM documents
+          UNION ALL
+          SELECT 'd' || (doc_id % 12) || '.example', 'sink.example'
+          FROM documents
+        ),
+        ed AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        nodes AS (SELECT DISTINCT src AS node FROM ed
+                  UNION SELECT DISTINCT dst FROM ed),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        deg AS (SELECT src, count(*)::DOUBLE AS d FROM ed GROUP BY src),
+        dangling AS (SELECT node FROM nodes
+                     WHERE node NOT IN (SELECT src FROM ed)),
+        r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes)"""]
+    for i in range(1, int(iters) + 1):
+        parts.append(f""",
+        c{i} AS (SELECT e.dst AS node, sum(r.rank / g.d) AS inflow
+                 FROM ed e JOIN r{i - 1} r ON r.node = e.src
+                 JOIN deg g ON g.src = e.src GROUP BY e.dst),
+        m{i} AS (SELECT COALESCE(sum(r.rank), 0.0) AS m
+                 FROM r{i - 1} r JOIN dangling dgl ON dgl.node = r.node),
+        r{i} AS (SELECT n.node,
+                        0.15 + 0.85 * (COALESCE(c.inflow, 0.0) + m{i}.m / nn.n)
+                          AS rank
+                 FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+                 CROSS JOIN m{i} CROSS JOIN nn)""")
+    parts.append(f"""
+        SELECT node AS domain, round(rank, 6) AS rank FROM r{int(iters)}""")
+    return "".join(parts)
+
 
 
 _SQL_SPFHP_PACK = r"""
@@ -3181,22 +3394,6 @@ ORACLE_SQL: dict[str, str] = {
           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
-    """,
-    "top_parts_per_brand": """
-        SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price,
-               rnk::BIGINT AS rnk
-        FROM (
-          SELECT p_brand, p_partkey, p_retailprice,
-                 row_number() OVER (PARTITION BY p_brand
-                                    ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
-          FROM part
-        ) WHERE rnk <= 3
-    """,
-    "rollup_returns": """
-        SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
-        FROM lineitem
-        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "q2_min_cost_supplier": """
         WITH offers AS (
@@ -3533,13 +3730,6 @@ ORACLE_SQL: dict[str, str] = {
                sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
                sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
         FROM orders GROUP BY o_orderpriority
-    """,
-    "value_percentiles": """
-        SELECT event_type,
-               round(quantile_cont(value, 0.5), 4) AS p50,
-               round(quantile_cont(value, 0.9), 4) AS p90,
-               round(quantile_cont(value, 0.99), 4) AS p99,
-        FROM events GROUP BY event_type
     """,
     # session_window semantics: a session's end is last event + gap,
     # EXCLUSIVE -- an event arriving exactly gap after its predecessor
@@ -4648,49 +4838,8 @@ ORACLE_SQL: dict[str, str] = {
     # own bigram counts, V = corpus vocabulary; per-doc n-weighted mean
     # of -log2 p rounded to 6 digits (absorbs summation-order float
     # drift, the unigram_quality convention).
-    "bigram_quality": f"""
-        WITH toks AS (
-          SELECT doc_id, t, generate_subscripts(t, 1) AS pos FROM (
-            SELECT doc_id, {_sql_tokens()} AS t FROM documents)
-        ),
-        tok AS (SELECT doc_id, pos, t[pos] AS tok FROM toks),
-        pairs AS (
-          SELECT doc_id, tok AS prev,
-                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
-          FROM tok
-        ),
-        big AS (
-          SELECT doc_id, prev, cur, count(*) AS n FROM pairs
-          WHERE cur IS NOT NULL GROUP BY ALL
-        ),
-        c2 AS (SELECT prev, cur, sum(n) AS c2 FROM big GROUP BY prev, cur),
-        c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev),
-        v AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM tok)
-        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
-               round(sum(n * -log2((c2::DOUBLE + 1.0) / (c1::DOUBLE + 1.0 * v)))
-                     / sum(n), 6) AS bigram_logprob
-        FROM big JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v
-        GROUP BY doc_id
-    """,
     # sliding-window chunker: 24-token windows, stride 16; last chunk
     # may be short; empty docs contribute no rows.
-    "overlap_chunks": f"""
-        WITH toks AS (SELECT doc_id, {_sql_tokens()} AS t FROM documents),
-        n AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
-        nc AS (
-          SELECT doc_id, t, n,
-                 CASE WHEN n <= 24 THEN 1 ELSE 1 + (n - 24 + 15) // 16 END
-                   AS n_chunks
-          FROM n
-        ),
-        e AS (SELECT doc_id, t, n, unnest(range(n_chunks)) AS chunk_id FROM nc)
-        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-               CAST(chunk_id * 16 AS BIGINT) AS start_tok,
-               CAST(least(24, n - chunk_id * 16) AS BIGINT) AS n_chunk_tokens,
-               array_to_string(t[chunk_id * 16 + 1 : chunk_id * 16 + 24], ' ')
-                 AS chunk_text
-        FROM e
-    """,
     # exact-k per-source cap: rank by the engine's md5 bucket (seed 42,
     # the mixture_sample construction), ties on doc_id, keep rank <= 18.
     "per_source_cap": """
@@ -4735,31 +4884,6 @@ ORACLE_SQL: dict[str, str] = {
     # markup strip over the same in-plan HTML wrapping: tags -> space,
     # six-entity decode with &amp; LAST, whitespace collapse; n_tags
     # counts tag matches, n_chars_removed is the net shrinkage.
-    "strip_markup": """
-        WITH src AS (
-          SELECT doc_id,
-                 '<html><body class="page"><h1>T&amp;itle &quot;'
-                   || CAST(doc_id % 7 AS VARCHAR)
-                   || '&quot;</h1><p id=''b''>' || text
-                   || '</p><br/>x &lt; y &gt; z&nbsp;&#39;q&#39;&amp;lt;tag&amp;gt;</body></html>'
-                   AS t
-          FROM documents
-        ),
-        c AS (
-          SELECT doc_id, t,
-                 trim(regexp_replace(
-                   replace(replace(replace(replace(replace(replace(
-                     regexp_replace(t, '<[^>]*>', ' ', 'g'),
-                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                     '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
-                   '\\s+', ' ', 'g')) AS text
-          FROM src
-        )
-        SELECT doc_id, text,
-               CAST(len(regexp_extract_all(t, '<[^>]*>')) AS BIGINT) AS n_tags,
-               CAST(length(t) - length(text) AS BIGINT) AS n_chars_removed
-        FROM c
-    """,
     # iterative BPE training: 8 chained merge rounds, each a pair-count
     # aggregate + (count desc, pair asc) argmax + list_reduce fold
     # identical to the engine's leftmost-first non-overlapping merge.
@@ -5022,6 +5146,160 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT doc_id FROM documents
         WHERE doc_id % 2 = 1 AND length(coalesce({_sql_norm()}, '')) < 5
+    """,
+    # re-crawl snapshot diff: same derivation + full-outer join in SQL
+    "corpus_diff_status": r"""
+        WITH olds AS (
+            SELECT doc_id,
+                   md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS old_fp
+            FROM documents WHERE doc_id % 10 <> 0
+        ), news AS (
+            SELECT doc_id,
+                   md5(regexp_replace(trim(
+                       CASE WHEN doc_id % 10 = 2 THEN text || ' edited'
+                            ELSE text END), '\s+', ' ', 'g')) AS new_fp
+            FROM documents WHERE doc_id % 10 <> 1
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.old_fp IS NOT DISTINCT FROM n.new_fp
+                         THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               o.old_fp, n.new_fp
+        FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+    """,
+    # curriculum: quantile_disc cuts == percentile_approx (probed+pinned
+    # in tests/test_oracle_r13b.py); md5 idiom for order key + shard
+    "curriculum_assignment": """
+        WITH cuts AS (
+            SELECT quantile_disc(doc_id % 97, [0.25, 0.5, 0.75]) AS c
+            FROM documents
+        )
+        SELECT doc_id,
+               (doc_id % 97)::BIGINT AS score,
+               (CASE WHEN doc_id % 97 > c[1] THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 97 > c[2] THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 97 > c[3] THEN 1 ELSE 0 END)::INT
+                   AS stage,
+               ('0x' || substr(md5(doc_id::VARCHAR || '|11|2'), 1, 15))::BIGINT
+                   AS epoch_order,
+               ((('0x' || substr(md5(doc_id::VARCHAR || '|11|2'), 1, 15))::BIGINT)
+                   % 8)::INT AS shard
+        FROM documents, cuts
+    """,
+    # undirected reachability closure + min label per node
+    "connected_components_labels": """
+        WITH RECURSIVE e0 AS (
+            SELECT (doc_id % 5) + 5 * (doc_id % 7) AS src,
+                   (doc_id % 5) + 5 * ((doc_id * 3) % 7) AS dst
+            FROM documents
+            UNION ALL
+            SELECT 100 + doc_id % 3, 100 + doc_id % 3 FROM documents
+        ),
+        ed AS (SELECT DISTINCT src, dst FROM e0),
+        nodes AS (SELECT DISTINCT src AS node FROM ed
+                  UNION SELECT DISTINCT dst FROM ed),
+        ud AS (
+            SELECT src AS a, dst AS b FROM ed WHERE src <> dst
+            UNION
+            SELECT dst, src FROM ed WHERE src <> dst
+        ),
+        reach(node, comp) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT u.b, r.comp FROM reach r JOIN ud u ON u.a = r.node
+        )
+        SELECT node::BIGINT AS node, min(comp)::BIGINT AS component
+        FROM reach GROUP BY node
+    """,
+    # 5 unrolled rank rounds over the arithmetically re-derived edges
+    "domain_pagerank_ranks": _sql_pagerank_ctes(_PR_ITERS),
+    # URL construction + per-domain RFC 9309 rule outcomes in closed form
+    "crawl_frontier_gate": """
+        WITH docs AS (SELECT doc_id, doc_id % 5 AS hc FROM documents),
+        urls AS (
+            SELECT 'url' AS kind,
+                   'https://h' || hc || '.example.com/p/' || doc_id AS url,
+                   'h' || hc || '.example.com' AS dom,
+                   doc_id AS page_id,
+                   ('0.' || (doc_id % 9))::DOUBLE AS priority,
+                   hc
+            FROM docs
+        ),
+        refs AS (
+            SELECT DISTINCT 'sitemap' AS kind,
+                   'https://h' || hc || '.example.com/sitemap-pages.xml'
+                     AS url,
+                   'h' || hc || '.example.com' AS dom,
+                   NULL::BIGINT AS page_id, NULL::DOUBLE AS priority, hc
+            FROM docs
+        ),
+        alls AS (SELECT * FROM urls UNION ALL SELECT * FROM refs)
+        SELECT kind, url, dom AS domain, page_id, priority
+        FROM alls
+        WHERE CASE hc
+          -- h0: Disallow /p/ with longer Allow /p/1 override
+          WHEN 0 THEN kind = 'sitemap'
+                      OR starts_with(page_id::VARCHAR, '1')
+          -- h1: declared graftbot group (Disallow /p/3) replaces '*'
+          WHEN 1 THEN kind = 'sitemap'
+                      OR NOT starts_with(page_id::VARCHAR, '3')
+          -- h2: declared-EMPTY graftbot group = fully allowed
+          WHEN 2 THEN TRUE
+          -- h3: '*' Disallow / blocks everything, sitemap refs included
+          WHEN 3 THEN FALSE
+          -- h4: no robots row
+          ELSE TRUE END
+    """,
+    # fixture block outcomes in closed form; the page-total denominator
+    # re-applies the same tag->space + collapse chain to the same page
+    "main_content_extract": r"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   '<html><head><title>Site ' || (doc_id % 7) ||
+                   '</title></head><body><nav><a href="/">Home</a>' ||
+                   ' <a href="/about">About</a>' ||
+                   ' <a href="/tags">Tags</a></nav><p>' || text ||
+                   ' x &lt; y &amp;amp; z</p><div>' ||
+                   '<a href="/p1">rel one</a> <a href="/p2">rel two</a>' ||
+                   ' and more chrome</div>' ||
+                   '<footer>(c) 2026 example site</footer></body></html>'
+                     AS page,
+                   regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
+            FROM documents
+        ),
+        pre AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN length(norm) >= 4
+                          THEN norm || ' x &lt; y &amp;amp; z'
+                        ELSE '' END AS main_pre,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE length(trim(regexp_replace(regexp_replace(
+                               page, '<[^>]*>', ' ', 'g'),
+                               '\s+', ' ', 'g'))) END AS total
+            FROM base
+        ),
+        dec AS (
+            SELECT doc_id, main_pre, total,
+                   replace(replace(replace(replace(replace(replace(
+                     main_pre,
+                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                     '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')
+                     AS decoded
+            FROM pre
+        )
+        SELECT doc_id,
+               decoded AS text,
+               length(main_pre)::BIGINT AS n_kept_chars,
+               CASE WHEN main_pre IS NULL THEN NULL
+                    ELSE round(length(main_pre)
+                               / greatest(total::DOUBLE, 1.0), 4) END
+                 AS kept_frac,
+               (length(main_pre) - length(decoded))::BIGINT
+                 AS n_chars_removed
+        FROM dec
     """,
     # the full SPFHP solve + merge + assignment, replayed in DuckDB
     # (two recursive CTEs over list-state; see _q_pack_bins_report)

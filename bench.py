@@ -60,8 +60,6 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "top_parts_per_brand",
-    "rollup_returns",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q11_important_part_values",
@@ -89,7 +87,6 @@ HEADLINE = [
     "orders_above_customer_avg",
     "scalar_function_showcase",
     "pivot_priority_status",
-    "value_percentiles",
     "session_window_stats",
     "window_function_showcase",
     "grouping_sets_revenue",
@@ -127,11 +124,8 @@ HEADLINE = [
     "image_phash_pairs",
     "audio_fingerprint_pairs",
     "boilerplate_line_dedup",
-    "bigram_quality",
-    "overlap_chunks",
     "per_source_cap",
     "quality_buckets",
-    "strip_markup",
     "bpe_train",
     "incremental_dedup",
 ]
@@ -141,6 +135,9 @@ HEADLINE = [
 # operator can never silently skip the bench (r12: 8 additions were
 # missing from a round's BENCH_QUERIES.json until this guard).
 HEADLINE += [q for q in entrymod.queries() if q not in HEADLINE]
+# ... and registry folds can never leave a stale name behind (r15: six
+# queries folded into absorbers; a KeyError here would kill the bench)
+HEADLINE = [q for q in HEADLINE if q in entrymod.queries()]
 
 
 def main() -> None:

@@ -143,63 +143,58 @@ R14_FOLDED = {
 }
 
 
-def test_driver_window_covers_r14_rotation():
+# r15 registry fold (VERDICT r14 ask #2's budget) -- six retired slots
+# pay for the six crawl-graph composite registrations; each retired
+# query's semantics stay checked through its absorber:
+#   value_percentiles    -> curriculum_assignment (the stage cuts ARE a
+#                           percentile aggregate, oracle-replicated) +
+#                           quality_buckets (quality_bucket_cuts runs
+#                           the same percentile_approx idiom)
+#   top_parts_per_brand  -> window_function_showcase (per-group rank
+#                           analytics over the same deterministic
+#                           frame) + top_terms_rrf / bm25_search (the
+#                           per-group top-k TakeOrdered shape)
+#   rollup_returns       -> cube_order_stats (CUBE is a strict superset
+#                           of ROLLUP on the same grouping-set
+#                           machinery) + grouping_sets_revenue
+#   bigram_quality       -> nb_quality_scores (hashed unigram+bigram
+#                           counts and smoothed log-arithmetic are its
+#                           features, fully oracle-replicated) +
+#                           unigram_quality (the order-1 LM score)
+#   strip_markup         -> main_content_extract (its strip stage runs
+#                           the identical tag/entity/whitespace chain
+#                           on every row, entity outcomes hash-pinned)
+#   overlap_chunks       -> chunk_manifest (same token-offset chunk
+#                           explosion arithmetic; the sliding-window
+#                           variant stays unit+property tested)
+R15_FOLDED = {
+    "value_percentiles", "top_parts_per_brand", "rollup_returns",
+    "bigram_quality", "strip_markup", "overlap_chunks",
+}
+
+
+def test_driver_window_covers_r15_rotation():
     """The external driver verifies only the FIRST 50 entries of
-    queries() in declaration order.  r14 (VERDICT r13 asks #1 + #2):
-    nine R14_FOLDED retirements pay for the nine r13b-family
+    queries() in declaration order.  r15 (VERDICT r14 asks #2 + #3):
+    six R15_FOLDED retirements pay for the six crawl-graph composite
     registrations, so the registry holds at 94 and the exact TWO-round
     cycle stands: 6 pinned parity + 2 x 44 rotating slots.
 
-    r14's window = 6 parity + the 8 relational queries last green r11
-    + the 26 surviving r12-green queries + bpe_apply_docs (registered
-    r13, FIRST driver row here) + the 9 new composites (first rows).
-    Below the window: exactly the 44 queries green in r13's own window
-    (CORRECTNESS_r13.json minus the 6 pinned), so r14 union r15 covers
-    all 94 and r13 union r14 covers everything registered before r14."""
+    r15's window = 6 parity + the 38 surviving r13-green rotating
+    queries (below r14's window) + the 6 new crawl-graph composites
+    (first rows).  Below the window: exactly the 44 queries green in
+    r14's own window (CORRECTNESS_r14.json minus the 6 pinned), so
+    r14 union r15 covers all 94."""
     names = list(entrymod.queries())
     window = names[:50]
     assert len(names) == 94, len(names)
-    assert not (R13_FOLDED | R14_FOLDED) & set(names), (
+    assert not (R13_FOLDED | R14_FOLDED | R15_FOLDED) & set(names), (
         "folded query still registered"
     )
-    relational_r11 = {
-        "events_json_extract", "cube_order_stats",
-        "running_customer_revenue", "set_ops_customers",
-        "orders_above_customer_avg", "scalar_function_showcase",
-        "grouping_sets_revenue", "scd2_customer_segments",
-    }
-    r12_green_surviving = {
-        "similarity_ivfpq_topk", "multimodal_pixel_roundtrip",
-        "audio_features_real", "gopher_quality", "chunk_manifest",
-        "cluster_balanced_sample", "substring_dup_spans",
-        "similarity_ivf_trained", "semantic_dedup", "bm25_search",
-        "text_stats", "corpus_report", "winnow_fingerprints",
-        "dedup_exact", "fuzzy_dedup_keep", "ngram_jaccard_pairs",
-        "simhash_pairs", "embedding_near_dup_lsh", "similarity_topk",
-        "multimodal_meta", "pii_redact", "repetition_stats",
-        "unigram_quality", "q12_late_shipments", "session_window_stats",
-        "asof_purchase_view",
-    }
-    new_r14 = {
-        "web_ingest_pipeline", "nb_quality_scores", "decontaminate_pairs",
-        "leakage_split", "upsample_epoch_shuffle",
-        "importance_resample_docs", "incremental_minhash_gate",
-        "top_terms_rrf", "pack_bins_report",
-    }
-    want = (
-        PARITY_PINNED | relational_r11 | r12_green_surviving
-        | {"bpe_apply_docs"} | new_r14
-    )
-    missing = want - set(window)
-    assert not missing, f"evicted from the driver's 50-query window: {missing}"
-    assert len(window) == 50
-    assert set(window) == want
-    # below the window: exactly the 44 r13-green rotating queries
-    r13_green_rotating = {
+    r13_green_surviving = {
         "dsir_weights", "token_budget_mixture", "image_phash_pairs",
         "audio_fingerprint_pairs", "boilerplate_line_dedup",
-        "bigram_quality", "overlap_chunks", "per_source_cap",
-        "quality_buckets", "strip_markup", "bpe_train",
+        "per_source_cap", "quality_buckets", "bpe_train",
         "incremental_dedup", "bpe_encode", "doc_signals",
         "paragraph_dedup", "curation_pipeline", "embedding_quantize",
         "q1_pricing_summary", "q2_min_cost_supplier",
@@ -212,14 +207,46 @@ def test_driver_window_covers_r14_rotation():
         "q16_parts_supplier_counts", "q17_small_quantity_revenue",
         "q18_large_volume_customers", "q19_discounted_revenue",
         "q20_promo_heavy_suppliers", "q21_sole_blame_supplier",
-        "q22_global_sales_opportunity", "value_percentiles",
-        "interval_view_purchase", "pivot_priority_status",
-        "window_function_showcase", "top_parts_per_brand",
-        "rollup_returns",
+        "q22_global_sales_opportunity", "interval_view_purchase",
+        "pivot_priority_status", "window_function_showcase",
+    }
+    new_r15 = {
+        "crawl_frontier_gate", "main_content_extract",
+        "domain_pagerank_ranks", "connected_components_labels",
+        "corpus_diff_status", "curriculum_assignment",
+    }
+    want = PARITY_PINNED | r13_green_surviving | new_r15
+    missing = want - set(window)
+    assert not missing, f"evicted from the driver's 50-query window: {missing}"
+    assert len(window) == 50
+    assert set(window) == want
+    # below the window: exactly the 44 r14-green rotating queries
+    r14_green_rotating = {
+        "events_json_extract", "cube_order_stats",
+        "running_customer_revenue", "set_ops_customers",
+        "orders_above_customer_avg", "scalar_function_showcase",
+        "grouping_sets_revenue", "scd2_customer_segments",
+        "similarity_ivfpq_topk", "multimodal_pixel_roundtrip",
+        "audio_features_real", "gopher_quality", "chunk_manifest",
+        "cluster_balanced_sample", "substring_dup_spans",
+        "similarity_ivf_trained", "semantic_dedup", "bm25_search",
+        "text_stats", "corpus_report", "winnow_fingerprints",
+        "bpe_apply_docs", "dedup_exact", "fuzzy_dedup_keep",
+        "ngram_jaccard_pairs", "simhash_pairs", "embedding_near_dup_lsh",
+        "similarity_topk", "multimodal_meta", "pii_redact",
+        "repetition_stats", "unigram_quality", "q12_late_shipments",
+        "session_window_stats", "asof_purchase_view",
+        "web_ingest_pipeline", "nb_quality_scores", "decontaminate_pairs",
+        "leakage_split", "upsample_epoch_shuffle",
+        "importance_resample_docs", "incremental_minhash_gate",
+        "top_terms_rrf", "pack_bins_report",
     }
     below = set(names[50:])
-    assert below == r13_green_rotating
+    assert below == r14_green_rotating
     assert len(below) == 44, len(below)
+    # r15 closes the last no_oracle hole: EVERY registered query now
+    # carries a DuckDB oracle (pack_bins_report got its in r15)
+    assert set(entrymod.oracle_sql()) == set(names)
 
 
 def test_round_half_away_matches_oracle_round():

@@ -81,10 +81,23 @@ def test_topk_queries_use_window_group_limit(spark):
     # shuffle (WindowGroupLimit), not a full sort of all candidates
     # similarity_quantized_topk folded out of the registry in r14 (its
     # SQ8 encode/decode rides embedding_quantize, exact ranking rides
-    # similarity_topk) -- the plan contract still holds on the library fn
+    # similarity_topk) and top_parts_per_brand in r15 (absorbed by
+    # window_function_showcase + the top-k family) -- the plan
+    # contracts still hold on the library-level spellings
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    part = spark.read.parquet(os.path.join(SF, "part.parquet"))
+    w = _W.partitionBy("p_brand").orderBy(
+        _F.col("p_retailprice").desc(), _F.col("p_partkey").asc()
+    )
+    brand_topk = (
+        part.withColumn("rnk", _F.row_number().over(w))
+        .filter(_F.col("rnk") <= 3)
+    )
     plans = {
         "similarity_topk": _plan(spark, "similarity_topk"),
-        "top_parts_per_brand": _plan(spark, "top_parts_per_brand"),
+        "brand_topk": _explain(brand_topk),
         "similarity_quantized_topk": _explain(
             entrymod._q_similarity_quantized_topk(spark, SF)
         ),
@@ -259,11 +272,17 @@ def test_per_source_cap_map_side_group_limit(spark):
 
 
 def test_strip_markup_is_shuffle_free_projection(spark):
-    plan = _plan(spark, "strip_markup")
-    # no join, window, or aggregate anywhere; at most the _docs repartition
-    for op in ("Join", "Window", "HashAggregate", "Sort"):
+    # the strip_markup query folded into main_content_extract in r15;
+    # the zero-shuffle contract still holds on the library function
+    from data_stream_flink_user_address_spark.functions.text import (
+        strip_markup,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    plan = _explain(strip_markup(docs))
+    # no join, window, aggregate, or exchange anywhere: pure projection
+    for op in ("Join", "Window", "HashAggregate", "Sort", "Exchange"):
         assert op not in plan, op
-    assert plan.count("Exchange") <= 2  # the _docs round-robin only
 
 
 def test_quality_buckets_window_carries_slim_rows_only(spark):
