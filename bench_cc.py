@@ -12,6 +12,9 @@ This bench runs it (``driver_threshold=0``) on two shapes:
 - ``random_100k``: 100k xxhash-random edges over 150k nodes (mean
   degree ~1.3, the near-dup-graph regime: many small components plus an
   emerging giant) -- the realistic shape.
+- ``random_1e7``: the same shape at 1e7 edges / 1.5e7 nodes -- ABOVE
+  the 5M-edge driver_threshold, i.e. the only regime the distributed
+  branch actually serves; every row also records the converged flag.
 
 For each: rounds, wall seconds, nodes, edges, and the driver-branch
 wall seconds on the same graph for comparison (the hybrid default's
@@ -46,24 +49,32 @@ def random_graph(spark, n_edges: int, n_nodes: int):
     ).filter(F.col("doc_a") != F.col("doc_b"))
 
 
-def run(name: str, pairs) -> dict:
+def run(name: str, pairs, compare_driver: bool = True,
+        max_iter: int = 20) -> dict:
     pairs = pairs.localCheckpoint()  # freeze inputs so both branches see the same graph
     n_edges = pairs.count()
     stats: dict = {}
     t0 = time.perf_counter()
-    out = dedup_clusters(pairs, driver_threshold=0, stats=stats)
+    out = dedup_clusters(pairs, driver_threshold=0, stats=stats,
+                         max_iter=max_iter)
     n_nodes = out.count()
     dist_sec = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    dedup_clusters(pairs).count()
-    driver_sec = round(time.perf_counter() - t0, 3)
     entry = {
         "graph": name,
         "edges": n_edges,
         "nodes": n_nodes,
-        "distributed": {"rounds": stats.get("rounds"), "sec": dist_sec},
-        "driver_union_find": {"sec": driver_sec},
+        "distributed": {
+            "rounds": stats.get("rounds"),
+            "converged": stats.get("converged"),
+            "sec": dist_sec,
+        },
     }
+    if compare_driver:
+        t0 = time.perf_counter()
+        dedup_clusters(pairs).count()
+        entry["driver_union_find"] = {
+            "sec": round(time.perf_counter() - t0, 3)
+        }
     print(json.dumps(entry), flush=True)
     return entry
 
@@ -72,7 +83,18 @@ def main() -> None:
     spark = get_spark("bench_cc")
     results = [
         run("chain_1024", chain(spark, 1024)),
-        run("random_100k", random_graph(spark, 100_000, 150_000)),
+        # near-critical random graphs grow long tendrils: the giant
+        # component's effective diameter needs more than 20 label
+        # rounds even with pointer jumping -- cap raised so the rows
+        # record CONVERGED numbers (r14's rounds=20 was ambiguous;
+        # the stats flag now makes truncation explicit)
+        run("random_100k", random_graph(spark, 100_000, 150_000),
+            max_iter=60),
+        # the regime the distributed branch exists for: 1e7 edges,
+        # 2x the driver_threshold -- driver comparison skipped (the
+        # hybrid would never route this to the driver)
+        run("random_1e7", random_graph(spark, 10_000_000, 15_000_000),
+            compare_driver=False, max_iter=60),
     ]
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "CC_BENCH.json"), "w"

@@ -285,12 +285,17 @@ def dedup_clusters(
     definition).
 
     ``stats``, when given, receives ``{"mode": "driver"|"distributed",
-    "rounds": k}`` after the plan is built (rounds includes the final
-    no-change round that proves convergence) -- the observable the
-    convergence-bound test pins: a chain of diameter D converges in
-    <= log2(D)+2 rounds thanks to the pointer-jumping hop
+    "rounds": k, "converged": bool}`` after the plan is built (rounds
+    includes the final no-change round that proves convergence) -- the
+    observable the convergence-bound test pins: a chain of diameter D
+    converges in <= log2(D)+2 rounds thanks to the pointer-jumping hop
     (``tests/test_functions.py``), measured wall times in
-    ``CC_BENCH.json`` (``python bench_cc.py``).
+    ``CC_BENCH.json`` (``python bench_cc.py``).  A distributed run that
+    hits ``max_iter`` with labels still moving records
+    ``converged: False`` AND emits a RuntimeWarning (labels may split a
+    component) instead of truncating silently; ``rounds == max_iter``
+    alone is ambiguous between "converged on the last round" and
+    "truncated", which is exactly why the flag exists.
     """
     spark = pairs.sparkSession
     p = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -322,7 +327,7 @@ def dedup_clusters(
                 root_min[r] = node
         rows = [(node, root_min[find(node)]) for node in parent]
         if stats is not None:
-            stats.update(mode="driver", rounds=0)
+            stats.update(mode="driver", rounds=0, converged=True)
         # schema follows the input id type (string URL/domain graphs
         # route through here too, via graph.connected_components --
         # a hard-coded long schema crashed them below the threshold
@@ -399,9 +404,26 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    else:
+        converged = False
+    if not converged:
+        # no silent caps: labels may span one component in several
+        # pieces when the cap bites -- say so loudly, and record it
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters hit max_iter={max_iter} before the "
+            f"min-label propagation converged ({changed} labels still "
+            "moving); returned cluster ids may split components -- "
+            "raise max_iter (pointer jumping needs ~log2(diameter)+2 "
+            "rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if stats is not None:
-        stats.update(mode="distributed", rounds=rounds)
+        stats.update(mode="distributed", rounds=rounds, converged=converged)
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -35,6 +35,76 @@ from pyspark.sql import functions as F
 from .text import token_count, tokens
 
 
+def _order_preserving_bucket(
+    d: DataFrame, id_col: str, bucket_size: int
+) -> DataFrame:
+    """Add an ORDER-PRESERVING ``__bucket`` column: sorting by
+    (bucket, id) must equal sorting by id -- the invariant the
+    two-phase distributed prefix sum rests on, which is why
+    :func:`histogram_pack`'s hash-bucket trick is NOT usable here
+    (hashes scramble the concatenation order).
+
+    Numeric ids bucket by floor division: zero extra passes, exact
+    ``bucket_size`` occupancy for dense ids.  String ids (URL or UUID
+    keys) take one extra aggregate pass over the (already slim,
+    lazily-materialized) count frame: a 7-byte big-endian prefix proxy
+    -- monotone in the UTF8_BINARY string order Spark sorts by -- feeds
+    ``percentile_approx``, and the bucket is the row-local count of
+    cuts below the proxy (the ``curriculum_order`` cut idiom).  Ids
+    sharing a cut-straddling proxy land in one bucket: occupancy can
+    exceed ``bucket_size`` only when many ids share their first 7
+    bytes, order is preserved regardless.  Other id types raise -- a
+    silent wrong-order concat would corrupt every downstream chunk.
+    """
+    from pyspark.sql import types as T
+
+    dtype = d.schema[id_col].dataType
+    if isinstance(
+        dtype,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType),
+    ):
+        return d.withColumn("__bucket", F.floor(F.col(id_col) / bucket_size))
+    if not isinstance(dtype, T.StringType):
+        raise TypeError(
+            f"sequence packing needs a numeric or string id to define "
+            f"the concatenation order; got {dtype.simpleString()} for "
+            f"{id_col!r}"
+        )
+    # slim frame referenced by count + cuts + the main pass: materialize
+    # lazily or the upstream token scan runs three times (pitfall #1)
+    d = d.localCheckpoint(eager=False)
+    proxy = F.coalesce(
+        F.conv(
+            F.hex(F.expr(f"rpad(cast({id_col} as binary), 7, x'00')")),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(0),
+    )
+    p = d.withColumn("__proxy", proxy)
+    n_docs = p.count()
+    n_buckets = max(1, -(-n_docs // bucket_size))
+    if n_buckets == 1:
+        return p.drop("__proxy").withColumn("__bucket", F.lit(0).cast("bigint"))
+    fracs = F.array(
+        *[F.lit(i / n_buckets) for i in range(1, int(n_buckets))]
+    )
+    cuts = p.agg(
+        F.percentile_approx("__proxy", fracs, F.lit(10_000)).alias("__cuts")
+    )
+    bucketed = F.aggregate(
+        "__cuts",
+        F.lit(0).cast("bigint"),
+        lambda acc, cut: acc
+        + F.when(F.col("__proxy") > cut, 1).otherwise(0),
+    )
+    return (
+        p.join(F.broadcast(cuts))
+        .withColumn("__bucket", bucketed)
+        .drop("__proxy", "__cuts")
+    )
+
+
 def sequence_pack_offsets(
     df: DataFrame,
     text_col: str = "text",
@@ -53,11 +123,19 @@ def sequence_pack_offsets(
     exclusive of the separator.  A doc with ``first_chunk !=
     last_chunk`` crosses a block boundary (downstream either splits it
     or masks across the seam -- both need exactly these offsets).
+
+    Ids may be numeric (floor-division buckets, zero extra passes) or
+    strings (one extra quantile pass for order-preserving range
+    buckets -- see :func:`_order_preserving_bucket`).
     """
-    d = df.select(
-        F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
-    ).withColumn("__bucket", F.floor(F.col(id_col) / bucket_size))
+    d = _order_preserving_bucket(
+        df.select(
+            F.col(id_col),
+            token_count(text_col).alias("n_tokens"),
+        ),
+        id_col,
+        bucket_size,
+    )
     costed = d.withColumn("__cost", F.col("n_tokens") + sep_tokens)
 
     wloc = (

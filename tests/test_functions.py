@@ -272,6 +272,40 @@ def test_dedup_clusters_distributed_converges_in_log_rounds(spark):
     assert all(r["cluster_id"] == 0 for r in out)
     assert stats["mode"] == "distributed"
     assert stats["rounds"] <= math.log2(diameter) + 2, stats
+    assert stats["converged"] is True
+
+
+def test_dedup_clusters_max_iter_truncation_is_loud(spark):
+    """No silent caps (VERDICT r14 wrong #2): a distributed run that
+    hits max_iter with labels still moving must record converged=False
+    in stats AND warn -- rounds == max_iter alone cannot distinguish
+    "converged on the last round" from "truncated"."""
+    import warnings
+
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        dedup_clusters,
+    )
+
+    # a diameter-64 chain needs ~6 propagation rounds; cap at 2
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup_clusters(
+            pairs, driver_threshold=0, max_iter=2, stats=stats
+        ).collect()
+    assert stats["converged"] is False
+    assert stats["rounds"] == 2
+    assert any(
+        "max_iter" in str(w.message) and w.category is RuntimeWarning
+        for w in caught
+    ), [str(w.message) for w in caught]
+    # and the driver path always reports converged (exact union-find)
+    stats2: dict = {}
+    dedup_clusters(pairs, stats=stats2).collect()
+    assert stats2 == {"mode": "driver", "rounds": 0, "converged": True}
 
 
 def test_train_ivf_centroids_recovers_cluster_means(spark):

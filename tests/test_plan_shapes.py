@@ -201,6 +201,56 @@ def test_curation_pipeline_never_shuffles_document_bodies(spark):
         assert inputs and "text#" not in inputs[0], f"text crosses a hash exchange: {inputs}"
 
 
+def test_main_content_extraction_stage_is_scan_fused_row_local(spark):
+    """The crawl funnel's ingestion order (VERDICT r14 ask #7): raw
+    pages hit extract_main_content BEFORE any wide curation op, and the
+    extraction must be a row-local Arrow-batched stage fused onto the
+    scan -- no exchange may sit between the parquet read and the pandas
+    UDF, and downstream of the gate the page bodies must never cross a
+    hash exchange (the curation claim, now covering the extraction
+    stage the funnel runs since the crawl-ingest demo adopted it)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        exact_dedup,
+    )
+    from data_stream_flink_user_address_spark.functions.text import (
+        extract_main_content,
+        strip_markup,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<nav><a href="/">x</a></nav><p>'), F.col("text"),
+            F.lit("</p>"),
+        ).alias("text"),
+    )
+    content = extract_main_content(pages)
+    cleaned = strip_markup(content).filter(F.length("text") > 0)
+    plan = _explain(exact_dedup(cleaned))
+    # the extraction is the Arrow-batched pandas stage...
+    assert "ArrowEvalPython" in plan
+    # ...and it runs straight off the scan: the plan below the pandas
+    # node contains the parquet read and no exchange of any kind
+    below = plan.split("ArrowEvalPython", 1)[1]
+    tail = below.split("Scan parquet", 1)[0]
+    assert "Exchange" not in tail, tail
+    # after the gate, bodies never cross a hash exchange: the dedup
+    # shuffle carries ids + fingerprints only
+    for m in re.finditer(r"\(\d+\) Exchange\n(.*?)\n\n", plan, re.S):
+        block = m.group(1)
+        if "hashpartitioning" not in block:
+            continue
+        inputs = [l for l in block.splitlines() if l.startswith("Input")]
+        assert inputs and "text#" not in inputs[0], (
+            f"page bodies cross a hash exchange: {inputs}"
+        )
+
+
 def test_semantic_dedup_broadcasts_centroids_no_cartesian(spark):
     # the centroid side must broadcast (the corpus x centroid argmax is
     # a BroadcastNestedLoopJoin over the tiny trained frame, never a
