@@ -274,8 +274,13 @@ def dedup_clusters(
     The label-of-label hop is union-find path compression -- convergence
     drops from O(diameter) to O(log diameter) rounds.  Each round is
     fully distributed (two joins + a grouped min); the driver only
-    checks the converged flag, and ``localCheckpoint`` truncates the
-    growing lineage.  The edge/label frames are repartitioned to a
+    checks the converged flag, and each round's label frame is CACHED
+    (truncating lineage via cache substitution with REAL byte
+    statistics -- a per-round localCheckpoint inherits the plan's
+    estimated sizeInBytes, which the self-join squares every round
+    until the stats visitor's BigInteger kills the driver near round
+    25; see the loop comment) and unpersisted one round later.  The
+    edge/label frames are repartitioned to a
     width sized from the counted edge total (one partition per ~1M
     edges, floor 8, cap 2x cluster parallelism) -- the candidate-pair
     graph is orders of magnitude smaller than the corpus, so a fixed
@@ -297,6 +302,8 @@ def dedup_clusters(
     alone is ambiguous between "converged on the last round" and
     "truncated", which is exactly why the flag exists.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     spark = pairs.sparkSession
     p = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     # one computation: a limit probe collects the edges iff they fit
@@ -370,6 +377,20 @@ def dedup_clusters(
         .localCheckpoint()
     )
     rounds = 0
+    # Round protocol: cache -> convergence count (materializes the
+    # cache) -> flat localCheckpoint FROM the cache -> unpersist.  A
+    # bare per-round localCheckpoint keeps the plan flat but INHERITS
+    # the plan's ESTIMATED sizeInBytes, and the pointer-jump self-join
+    # SQUARES that estimate every round -- by round ~25 the stats
+    # visitor's BigInteger product is hundreds of MB and the driver
+    # dies in SizeInBytesOnlyStatsPlanVisitor (measured: digits double
+    # per round; r14's 20-round cap sat one decade from the cliff).  A
+    # bare cache has the opposite failure: the stored logical plan
+    # nests the previous round's tree three times, so analysis cost
+    # grows 3^rounds.  Checkpointing the MATERIALIZED cache gets both
+    # halves right: the snapshot is a flat leaf carrying the
+    # InMemoryRelation's REAL byte statistics, and the cache is
+    # dropped immediately after the copy.
     for _ in range(max_iter):
         rounds += 1
         neighbor_min = (
@@ -394,7 +415,7 @@ def dedup_clusters(
                 F.least(F.col("label"), F.coalesce("p_label", F.col("label"))).alias("label"),
             )
             .repartition(n_parts, "doc_id")
-            .localCheckpoint()
+            .cache()
         )
         changed = (
             new_labels.alias("n")
@@ -402,7 +423,8 @@ def dedup_clusters(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels
+        labels = new_labels.localCheckpoint()
+        new_labels.unpersist()
         if changed == 0:
             converged = True
             break
@@ -424,6 +446,8 @@ def dedup_clusters(
         )
     if stats is not None:
         stats.update(mode="distributed", rounds=rounds, converged=converged)
+    # labels is already a flat self-contained checkpoint; no loop cache
+    # survives the round protocol above
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -49,12 +49,21 @@ def _order_preserving_bucket(
     keys) take one extra aggregate pass over the (already slim,
     lazily-materialized) count frame: a 7-byte big-endian prefix proxy
     -- monotone in the UTF8_BINARY string order Spark sorts by -- feeds
-    ``percentile_approx``, and the bucket is the row-local count of
-    cuts below the proxy (the ``curriculum_order`` cut idiom).  Ids
-    sharing a cut-straddling proxy land in one bucket: occupancy can
-    exceed ``bucket_size`` only when many ids share their first 7
-    bytes, order is preserved regardless.  Other id types raise -- a
-    silent wrong-order concat would corrupt every downstream chunk.
+    ``percentile_approx``, and each row finds its bucket through a
+    BINARY-SEARCH ``when`` tree over the collected cut points --
+    O(log n_buckets) comparisons per row, where the
+    ``curriculum_order`` linear cut-count idiom (fine for its
+    handful of stages) would cost O(n_buckets) per row here.  The cut
+    count is additionally capped at 4096: past ``4096 * bucket_size``
+    docs the bucket occupancy (and so the rank-window partition and
+    the phase-2 single-task frame) grows as n/4096 instead of holding
+    at ``bucket_size`` -- still thousands of times smaller than the
+    corpus; raise ``bucket_size`` with the corpus as the module
+    docstring already directs.  Ids sharing a cut-straddling proxy
+    land in one bucket: occupancy can exceed the target only when many
+    ids share their first 7 bytes, order is preserved regardless.
+    Other id types raise -- a silent wrong-order concat would corrupt
+    every downstream chunk.
     """
     from pyspark.sql import types as T
 
@@ -83,25 +92,30 @@ def _order_preserving_bucket(
     )
     p = d.withColumn("__proxy", proxy)
     n_docs = p.count()
-    n_buckets = max(1, -(-n_docs // bucket_size))
+    n_buckets = min(max(1, -(-n_docs // bucket_size)), 4096)
     if n_buckets == 1:
         return p.drop("__proxy").withColumn("__bucket", F.lit(0).cast("bigint"))
     fracs = F.array(
         *[F.lit(i / n_buckets) for i in range(1, int(n_buckets))]
     )
-    cuts = p.agg(
+    (cut_vals,) = p.agg(
         F.percentile_approx("__proxy", fracs, F.lit(10_000)).alias("__cuts")
-    )
-    bucketed = F.aggregate(
-        "__cuts",
-        F.lit(0).cast("bigint"),
-        lambda acc, cut: acc
-        + F.when(F.col("__proxy") > cut, 1).otherwise(0),
-    )
+    ).first()
+
+    # bucket = count of cuts strictly below the proxy, found by binary
+    # search: cut_vals[m] separates bucket m from m+1, so proxy >
+    # cut_vals[m] means the bucket is in (m, hi]
+    def tree(lo: int, hi: int) -> F.Column:
+        if lo == hi:
+            return F.lit(lo).cast("bigint")
+        mid = (lo + hi) // 2
+        return F.when(
+            F.col("__proxy") > F.lit(int(cut_vals[mid])), tree(mid + 1, hi)
+        ).otherwise(tree(lo, mid))
+
     return (
-        p.join(F.broadcast(cuts))
-        .withColumn("__bucket", bucketed)
-        .drop("__proxy", "__cuts")
+        p.withColumn("__bucket", tree(0, len(cut_vals)))
+        .drop("__proxy")
     )
 
 

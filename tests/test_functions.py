@@ -308,6 +308,47 @@ def test_dedup_clusters_max_iter_truncation_is_loud(spark):
     assert stats2 == {"mode": "driver", "rounds": 0, "converged": True}
 
 
+def test_dedup_clusters_distributed_stats_stay_bounded(spark):
+    """The iterative label loop must not inherit ESTIMATED sizeInBytes
+    across rounds: a per-round localCheckpoint carries the estimate
+    forward and the pointer-jump self-join SQUARES it every round --
+    ~round 25 the stats visitor's BigInteger product OOMs the driver
+    (hit for real by bench_cc's 60-round cap).  The cached-round fix
+    keeps statistics REAL: after a 10-round run the returned frame's
+    sizeInBytes must be a sane number, not a 5000-digit integer."""
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        dedup_clusters,
+    )
+
+    diameter = 256  # ~10 rounds with pointer jumping
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(diameter)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    out = dedup_clusters(pairs, driver_threshold=0, stats=stats)
+    assert stats["converged"] and stats["rounds"] >= 5, stats
+    size = int(
+        str(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    assert size < 10**9, f"estimated stats blew up: {size}"
+    assert all(r["cluster_id"] == 0 for r in out.collect())
+
+
+def test_dedup_clusters_rejects_nonpositive_max_iter(spark):
+    """max_iter < 1 must raise up front on the distributed branch --
+    the for-else truncation warning would otherwise reference a
+    never-assigned loop variable (review find)."""
+    import pytest as _pytest
+
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with _pytest.raises(ValueError, match="max_iter"):
+        dedup_clusters(pairs, driver_threshold=0, max_iter=0)
+
+
 def test_train_ivf_centroids_recovers_cluster_means(spark):
     """Two well-separated cone clusters; stride init picks one seed in
     each; one Lloyd round must move each centroid to its cluster's

@@ -495,3 +495,21 @@ def test_offsets_unsupported_id_type_raises(spark):
     )
     with _pytest.raises(TypeError, match="numeric or string id"):
         sequence_pack_offsets(df)
+
+
+def test_string_bucket_binary_search_matches_cut_semantics(spark):
+    """The binary when-tree must equal 'count of cuts strictly below
+    the proxy' for every row -- including proxies exactly equal to a
+    cut (ties stay in the lower bucket) -- and the bucket column must
+    be non-decreasing in id order (the order-preserving contract)."""
+    from data_stream_flink_user_address_spark.functions.packing import (
+        _order_preserving_bucket,
+    )
+
+    ids = [f"k{i:05d}" for i in range(200)]
+    df = spark.createDataFrame([(s, 1) for s in ids], "doc_id string, n_tokens int")
+    out = _order_preserving_bucket(df, "doc_id", bucket_size=25)
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    buckets = [r["__bucket"] for r in rows]
+    assert buckets == sorted(buckets)  # monotone in id order
+    assert 0 < len(set(buckets)) <= 8  # ~200/25 buckets materialize
