@@ -30,9 +30,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from data_stream_flink_user_address_spark.functions.embedding import (
+    apply_projection,
+    train_pca_whitening,
+)
 from data_stream_flink_user_address_spark.functions.quantize import (
     quantize_int8_frame,
     quantized_topk,
+)
+from data_stream_flink_user_address_spark.functions.similarity import (
+    brute_force_topk,
 )
 from data_stream_flink_user_address_spark.session import get_spark
 
@@ -78,6 +85,45 @@ def main() -> None:
         )
         for r in rows[:5]:
             print(f"  q{r.query_id} rank{r.rank}: vec {r.vec_id} cosine {r.cosine}")
+
+        # --- the other compression axis: PCA-16 candidate generation ---
+        # (functions/embedding.py) 64 -> 16 dims = 4x narrower candidate
+        # scan BEFORE quantization even starts; candidates rerank
+        # exactly against the float table, recall measured against the
+        # exact answer
+        t0 = time.time()
+        pca = train_pca_whitening(floats, k=16, whiten=False)
+        proj = apply_projection(floats, pca, out_col="embedding")
+        pq = apply_projection(
+            queries.withColumnRenamed("query_vec", "embedding"), pca
+        ).withColumnRenamed("embedding", "query_vec")
+        cands = brute_force_topk(proj, pq, k=40, dim=16).select(
+            "query_id", "vec_id"
+        )
+        rerank = (
+            brute_force_topk(
+                floats.join(
+                    cands.select("vec_id").distinct(), "vec_id", "semi"
+                ),
+                queries,
+                k=10,
+                dim=64,
+            )
+        )
+        got = {
+            (r.query_id, r.vec_id) for r in rerank.collect()
+        }
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in brute_force_topk(floats, queries, k=10, dim=64).collect()
+        }
+        pca_s = time.time() - t0
+        recall = len(got & exact) / max(len(exact), 1)
+        print(
+            f"PCA-16 candidates + exact rerank: {pca_s:.2f}s  "
+            f"recall@10={recall:.3f} (train eigendecomposes the one-pass "
+            f"corpus covariance; projection is one BLAS matmul per batch)"
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
