@@ -137,6 +137,9 @@ def main() -> None:
     results = [
         run_size(spark, 100_000, with_recall=True),
         run_size(spark, 1_000_000, with_recall=False),
+        # the scale rung: 1e7 x 64 floats (~2.5 GB) -- the partial-Gram
+        # reduce must stay one slim row per partition, throughput flat
+        run_size(spark, 10_000_000, with_recall=False),
     ]
     out = {
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
