@@ -119,7 +119,6 @@ HEADLINE = [
     "curation_pipeline",
     "multimodal_pixel_roundtrip",
     "audio_features_real",
-    "dsir_weights",
     "token_budget_mixture",
     "image_phash_pairs",
     "audio_fingerprint_pairs",

@@ -1,11 +1,14 @@
 """Measured DSIR importance-weighting cost at growing corpus size.
 
-``dsir_weights`` (functions/sampling.py:dsir_importance) is a
+DSIR importance weighting (functions/sampling.py:dsir_importance) is a
 two-histogram + broadcast-ratio plan: the claim is that cost is one
 explode+shuffle of (id, bucket) pairs over the raw corpus, with
 everything downstream bounded by n_buckets.  This bench runs the
-driver query's exact configuration (512 buckets, target = every 17th
-doc) on the same synthetic English-shaped corpora the curation bench
+retired ``dsir_weights`` driver query's exact configuration (512
+buckets, target = every 17th doc; the slot folded into
+nb_quality_scores + importance_resample_docs in r15b -- see
+tests/test_oracle_parity.py::R15B_FOLDED)
+on the same synthetic English-shaped corpora the curation bench
 uses (reused on disk when already generated) up to 10^6 documents and
 records wall time + docs/sec, so the plan-shape claim has a measured
 cost curve next to CURATION_SCALE.json.
@@ -25,7 +28,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import __spark_entry__ as em
 from bench_curation_scale import DATA_ROOT, gen_corpus
 from data_stream_flink_user_address_spark.session import get_spark
 
@@ -40,7 +42,19 @@ SIZES = [
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = get_spark("bench_dsir_scale")
-    qfn = em.queries()["dsir_weights"]
+    from pyspark.sql import functions as F
+
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        dsir_importance,
+    )
+    from data_stream_flink_user_address_spark.sources.tables import load_table
+
+    def qfn(spark, sf_dir):
+        # the retired dsir_weights driver query's exact fixture
+        d = load_table(spark, sf_dir, "documents", spread=True)
+        target = d.filter(F.col("doc_id") % 17 == 0)
+        raw = d.filter(F.col("doc_id") % 17 != 0)
+        return dsir_importance(raw, target, n_buckets=512)
     results = []
     for n in SIZES:
         corpus = gen_corpus(spark, n)

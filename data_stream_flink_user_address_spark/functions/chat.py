@@ -1,0 +1,221 @@
+"""Instruction/SFT conversation prep: JSON chat parsing, zero-shuffle
+turn flattening with loss-mask character spans, structural validation,
+and deterministic rendering.
+
+Engine extension beyond the reference surface (the reference keys and
+joins flat event streams -- `Main.java:45-183` has no conversation
+shape).  A training-data pipeline that feeds instruction tuning gets
+corpora as one JSON conversation per row (`[{"role": ..., "content":
+...}, ...]`) and needs, per turn: the role, the content, the token
+count, and -- the piece everything downstream consumes -- the character
+span the turn's content occupies in the RENDERED training string, so
+the trainer can loss-mask everything that is not assistant output.
+
+Scale shape, explicitly: a conversation arrives WHOLE in one row, so
+every quantity here -- offsets included -- is intra-row arithmetic.
+:func:`conversation_turns` computes spans inside a ``transform`` over
+the turns array (running totals via ``aggregate`` over an array
+``slice``) and only then explodes; nothing shuffles, the stage fuses
+onto the scan, and the plan contains ZERO exchanges (pinned in
+``tests/test_plan_shapes.py``).  The alternative spelling -- explode
+first, then a conv-keyed window for the running offset -- costs one
+hash exchange that carries every turn's content; at 100 TB that
+exchange IS the job, and it buys nothing the array arithmetic doesn't
+already give.  The slice-sum is O(T^2) in the TURN COUNT of a single
+conversation, over ``length()`` integers only (no string copies);
+chats are tens of turns, not thousands, so the quadratic term is noise
+next to the string scan itself.
+
+Rendering convention (shared by all functions here so spans cannot
+drift from the rendered text): each turn renders as
+``"<|" + role + "|>" + content + sep`` with ``sep = "\\n"``; the
+loss-mask span covers the CONTENT only, never the role header or the
+separator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+SEP = "\n"
+
+TURNS_SCHEMA = "array<struct<role: string, content: string>>"
+
+
+def _header_len(turn: Column) -> Column:
+    """Rendered header length for one turn struct: len('<|' role '|>')."""
+    return (F.length(turn["role"]) + F.lit(4)).cast("bigint")
+
+
+def _turn_len(turn: Column) -> Column:
+    """Full rendered length of one turn: header + content + separator."""
+    return _header_len(turn) + F.length(turn["content"]).cast("bigint") + F.lit(
+        len(SEP)
+    ).cast("bigint")
+
+
+def parse_conversations(
+    df: DataFrame,
+    json_col: str = "conversation",
+    id_col: str = "conv_id",
+    turns_col: str = "turns",
+) -> DataFrame:
+    """Parse a JSON chat column into a typed turns array.
+
+    ``from_json`` against the fixed ``[{role, content}]`` schema --
+    row-local, JVM-side, no UDF.  Malformed JSON yields a NULL array
+    (Spark's from_json contract); ``parse_ok`` makes the failure
+    explicit so a quality gate can count or quarantine bad rows instead
+    of silently dropping them.  Output keeps the id, the typed
+    ``turns`` array, ``n_turns``, and ``parse_ok``.
+    """
+    parsed = F.from_json(F.col(json_col), TURNS_SCHEMA)
+    return df.select(
+        F.col(id_col),
+        parsed.alias(turns_col),
+        F.coalesce(F.size(parsed), F.lit(-1)).cast("int").alias("n_turns"),
+        parsed.isNotNull().alias("parse_ok"),
+    )
+
+
+def conversation_turns(
+    df: DataFrame,
+    turns_col: str = "turns",
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Flatten conversations to one row per turn with rendered-string
+    character spans and loss-mask flags -- the SFT trainer's input
+    manifest.
+
+    Output ``(conv_id, turn_idx, role, content, n_chars, char_start,
+    char_end, loss_mask, n_tokens)`` where ``[char_start, char_end)``
+    is the 0-based span of the turn's CONTENT inside
+    :func:`render_conversation`'s string for the same conversation
+    (property-pinned: ``substring(rendered, char_start + 1, n_chars)
+    == content``), and ``loss_mask`` is true exactly for assistant
+    turns.
+
+    Zero shuffles: spans come from an ``aggregate`` over a ``slice`` of
+    the turns array inside one ``transform`` -- see the module
+    docstring for why this beats the explode+window spelling at scale.
+    NULL turn arrays (parse failures) produce no rows here; gate on
+    ``parse_ok`` upstream to account for them.
+    """
+    arr = F.col(turns_col)
+
+    def _cum(i: Column) -> Column:
+        # rendered chars before turn i: sum of full turn lengths 0..i-1
+        return F.aggregate(
+            F.slice(arr, F.lit(1), i),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + _turn_len(t),
+        )
+
+    def _enrich(t: Column, i: Column) -> Column:
+        start = _cum(i) + _header_len(t)
+        end = start + F.length(t["content"]).cast("bigint")
+        return F.struct(
+            i.cast("int").alias("turn_idx"),
+            t["role"].alias("role"),
+            t["content"].alias("content"),
+            F.length(t["content"]).cast("bigint").alias("n_chars"),
+            start.alias("char_start"),
+            end.alias("char_end"),
+            (t["role"] == F.lit("assistant")).alias("loss_mask"),
+            F.size(tokens(t["content"])).cast("bigint").alias("n_tokens"),
+        )
+
+    return df.select(
+        F.col(id_col), F.explode(F.transform(arr, _enrich)).alias("__t")
+    ).select(id_col, "__t.*")
+
+
+def render_conversation(
+    df: DataFrame,
+    turns_col: str = "turns",
+    id_col: str = "conv_id",
+    out_col: str = "text",
+) -> DataFrame:
+    """Render each conversation to its single training string under the
+    module's fixed convention (header + content + separator per turn).
+    Row-local ``aggregate`` concat -- zero shuffles.  Output
+    ``(conv_id, text, n_chars)``; NULL turn arrays render NULL.
+    """
+    rendered = F.aggregate(
+        F.col(turns_col),
+        F.lit(""),
+        lambda acc, t: F.concat(
+            acc, F.lit("<|"), t["role"], F.lit("|>"), t["content"], F.lit(SEP)
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        rendered.alias(out_col),
+        F.length(rendered).cast("bigint").alias("n_chars"),
+    )
+
+
+def validate_conversations(
+    df: DataFrame,
+    turns_col: str = "turns",
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Structural gate for SFT corpora, one row per conversation:
+
+    - ``starts_system``: turn 0 is a system turn;
+    - ``alternates``: after the optional leading system turn, roles
+      strictly alternate user, assistant, user, ... (the shape every
+      chat template assumes -- a double user turn or an
+      assistant-first conversation silently corrupts masking);
+    - ``ends_assistant``: the final turn is assistant output (a
+      trailing unanswered user turn contributes zero loss and wastes
+      sequence budget);
+    - ``n_assistant_turns`` / ``n_assistant_chars``: the conversation's
+      actual supervision mass;
+    - ``valid``: alternates AND ends_assistant AND has at least one
+      user and one assistant turn.
+
+    All flags are ``forall``/``aggregate`` expressions over the turns
+    array -- row-local, zero shuffles, scan-fused.  NULL arrays (parse
+    failures) come out ``valid = false`` with NULL detail flags kept
+    NULL-honest rather than defaulted.
+    """
+    arr = F.col(turns_col)
+    starts_system = arr[0]["role"] == F.lit("system")
+    off = F.when(starts_system, F.lit(1)).otherwise(F.lit(0))
+    alternates = F.forall(
+        F.transform(
+            arr,
+            lambda t, i: F.when(i < off, t["role"] == F.lit("system")).otherwise(
+                t["role"]
+                == F.when(
+                    ((i - off) % 2) == 0, F.lit("user")
+                ).otherwise(F.lit("assistant"))
+            ),
+        ),
+        lambda ok: ok,
+    )
+    ends_assistant = F.element_at(arr, -1)["role"] == F.lit("assistant")
+    n_asst = F.size(F.filter(arr, lambda t: t["role"] == F.lit("assistant")))
+    n_user = F.size(F.filter(arr, lambda t: t["role"] == F.lit("user")))
+    asst_chars = F.aggregate(
+        F.filter(arr, lambda t: t["role"] == F.lit("assistant")),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.length(t["content"]).cast("bigint"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(arr).cast("int").alias("n_turns"),
+        starts_system.alias("starts_system"),
+        alternates.alias("alternates"),
+        ends_assistant.alias("ends_assistant"),
+        n_asst.cast("int").alias("n_assistant_turns"),
+        asst_chars.alias("n_assistant_chars"),
+        F.coalesce(
+            alternates & ends_assistant & (n_asst >= 1) & (n_user >= 1),
+            F.lit(False),
+        ).alias("valid"),
+    )

@@ -1,0 +1,159 @@
+"""Instruction/SFT conversation prep: JSON parse round-trip, span
+arithmetic against the rendered string (the substring property), the
+structural validator's truth table, and a Python-replica oracle over
+randomized conversations."""
+
+import json
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_stream_flink_user_address_spark.functions.chat import (  # noqa: E402
+    SEP,
+    conversation_turns,
+    parse_conversations,
+    render_conversation,
+    validate_conversations,
+)
+
+
+def _conv_df(spark, convs):
+    """One JSON row per conversation: [(conv_id, [(role, content), ...])]."""
+    rows = [
+        (cid, json.dumps([{"role": r, "content": c} for r, c in turns]))
+        for cid, turns in convs
+    ]
+    return spark.createDataFrame(rows, "conv_id bigint, conversation string")
+
+
+BASIC = [
+    (0, [("system", "Be concise."), ("user", "hi there"), ("assistant", "hello")]),
+    (1, [("user", "2+2?"), ("assistant", "4"), ("user", "and 3?"),
+         ("assistant", "5... no, 5 is wrong: 5")]),
+    (2, [("user", "no reply yet")]),
+]
+
+
+def test_parse_roundtrip_and_malformed(spark):
+    df = _conv_df(spark, BASIC)
+    bad = spark.createDataFrame(
+        [(99, "{not json"), (98, None)], "conv_id bigint, conversation string"
+    )
+    out = parse_conversations(df.unionByName(bad)).orderBy("conv_id").collect()
+    by_id = {r["conv_id"]: r for r in out}
+    assert by_id[0]["parse_ok"] and by_id[0]["n_turns"] == 3
+    assert by_id[0]["turns"][0]["role"] == "system"
+    assert by_id[0]["turns"][2]["content"] == "hello"
+    assert not by_id[99]["parse_ok"] and by_id[99]["n_turns"] == -1
+    assert not by_id[98]["parse_ok"]
+
+
+def test_spans_substring_property(spark):
+    """THE span contract: slicing the rendered string at
+    [char_start, char_end) recovers each turn's content exactly."""
+    parsed = parse_conversations(_conv_df(spark, BASIC))
+    turns = conversation_turns(parsed)
+    rendered = render_conversation(parsed)
+    joined = turns.join(rendered.select("conv_id", "text"), "conv_id").withColumn(
+        "slice",
+        F.expr("substring(text, cast(char_start + 1 as int), cast(n_chars as int))"),
+    )
+    rows = joined.collect()
+    assert rows
+    for r in rows:
+        assert r["slice"] == r["content"], (r["conv_id"], r["turn_idx"])
+
+
+def test_turns_values_match_python_replica(spark):
+    """Randomized conversations vs a from-scratch Python replica of the
+    rendering convention (header + content + sep, spans on content)."""
+    rng = random.Random(1510)
+    roles = ["system", "user", "assistant"]
+    convs = []
+    for cid in range(40):
+        n = rng.randint(1, 9)
+        turns = [
+            (rng.choice(roles),
+             " ".join(rng.choice(["a", "bb", "ccc", "", "d e"])
+                      for _ in range(rng.randint(0, 5))))
+            for _ in range(n)
+        ]
+        convs.append((cid, turns))
+    got = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in conversation_turns(
+            parse_conversations(_conv_df(spark, convs))
+        ).collect()
+    }
+    for cid, turns in convs:
+        cum = 0
+        for i, (role, content) in enumerate(turns):
+            start = cum + len("<|" + role + "|>")
+            end = start + len(content)
+            cum = end + len(SEP)
+            r = got[(cid, i)]
+            assert r["role"] == role and r["content"] == content
+            assert (r["char_start"], r["char_end"]) == (start, end)
+            assert r["n_chars"] == len(content)
+            assert r["loss_mask"] == (role == "assistant")
+            assert r["n_tokens"] == len(content.split())
+    assert len(got) == sum(len(t) for _, t in convs)
+
+
+def test_validator_truth_table(spark):
+    convs = [
+        # valid: system + alternating, ends assistant
+        (0, [("system", "s"), ("user", "u"), ("assistant", "a")]),
+        # valid: no system
+        (1, [("user", "u"), ("assistant", "a")]),
+        # double user turn -> alternates false
+        (2, [("user", "u"), ("user", "u2"), ("assistant", "a")]),
+        # trailing user turn -> ends_assistant false
+        (3, [("user", "u"), ("assistant", "a"), ("user", "u2")]),
+        # assistant-first -> alternates false
+        (4, [("assistant", "a"), ("user", "u")]),
+        # system only -> no user/assistant mass
+        (5, [("system", "s")]),
+        # system in the middle -> alternates false
+        (6, [("user", "u"), ("system", "s"), ("assistant", "a")]),
+    ]
+    out = {r["conv_id"]: r
+           for r in validate_conversations(
+               parse_conversations(_conv_df(spark, convs))).collect()}
+    assert out[0]["valid"] and out[0]["starts_system"]
+    assert out[1]["valid"] and not out[1]["starts_system"]
+    assert not out[2]["valid"] and not out[2]["alternates"]
+    assert not out[3]["valid"] and not out[3]["ends_assistant"]
+    assert not out[4]["valid"]
+    assert not out[5]["valid"] and out[5]["n_assistant_turns"] == 0
+    assert not out[6]["valid"] and not out[6]["alternates"]
+    assert out[0]["n_assistant_chars"] == 1
+    assert out[3]["n_assistant_turns"] == 1
+
+
+def test_malformed_json_is_invalid_not_dropped(spark):
+    df = spark.createDataFrame(
+        [(7, "[{broken")], "conv_id bigint, conversation string"
+    )
+    parsed = parse_conversations(df)
+    v = validate_conversations(parsed).collect()[0]
+    assert v["valid"] is False
+    # turn flattening produces no rows for the NULL array (explode drops)
+    assert conversation_turns(parsed).count() == 0
+
+
+def test_empty_content_and_unicode_lengths(spark):
+    convs = [(0, [("user", ""), ("assistant", "café über")])]
+    parsed = parse_conversations(_conv_df(spark, convs))
+    rows = {r["turn_idx"]: r for r in conversation_turns(parsed).collect()}
+    assert rows[0]["n_chars"] == 0 and rows[0]["char_start"] == rows[0]["char_end"]
+    # length() counts CHARACTERS, not bytes -- spans stay character-addressed
+    assert rows[1]["n_chars"] == len("café über")
+    rendered = render_conversation(parsed).collect()[0]
+    assert rendered["n_chars"] == len(
+        "<|user|>" + SEP + "<|assistant|>" + "café über" + SEP
+    )

@@ -173,29 +173,49 @@ R15_FOLDED = {
 }
 
 
+# r15b registry fold -- two more retired slots pay for the two r15b
+# registrations (sft_turn_spans, embedding_moments); each retired
+# query's semantics stay checked through its absorber:
+#   bpe_encode   -> bpe_apply_docs (the vocabulary-encoding frame IS
+#                   its broadcast stage, and the oracle replays the
+#                   identical 8-merge encode CTE chain per document) +
+#                   bpe_train (same merge loop and persisted artifact)
+#   dsir_weights -> nb_quality_scores (identical hashed unigram+bigram
+#                   featurization and smoothed log-ratio arithmetic
+#                   over a two-way corpus split, fully SQL-replicated)
+#                   + importance_resample_docs (the downstream
+#                   weight-driven selection); dsir_importance itself
+#                   stays unit-tested (tests/test_functions.py) with
+#                   its scale ladder in DSIR_SCALE.json
+R15B_FOLDED = {
+    "bpe_encode", "dsir_weights",
+}
+
+
 def test_driver_window_covers_r15_rotation():
     """The external driver verifies only the FIRST 50 entries of
     queries() in declaration order.  r15 (VERDICT r14 asks #2 + #3):
     six R15_FOLDED retirements pay for the six crawl-graph composite
-    registrations, so the registry holds at 94 and the exact TWO-round
-    cycle stands: 6 pinned parity + 2 x 44 rotating slots.
+    registrations, and two R15B_FOLDED retirements pay for the two
+    r15b registrations, so the registry holds at 94 and the exact
+    TWO-round cycle stands: 6 pinned parity + 2 x 44 rotating slots.
 
-    r15's window = 6 parity + the 38 surviving r13-green rotating
-    queries (below r14's window) + the 6 new crawl-graph composites
-    (first rows).  Below the window: exactly the 44 queries green in
-    r14's own window (CORRECTNESS_r14.json minus the 6 pinned), so
-    r14 union r15 covers all 94."""
+    r15's window = 6 parity + the 36 surviving r13-green rotating
+    queries (below r14's window) + the 6 new crawl-graph composites +
+    the 2 r15b registrations (first rows).  Below the window: exactly
+    the 44 queries green in r14's own window (CORRECTNESS_r14.json
+    minus the 6 pinned), so r14 union r15 covers all 94."""
     names = list(entrymod.queries())
     window = names[:50]
     assert len(names) == 94, len(names)
-    assert not (R13_FOLDED | R14_FOLDED | R15_FOLDED) & set(names), (
-        "folded query still registered"
-    )
+    assert not (R13_FOLDED | R14_FOLDED | R15_FOLDED | R15B_FOLDED) & set(
+        names
+    ), "folded query still registered"
     r13_green_surviving = {
-        "dsir_weights", "token_budget_mixture", "image_phash_pairs",
+        "token_budget_mixture", "image_phash_pairs",
         "audio_fingerprint_pairs", "boilerplate_line_dedup",
         "per_source_cap", "quality_buckets", "bpe_train",
-        "incremental_dedup", "bpe_encode", "doc_signals",
+        "incremental_dedup", "doc_signals",
         "paragraph_dedup", "curation_pipeline", "embedding_quantize",
         "q1_pricing_summary", "q2_min_cost_supplier",
         "q3_shipping_priority", "q4_order_priority",
@@ -214,6 +234,8 @@ def test_driver_window_covers_r15_rotation():
         "crawl_frontier_gate", "main_content_extract",
         "domain_pagerank_ranks", "connected_components_labels",
         "corpus_diff_status", "curriculum_assignment",
+        # r15b registrations (paid by R15B_FOLDED)
+        "sft_turn_spans", "embedding_moments",
     }
     want = PARITY_PINNED | r13_green_surviving | new_r15
     missing = want - set(window)

@@ -716,3 +716,45 @@ def test_corpus_diff_bucketed_snapshots_zero_exchange(spark, tmp_path):
     finally:
         for t in ("diff_old_t", "diff_new_t"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sft_turn_spans_is_zero_exchange_and_udf_free(spark):
+    """The r15b SFT flatten's core scale claim: conversations arrive
+    whole in one row, so loss-mask span arithmetic happens INSIDE the
+    turns array before the explode -- the whole plan is scan-fused
+    with no hash or range exchange, no window, no join, and no Python
+    UDF (from_json/to_json/transform/aggregate are all JVM
+    expressions).  The explode+window spelling this replaces would
+    hash-shuffle every turn's content once.  (The single RoundRobin
+    respread is _docs' small-single-file spread, off at real scale --
+    the curation plan test's convention.)"""
+    plan = _plan(spark, "sft_turn_spans")
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan  # no Arrow or row-wise Python stage
+
+
+def test_embedding_moments_broadcasts_the_moment_frame(spark):
+    """embedding_moments (r15b): the d-row driver-combined moment frame
+    must BROADCAST onto the per-dimension min/max aggregate -- a sort
+    or shuffle join keyed on 64 rows would serialize the whole
+    posexplode output through one exchange for nothing.  The only hash
+    exchange in the plan is the dim-keyed partial->final aggregate of
+    (dim, v) pairs; vectors themselves never cross it."""
+    import re
+
+    plan = _plan(spark, "embedding_moments")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    hash_exchanges = [
+        m.group(1)
+        for m in re.finditer(r"\(\d+\) Exchange\n(.*?)\n\n", plan, re.S)
+        if "hashpartitioning" in m.group(1)
+    ]
+    assert len(hash_exchanges) == 1, plan
+    inputs = [
+        l for l in hash_exchanges[0].splitlines() if l.startswith("Input")
+    ]
+    assert inputs and "embedding#" not in inputs[0], inputs
