@@ -1,0 +1,154 @@
+"""SFT data-prep demo: JSON chat corpus -> structural gate -> loss-mask
+span manifest -> whole-conversation bin packing.
+
+Composes the instruction-tuning surface end to end on synthetic
+conversations:
+
+1. parse_conversations: one JSON chat per row, typed turns array,
+   malformed rows surfaced (not dropped) via parse_ok;
+2. validate_conversations: alternation / ends-with-assistant /
+   supervision-mass gate -- only structurally valid chats train;
+3. conversation_turns: per-turn rows with [char_start, char_end)
+   loss-mask spans into the rendered training string, computed
+   intra-row (zero exchanges -- the plan the 100 TB feed wants);
+4. render_conversation + histogram_pack: whole-CONVERSATION bins (a
+   bin never splits a chat, so packed-attention never crosses a
+   conversation boundary mid-sample) with each conversation's mask
+   spans re-based to its offset inside the packed bin.
+
+Run: ``python examples/run_sft_prep.py``.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_stream_flink_user_address_spark.functions.chat import (
+    conversation_turns,
+    parse_conversations,
+    render_conversation,
+    validate_conversations,
+)
+from data_stream_flink_user_address_spark.functions.packing import (
+    histogram_pack,
+)
+from data_stream_flink_user_address_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+SEQ_LEN = 192  # tokens per packed bin (small: demo corpora are short)
+
+
+def conv_fixture(docs):
+    """documents -> JSON chats (3/5 turns; ~3% malformed rows planted
+    to exercise the parse gate)."""
+    toks = F.split(F.trim("text"), r"\s+")
+
+    def turn(role, content):
+        return F.struct(F.lit(role).alias("role"), content.alias("content"))
+
+    base = F.array(
+        turn("system", F.lit("Be concise.")),
+        turn("user", F.concat_ws(" ", F.slice(toks, 1, 8))),
+        turn("assistant", F.concat_ws(" ", F.slice(toks, 9, 24))),
+    )
+    extra = F.array(
+        turn("user", F.lit("And then?")),
+        turn("assistant", F.concat_ws(" ", F.slice(toks, 33, 12))),
+    )
+    arr = F.when(F.col("doc_id") % 2 == 0, F.concat(base, extra)).otherwise(base)
+    payload = F.when(
+        F.col("doc_id") % 31 == 7, F.lit("{truncated upload")  # planted bad rows
+    ).otherwise(F.to_json(arr))
+    return docs.select(
+        F.col("doc_id").alias("conv_id"), payload.alias("conversation")
+    )
+
+
+def main() -> None:
+    spark = get_spark("sft-prep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    parsed = parse_conversations(conv_fixture(docs))
+
+    # 2. structural gate: count what falls, train on what stands
+    checks = validate_conversations(parsed)
+    funnel = checks.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((~F.col("valid")).cast("long")).alias("rejected"),
+        F.sum(F.col("valid").cast("long")).alias("kept"),
+    ).collect()[0]
+    print(
+        f"gate: {funnel['total']} chats -> {funnel['kept']} valid "
+        f"({funnel['rejected']} rejected, incl. planted malformed JSON)"
+    )
+    kept = parsed.join(
+        checks.filter("valid").select("conv_id"), "conv_id"
+    )
+
+    # 3. per-turn loss-mask manifest
+    turns = conversation_turns(kept)
+    mask = turns.agg(
+        F.count(F.lit(1)).alias("turns"),
+        F.sum(F.col("loss_mask").cast("long")).alias("masked_turns"),
+        F.sum(F.when(F.col("loss_mask"), F.col("n_chars"))).alias("masked_chars"),
+        F.sum("n_chars").alias("content_chars"),
+    ).collect()[0]
+    print(
+        f"manifest: {mask['turns']} turns, {mask['masked_turns']} assistant "
+        f"turns supervise {mask['masked_chars']}/{mask['content_chars']} "
+        "content chars"
+    )
+
+    # 4. whole-conversation packing: render, pack on token counts, then
+    # re-base every conversation's mask spans to its slot in the bin
+    rendered = render_conversation(kept)
+    assign, stats = histogram_pack(
+        rendered, text_col="text", id_col="conv_id", seq_len=SEQ_LEN
+    )
+    print(
+        f"packing: {stats['n_docs']} chats -> {stats['n_bins']} bins of "
+        f"{SEQ_LEN} tokens, padding_frac={stats['padding_frac']:.3f}, "
+        f"truncated={stats['n_truncated']}"
+    )
+
+    in_bin = Window.partitionBy("bin_id").orderBy("conv_id")
+    slots = (
+        assign.join(rendered.select("conv_id", "n_chars"), "conv_id")
+        .withColumn(
+            "bin_char_base",
+            F.coalesce(
+                F.sum("n_chars").over(
+                    in_bin.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    packed_spans = (
+        conversation_turns(kept)
+        .filter("loss_mask")
+        .join(slots.select("conv_id", "bin_id", "bin_char_base"), "conv_id")
+        .select(
+            "bin_id",
+            "conv_id",
+            "turn_idx",
+            (F.col("char_start") + F.col("bin_char_base")).alias("bin_start"),
+            (F.col("char_end") + F.col("bin_char_base")).alias("bin_end"),
+        )
+    )
+    demo_bin = packed_spans.orderBy("bin_id", "bin_start").limit(8)
+    print("first packed bin's supervised spans (bin-relative):")
+    for r in demo_bin.collect():
+        print(
+            f"  bin {r['bin_id']} conv {r['conv_id']} turn {r['turn_idx']}: "
+            f"[{r['bin_start']}, {r['bin_end']})"
+        )
+
+
+if __name__ == "__main__":
+    main()

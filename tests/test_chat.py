@@ -157,3 +157,60 @@ def test_empty_content_and_unicode_lengths(spark):
     assert rendered["n_chars"] == len(
         "<|user|>" + SEP + "<|assistant|>" + "café über" + SEP
     )
+
+
+def test_chat_ops_run_on_a_stream(spark, tmp_path):
+    """The SFT prep ops on a live stream: parse -> validate -> flatten
+    are all row-local expressions, so one code path serves backfill and
+    a live conversation feed UNCHANGED (the streaming-curation
+    convention), with spans identical to the batch API's on replay."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    name = f"sft_{uuid.uuid4().hex[:8]}"
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.LongType()),
+            T.StructField("conversation", T.StringType()),
+        ]
+    )
+
+    def write_batch(fname, convs):
+        with open(os.path.join(src, fname), "w") as f:
+            for cid, turns in convs:
+                conv = json.dumps(
+                    [{"role": r, "content": c} for r, c in turns]
+                )
+                f.write(json.dumps({"conv_id": cid, "conversation": conv}) + "\n")
+
+    stream = spark.readStream.schema(schema).json(src)
+    parsed = parse_conversations(stream)
+    q = (
+        conversation_turns(parsed)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        write_batch("b1.json", BASIC[:2])
+        q.processAllAvailable()
+        write_batch("b2.json", BASIC[2:])
+        q.processAllAvailable()
+        got = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+
+    batch = conversation_turns(parse_conversations(_conv_df(spark, BASIC)))
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["char_start"], r["char_end"], r["loss_mask"])
+        for r in batch.collect()
+    }
+    assert {
+        (r["conv_id"], r["turn_idx"]): (r["char_start"], r["char_end"], r["loss_mask"])
+        for r in got
+    } == want
