@@ -159,6 +159,7 @@ from data_stream_flink_user_address_spark.functions.text import (
     language_id,
     punct_count,
     quality_score,
+    stupid_backoff_scores,
     token_count,
     tokens,
     unigram_logprob_scores,
@@ -1463,32 +1464,40 @@ def _q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_source_cap(_docs(spark, sf_dir), cap=18)
 
 
-def _q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source quality-quantile binning (functions/sampling.py:
-    quality_stratified_buckets): ntile(4) over (score, doc_id) within
-    each source -- the CCNet perplexity-tertile / curriculum-binning
-    step, here scored by document length (any per-doc score column
-    composes: gopher, unigram/bigram logprob, DSIR weight).  Stratified
-    so a uniformly-weak source cannot monopolize the bottom bin; the
-    doc_id tie-break makes the assignment content-deterministic.
-    r13 (VERDICT r12 wrong #2): the function now projects only
-    (doc_id, source, score) into the per-stratum ntile sort and
-    re-joins bodies on doc_id -- plan-pinned by
-    tests/test_plan_shapes.py::test_quality_buckets_window_carries_slim_rows_only.
-    The query also emits ``quality_bucket_approx`` from
-    quality_bucket_cuts (broadcast approx-percentile cut points, no
-    window at all -- the mega-strata path), oracle-checked because
-    percentile_approx at accuracy >= stratum size IS the exact
-    discrete quantile DuckDB's quantile_disc computes.  Skewed 1e6-doc
-    comparison of the three binning shapes: R13_OPS_SCALE.json."""
-    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
-    exact = quality_stratified_buckets(
-        d, score_col="n_chars", n_buckets=4, strata_col="source"
+def _q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet quality-filter regime end to end: a stupid-backoff
+    bigram LM (functions/text.py:stupid_backoff_scores, Brants et al.
+    2007) trains on the even-doc_id half of the corpus and scores the
+    held-out odd half -- unseen bigrams fall to the alpha-discounted
+    unigram, unseen tokens to the OOV floor, so the backoff and OOV
+    paths actually fire (self-scoring never backs off; unit-pinned) --
+    then the scores bin per-source through the IDENTICAL
+    quality_stratified_buckets (exact ntile over (score, doc_id)) +
+    quality_bucket_cuts (broadcast approx-percentile cuts, no window)
+    machinery the retired ``quality_buckets`` slot checked on doc
+    length (r15b fold; the slim-window and broadcast-no-window plan
+    contracts live in tests/test_plan_shapes.py against the functions
+    themselves, and the skewed 1e6-doc shape comparison stays in
+    R13_OPS_SCALE.json).  percentile_approx at accuracy >= stratum
+    size IS the exact discrete quantile DuckDB's quantile_disc
+    computes.  The oracle re-derives the whole model -- counts,
+    backoff CASE, n-weighted mean, cuts, ntile -- in SQL."""
+    d = _docs(spark, sf_dir)
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    held = d.filter(F.col("doc_id") % 2 == 1)
+    scored = stupid_backoff_scores(held, ref_df=ref).join(
+        d.select("doc_id", "source"), "doc_id"
     )
+    exact = quality_stratified_buckets(
+        scored, score_col="lm_logprob", n_buckets=4, strata_col="source"
+    ).withColumnRenamed("quality_bucket", "ppl_bucket")
     approx = quality_bucket_cuts(
-        d, score_col="n_chars", n_buckets=4, strata_col="source"
-    ).select("doc_id", F.col("quality_bucket").alias("quality_bucket_approx"))
-    return exact.join(approx, "doc_id")
+        scored, score_col="lm_logprob", n_buckets=4, strata_col="source"
+    ).select("doc_id", F.col("quality_bucket").alias("ppl_bucket_approx"))
+    return exact.join(approx, "doc_id").select(
+        "doc_id", "source", "n_tokens", "n_bigram_hit", "n_backoff",
+        "n_oov", "lm_logprob", "ppl_bucket", "ppl_bucket_approx",
+    )
 
 
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2778,12 +2787,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver check window (first 50, verified in declaration order).
     # r15 rotation (VERDICT r14 asks #2 + #3): six folds (merge list in
     # tests/test_oracle_parity.py::R15_FOLDED) pay for the six crawl-graph
-    # composites, and two more folds (R15B_FOLDED: bpe_encode, dsir_weights)
-    # pay for the two r15b registrations (sft_turn_spans,
-    # embedding_moments), so the registry holds at 94 and the exact
+    # composites, and three more folds (R15B_FOLDED: bpe_encode,
+    # dsir_weights, quality_buckets) pay for the three r15b
+    # registrations (sft_turn_spans, embedding_moments,
+    # lm_ppl_buckets), so the registry holds at 94 and the exact
     # TWO-round full-coverage cycle stands: 6 pinned parity + 2 x 44
-    # rotating slots.  This window = 6 parity + the 36 surviving
-    # r13-green rotating queries + the 6 crawl-graph composites + the 2
+    # rotating slots.  This window = 6 parity + the 35 surviving
+    # r13-green rotating queries + the 6 crawl-graph composites + the 3
     # r15b registrations (first driver rows).  Below the window: the 44
     # queries green in r14's own window -- exactly r16's rotating slots,
     # so r14 union r15 covers all 94.
@@ -2800,7 +2810,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_fingerprint_pairs": _q_audio_fingerprint_pairs,
     "boilerplate_line_dedup": _q_boilerplate_line_dedup,
     "per_source_cap": _q_per_source_cap,
-    "quality_buckets": _q_quality_buckets,
     "bpe_train": _q_bpe_train,
     "incremental_dedup": _q_incremental_dedup,
     "doc_signals": _q_doc_signals,
@@ -2838,9 +2847,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "connected_components_labels": _q_connected_components_labels,
     "corpus_diff_status": _q_corpus_diff_status,
     "curriculum_assignment": _q_curriculum_assignment,
-    # the 2 r15b registrations (first rows; paid by R15B_FOLDED)
+    # the 3 r15b registrations (first rows; paid by R15B_FOLDED)
     "sft_turn_spans": _q_sft_turn_spans,
     "embedding_moments": _q_embedding_moments,
+    "lm_ppl_buckets": _q_lm_ppl_buckets,
     # --- below the 50-row window: the 44 queries green in r14's own
     # window (CORRECTNESS_r14.json) -- exactly r16's rotating slots ---
     "events_json_extract": _q_events_json_extract,
@@ -4888,20 +4898,86 @@ ORACLE_SQL: dict[str, str] = {
     # quantile_disc defines identically (verified element-for-element
     # at sf0.01), so both engines derive the same per-source cut points
     # and the same row-local 1 + #cuts-below assignment.
-    "quality_buckets": """
-        WITH cuts AS (
+    # stupid-backoff LM on the even/odd split, replayed in full --
+    # reference counts, the three-way backoff CASE, the n-weighted
+    # -log2 mean, then the retired quality_buckets slot's exact-ntile
+    # + quantile_disc cut machinery over the LM score
+    "lm_ppl_buckets": f"""
+        WITH toks AS (
+          SELECT doc_id, source, {_sql_tokens()} AS toks FROM documents
+        ),
+        ref AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+        held AS (
+          SELECT * FROM toks WHERE doc_id % 2 = 1 AND len(toks) > 0
+        ),
+        cu AS (
+          SELECT tok, count(*)::BIGINT AS cu
+          FROM (SELECT unnest(toks) AS tok FROM ref) GROUP BY tok
+        ),
+        tot AS (SELECT sum(cu)::DOUBLE AS t FROM cu),
+        c2 AS (
+          SELECT prev, cur, count(*)::BIGINT AS c2
+          FROM (
+            SELECT toks[i + 1] AS prev, toks[i + 2] AS cur
+            FROM ref, unnest(range(greatest(len(toks) - 1, 0))) AS u(i)
+          ) GROUP BY prev, cur
+        ),
+        c1 AS (SELECT prev, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY prev),
+        inst AS (
+          SELECT doc_id, prev, cur, count(*)::BIGINT AS n
+          FROM (
+            SELECT doc_id,
+                   CASE WHEN i = 0 THEN NULL ELSE toks[i] END AS prev,
+                   toks[i + 1] AS cur
+            FROM held, unnest(range(len(toks))) AS u(i)
+          ) GROUP BY doc_id, prev, cur
+        ),
+        scored AS (
+          SELECT h.doc_id, h.n,
+                 CASE WHEN h.prev IS NULL
+                        THEN coalesce(cu.cu::DOUBLE, 0.5) / t.t
+                      WHEN b.c2 IS NOT NULL
+                        THEN b.c2::DOUBLE / c1.c1::DOUBLE
+                      ELSE 0.4 * coalesce(cu.cu::DOUBLE, 0.5) / t.t
+                 END AS s,
+                 (h.prev IS NOT NULL AND b.c2 IS NOT NULL) AS hit,
+                 (h.prev IS NOT NULL AND b.c2 IS NULL) AS bo,
+                 (cu.cu IS NULL) AS oov
+          FROM inst h
+          LEFT JOIN c2 b ON h.prev = b.prev AND h.cur = b.cur
+          LEFT JOIN c1 ON h.prev = c1.prev
+          LEFT JOIN cu ON h.cur = cu.tok
+          CROSS JOIN tot t
+        ),
+        doc AS (
+          SELECT doc_id,
+                 sum(n)::BIGINT AS n_tokens,
+                 sum(CASE WHEN hit THEN n ELSE 0 END)::BIGINT
+                   AS n_bigram_hit,
+                 sum(CASE WHEN bo THEN n ELSE 0 END)::BIGINT AS n_backoff,
+                 sum(CASE WHEN oov THEN n ELSE 0 END)::BIGINT AS n_oov,
+                 round(sum(n * -log2(s)) / sum(n), 6) AS lm_logprob
+          FROM scored GROUP BY doc_id
+        ),
+        withsrc AS (
+          SELECT doc.*, dd.source FROM doc
+          JOIN documents dd ON doc.doc_id = dd.doc_id
+        ),
+        cuts AS (
           SELECT source,
-                 [quantile_disc(n_chars, 0.25), quantile_disc(n_chars, 0.5),
-                  quantile_disc(n_chars, 0.75)] AS cut_arr
-          FROM documents GROUP BY source
+                 [quantile_disc(lm_logprob, 0.25),
+                  quantile_disc(lm_logprob, 0.5),
+                  quantile_disc(lm_logprob, 0.75)] AS cut_arr
+          FROM withsrc GROUP BY source
         )
-        SELECT d.doc_id, d.source, d.n_chars,
-               CAST(ntile(4) OVER (PARTITION BY d.source
-                                   ORDER BY d.n_chars, d.doc_id) AS BIGINT)
-                 AS quality_bucket,
-               (1 + len(list_filter(c.cut_arr, x -> d.n_chars > x)))::BIGINT
-                 AS quality_bucket_approx
-        FROM documents d JOIN cuts c ON d.source = c.source
+        SELECT w.doc_id, w.source, w.n_tokens, w.n_bigram_hit,
+               w.n_backoff, w.n_oov, w.lm_logprob,
+               CAST(ntile(4) OVER (PARTITION BY w.source
+                                   ORDER BY w.lm_logprob, w.doc_id)
+                    AS BIGINT) AS ppl_bucket,
+               (1 + len(list_filter(c.cut_arr, x -> w.lm_logprob > x)))
+                 ::BIGINT AS ppl_bucket_approx
+        FROM withsrc w JOIN cuts c ON w.source = c.source
     """,
     # markup strip over the same in-plan HTML wrapping: tags -> space,
     # six-entity decode with &amp; LAST, whitespace collapse; n_tags

@@ -1,13 +1,20 @@
-"""Scale ladder for the r15b SFT conversation operators
-(functions/chat.py): JSON parse -> turn flatten with loss-mask spans,
-structural validation, and rendering, at 1e5 -> 1e7 conversations.
+"""Scale ladder for the r15b operators: SFT conversation prep
+(functions/chat.py) and stupid-backoff LM scoring
+(functions/text.py:stupid_backoff_scores), at 1e5 -> 1e7 docs.
 
-The scale claim under test: every chat op is intra-row (from_json +
-array transform/aggregate expressions, zero exchanges -- plan-pinned
-in tests/test_plan_shapes.py), so throughput should be flat in corpus
-size and the only cost driver is the JSON scan itself.  Conversations
-get 3/5/7 turns by conv_id % 3 (mean 5), matching the driver query's
-fixture family but one size up.
+The scale claims under test:
+
+- every chat op is intra-row (from_json + array transform/aggregate
+  expressions, zero exchanges -- plan-pinned in
+  tests/test_plan_shapes.py), so throughput should be flat in corpus
+  size and the only cost driver is the JSON scan itself.
+  Conversations get 3/5/7 turns by conv_id % 3 (mean 5), matching the
+  driver query's fixture family but one size up;
+- backoff-LM scoring in the CCNet regime (reference = a fixed 5% of
+  the corpus, score the rest): model cost is bounded by the
+  reference, scoring is instance-multiplicity joins + one doc-keyed
+  aggregate, so docs/s should rise toward the scan rate as fixed
+  stage overhead amortizes.
 
 Writes R15B_OPS_SCALE.json.  Run:  python bench_r15b_ops_scale.py
       SPARK_GRAFT_R15B_SIZES=100000,1000000 python bench_r15b_ops_scale.py
@@ -122,6 +129,36 @@ def main() -> None:
             "total_chars": int(r["chars"]),
             "wall_s": round(dt, 2),
             "convs_per_sec": round(n / dt, 1),
+        }
+
+        # --- backoff LM: 5% reference, score the held-out 95%
+        from data_stream_flink_user_address_spark.functions.text import (
+            stupid_backoff_scores,
+        )
+
+        ref = docs.filter(F.col("doc_id") % 20 == 0)
+        held = docs.filter(F.col("doc_id") % 20 != 0)
+        t0 = time.time()
+        lm = stupid_backoff_scores(held, ref_df=ref).agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_bigram_hit").alias("hits"),
+            F.sum("n_backoff").alias("backoffs"),
+            F.sum("n_oov").alias("oovs"),
+            F.avg("lm_logprob").alias("mean_logprob"),
+        ).collect()[0]
+        dt = time.time() - t0
+        n_held = int(lm["docs"])
+        row["backoff_lm"] = {
+            "n_scored": n_held,
+            "bigram_hit_frac": round(
+                lm["hits"] / (lm["hits"] + lm["backoffs"]), 4
+            ),
+            "oov_frac_tokens": round(
+                lm["oovs"] / (lm["hits"] + lm["backoffs"] + n_held), 4
+            ),
+            "mean_logprob": round(lm["mean_logprob"], 3),
+            "wall_s": round(dt, 2),
+            "docs_per_sec": round(n_held / dt, 1),
         }
 
         out["sizes"].append(row)

@@ -290,6 +290,118 @@ def bigram_logprob_scores(
     )
 
 
+def stupid_backoff_scores(
+    df: DataFrame,
+    ref_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation") -- the CCNet-style filter
+    regime the unigram/bigram scorers approximate from below: train
+    n-gram counts on a REFERENCE corpus (``ref_df``; defaults to
+    ``df`` itself), score every document of ``df`` by its mean
+    negative log2 token score under
+
+        S(w_i | w_{i-1}) = c2(w_{i-1} w_i) / c1(w_{i-1})   if c2 > 0
+                         = alpha * S(w_i)                   otherwise
+        S(w)             = c(w) / T                         if c > 0
+                         = 0.5 / T                          otherwise (OOV)
+
+    with the first token of a document scored by the unigram term
+    directly (no backoff penalty -- there is no context to back off
+    from).  Unlike the Laplace bigram scorer, held-out text exercises
+    the backoff path: unseen bigrams fall to the discounted unigram,
+    unseen tokens to the OOV floor, so "fluent but off-domain" and
+    "shuffled common words" separate cleanly.
+
+    Output ``(id, n_tokens, n_bigram_hit, n_backoff, n_oov,
+    lm_logprob)``: ``n_bigram_hit`` counts context-hit tokens,
+    ``n_backoff`` the pos>0 tokens that fell to the unigram path,
+    ``n_oov`` all tokens scored at the OOV floor (first-token OOVs
+    included, so n_oov can overlap n_backoff); docs with no tokens
+    have nothing to score and are omitted.
+
+    Scale shape (the two-grain counting idiom of
+    :func:`bigram_logprob_scores` / sampling.dsir_importance): the
+    model is three aggregates OF the reference -- c2 from one
+    doc-keyed lag window, c1 an aggregate of c2, (c, T) from the token
+    stream -- and scoring joins per-doc (prev, cur) MULTIPLICITIES
+    (distinct pairs per doc, map-side combined) against those tables
+    on the bigram/unigram keys, so token instances never ride a join
+    shuffle; the per-doc score is the n-weighted mean.  In the CCNet
+    regime (reference = curated corpus ORDERS smaller than the scored
+    crawl) the three model tables broadcast and scoring is map-side +
+    one doc-keyed aggregate; self-trained on a 100 TB corpus the
+    bigram join shuffles on bigram keys -- the standard distributed
+    LM-scoring shape, and AQE picks the side.
+    """
+    ref = df if ref_df is None else ref_df
+
+    rtoks = ref.select(F.explode(tokens(text_col)).alias("tok"))
+    cu = rtoks.groupBy("tok").agg(F.count(F.lit(1)).alias("__cu"))
+    total = cu.agg(F.sum("__cu").cast("double").alias("__t"))
+    rpos = ref.select(
+        F.col(id_col).alias("__rid"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    rw = Window.partitionBy("__rid").orderBy("pos")
+    c2 = (
+        rpos.withColumn("__prev", F.lag("tok").over(rw))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("prev"), F.col("tok").alias("cur"))
+        .agg(F.count(F.lit(1)).alias("__c2"))
+    )
+    c1 = c2.groupBy("prev").agg(F.sum("__c2").alias("__c1"))
+
+    spos = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    sw = Window.partitionBy(id_col).orderBy("pos")
+    inst = (
+        spos.withColumn("__prev", F.lag("tok").over(sw))
+        .groupBy(
+            id_col, F.col("__prev").alias("prev"), F.col("tok").alias("cur")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    scored = (
+        inst.join(c2, ["prev", "cur"], "left")
+        .join(c1, "prev", "left")
+        .join(cu.withColumnRenamed("tok", "cur"), "cur", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    uni_p = F.coalesce(F.col("__cu").cast("double"), F.lit(0.5)) / F.col("__t")
+    s = (
+        F.when(F.col("prev").isNull(), uni_p)
+        .when(
+            F.col("__c2").isNotNull(),
+            F.col("__c2").cast("double") / F.col("__c1").cast("double"),
+        )
+        .otherwise(F.lit(float(alpha)) * uni_p)
+    )
+    scored = scored.withColumn("__logp", -F.log2(s))
+    is_hit = F.col("prev").isNotNull() & F.col("__c2").isNotNull()
+    is_backoff = F.col("prev").isNotNull() & F.col("__c2").isNull()
+    return scored.groupBy(id_col).agg(
+        F.sum("__n").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(is_hit, F.col("__n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_bigram_hit"),
+        F.sum(F.when(is_backoff, F.col("__n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_backoff"),
+        F.sum(F.when(F.col("__cu").isNull(), F.col("__n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.col("__n") * F.col("__logp")) / F.sum("__n"), round_digits
+        ).alias("lm_logprob"),
+    )
+
+
 # Fixed entity set for strip_markup: the handful that dominate web
 # text.  Decoded AFTER tag removal, '&amp;' strictly LAST so that
 # double-escaped text ('&amp;lt;') decodes one level per pass, never

@@ -149,7 +149,9 @@ R14_FOLDED = {
 #   value_percentiles    -> curriculum_assignment (the stage cuts ARE a
 #                           percentile aggregate, oracle-replicated) +
 #                           quality_buckets (quality_bucket_cuts runs
-#                           the same percentile_approx idiom)
+#                           the same percentile_approx idiom; that slot
+#                           itself folded into lm_ppl_buckets in r15b,
+#                           which reruns the identical cut machinery)
 #   top_parts_per_brand  -> window_function_showcase (per-group rank
 #                           analytics over the same deterministic
 #                           frame) + top_terms_rrf / bm25_search (the
@@ -173,22 +175,35 @@ R15_FOLDED = {
 }
 
 
-# r15b registry fold -- two more retired slots pay for the two r15b
-# registrations (sft_turn_spans, embedding_moments); each retired
-# query's semantics stay checked through its absorber:
-#   bpe_encode   -> bpe_apply_docs (the vocabulary-encoding frame IS
-#                   its broadcast stage, and the oracle replays the
-#                   identical 8-merge encode CTE chain per document) +
-#                   bpe_train (same merge loop and persisted artifact)
-#   dsir_weights -> nb_quality_scores (identical hashed unigram+bigram
-#                   featurization and smoothed log-ratio arithmetic
-#                   over a two-way corpus split, fully SQL-replicated)
-#                   + importance_resample_docs (the downstream
-#                   weight-driven selection); dsir_importance itself
-#                   stays unit-tested (tests/test_functions.py) with
-#                   its scale ladder in DSIR_SCALE.json
+# r15b registry fold -- three more retired slots pay for the three
+# r15b registrations (sft_turn_spans, embedding_moments,
+# lm_ppl_buckets); each retired query's semantics stay checked through
+# its absorber:
+#   bpe_encode      -> bpe_apply_docs (the vocabulary-encoding frame
+#                      IS its broadcast stage, and the oracle replays
+#                      the identical 8-merge encode CTE chain per
+#                      document) + bpe_train (same merge loop and
+#                      persisted artifact)
+#   dsir_weights    -> nb_quality_scores (identical hashed
+#                      unigram+bigram featurization and smoothed
+#                      log-ratio arithmetic over a two-way corpus
+#                      split, fully SQL-replicated) +
+#                      importance_resample_docs (the downstream
+#                      weight-driven selection); dsir_importance
+#                      itself stays unit-tested (tests/test_functions)
+#                      with its scale ladder in DSIR_SCALE.json
+#   quality_buckets -> lm_ppl_buckets (STRICT superset of the binning
+#                      machinery: the identical
+#                      quality_stratified_buckets exact ntile AND
+#                      quality_bucket_cuts broadcast approx cuts rerun
+#                      and re-oracle-check over the backoff-LM score
+#                      instead of doc length); the slim-window and
+#                      broadcast-no-window plan contracts target the
+#                      functions directly in test_plan_shapes, and the
+#                      skewed 1e6-doc shape comparison stays in
+#                      R13_OPS_SCALE.json
 R15B_FOLDED = {
-    "bpe_encode", "dsir_weights",
+    "bpe_encode", "dsir_weights", "quality_buckets",
 }
 
 
@@ -196,13 +211,13 @@ def test_driver_window_covers_r15_rotation():
     """The external driver verifies only the FIRST 50 entries of
     queries() in declaration order.  r15 (VERDICT r14 asks #2 + #3):
     six R15_FOLDED retirements pay for the six crawl-graph composite
-    registrations, and two R15B_FOLDED retirements pay for the two
+    registrations, and three R15B_FOLDED retirements pay for the three
     r15b registrations, so the registry holds at 94 and the exact
     TWO-round cycle stands: 6 pinned parity + 2 x 44 rotating slots.
 
-    r15's window = 6 parity + the 36 surviving r13-green rotating
+    r15's window = 6 parity + the 35 surviving r13-green rotating
     queries (below r14's window) + the 6 new crawl-graph composites +
-    the 2 r15b registrations (first rows).  Below the window: exactly
+    the 3 r15b registrations (first rows).  Below the window: exactly
     the 44 queries green in r14's own window (CORRECTNESS_r14.json
     minus the 6 pinned), so r14 union r15 covers all 94."""
     names = list(entrymod.queries())
@@ -214,7 +229,7 @@ def test_driver_window_covers_r15_rotation():
     r13_green_surviving = {
         "token_budget_mixture", "image_phash_pairs",
         "audio_fingerprint_pairs", "boilerplate_line_dedup",
-        "per_source_cap", "quality_buckets", "bpe_train",
+        "per_source_cap", "bpe_train",
         "incremental_dedup", "doc_signals",
         "paragraph_dedup", "curation_pipeline", "embedding_quantize",
         "q1_pricing_summary", "q2_min_cost_supplier",
@@ -235,7 +250,7 @@ def test_driver_window_covers_r15_rotation():
         "domain_pagerank_ranks", "connected_components_labels",
         "corpus_diff_status", "curriculum_assignment",
         # r15b registrations (paid by R15B_FOLDED)
-        "sft_turn_spans", "embedding_moments",
+        "sft_turn_spans", "embedding_moments", "lm_ppl_buckets",
     }
     want = PARITY_PINNED | r13_green_surviving | new_r15
     missing = want - set(window)

@@ -758,3 +758,23 @@ def test_embedding_moments_broadcasts_the_moment_frame(spark):
         l for l in hash_exchanges[0].splitlines() if l.startswith("Input")
     ]
     assert inputs and "embedding#" not in inputs[0], inputs
+
+
+def test_lm_ppl_buckets_text_never_crosses_a_hash_exchange(spark):
+    """The backoff-LM scorer's scale claim (r15b): documents are
+    consumed into (id, pos, tok) at the scan projection, so every
+    exchange downstream -- the doc-keyed lag windows, the bigram-keyed
+    model joins, the per-source binning -- carries tokens, counts, and
+    ids, never document bodies; and nothing degenerates to a
+    cartesian.  (The one BroadcastNestedLoopJoin is the deliberate
+    1-row total-count broadcast -- the q15 scalar idiom.)"""
+    import re
+
+    plan = _plan(spark, "lm_ppl_buckets")
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"\(\d+\) Exchange\n(.*?)\n\n", plan, re.S):
+        block = m.group(1)
+        if "hashpartitioning" not in block:
+            continue
+        inputs = [l for l in block.splitlines() if l.startswith("Input")]
+        assert inputs and "text#" not in inputs[0], inputs

@@ -92,3 +92,87 @@ def test_bigram_instance_weighting_matches_per_instance_mean(spark):
     got = _bigram(spark, [(1, "x x x")])
     assert got[1].n_bigrams == 2
     assert got[1].bigram_logprob == round(-math.log2((2 + 1) / (2 + 1 * 1)), 6)
+
+
+# ---------------- stupid-backoff scorer (r15b) ----------------
+
+
+def _sb(spark, score_rows, ref_rows=None, **kw):
+    from data_stream_flink_user_address_spark.functions.text import (
+        stupid_backoff_scores,
+    )
+
+    df = spark.createDataFrame(score_rows, "doc_id long, text string")
+    ref = (
+        None
+        if ref_rows is None
+        else spark.createDataFrame(ref_rows, "doc_id long, text string")
+    )
+    return {
+        r.doc_id: r for r in stupid_backoff_scores(df, ref_df=ref).collect()
+    }
+
+
+def test_backoff_hand_computed_held_out(spark):
+    """Reference 'a b' x2 + 'a c'; scored doc 'a b c' held out:
+    pos0 'a' = uni(3/8); 'b|a' = c2/c1 = 2/3 (hit); 'c|b' unseen
+    bigram, seen unigram -> 0.4 * (1/8) (backoff)."""
+    import math
+
+    ref = [(100, "a b"), (101, "a b"), (102, "a c")]
+    got = _sb(spark, [(1, "a b c")], ref_rows=ref)[1]
+    # ref tokens: a=3, b=2, c=1, T=6... recount: 'a b','a b','a c'
+    # -> a:3 b:2 c:1, T=6; bigrams: (a,b):2 (a,c):1; c1(a)=3, c1(b)=0
+    want = (
+        -math.log2(3 / 6) + -math.log2(2 / 3) + -math.log2(0.4 * (1 / 6))
+    ) / 3
+    assert got["n_tokens"] == 3
+    assert got["n_bigram_hit"] == 1
+    assert got["n_backoff"] == 1
+    assert got["n_oov"] == 0
+    assert abs(got["lm_logprob"] - round(want, 6)) < 1e-9
+
+
+def test_oov_floor_and_counts(spark):
+    """'z z' is fully OOV against the reference: pos0 z = 0.5/T, then
+    bigram (z,z) unseen AND unigram z unseen -> alpha * 0.5/T."""
+    import math
+
+    ref = [(100, "a b a")]
+    got = _sb(spark, [(1, "z z")], ref_rows=ref)[1]
+    t = 3.0
+    want = (-math.log2(0.5 / t) + -math.log2(0.4 * 0.5 / t)) / 2
+    assert got["n_oov"] == 2 and got["n_backoff"] == 1
+    assert got["n_bigram_hit"] == 0
+    assert abs(got["lm_logprob"] - round(want, 6)) < 1e-9
+
+
+def test_self_trained_never_backs_off(spark):
+    """Scoring the training corpus itself: every observed bigram has
+    c2 >= 1, so the backoff path never fires (the reason the driver
+    query holds out a split)."""
+    rows = [(1, "x y z"), (2, "y z x y")]
+    got = _sb(spark, rows)
+    for r in got.values():
+        assert r["n_backoff"] == 0 and r["n_oov"] == 0
+        assert r["n_bigram_hit"] == r["n_tokens"] - 1
+
+
+def test_scrambled_held_out_scores_worse_than_fluent(spark):
+    """The property the Laplace bigram scorer has in-domain, now on
+    held-out text: fluent word order follows the reference's bigram
+    table, scrambled order of the SAME tokens backs off."""
+    ref = [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(5)]
+    got = _sb(
+        spark,
+        [(1, "the quick brown fox"), (2, "fox brown quick the")],
+        ref_rows=ref,
+    )
+    assert got[1]["lm_logprob"] < got[2]["lm_logprob"]
+    assert got[1]["n_bigram_hit"] > got[2]["n_bigram_hit"]
+
+
+def test_empty_docs_omitted_single_token_kept(spark):
+    got = _sb(spark, [(1, "   "), (2, "a")], ref_rows=[(100, "a b")])
+    assert 1 not in got
+    assert got[2]["n_tokens"] == 1 and got[2]["n_bigram_hit"] == 0
