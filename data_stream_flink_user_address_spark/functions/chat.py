@@ -175,8 +175,11 @@ def validate_conversations(
       sequence budget);
     - ``n_assistant_turns`` / ``n_assistant_chars``: the conversation's
       actual supervision mass;
-    - ``valid``: alternates AND ends_assistant AND has at least one
-      user and one assistant turn.
+    - ``no_null_fields``: every turn carries a non-NULL role AND
+      content (a JSON ``null`` in either is malformed data -- span
+      arithmetic downstream would NULL-poison);
+    - ``valid``: no_null_fields AND alternates AND ends_assistant AND
+      has at least one user and one assistant turn.
 
     All flags are ``forall``/``aggregate`` expressions over the turns
     array -- row-local, zero shuffles, scan-fused.  NULL arrays (parse
@@ -206,6 +209,10 @@ def validate_conversations(
         F.lit(0).cast("bigint"),
         lambda acc, t: acc + F.length(t["content"]).cast("bigint"),
     )
+    no_nulls = F.forall(
+        arr,
+        lambda t: t["role"].isNotNull() & t["content"].isNotNull(),
+    )
     return df.select(
         F.col(id_col),
         F.size(arr).cast("int").alias("n_turns"),
@@ -214,8 +221,13 @@ def validate_conversations(
         ends_assistant.alias("ends_assistant"),
         n_asst.cast("int").alias("n_assistant_turns"),
         asst_chars.alias("n_assistant_chars"),
+        no_nulls.alias("no_null_fields"),
         F.coalesce(
-            alternates & ends_assistant & (n_asst >= 1) & (n_user >= 1),
+            no_nulls
+            & alternates
+            & ends_assistant
+            & (n_asst >= 1)
+            & (n_user >= 1),
             F.lit(False),
         ).alias("valid"),
     )

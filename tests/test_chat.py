@@ -214,3 +214,36 @@ def test_chat_ops_run_on_a_stream(spark, tmp_path):
         (r["conv_id"], r["turn_idx"]): (r["char_start"], r["char_end"], r["loss_mask"])
         for r in got
     } == want
+
+
+def test_null_turn_fields_stay_null_honest(spark):
+    """A turn with a JSON null role or content is malformed data: its
+    own span/mask columns come out NULL (never fabricated), and the
+    validator rejects the conversation -- nothing is silently dropped
+    or defaulted."""
+    df = spark.createDataFrame(
+        [
+            (1, '[{"role": "user", "content": null}, '
+                '{"role": "assistant", "content": "ok"}]'),
+            (2, '[{"role": null, "content": "x"}, '
+                '{"role": "assistant", "content": "y"}]'),
+        ],
+        "conv_id bigint, conversation string",
+    )
+    parsed = parse_conversations(df)
+    rows = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in conversation_turns(parsed).collect()
+    }
+    # conv 1: NULL content -> the turn's start is still derivable
+    # (header lengths are known) but its end and every LATER turn's
+    # offsets poison to NULL rather than guessing
+    assert rows[(1, 0)]["n_chars"] is None
+    assert rows[(1, 0)]["char_start"] == len("<|user|>")
+    assert rows[(1, 0)]["char_end"] is None
+    assert rows[(1, 1)]["char_start"] is None
+    # conv 2: NULL role -> NULL header length and NULL loss_mask
+    assert rows[(2, 0)]["loss_mask"] is None
+    assert rows[(2, 0)]["char_start"] is None
+    v = {r["conv_id"]: r for r in validate_conversations(parsed).collect()}
+    assert not v[1]["valid"] and not v[2]["valid"]

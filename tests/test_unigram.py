@@ -176,3 +176,56 @@ def test_empty_docs_omitted_single_token_kept(spark):
     got = _sb(spark, [(1, "   "), (2, "a")], ref_rows=[(100, "a b")])
     assert 1 not in got
     assert got[2]["n_tokens"] == 1 and got[2]["n_bigram_hit"] == 0
+
+
+def test_backoff_randomized_matches_python_replica(spark):
+    """Randomized ref/held corpora vs a from-scratch Python replica of
+    the full cascade (counts, backoff CASE, n-weighted -log2 mean)."""
+    import math
+    import random
+
+    rng = random.Random(1511)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    ref_rows = [
+        (100 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(12)
+    ]
+    held_rows = [
+        (i, " ".join(rng.choice(vocab + ["q", "z"])  # q/z are OOV
+                     for _ in range(rng.randint(1, 10))))
+        for i in range(25)
+    ]
+    got = _sb(spark, held_rows, ref_rows=ref_rows)
+
+    cu, c2, c1 = {}, {}, {}
+    for _, text in ref_rows:
+        toks = text.split()
+        for t in toks:
+            cu[t] = cu.get(t, 0) + 1
+        for p, c in zip(toks, toks[1:]):
+            c2[(p, c)] = c2.get((p, c), 0) + 1
+            c1[p] = c1.get(p, 0) + 1
+    T = sum(cu.values())
+
+    for did, text in held_rows:
+        toks = text.split()
+        logps, hits, backoffs, oovs = [], 0, 0, 0
+        for i, cur in enumerate(toks):
+            uni = (cu.get(cur, 0) or 0.5) / T
+            if cu.get(cur) is None:
+                oovs += 1
+            if i == 0:
+                s = uni
+            elif (toks[i - 1], cur) in c2:
+                s = c2[(toks[i - 1], cur)] / c1[toks[i - 1]]
+                hits += 1
+            else:
+                s = 0.4 * uni
+                backoffs += 1
+            logps.append(-math.log2(s))
+        r = got[did]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_bigram_hit"] == hits, did
+        assert r["n_backoff"] == backoffs, did
+        assert r["n_oov"] == oovs, did
+        assert abs(r["lm_logprob"] - round(sum(logps) / len(logps), 6)) < 1e-7, did
