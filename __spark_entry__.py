@@ -1481,7 +1481,11 @@ def _q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     R13_OPS_SCALE.json).  percentile_approx at accuracy >= stratum
     size IS the exact discrete quantile DuckDB's quantile_disc
     computes.  The oracle re-derives the whole model -- counts,
-    backoff CASE, n-weighted mean, cuts, ntile -- in SQL."""
+    backoff CASE, n-weighted mean, cuts, ntile -- in SQL.  In-plan
+    note: the exact and approx binning paths each re-derive the score
+    frame (the oracle-checkable spelling, the nb_quality_scores
+    trade); the 100 TB pipeline persists stupid_backoff_scores ONCE
+    and bins the materialized frame."""
     d = _docs(spark, sf_dir)
     ref = d.filter(F.col("doc_id") % 2 == 0)
     held = d.filter(F.col("doc_id") % 2 == 1)

@@ -295,6 +295,7 @@ def stupid_backoff_scores(
     ref_df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ref_id_col: str | None = None,
     alpha: float = 0.4,
     round_digits: int = 6,
 ) -> DataFrame:
@@ -337,14 +338,19 @@ def stupid_backoff_scores(
     one doc-keyed aggregate; self-trained on a 100 TB corpus the
     bigram join shuffles on bigram keys -- the standard distributed
     LM-scoring shape, and AQE picks the side.
+
+    ``ref_id_col`` names the reference's id column when it differs
+    from the scored frame's (only the per-document lag window needs
+    it; defaults to ``id_col``).
     """
     ref = df if ref_df is None else ref_df
+    rid = id_col if ref_id_col is None else ref_id_col
 
     rtoks = ref.select(F.explode(tokens(text_col)).alias("tok"))
     cu = rtoks.groupBy("tok").agg(F.count(F.lit(1)).alias("__cu"))
     total = cu.agg(F.sum("__cu").cast("double").alias("__t"))
     rpos = ref.select(
-        F.col(id_col).alias("__rid"),
+        F.col(rid).alias("__rid"),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
     )
     rw = Window.partitionBy("__rid").orderBy("pos")

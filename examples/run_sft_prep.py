@@ -11,7 +11,12 @@ conversations:
 3. conversation_turns: per-turn rows with [char_start, char_end)
    loss-mask spans into the rendered training string, computed
    intra-row (zero exchanges -- the plan the 100 TB feed wants);
-4. render_conversation + histogram_pack: whole-CONVERSATION bins (a
+4. stupid-backoff LM gate: assistant-turn text scores against a
+   reference LM (here: the valid corpus's own system/user half would
+   be circular, so the reference is the raw document corpus) and the
+   worst per-source perplexity quartile is dropped -- the CCNet
+   filter applied at the SUPERVISION-mass level;
+5. render_conversation + histogram_pack: whole-CONVERSATION bins (a
    bin never splits a chat, so packed-attention never crosses a
    conversation boundary mid-sample) with each conversation's mask
    spans re-based to its offset inside the packed bin.
@@ -35,6 +40,12 @@ from data_stream_flink_user_address_spark.functions.chat import (
 )
 from data_stream_flink_user_address_spark.functions.packing import (
     histogram_pack,
+)
+from data_stream_flink_user_address_spark.functions.sampling import (
+    quality_bucket_cuts,
+)
+from data_stream_flink_user_address_spark.functions.text import (
+    stupid_backoff_scores,
 )
 from data_stream_flink_user_address_spark.session import get_spark
 
@@ -104,7 +115,47 @@ def main() -> None:
         "content chars"
     )
 
-    # 4. whole-conversation packing: render, pack on token counts, then
+    # 4. LM perplexity gate on the SUPERVISION mass: score each
+    # conversation's concatenated assistant turns against a reference
+    # LM (the raw document corpus) and drop the worst per-source
+    # quartile -- low-quality completions cost loss budget directly
+    asst_text = (
+        turns.filter("loss_mask")
+        .groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "content"))
+                    ),
+                    lambda s: s["content"],
+                ),
+            ).alias("text")
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("conv_id"), "source"),
+            "conv_id",
+        )
+    )
+    scores = (
+        stupid_backoff_scores(
+            asst_text, ref_df=docs, id_col="conv_id", ref_id_col="doc_id"
+        )
+        .join(asst_text.select("conv_id", "source"), "conv_id")
+    )
+    binned = quality_bucket_cuts(
+        scores, score_col="lm_logprob", n_buckets=4, strata_col="source"
+    )
+    survivors = binned.filter(F.col("quality_bucket") < 4).select("conv_id")
+    n_gated = survivors.count()
+    print(
+        f"lm gate: {funnel['kept']} valid chats -> {n_gated} after "
+        "dropping each source's worst perplexity quartile"
+    )
+    kept = kept.join(survivors, "conv_id")
+
+    # 5. whole-conversation packing: render, pack on token counts, then
     # re-base every conversation's mask spans to its slot in the bin
     rendered = render_conversation(kept)
     assign, stats = histogram_pack(
