@@ -231,3 +231,56 @@ def validate_conversations(
             F.lit(False),
         ).alias("valid"),
     )
+
+
+def streaming_sft_gate(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    json_col: str = "conversation",
+    id_col: str = "conv_id",
+):
+    """Continuous SFT-corpus admission: every micro-batch of JSON chats
+    runs parse -> structural gate (:func:`validate_conversations`,
+    ``valid`` only) -> :func:`conversation_turns`, and the surviving
+    turn rows (loss-mask spans included) land under an
+    ``__epoch=<id>`` partition of ``out_path`` with dynamic overwrite
+    -- a replayed epoch rewrites exactly its own partition, the same
+    idempotency contract as the dedup/NB admission gates (they
+    compose: chain this gate's survivors into a dedup gate for
+    validity-then-novelty admission).
+
+    Per batch the work is row-local expressions plus one id-keyed
+    equi-join of the batch against its own (tiny, per-batch) valid-id
+    frame -- no state, no shuffle of history, nothing model-shaped to
+    load.  Returns the started ``StreamingQuery``.  Measured end to
+    end in ``STREAM_BENCH.json:sft_ingest_stream``
+    (``python bench_stream_sft.py``).
+    """
+    from .dedup import _require_epoch_layout
+
+    _require_epoch_layout(out_path)
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        parsed = parse_conversations(batch_df, json_col, id_col)
+        kept = parsed.join(
+            validate_conversations(parsed, id_col=id_col)
+            .filter("valid")
+            .select(id_col),
+            id_col,
+        )
+        (
+            conversation_turns(kept, id_col=id_col)
+            .withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("__epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_path)
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fb)
+        .start()
+    )

@@ -247,3 +247,98 @@ def test_null_turn_fields_stay_null_honest(spark):
     assert rows[(2, 0)]["char_start"] is None
     v = {r["conv_id"]: r for r in validate_conversations(parsed).collect()}
     assert not v[1]["valid"] and not v[2]["valid"]
+
+
+def test_streaming_sft_gate_epochs_and_replay(spark, tmp_path):
+    """streaming_sft_gate end to end: two file-source micro-batches
+    land as __epoch=N partitions of turn rows for VALID conversations
+    only, and a manually replayed epoch rewrites exactly its own
+    partition (the admission-gate idempotency contract)."""
+    from data_stream_flink_user_address_spark.functions.chat import (
+        streaming_sft_gate,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    out = str(tmp_path / "out")
+
+    def jline(cid, turns):
+        return json.dumps(
+            {
+                "conv_id": cid,
+                "conversation": json.dumps(
+                    [{"role": r, "content": c} for r, c in turns]
+                ),
+            }
+        )
+
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(jline(1, [("user", "hi"), ("assistant", "hello")]) + "\n")
+        f.write(jline(2, [("user", "no reply")]) + "\n")  # invalid
+    stream = (
+        spark.readStream.schema("conv_id long, conversation string")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = streaming_sft_gate(stream, out, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        with open(os.path.join(src, "b2.json"), "w") as f:
+            f.write(
+                jline(3, [("system", "s"), ("user", "a b"), ("assistant", "c")])
+                + "\n"
+            )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    got = sorted({(r["conv_id"], r["__epoch"]) for r in rows})
+    assert got == [(1, 0), (3, 1)]  # conv 2 gated out
+    spans = {(r["conv_id"], r["turn_idx"]): r for r in rows}
+    assert spans[(1, 1)]["loss_mask"] and spans[(1, 1)]["char_start"] == len(
+        "<|user|>hi" + SEP + "<|assistant|>"
+    )
+
+    # replay epoch 1 with different survivors: ONLY __epoch=1 rewrites
+    replay = spark.createDataFrame(
+        [(4, json.dumps([{"role": "user", "content": "x"},
+                         {"role": "assistant", "content": "y"}]))],
+        "conv_id long, conversation string",
+    )
+    from data_stream_flink_user_address_spark.functions.chat import (
+        conversation_turns,
+        parse_conversations,
+        validate_conversations,
+    )
+    parsed = parse_conversations(replay)
+    kept = parsed.join(
+        validate_conversations(parsed).filter("valid").select("conv_id"),
+        "conv_id",
+    )
+    (
+        conversation_turns(kept)
+        .withColumn("__epoch", F.lit(1))
+        .write.mode("overwrite")
+        .partitionBy("__epoch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out)
+    )
+    after = sorted(
+        {(r["conv_id"], r["__epoch"])
+         for r in spark.read.parquet(out).collect()}
+    )
+    assert after == [(1, 0), (4, 1)]
+
+
+def test_streaming_sft_gate_rejects_flat_layout(spark, tmp_path):
+    import pytest
+
+    from data_stream_flink_user_address_spark.functions.chat import (
+        streaming_sft_gate,
+    )
+
+    out = str(tmp_path / "flat")
+    spark.createDataFrame([(1, "x")], ["conv_id", "conversation"]).write.parquet(out)
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="flat-append"):
+        streaming_sft_gate(stream, out, str(tmp_path / "ck"))
