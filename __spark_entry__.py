@@ -2469,8 +2469,9 @@ def _q_pack_bins_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_corpus_diff_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-crawl snapshot diff (functions/profile.py:corpus_diff):
-    derived old/new snapshots of documents -- every 10th doc removed,
-    every (10k+1)th added, every (10k+2)th edited -- classified
+    derived old/new snapshots of documents -- every 10th doc absent
+    from OLD (so it classifies 'added'), every (10k+1)th absent from
+    NEW ('removed'), every (10k+2)th edited ('changed') -- classified
     added/removed/changed/unchanged with both md5 fingerprints in the
     output, so the driver hash pins the fingerprint normalization too.
     Scale shape: each side projects to (id, 16-byte fp) BEFORE the

@@ -29,9 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 from data_stream_flink_user_address_spark.functions.chat import (
-    conversation_turns,
-    parse_conversations,
-    validate_conversations,
+    streaming_sft_gate,
 )
 from data_stream_flink_user_address_spark.session import get_spark
 
@@ -99,31 +97,12 @@ def main() -> None:
     for b in range(N_BATCHES):
         write_batch(spark, b, src)
 
-    def ingest(batch_df, epoch_id: int) -> None:
-        parsed = parse_conversations(batch_df)
-        kept = parsed.join(
-            validate_conversations(parsed).filter("valid").select("conv_id"),
-            "conv_id",
-        )
-        (
-            conversation_turns(kept)
-            .withColumn("__epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .partitionBy("__epoch")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(out)
-        )
-
     stream = (
         spark.readStream.schema("conv_id long, conversation string")
         .option("maxFilesPerTrigger", str(32))
         .json(os.path.join(src, "batch_*"))
     )
-    q = (
-        stream.writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", ck)
-        .start()
-    )
+    q = streaming_sft_gate(stream, out, ck)
     epoch_walls: list[float] = []
     try:
         t_all = time.perf_counter()

@@ -158,6 +158,52 @@ def render_conversation(
     )
 
 
+def _structural_flags(arr: Column) -> tuple[Column, ...]:
+    """The validator's flag expressions over a turns-array column --
+    shared by :func:`validate_conversations` (full report frame) and
+    :func:`streaming_sft_gate` (inline ``valid`` filter, no self-join,
+    no second parse of the batch).  Returns (starts_system, alternates,
+    ends_assistant, n_asst, n_user, asst_chars, no_nulls, valid)."""
+    starts_system = arr[0]["role"] == F.lit("system")
+    off = F.when(starts_system, F.lit(1)).otherwise(F.lit(0))
+    alternates = F.forall(
+        F.transform(
+            arr,
+            lambda t, i: F.when(i < off, t["role"] == F.lit("system")).otherwise(
+                t["role"]
+                == F.when(
+                    ((i - off) % 2) == 0, F.lit("user")
+                ).otherwise(F.lit("assistant"))
+            ),
+        ),
+        lambda ok: ok,
+    )
+    ends_assistant = F.element_at(arr, -1)["role"] == F.lit("assistant")
+    n_asst = F.size(F.filter(arr, lambda t: t["role"] == F.lit("assistant")))
+    n_user = F.size(F.filter(arr, lambda t: t["role"] == F.lit("user")))
+    asst_chars = F.aggregate(
+        F.filter(arr, lambda t: t["role"] == F.lit("assistant")),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.length(t["content"]).cast("bigint"),
+    )
+    no_nulls = F.forall(
+        arr,
+        lambda t: t["role"].isNotNull() & t["content"].isNotNull(),
+    )
+    valid = F.coalesce(
+        no_nulls
+        & alternates
+        & ends_assistant
+        & (n_asst >= 1)
+        & (n_user >= 1),
+        F.lit(False),
+    )
+    return (
+        starts_system, alternates, ends_assistant, n_asst, n_user,
+        asst_chars, no_nulls, valid,
+    )
+
+
 def validate_conversations(
     df: DataFrame,
     turns_col: str = "turns",
@@ -187,32 +233,8 @@ def validate_conversations(
     NULL-honest rather than defaulted.
     """
     arr = F.col(turns_col)
-    starts_system = arr[0]["role"] == F.lit("system")
-    off = F.when(starts_system, F.lit(1)).otherwise(F.lit(0))
-    alternates = F.forall(
-        F.transform(
-            arr,
-            lambda t, i: F.when(i < off, t["role"] == F.lit("system")).otherwise(
-                t["role"]
-                == F.when(
-                    ((i - off) % 2) == 0, F.lit("user")
-                ).otherwise(F.lit("assistant"))
-            ),
-        ),
-        lambda ok: ok,
-    )
-    ends_assistant = F.element_at(arr, -1)["role"] == F.lit("assistant")
-    n_asst = F.size(F.filter(arr, lambda t: t["role"] == F.lit("assistant")))
-    n_user = F.size(F.filter(arr, lambda t: t["role"] == F.lit("user")))
-    asst_chars = F.aggregate(
-        F.filter(arr, lambda t: t["role"] == F.lit("assistant")),
-        F.lit(0).cast("bigint"),
-        lambda acc, t: acc + F.length(t["content"]).cast("bigint"),
-    )
-    no_nulls = F.forall(
-        arr,
-        lambda t: t["role"].isNotNull() & t["content"].isNotNull(),
-    )
+    starts_system, alternates, ends_assistant, n_asst, n_user, asst_chars, \
+        no_nulls, valid = _structural_flags(arr)
     return df.select(
         F.col(id_col),
         F.size(arr).cast("int").alias("n_turns"),
@@ -222,14 +244,7 @@ def validate_conversations(
         n_asst.cast("int").alias("n_assistant_turns"),
         asst_chars.alias("n_assistant_chars"),
         no_nulls.alias("no_null_fields"),
-        F.coalesce(
-            no_nulls
-            & alternates
-            & ends_assistant
-            & (n_asst >= 1)
-            & (n_user >= 1),
-            F.lit(False),
-        ).alias("valid"),
+        valid.alias("valid"),
     )
 
 
@@ -250,11 +265,12 @@ def streaming_sft_gate(
     compose: chain this gate's survivors into a dedup gate for
     validity-then-novelty admission).
 
-    Per batch the work is row-local expressions plus one id-keyed
-    equi-join of the batch against its own (tiny, per-batch) valid-id
-    frame -- no state, no shuffle of history, nothing model-shaped to
-    load.  Returns the started ``StreamingQuery``.  Measured end to
-    end in ``STREAM_BENCH.json:sft_ingest_stream``
+    Per batch the work is row-local expressions ONLY: the gate filters
+    on the validator's inline ``valid`` expression (shared flag
+    builder), so there is no self-join, no second read/parse of the
+    micro-batch, no state, no shuffle of history, and nothing
+    model-shaped to load.  Returns the started ``StreamingQuery``.
+    Measured end to end in ``STREAM_BENCH.json:sft_ingest_stream``
     (``python bench_stream_sft.py``).
     """
     from .dedup import _require_epoch_layout
@@ -263,14 +279,9 @@ def streaming_sft_gate(
 
     def fb(batch_df: DataFrame, epoch_id: int) -> None:
         parsed = parse_conversations(batch_df, json_col, id_col)
-        kept = parsed.join(
-            validate_conversations(parsed, id_col=id_col)
-            .filter("valid")
-            .select(id_col),
-            id_col,
-        )
+        valid = _structural_flags(F.col("turns"))[-1]
         (
-            conversation_turns(kept, id_col=id_col)
+            conversation_turns(parsed.filter(valid), id_col=id_col)
             .withColumn("__epoch", F.lit(int(epoch_id)))
             .write.mode("overwrite")
             .partitionBy("__epoch")

@@ -83,11 +83,13 @@ def _order_preserving_bucket(
     # slim frame referenced by count + cuts + the main pass: materialize
     # lazily or the upstream token scan runs three times (pitfall #1)
     d = d.localCheckpoint(eager=False)
+    # column-API rpad over binary (no SQL-text interpolation of the id
+    # name -- quoting-hostile column names must work like any other)
+    padded = F.call_function(
+        "rpad", F.col(id_col).cast("binary"), F.lit(7), F.lit(b"\x00")
+    )
     proxy = F.coalesce(
-        F.conv(
-            F.hex(F.expr(f"rpad(cast({id_col} as binary), 7, x'00')")),
-            16, 10,
-        ).cast("bigint"),
+        F.conv(F.hex(padded), 16, 10).cast("bigint"),
         F.lit(0),
     )
     p = d.withColumn("__proxy", proxy)

@@ -100,16 +100,30 @@ def main() -> None:
         cands = brute_force_topk(proj, pq, k=40, dim=16).select(
             "query_id", "vec_id"
         )
-        rerank = (
-            brute_force_topk(
-                floats.join(
-                    cands.select("vec_id").distinct(), "vec_id", "semi"
-                ),
-                queries,
-                k=10,
-                dim=64,
+        # rerank each query against ITS OWN candidate list only -- a
+        # pooled semi-join over all queries' candidates would let one
+        # query's hit mask another's PCA miss and overstate recall
+        from pyspark.sql import Window as _W
+
+        from data_stream_flink_user_address_spark.functions.similarity import (
+            cosine_sim_col,
+        )
+
+        pair_cos = (
+            cands.join(floats, "vec_id")
+            .join(F.broadcast(queries), "query_id")
+            .withColumn(
+                "cosine", cosine_sim_col(F.col("embedding"), F.col("query_vec"))
             )
         )
+        rerank = pair_cos.withColumn(
+            "rank",
+            F.row_number().over(
+                _W.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id").asc()
+                )
+            ),
+        ).filter(F.col("rank") <= 10)
         got = {
             (r.query_id, r.vec_id) for r in rerank.collect()
         }
@@ -121,8 +135,12 @@ def main() -> None:
         recall = len(got & exact) / max(len(exact), 1)
         print(
             f"PCA-16 candidates + exact rerank: {pca_s:.2f}s  "
-            f"recall@10={recall:.3f} (train eigendecomposes the one-pass "
-            f"corpus covariance; projection is one BLAS matmul per batch)"
+            f"recall@10={recall:.3f} (per-query candidates; train "
+            f"eigendecomposes the one-pass corpus covariance; projection "
+            f"is one BLAS matmul per batch). NOTE: the testdata vectors "
+            f"are near-isotropic random -- PCA's worst case; real encoder "
+            f"output has a decaying spectrum and keeps far more of the "
+            f"metric in 16 dims"
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

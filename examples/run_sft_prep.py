@@ -167,6 +167,16 @@ def main() -> None:
         f"truncated={stats['n_truncated']}"
     )
 
+    # bin assembly convention: concatenate the EXACT rendered strings
+    # in conv_id order with NO extra separator -- every rendered
+    # conversation already self-terminates with SEP, so conversations
+    # stay newline-delimited and char spans re-base by a plain prefix
+    # sum.  (packing.pack_bins_text is NOT the materializer here: it
+    # whitespace-normalizes tokens, which would destroy the rendering
+    # the spans are addressed against.)  Guard the convention: no
+    # truncated members (SEQ_LEN exceeds every chat), and the re-based
+    # spans must slice the assembled bin back to the turn contents.
+    assert stats["n_truncated"] == 0, stats
     in_bin = Window.partitionBy("bin_id").orderBy("conv_id")
     slots = (
         assign.join(rendered.select("conv_id", "n_chars"), "conv_id")
@@ -188,9 +198,39 @@ def main() -> None:
             "bin_id",
             "conv_id",
             "turn_idx",
+            "content",
             (F.col("char_start") + F.col("bin_char_base")).alias("bin_start"),
             (F.col("char_end") + F.col("bin_char_base")).alias("bin_end"),
         )
+    )
+    bins_text = (
+        slots.join(rendered.select("conv_id", "text"), "conv_id")
+        .groupBy("bin_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("conv_id", "text"))),
+                    lambda m: m["text"],
+                ),
+            ).alias("bin_text")
+        )
+    )
+    checked = (
+        packed_spans.join(bins_text, "bin_id")
+        .withColumn(
+            "slice",
+            F.expr(
+                "substring(bin_text, cast(bin_start + 1 as int), "
+                "cast(bin_end - bin_start as int))"
+            ),
+        )
+    )
+    n_bad = checked.filter(F.col("slice") != F.col("content")).count()
+    assert n_bad == 0, f"{n_bad} re-based spans failed to slice back"
+    print(
+        "span check: every bin-relative supervised span slices the "
+        "assembled bin text back to its turn content"
     )
     demo_bin = packed_spans.orderBy("bin_id", "bin_start").limit(8)
     print("first packed bin's supervised spans (bin-relative):")

@@ -513,3 +513,26 @@ def test_string_bucket_binary_search_matches_cut_semantics(spark):
     buckets = [r["__bucket"] for r in rows]
     assert buckets == sorted(buckets)  # monotone in id order
     assert 0 < len(set(buckets)) <= 8  # ~200/25 buckets materialize
+
+
+def test_offsets_quoting_hostile_id_column_name(spark):
+    """The string-id proxy must be built with column-API expressions,
+    not SQL-text interpolation: an id column whose name needs quoting
+    (space, dash) has to work like any other (r15 review fix)."""
+    rows = [(f"id{i:03d}", "w w w") for i in range(30)]
+    out = sequence_pack_offsets(
+        spark.createDataFrame(rows, "`my doc-id` string, text string"),
+        id_col="my doc-id",
+        seq_len=8,
+        sep_tokens=1,
+        bucket_size=7,
+    )
+    got = sorted(
+        (r["my doc-id"], r.start_offset, r.end_offset) for r in out.collect()
+    )
+    assert len(got) == 30
+    off = 0
+    for i, (doc_id, start, end) in enumerate(got):
+        assert doc_id == f"id{i:03d}"
+        assert (start, end) == (off, off + 3)
+        off += 4
