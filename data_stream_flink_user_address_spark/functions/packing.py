@@ -629,3 +629,88 @@ def pack_bins_text(
             ).alias("packed_text"),
         )
     )
+
+
+def pack_bins_exact(
+    df: DataFrame,
+    assignment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize :func:`histogram_pack` bins with texts preserved
+    BYTE-EXACTLY: one row per bin -- ``(bin_id, n_docs, n_tokens,
+    packed_text, char_bases)`` -- members concatenated in id order with
+    NO separator and NO re-tokenization, plus each member's character
+    offset into the packed string as an array of ``(id, char_base)``
+    structs.
+
+    This is the materializer for texts whose internal layout carries
+    meaning -- rendered SFT conversations address their loss-mask spans
+    by character against the exact rendered string
+    (``chat.conversation_turns``), which
+    :func:`pack_bins_text`'s whitespace-normalizing token clip would
+    destroy.  A downstream trainer re-bases each member's spans by its
+    ``char_base`` (property: ``substring(packed_text, char_base +
+    member-relative span)`` recovers the original slice --
+    ``tests/test_packing.py``).
+
+    Because exact texts cannot be clipped without corrupting their
+    spans, any ``truncated`` member in the assignment raises: pick
+    ``seq_len`` above the longest document (or pre-filter) before
+    packing span-addressed corpora.
+
+    Scale shape: identical to :func:`pack_bins_text` -- one id-keyed
+    equi-join, then ONE bin-keyed shuffle carrying each text exactly
+    once; char bases are intra-row arithmetic over the sorted member
+    array (the ``chat.conversation_turns`` slice-sum idiom -- O(m^2)
+    in the bin's MEMBER count over ``length()`` integers, and a bin
+    holds at most ``seq_len`` tokens' worth of members).  The id keeps
+    its original type in ``char_bases``.
+    """
+    joined = df.select(F.col(id_col), F.col(text_col)).join(
+        assignment.select(id_col, "n_tokens", "bin_id", "truncated"), id_col
+    )
+    n_trunc = joined.filter("truncated").count()
+    if n_trunc:
+        raise ValueError(
+            f"pack_bins_exact: {n_trunc} truncated member(s) -- exact "
+            "texts cannot be clipped without corrupting their character "
+            "addressing; raise seq_len above the longest document or "
+            "pre-filter before packing"
+        )
+    members = (
+        joined.select(
+            "bin_id",
+            "n_tokens",
+            F.struct(
+                F.col(id_col).alias("id"), F.col(text_col).alias("t")
+            ).alias("__member"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sort_array(F.collect_list("__member")).alias("__ms"),
+        )
+    )
+    ms = F.col("__ms")
+    bases = F.transform(
+        ms,
+        lambda m, i: F.struct(
+            m["id"].alias("id"),
+            F.aggregate(
+                F.slice(ms, F.lit(1), i),
+                F.lit(0).cast("bigint"),
+                lambda acc, p: acc + F.length(p["t"]).cast("bigint"),
+            ).alias("char_base"),
+        ),
+    )
+    return members.select(
+        "bin_id",
+        "n_docs",
+        "n_tokens",
+        F.concat_ws("", F.transform("__ms", lambda m: m["t"])).alias(
+            "packed_text"
+        ),
+        bases.alias("char_bases"),
+    )

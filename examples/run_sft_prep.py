@@ -29,7 +29,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_stream_flink_user_address_spark.functions.chat import (
@@ -40,6 +39,7 @@ from data_stream_flink_user_address_spark.functions.chat import (
 )
 from data_stream_flink_user_address_spark.functions.packing import (
     histogram_pack,
+    pack_bins_exact,
 )
 from data_stream_flink_user_address_spark.functions.sampling import (
     quality_bucket_cuts,
@@ -167,33 +167,25 @@ def main() -> None:
         f"truncated={stats['n_truncated']}"
     )
 
-    # bin assembly convention: concatenate the EXACT rendered strings
-    # in conv_id order with NO extra separator -- every rendered
-    # conversation already self-terminates with SEP, so conversations
-    # stay newline-delimited and char spans re-base by a plain prefix
-    # sum.  (packing.pack_bins_text is NOT the materializer here: it
-    # whitespace-normalizes tokens, which would destroy the rendering
-    # the spans are addressed against.)  Guard the convention: no
-    # truncated members (SEQ_LEN exceeds every chat), and the re-based
-    # spans must slice the assembled bin back to the turn contents.
-    assert stats["n_truncated"] == 0, stats
-    in_bin = Window.partitionBy("bin_id").orderBy("conv_id")
-    slots = (
-        assign.join(rendered.select("conv_id", "n_chars"), "conv_id")
-        .withColumn(
-            "bin_char_base",
-            F.coalesce(
-                F.sum("n_chars").over(
-                    in_bin.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
+    # bin materialization: pack_bins_exact concatenates the EXACT
+    # rendered strings in conv_id order (every rendered conversation
+    # self-terminates with SEP, so conversations stay newline-delimited)
+    # and returns each member's char_base -- pack_bins_text is NOT
+    # usable here (its whitespace-normalizing token clip would destroy
+    # the rendering the spans are addressed against); pack_bins_exact
+    # raises on any truncated member for the same reason.
+    bins = pack_bins_exact(rendered, assign, id_col="conv_id")
+    slots = bins.select(
+        "bin_id", F.explode("char_bases").alias("__m")
+    ).select(
+        "bin_id",
+        F.col("__m.id").alias("conv_id"),
+        F.col("__m.char_base").alias("bin_char_base"),
     )
     packed_spans = (
         conversation_turns(kept)
         .filter("loss_mask")
-        .join(slots.select("conv_id", "bin_id", "bin_char_base"), "conv_id")
+        .join(slots, "conv_id")
         .select(
             "bin_id",
             "conv_id",
@@ -203,25 +195,12 @@ def main() -> None:
             (F.col("char_end") + F.col("bin_char_base")).alias("bin_end"),
         )
     )
-    bins_text = (
-        slots.join(rendered.select("conv_id", "text"), "conv_id")
-        .groupBy("bin_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("conv_id", "text"))),
-                    lambda m: m["text"],
-                ),
-            ).alias("bin_text")
-        )
-    )
     checked = (
-        packed_spans.join(bins_text, "bin_id")
+        packed_spans.join(bins.select("bin_id", "packed_text"), "bin_id")
         .withColumn(
             "slice",
             F.expr(
-                "substring(bin_text, cast(bin_start + 1 as int), "
+                "substring(packed_text, cast(bin_start + 1 as int), "
                 "cast(bin_end - bin_start as int))"
             ),
         )

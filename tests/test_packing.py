@@ -536,3 +536,72 @@ def test_offsets_quoting_hostile_id_column_name(spark):
         assert doc_id == f"id{i:03d}"
         assert (start, end) == (off, off + 3)
         off += 4
+
+
+class TestPackBinsExact:
+    def _pack(self, spark, rows, seq_len=16):
+        from data_stream_flink_user_address_spark.functions.packing import (
+            histogram_pack,
+            pack_bins_exact,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assign, _ = histogram_pack(df, seq_len=seq_len)
+        return pack_bins_exact(df, assign), assign
+
+    def test_char_bases_slice_back_exactly(self, spark):
+        """THE contract: substring(packed_text, char_base) recovers each
+        member's EXACT text -- internal newlines, runs of spaces, and
+        unicode preserved byte-for-byte (what pack_bins_text's token
+        clip would destroy)."""
+        rows = [
+            (1, "a\nb  c"),            # newline + double space survive
+            (2, "<|user|>hé\n"),       # rendered-chat shape + unicode
+            (3, "x y z"),
+            (4, "one  two\tthree"),
+            (5, "w " * 7 + "w"),
+        ]
+        bins, _ = self._pack(spark, rows)
+        texts = dict(rows)
+        seen = set()
+        for b in bins.collect():
+            for m in b["char_bases"]:
+                t = texts[m["id"]]
+                base = m["char_base"]
+                assert b["packed_text"][base:base + len(t)] == t, m["id"]
+                seen.add(m["id"])
+            assert len(b["packed_text"]) == sum(
+                len(texts[m["id"]]) for m in b["char_bases"]
+            )
+            # members concatenate in id order
+            ids = [m["id"] for m in b["char_bases"]]
+            assert ids == sorted(ids)
+        assert seen == set(texts)
+
+    def test_truncated_member_raises(self, spark):
+        import pytest as _pytest
+
+        rows = [(1, " ".join(["w"] * 40))]  # 40 tokens > seq_len 16
+        with _pytest.raises(ValueError, match="truncated"):
+            self._pack(spark, rows, seq_len=16)
+
+    def test_totals_match_pack_bins_text_accounting(self, spark):
+        """Same assignment: pack_bins_exact and pack_bins_text agree on
+        bin membership and token totals; only the string discipline
+        differs."""
+        from data_stream_flink_user_address_spark.functions.packing import (
+            histogram_pack,
+            pack_bins_exact,
+            pack_bins_text,
+        )
+
+        rows = [(i, " ".join(f"t{i}x{j}" for j in range(1 + i % 5)))
+                for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assign, _ = histogram_pack(df, seq_len=8)
+        exact = {r["bin_id"]: r for r in pack_bins_exact(df, assign).collect()}
+        toky = {r["bin_id"]: r for r in pack_bins_text(df, assign).collect()}
+        assert set(exact) == set(toky)
+        for bid in exact:
+            assert exact[bid]["n_docs"] == toky[bid]["n_docs"]
+            assert exact[bid]["n_tokens"] == toky[bid]["n_tokens"]
