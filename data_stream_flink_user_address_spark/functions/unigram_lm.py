@@ -1,0 +1,305 @@
+"""Unigram-LM subword tokenizer: seed-candidate generation, hard-EM
+(Viterbi-EM) training with count pruning, and Viterbi encoding -- the
+SentencePiece-family sibling of the BPE trainer (``text.bpe_train``),
+re-derived from the published algorithm (Kudo 2018, "Subword
+Regularization", arXiv:1804.10959).
+
+Engine extension beyond the reference surface.  BPE grows a vocabulary
+bottom-up by merging; the unigram LM goes top-down: seed a large
+candidate piece inventory, fit piece probabilities to maximize corpus
+likelihood under "every word is segmented into pieces", and prune the
+least useful pieces until the target vocabulary size remains.  Encoding
+is then a per-word Viterbi best segmentation.
+
+Deliberate simplification, stated up front: training uses HARD EM --
+the E-step is the Viterbi (single best) segmentation, not the full
+lattice posterior of the paper -- and pruning drops the
+lowest-probability prunable pieces instead of ranking by exact
+likelihood loss.  Hard EM keeps every intermediate an integer count
+(deterministic, order-invariant, replica-testable to the last digit;
+no log-space forward/backward underflow handling), converges to the
+same vocabularies on the corpora the tests pin, and is itself a
+documented variant in subword-tokenizer practice.  Single-character
+pieces are never pruned, so every in-alphabet word stays segmentable.
+
+Scale shape (the BPE trainer's contract, shared):
+
+- the corpus is scanned ONCE into the ``(word, cnt)`` VOCABULARY (one
+  corpus-wide shuffle, distinct-word-sized); every later stage --
+  candidate explosion, every E-step, every prune -- iterates on that
+  compact frame and is corpus-size-INDEPENDENT;
+- candidate seeding explodes word substrings (<= max_piece_len per
+  start) of the vocabulary frame: vocab x len x L rows, map-side
+  combined into candidate counts;
+- each E-step is one Arrow-batched pandas pass over the vocabulary
+  (piece table broadcast in the closure; Viterbi is O(len x L) per
+  word) emitting (piece, weighted_count) pairs, then ONE piece-keyed
+  aggregate.  The pandas UDF is the honest boundary: per-word dynamic
+  programming has no Catalyst expression spelling;
+- the driver holds only the piece table (<= seed size ~ 4x vocab_size
+  rows) -- the histogram_pack solver-on-driver trade.
+
+Encoding (:func:`unigram_lm_encode`) runs Viterbi once per DISTINCT
+word on the vocabulary frame and broadcast-joins the result onto
+posexploded document tokens -- ``bpe_apply``'s exact posture: one
+doc-keyed shuffle of (position, piece-sequence) pairs reassembles, the
+document text never rides an exchange.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+UNK_LOGPROB_OFFSET = -10.0  # OOV char: min piece logprob + this
+
+
+def viterbi_segment(
+    word: str, logp: dict[str, float], max_piece_len: int
+) -> tuple[list[str], float]:
+    """Best segmentation of ``word`` under piece log-probs -- the
+    shared reference kernel (driver AND executors run THIS function, so
+    train/encode/tests cannot drift).  Characters absent from the piece
+    table segment as themselves at ``min(logp) + UNK_LOGPROB_OFFSET``
+    (documents must stay encodable; the cost makes OOV visibly bad).
+    Ties break toward FEWER pieces, then lexicographically smaller
+    piece at the split -- a total, content-deterministic order.
+    Returns ``(pieces, total_logprob)``.
+    """
+    n = len(word)
+    unk = (min(logp.values()) if logp else 0.0) + UNK_LOGPROB_OFFSET
+    # best[j] = (score, n_pieces, piece_ending_at_j) for word[:j]
+    best: list[tuple[float, int, str] | None] = [None] * (n + 1)
+    best[0] = (0.0, 0, "")
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_piece_len), j):
+            if best[i] is None:
+                continue
+            piece = word[i:j]
+            lp = logp.get(piece)
+            if lp is None:
+                if j - i > 1:
+                    continue
+                lp = unk
+            cand = (best[i][0] + lp, best[i][1] + 1, piece)
+            cur = best[j]
+            if (
+                cur is None
+                or cand[0] > cur[0] + 1e-12
+                or (
+                    abs(cand[0] - cur[0]) <= 1e-12
+                    and (cand[1], cand[2]) < (cur[1], cur[2])
+                )
+            ):
+                best[j] = cand
+    pieces: list[str] = []
+    j = n
+    while j > 0:
+        piece = best[j][2]
+        pieces.append(piece)
+        j -= len(piece)
+    pieces.reverse()
+    return pieces, best[n][0]
+
+
+def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _seed_candidates(
+    words: DataFrame, max_piece_len: int, seed_size: int
+) -> DataFrame:
+    """Top-``seed_size`` substrings by cnt-weighted occurrence count
+    (ties to the lexicographically smaller piece) UNION all single
+    characters (unprunable coverage floor).  Vocab-bound explosion."""
+    subs = words.select(
+        "cnt",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(max_piece_len),
+                                F.length("word") - i + 1,
+                            ),
+                        ),
+                        lambda l: F.substring(F.col("word"), i, l),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    counts = subs.groupBy("piece").agg(F.sum("cnt").alias("c"))
+    chars = counts.filter(F.length("piece") == 1)
+    multi = (
+        counts.filter(F.length("piece") >= 2)
+        .orderBy(F.col("c").desc(), F.col("piece").asc())
+        .limit(int(seed_size))
+    )
+    return chars.unionByName(multi)
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    vocab_size: int = 512,
+    text_col: str = "text",
+    max_piece_len: int = 8,
+    seed_size_mult: int = 4,
+    n_em_iters: int = 2,
+    prune_frac: float = 0.25,
+) -> DataFrame:
+    """Train the unigram-LM piece table: returns ``(piece, logprob)``
+    with every single-character piece kept and at most ``vocab_size``
+    pieces total (characters may exceed vocab_size on huge alphabets --
+    coverage beats the budget).
+
+    Loop: seed ``seed_size_mult * vocab_size`` candidates ->
+    [``n_em_iters`` x (Viterbi E-step, count M-step)] -> prune the
+    lowest-probability ``prune_frac`` of multi-char pieces -> repeat
+    until the budget holds, finishing with one final EM round.  Pieces
+    that win ZERO Viterbi counts in an E-step are dropped immediately
+    (they contribute nothing to the likelihood).  All arithmetic on
+    integer counts; probabilities materialize only in the emitted
+    log table.  See the module docstring for the hard-EM trade.
+    """
+    words = _word_vocab(df, text_col).cache()
+    cands = _seed_candidates(
+        words, max_piece_len, seed_size_mult * vocab_size
+    ).collect()
+    # initial probs proportional to substring occurrence counts
+    total0 = sum(r["c"] for r in cands)
+    logp = {
+        r["piece"]: math.log(r["c"] / total0) for r in cands
+    }
+
+    def em_step(cur: dict[str, float]) -> dict[str, float]:
+        piece_items = sorted(cur.items())
+
+        def estep(batches: Iterator["object"]) -> Iterator["object"]:
+            import pandas as _pd
+
+            lp = dict(piece_items)
+            for pdf in batches:
+                agg: dict[str, int] = {}
+                for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                    for piece in viterbi_segment(word, lp, max_piece_len)[0]:
+                        agg[piece] = agg.get(piece, 0) + int(cnt)
+                if agg:
+                    yield _pd.DataFrame(
+                        {"piece": list(agg), "n": list(agg.values())}
+                    )
+
+        counts = (
+            words.mapInPandas(estep, "piece string, n long")
+            .groupBy("piece")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        total = sum(r["n"] for r in counts)
+        new = {r["piece"]: math.log(r["n"] / total) for r in counts}
+        # coverage floor: never lose a single-char piece, even unused
+        floor = (min(new.values()) if new else 0.0) - 1.0
+        for p in cur:
+            if len(p) == 1 and p not in new:
+                new[p] = floor
+        return new
+
+    while True:
+        for _ in range(int(n_em_iters)):
+            logp = em_step(logp)
+        n_multi = sum(1 for p in logp if len(p) > 1)
+        n_chars = len(logp) - n_multi
+        budget = max(int(vocab_size) - n_chars, 0)
+        if n_multi <= budget:
+            break
+        # gradual pruning: at most prune_frac of the multi-char pieces
+        # per round (re-EM between rounds redistributes their mass),
+        # never past the budget in one step
+        drop = min(n_multi - budget, max(1, int(n_multi * prune_frac)))
+        for p in sorted(
+            (p for p in logp if len(p) > 1), key=lambda p: (logp[p], p)
+        )[:drop]:
+            del logp[p]
+    logp = em_step(logp)
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        sorted(logp.items()), "piece string, logprob double"
+    )
+
+
+def unigram_lm_encode(
+    df: DataFrame,
+    pieces: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Viterbi-encode every document under a trained piece table:
+    output ``(id, n_words, n_pieces, encoded)`` with ``encoded`` the
+    space-joined piece sequence (pieces never contain spaces -- words
+    are whitespace-split upstream, so the flat string is unambiguous;
+    the bpe_apply convention).
+
+    One Viterbi per DISTINCT word (pandas pass over the vocabulary
+    frame, piece table in the closure), broadcast-joined onto
+    posexploded document tokens; ONE doc-keyed shuffle of (position,
+    piece-sequence) pairs reassembles.  Document text never rides an
+    exchange.
+    """
+    piece_rows = sorted(
+        (r["piece"], r["logprob"]) for r in pieces.collect()
+    )
+
+    def encode_words(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as _pd
+
+        lp = dict(piece_rows)
+        for pdf in batches:
+            segs = []
+            nps = []
+            for word in pdf["word"]:
+                ps = viterbi_segment(word, lp, max_piece_len)[0]
+                segs.append(" ".join(ps))
+                nps.append(len(ps))
+            yield _pd.DataFrame(
+                {"word": pdf["word"], "seg": segs, "np": nps}
+            )
+
+    word_segs = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .distinct()
+        .mapInPandas(encode_words, "word string, seg string, np long")
+    )
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word")
+    )
+    joined = toks.join(F.broadcast(word_segs), "word")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("np").cast("bigint").alias("n_pieces"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.col("seg")))
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("encoded"),
+        )
+    )
