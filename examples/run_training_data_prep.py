@@ -15,7 +15,9 @@ team actually runs, end to end on real Spark plans:
    table, within-cluster cosine prune (SemDeDup);
 5. deterministic train/valid/test split (hash-based, replay-stable);
 6. sequence packing: two-phase prefix-sum offsets + the per-chunk
-   manifest for seq_len-token training blocks;
+   manifest for seq_len-token training blocks; plus a unigram-LM
+   subword tokenizer trained on the CLEANED train split (curated text
+   in, pieces out -- the order real pipelines use);
 7. layout: the dataset written partitioned by split with row-group
    stats, plus epoch-0 training shards in reproducible shuffled order
    (write_epoch_shards -- one hash shuffle, no range exchange) AND a
@@ -137,6 +139,21 @@ def main() -> None:
     # contamination-free alternative: whole-doc SPFHP bins
     _, hp_stats = histogram_pack(train, seq_len=512)
 
+    # 6b. subword tokenizer trained on the CLEANED train split (train
+    # on curated text, not raw crawl -- the order every real pipeline
+    # uses): unigram-LM pieces, then the corpus's subword compression
+    from data_stream_flink_user_address_spark.functions.unigram_lm import (
+        unigram_lm_encode,
+        unigram_lm_train,
+    )
+
+    ulm_pieces = unigram_lm_train(
+        train, vocab_size=256, max_piece_len=6, n_em_iters=2
+    )
+    ulm = unigram_lm_encode(train, ulm_pieces).agg(
+        F.sum("n_pieces").alias("p"), F.sum("n_words").alias("w")
+    ).collect()[0]
+
     # 7. layout ----------------------------------------------------------
     write_partitioned(
         split.select("doc_id", "text", "lang", "source", "split"),
@@ -180,6 +197,8 @@ def main() -> None:
           f"of 512 tokens; {boundary} docs cross a chunk boundary")
     print(f"no-split SPFHP packing: {hp_stats['n_bins']} bins, "
           f"padding {hp_stats['padding_frac']:.1%} ({hp_stats['n_patterns']} patterns)")
+    print(f"unigram-LM tokenizer (256 pieces) trained on the clean train "
+          f"split: {ulm['p'] / ulm['w']:.2f} pieces/word")
     print(f"dataset + manifest written under {OUT}")
 
 
