@@ -45,6 +45,11 @@ def main() -> None:
     spark = get_spark("bench_unigram_lm")
     spark.sparkContext.setLogLevel("ERROR")
     out = {"cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"), "sizes": []}
+    # untimed warmup (the bench.py convention): JVM/codegen/Python-worker
+    # startup otherwise lands entirely on the first rung and bends the
+    # curve (observed: 12 s at 1e5 cold vs 3.9 s at 1e6 warm)
+    warm = spark.read.parquet(gen_corpus(spark, SIZES[0]))
+    unigram_lm_train(warm, vocab_size=64, max_piece_len=4, n_em_iters=1)
     for n in SIZES:
         docs = spark.read.parquet(gen_corpus(spark, n))
         row = {"n_docs": n}
