@@ -263,7 +263,10 @@ def streaming_sft_gate(
     -- a replayed epoch rewrites exactly its own partition, the same
     idempotency contract as the dedup/NB admission gates (they
     compose: chain this gate's survivors into a dedup gate for
-    validity-then-novelty admission).
+    validity-then-novelty admission -- measured composed in
+    ``STREAM_BENCH.json:sft_ingest_dedup_stream``,
+    ``python bench_stream_sft_dedup.py``: render -> exact dedup vs a
+    growing store inside the same foreachBatch).
 
     Per batch the work is row-local expressions ONLY: the gate filters
     on the validator's inline ``valid`` expression (shared flag
