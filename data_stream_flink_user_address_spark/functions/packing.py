@@ -670,13 +670,27 @@ def pack_bins_exact(
     joined = df.select(F.col(id_col), F.col(text_col)).join(
         assignment.select(id_col, "n_tokens", "bin_id", "truncated"), id_col
     )
-    n_trunc = joined.filter("truncated").count()
-    if n_trunc:
+    # one validation action covers both corruption modes: truncation
+    # (clipping would corrupt character addressing) and NULL text (a
+    # NULL member would be SKIPPED by concat_ws while NULL-poisoning
+    # every later member's char_base -- silent offset corruption)
+    bad = joined.agg(
+        F.sum(F.col("truncated").cast("int")).alias("__nt"),
+        F.sum(F.col(text_col).isNull().cast("int")).alias("__nn"),
+    ).first()
+    if bad["__nt"]:
         raise ValueError(
-            f"pack_bins_exact: {n_trunc} truncated member(s) -- exact "
+            f"pack_bins_exact: {bad['__nt']} truncated member(s) -- exact "
             "texts cannot be clipped without corrupting their character "
             "addressing; raise seq_len above the longest document or "
             "pre-filter before packing"
+        )
+    if bad["__nn"]:
+        raise ValueError(
+            f"pack_bins_exact: {bad['__nn']} NULL text member(s) -- a "
+            "NULL member has no byte-exact representation (concat would "
+            "drop it while poisoning later char_bases); drop or "
+            "coalesce NULL texts before packing"
         )
     members = (
         joined.select(

@@ -348,7 +348,23 @@ def stupid_backoff_scores(
 
     rtoks = ref.select(F.explode(tokens(text_col)).alias("tok"))
     cu = rtoks.groupBy("tok").agg(F.count(F.lit(1)).alias("__cu"))
-    total = cu.agg(F.sum("__cu").cast("double").alias("__t"))
+    # a token-free reference has no distribution to score under: fail
+    # loudly at execution (sum over zero rows is NULL, which would
+    # otherwise NULL/inf-poison every lm_logprob downstream).  The
+    # guard is an expression, not an extra driver action -- scoring a
+    # self-trained 100 TB corpus must not pay a second corpus scan.
+    total = cu.agg(F.sum("__cu").cast("double").alias("__t")).select(
+        F.when(F.col("__t") > 0, F.col("__t"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "stupid_backoff_scores: reference corpus has no "
+                    "tokens -- nothing to train the LM on"
+                )
+            )
+        )
+        .alias("__t")
+    )
     rpos = ref.select(
         F.col(rid).alias("__rid"),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),

@@ -59,6 +59,16 @@ from .text import tokens
 UNK_LOGPROB_OFFSET = -10.0  # OOV char: min piece logprob + this
 
 
+def _round_half_away(x: float, digits: int) -> float:
+    """Scalar half-AWAY-from-zero rounding -- the convention Spark's
+    ``F.round`` (HALF_UP) and DuckDB's ``round()`` share; Python's
+    ``round`` is half-to-even.  The driver-side twin of
+    ``similarity.round_half_away`` so piece log-probs built here match
+    a SQL oracle's ``round(ln(...), d)`` bit-for-bit."""
+    scale = 10.0 ** digits
+    return math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
+
+
 def viterbi_segment(
     word: str, logp: dict[str, float], max_piece_len: int
 ) -> tuple[list[str], float]:
@@ -159,6 +169,7 @@ def unigram_lm_train(
     seed_size_mult: int = 4,
     n_em_iters: int = 2,
     prune_frac: float = 0.25,
+    logprob_round: int | None = None,
 ) -> DataFrame:
     """Train the unigram-LM piece table: returns ``(piece, logprob)``
     with every single-character piece kept and at most ``vocab_size``
@@ -173,15 +184,49 @@ def unigram_lm_train(
     (they contribute nothing to the likelihood).  All arithmetic on
     integer counts; probabilities materialize only in the emitted
     log table.  See the module docstring for the hard-EM trade.
+
+    ``logprob_round`` (default off) rounds every piece log-prob
+    half-away-from-zero to that many digits as it is created -- the
+    registered driver query passes 6 so a SQL oracle's
+    ``round(ln(n/total), 6)`` reproduces the exact doubles the Viterbi
+    sums, making train/encode bit-replayable (the lm_ppl_buckets
+    round-6 idiom); ``None`` keeps full precision.
     """
+
+    def _r(x: float) -> float:
+        if logprob_round is None:
+            return x
+        return _round_half_away(x, logprob_round)
+
     words = _word_vocab(df, text_col).cache()
+    try:
+        return _train_on_vocab(
+            df.sparkSession, words, vocab_size, max_piece_len,
+            seed_size_mult, n_em_iters, prune_frac, _r,
+        )
+    finally:
+        # the vocabulary frame is this function's private scratch --
+        # leaving it cached leaks executor storage across train calls
+        words.unpersist()
+
+
+def _train_on_vocab(
+    spark,
+    words: DataFrame,
+    vocab_size: int,
+    max_piece_len: int,
+    seed_size_mult: int,
+    n_em_iters: int,
+    prune_frac: float,
+    _r,
+) -> DataFrame:
     cands = _seed_candidates(
         words, max_piece_len, seed_size_mult * vocab_size
     ).collect()
     # initial probs proportional to substring occurrence counts
     total0 = sum(r["c"] for r in cands)
     logp = {
-        r["piece"]: math.log(r["c"] / total0) for r in cands
+        r["piece"]: _r(math.log(r["c"] / total0)) for r in cands
     }
 
     def em_step(cur: dict[str, float]) -> dict[str, float]:
@@ -208,7 +253,7 @@ def unigram_lm_train(
             .collect()
         )
         total = sum(r["n"] for r in counts)
-        new = {r["piece"]: math.log(r["n"] / total) for r in counts}
+        new = {r["piece"]: _r(math.log(r["n"] / total)) for r in counts}
         # coverage floor: never lose a single-char piece, even unused
         floor = (min(new.values()) if new else 0.0) - 1.0
         for p in cur:
@@ -234,7 +279,6 @@ def unigram_lm_train(
             del logp[p]
     logp = em_step(logp)
 
-    spark = df.sparkSession
     return spark.createDataFrame(
         sorted(logp.items()), "piece string, logprob double"
     )
@@ -246,6 +290,8 @@ def unigram_lm_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_piece_len: int = 8,
+    broadcast_words: bool | None = None,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Viterbi-encode every document under a trained piece table:
     output ``(id, n_words, n_pieces, encoded)`` with ``encoded`` the
@@ -254,10 +300,23 @@ def unigram_lm_encode(
     the bpe_apply convention).
 
     One Viterbi per DISTINCT word (pandas pass over the vocabulary
-    frame, piece table in the closure), broadcast-joined onto
-    posexploded document tokens; ONE doc-keyed shuffle of (position,
+    frame, piece table in the closure), joined onto posexploded
+    document tokens; ONE doc-keyed shuffle of (position,
     piece-sequence) pairs reassembles.  Document text never rides an
     exchange.
+
+    The word-segmentation frame is DISTINCT-WORD-sized, not
+    vocab-sized (contrast ``bpe_apply``, whose broadcast frame is the
+    bounded vocabulary): on 100 TB of web text the distinct-word set
+    (typos, URLs, numbers) runs to 1e8-1e9 rows and an unconditional
+    broadcast OOMs every executor.  So the join is SIZE-GATED, the
+    ``leakage_free_split`` idiom: ``broadcast_words=None`` (default)
+    counts the distinct words (a column-pruned scan) and broadcasts
+    only under ``broadcast_max_rows``; above it the join falls back to
+    a plain hash join on ``word`` carrying slim (word, seg) rows --
+    AQE may still pick a runtime broadcast if the frame turns out
+    small.  Pass ``True``/``False`` to skip the count and force a
+    side.
     """
     piece_rows = sorted(
         (r["piece"], r["logprob"]) for r in pieces.collect()
@@ -278,15 +337,20 @@ def unigram_lm_encode(
                 {"word": pdf["word"], "seg": segs, "np": nps}
             )
 
-    word_segs = (
-        df.select(F.explode(tokens(text_col)).alias("word"))
-        .distinct()
-        .mapInPandas(encode_words, "word string, seg string, np long")
+    distinct_words = df.select(
+        F.explode(tokens(text_col)).alias("word")
+    ).distinct()
+    if broadcast_words is None:
+        broadcast_words = distinct_words.count() <= broadcast_max_rows
+    word_segs = distinct_words.mapInPandas(
+        encode_words, "word string, seg string, np long"
     )
+    if broadcast_words:
+        word_segs = F.broadcast(word_segs)
     toks = df.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word")
     )
-    joined = toks.join(F.broadcast(word_segs), "word")
+    joined = toks.join(word_segs, "word")
     return (
         joined.groupBy(id_col)
         .agg(

@@ -585,6 +585,32 @@ class TestPackBinsExact:
         with _pytest.raises(ValueError, match="truncated"):
             self._pack(spark, rows, seq_len=16)
 
+    def test_null_text_member_raises(self, spark):
+        """A NULL member would be silently SKIPPED by the packed-text
+        concat while NULL-poisoning every later member's char_base --
+        corrupted offsets with no error (ADVICE r15).  Raise instead,
+        mirroring the truncated guard (and in the SAME validation
+        action -- no extra job)."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+        from data_stream_flink_user_address_spark.functions.packing import (
+            histogram_pack,
+            pack_bins_exact,
+        )
+
+        # histogram_pack itself drops NULL-text docs, so the poison
+        # path is an assignment solved BEFORE the text went NULL
+        # (re-read snapshot, upstream redaction, ...)
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "x y"), (3, "c d")], "doc_id long, text string"
+        )
+        assign, _ = histogram_pack(df, seq_len=16)
+        nulled = df.withColumn(
+            "text", F.when(F.col("doc_id") != 2, F.col("text"))
+        )
+        with _pytest.raises(ValueError, match="NULL text"):
+            pack_bins_exact(nulled, assign)
+
     def test_totals_match_pack_bins_text_accounting(self, spark):
         """Same assignment: pack_bins_exact and pack_bins_text agree on
         bin membership and token totals; only the string discipline

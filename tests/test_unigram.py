@@ -229,3 +229,17 @@ def test_backoff_randomized_matches_python_replica(spark):
         assert r["n_backoff"] == backoffs, did
         assert r["n_oov"] == oovs, did
         assert abs(r["lm_logprob"] - round(sum(logps) / len(logps), 6)) < 1e-7, did
+
+
+def test_backoff_empty_reference_raises(spark):
+    """A token-free reference has no LM to score under: the guard must
+    fail loudly at execution instead of NULL-poisoning lm_logprob
+    (ADVICE r15) -- and it is an expression, not an extra driver
+    action, so a self-trained 100 TB run pays no second corpus scan."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)) as ei:
+        _sb(spark, [(1, "a b c")], ref_rows=[(100, ""), (101, "   ")])
+    assert "reference corpus has no tokens" in str(ei.value)
