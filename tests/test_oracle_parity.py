@@ -207,57 +207,24 @@ R15B_FOLDED = {
 }
 
 
-def test_driver_window_covers_r15_rotation():
+def test_driver_window_covers_r16_rotation():
     """The external driver verifies only the FIRST 50 entries of
-    queries() in declaration order.  r15 (VERDICT r14 asks #2 + #3):
-    six R15_FOLDED retirements pay for the six crawl-graph composite
-    registrations, and three R15B_FOLDED retirements pay for the three
-    r15b registrations, so the registry holds at 94 and the exact
-    TWO-round cycle stands: 6 pinned parity + 2 x 44 rotating slots.
+    queries() in declaration order.  r16 (VERDICT r15 ask #1): the
+    exact TWO-round cycle -- 6 pinned parity + 2 x 44 rotating slots --
+    swings the 44 queries green in r14's own window back in-window
+    with ZERO slack, so pack_bins_report (the only registered query
+    the driver has never hash-verified; oracle shipped r15 below the
+    window) lands its first driver row and r15 union r16 = 94/94.
 
-    r15's window = 6 parity + the 35 surviving r13-green rotating
-    queries (below r14's window) + the 6 new crawl-graph composites +
-    the 3 r15b registrations (first rows).  Below the window: exactly
-    the 44 queries green in r14's own window (CORRECTNESS_r14.json
-    minus the 6 pinned), so r14 union r15 covers all 94."""
+    Below the window: exactly the 44 queries green in r15's own window
+    (CORRECTNESS_r15.json minus the 6 pinned) -- r17's rotating
+    slots."""
     names = list(entrymod.queries())
     window = names[:50]
     assert len(names) == 94, len(names)
     assert not (R13_FOLDED | R14_FOLDED | R15_FOLDED | R15B_FOLDED) & set(
         names
     ), "folded query still registered"
-    r13_green_surviving = {
-        "token_budget_mixture", "image_phash_pairs",
-        "audio_fingerprint_pairs", "boilerplate_line_dedup",
-        "per_source_cap", "bpe_train",
-        "incremental_dedup", "doc_signals",
-        "paragraph_dedup", "curation_pipeline", "embedding_quantize",
-        "q1_pricing_summary", "q2_min_cost_supplier",
-        "q3_shipping_priority", "q4_order_priority",
-        "q5_local_supplier_volume", "q6_forecast_revenue",
-        "q7_volume_shipping", "q8_market_share",
-        "q9_profit_by_nation_year", "q10_returned_items",
-        "q11_important_part_values", "q13_customer_distribution",
-        "q14_promo_revenue", "q15_top_supplier",
-        "q16_parts_supplier_counts", "q17_small_quantity_revenue",
-        "q18_large_volume_customers", "q19_discounted_revenue",
-        "q20_promo_heavy_suppliers", "q21_sole_blame_supplier",
-        "q22_global_sales_opportunity", "interval_view_purchase",
-        "pivot_priority_status", "window_function_showcase",
-    }
-    new_r15 = {
-        "crawl_frontier_gate", "main_content_extract",
-        "domain_pagerank_ranks", "connected_components_labels",
-        "corpus_diff_status", "curriculum_assignment",
-        # r15b registrations (paid by R15B_FOLDED)
-        "sft_turn_spans", "embedding_moments", "lm_ppl_buckets",
-    }
-    want = PARITY_PINNED | r13_green_surviving | new_r15
-    missing = want - set(window)
-    assert not missing, f"evicted from the driver's 50-query window: {missing}"
-    assert len(window) == 50
-    assert set(window) == want
-    # below the window: exactly the 44 r14-green rotating queries
     r14_green_rotating = {
         "events_json_extract", "cube_order_stats",
         "running_customer_revenue", "set_ops_customers",
@@ -278,11 +245,41 @@ def test_driver_window_covers_r15_rotation():
         "importance_resample_docs", "incremental_minhash_gate",
         "top_terms_rrf", "pack_bins_report",
     }
+    want = PARITY_PINNED | r14_green_rotating
+    missing = want - set(window)
+    assert not missing, f"evicted from the driver's 50-query window: {missing}"
+    assert len(window) == 50
+    assert set(window) == want
+    assert "pack_bins_report" in window, "the never-verified query must land"
+    # below the window: exactly the 44 r15-green rotating queries
+    r15_green_rotating = {
+        "token_budget_mixture", "image_phash_pairs",
+        "audio_fingerprint_pairs", "boilerplate_line_dedup",
+        "per_source_cap", "bpe_train",
+        "incremental_dedup", "doc_signals",
+        "paragraph_dedup", "curation_pipeline", "embedding_quantize",
+        "q1_pricing_summary", "q2_min_cost_supplier",
+        "q3_shipping_priority", "q4_order_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_market_share",
+        "q9_profit_by_nation_year", "q10_returned_items",
+        "q11_important_part_values", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier",
+        "q16_parts_supplier_counts", "q17_small_quantity_revenue",
+        "q18_large_volume_customers", "q19_discounted_revenue",
+        "q20_promo_heavy_suppliers", "q21_sole_blame_supplier",
+        "q22_global_sales_opportunity", "interval_view_purchase",
+        "pivot_priority_status", "window_function_showcase",
+        "crawl_frontier_gate", "main_content_extract",
+        "domain_pagerank_ranks", "connected_components_labels",
+        "corpus_diff_status", "curriculum_assignment",
+        "sft_turn_spans", "embedding_moments", "lm_ppl_buckets",
+    }
     below = set(names[50:])
-    assert below == r14_green_rotating
+    assert below == r15_green_rotating
     assert len(below) == 44, len(below)
-    # r15 closes the last no_oracle hole: EVERY registered query now
-    # carries a DuckDB oracle (pack_bins_report got its in r15)
+    # every registered query carries a DuckDB oracle (no no_oracle
+    # holes since r15)
     assert set(entrymod.oracle_sql()) == set(names)
 
 
