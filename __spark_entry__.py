@@ -113,6 +113,7 @@ from data_stream_flink_user_address_spark.functions.ordering import (
 )
 from data_stream_flink_user_address_spark.functions.profile import (
     corpus_diff,
+    profile_funnel,
     top_terms,
 )
 from data_stream_flink_user_address_spark.functions.web import (
@@ -1340,31 +1341,58 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source corpus report card -- the composition summary every
-    curation pipeline publishes: doc/token volume, mean quality,
-    English share, exact-dup rate.  ONE projection computes every
-    per-doc signal, then one groupBy(source); determinism via integer
-    arithmetic (quality is 4-digit-rounded, so quality*10000 sums as
-    exact BIGINTs; shares are ratios of counts)."""
+def _q_profile_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel profile (functions/profile.py:profile_funnel):
+    a four-stage funnel over documents -- raw -> min_len (>= 40
+    whitespace tokens) -> english (language_id == 'en') -> quality
+    (4-digit quality_score >= 0.6, compared as the exact BIGINT
+    round(quality*10000) >= 6000, the corpus_report idiom) -- with one
+    corpus_profile row per stage: doc/token/char volumes, token-length
+    p50/p90/p99 (percentile_approx at default accuracy ==
+    quantile_disc at this n, the curriculum_assignment-pinned
+    equivalence), exact distinct-content count and dup rate
+    (exact_distinct=True -- the HLL default has no SQL replica and its
+    scale posture is plan-tested instead), and the empty-doc count.
+
+    r16 registry fold: absorbs the retired ``corpus_report`` slot --
+    the per-stage profile machinery re-derives the report's volume and
+    exact countDistinct-fingerprint dup-rate arithmetic (here over
+    funnel stages instead of sources), its language_id/quality_score
+    bodies stay value-checked through ``doc_signals``, and the md5
+    content fingerprint through ``corpus_diff_status``.  Stage
+    predicates reuse those same bodies, so the funnel hash pins them
+    AND the kept-fraction composition a curation pipeline publishes.
+
+    Scale shape: each stage is one narrow projection (id, 3 numeric,
+    1 fingerprint) into a 1-row aggregate -- text never rides an
+    exchange; the funnel unions the 1-row profiles.
+    """
     d = _docs(spark, sf_dir).withColumn("__toks", tokens("text"))
-    sig = d.select(
-        "source",
-        token_count("text").alias("__nt"),
-        F.round(quality_score("text") * 10000).cast("bigint").alias("__q4"),
-        (language_id("text") == "en").cast("int").alias("__en"),
-        doc_fingerprint("text").alias("__fp"),
+    min_len = d.filter(token_count("text") >= 40)
+    english = min_len.filter(language_id("text") == F.lit("en"))
+    quality = english.filter(
+        F.round(quality_score("text") * 10000).cast("bigint") >= 6000
     )
-    n = F.count(F.lit(1))
-    return (
-        sig.groupBy("source")
-        .agg(
-            n.alias("n_docs"),
-            F.sum("__nt").alias("total_tokens"),
-            F.round(F.sum("__q4") / (n * 10000.0), 6).alias("mean_quality"),
-            F.round(F.sum("__en") / n, 6).alias("en_share"),
-            F.round((n - F.countDistinct("__fp")) / n, 6).alias("dup_rate"),
-        )
+    funnel = profile_funnel(
+        {"raw": d, "min_len": min_len, "english": english,
+         "quality": quality},
+        exact_distinct=True,
+    )
+    return funnel.select(
+        F.col("stage_idx").cast("int"),
+        "stage",
+        "n_docs",
+        "total_tokens",
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        "avg_tokens",
+        "min_tokens",
+        "max_tokens",
+        F.element_at("token_percentiles", 1).alias("p50_tokens"),
+        F.element_at("token_percentiles", 2).alias("p90_tokens"),
+        F.element_at("token_percentiles", 3).alias("p99_tokens"),
+        F.col("approx_distinct_docs").alias("n_distinct_docs"),
+        F.col("approx_dup_rate").alias("dup_rate"),
+        "n_empty_docs",
     )
 
 
@@ -2830,7 +2858,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": _q_semantic_dedup,
     "bm25_search": _q_bm25_search,
     "text_stats": _q_text_stats,
-    "corpus_report": _q_corpus_report,
+    # r16 registration (paid by R16_FOLDED: corpus_report)
+    "profile_funnel": _q_profile_funnel,
     "winnow_fingerprints": _q_winnow_fingerprints,
     "bpe_apply_docs": _q_bpe_apply_docs,
     "dedup_exact": _q_dedup_exact,
@@ -3378,6 +3407,74 @@ SELECT bin_id, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS bin_tokens,
        max(trunc::INT)::INT AS any_truncated
 FROM assigned GROUP BY bin_id
 """
+
+
+def _sql_profile_funnel() -> str:
+    """Oracle for the four-stage curation-funnel profile: one shared
+    per-doc signal CTE (token count, char count, md5 fingerprint,
+    4-digit quality as exact BIGINT q4, language), four nested stage
+    relations applying the funnel predicates, one aggregate row per
+    stage.  avg spelled sum::DOUBLE/count (Spark's Average for longs),
+    percentiles via quantile_disc (== percentile_approx at this n),
+    distincts exact (the engine query passes exact_distinct=True)."""
+    hits = ", ".join(
+        f"{_sql_hits('toks', STOPWORDS[lang])} AS h_{lang}"
+        for lang in STOPWORDS
+    )
+    agg = """
+       count(*)::BIGINT AS n_docs,
+       sum(nt)::BIGINT AS total_tokens,
+       sum(nchars)::BIGINT AS total_chars,
+       round(sum(nt)::DOUBLE / count(*), 2) AS avg_tokens,
+       min(nt)::BIGINT AS min_tokens,
+       max(nt)::BIGINT AS max_tokens,
+       quantile_disc(nt, 0.5)::BIGINT AS p50_tokens,
+       quantile_disc(nt, 0.9)::BIGINT AS p90_tokens,
+       quantile_disc(nt, 0.99)::BIGINT AS p99_tokens,
+       count(DISTINCT fp)::BIGINT AS n_distinct_docs,
+       greatest(0.0, round(1.0 - count(DISTINCT fp) / count(*)::DOUBLE, 4))
+           AS dup_rate,
+       (count(*) FILTER (WHERE nt = 0))::BIGINT AS n_empty_docs"""
+    stage_rels = {"raw": "s0", "min_len": "s1", "english": "s2",
+                  "quality": "s3"}
+    unions = "\n        UNION ALL\n        ".join(
+        f"SELECT {i}::INT AS stage_idx, '{name}' AS stage,{agg}\n"
+        f"        FROM {rel}"
+        for i, (name, rel) in enumerate(stage_rels.items())
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text, {_sql_tokens()} AS toks FROM documents
+        ),
+        h AS (SELECT doc_id, {hits} FROM t),
+        m AS (
+          SELECT t.doc_id,
+                 len(t.toks)::BIGINT AS nt,
+                 length(t.text)::BIGINT AS nchars,
+                 md5({_sql_norm("t.text")}) AS fp,
+                 CAST(round(
+                   (0.25 * least(1.0, len(t.toks)::DOUBLE / 64.0)
+                    + 0.25 * least(1.0, (CASE WHEN len(t.toks) > 0
+                        THEN list_sum(list_transform(t.toks, x -> length(x)))::DOUBLE / len(t.toks)
+                        ELSE 0.0 END) / 8.0)
+                    + 0.25 * (1.0 - least(1.0, (CASE WHEN length(t.text) > 0
+                        THEN (length(t.text) - length(regexp_replace(t.text, '[.,!?;:]', '', 'g')))::DOUBLE / length(t.text)
+                        ELSE 0.0 END) * 10.0))
+                    + 0.25 * least(1.0, (CASE WHEN len(t.toks) > 0
+                        THEN len(list_filter(t.toks, x -> x IN ({_STOP_IN})))::DOUBLE / len(t.toks)
+                        ELSE 0.0 END) * 4.0)) * 10000, 0) AS BIGINT) AS q4,
+                 {_sql_lang_case()} AS lang
+          FROM t JOIN h ON t.doc_id = h.doc_id
+        ),
+        s0 AS (SELECT * FROM m),
+        s1 AS (SELECT * FROM s0 WHERE nt >= 40),
+        s2 AS (SELECT * FROM s1 WHERE lang = 'en'),
+        s3 AS (SELECT * FROM s2 WHERE q4 >= 6000)
+        {unions}
+    """
+
+
+_SQL_PROFILE_FUNNEL = _sql_profile_funnel()
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -4516,42 +4613,10 @@ ORACLE_SQL: dict[str, str] = {
         WHERE x.doc_id IS NULL
     """,
     # report card: integer-deterministic (quality*10000 sums as BIGINT)
-    "corpus_report": f"""
-        WITH t AS (
-          SELECT doc_id, source, text, {_sql_tokens()} AS toks FROM documents
-        ),
-        h AS (
-          SELECT doc_id,
-                 {", ".join(f"{_sql_hits('toks', STOPWORDS[lang])} AS h_{lang}" for lang in STOPWORDS)}
-          FROM t
-        ),
-        l AS (SELECT doc_id, {_sql_lang_case()} AS lang FROM h),
-        m AS (
-          SELECT t.source,
-                 len(t.toks)::BIGINT AS nt,
-                 CAST(round(
-                   (0.25 * least(1.0, len(t.toks)::DOUBLE / 64.0)
-                    + 0.25 * least(1.0, (CASE WHEN len(t.toks) > 0
-                        THEN list_sum(list_transform(t.toks, x -> length(x)))::DOUBLE / len(t.toks)
-                        ELSE 0.0 END) / 8.0)
-                    + 0.25 * (1.0 - least(1.0, (CASE WHEN length(t.text) > 0
-                        THEN (length(t.text) - length(regexp_replace(t.text, '[.,!?;:]', '', 'g')))::DOUBLE / length(t.text)
-                        ELSE 0.0 END) * 10.0))
-                    + 0.25 * least(1.0, (CASE WHEN len(t.toks) > 0
-                        THEN len(list_filter(t.toks, x -> x IN ({_STOP_IN})))::DOUBLE / len(t.toks)
-                        ELSE 0.0 END) * 4.0)) * 10000, 0) AS BIGINT) AS q4,
-                 l.lang,
-                 md5({_sql_norm("t.text")}) AS fp
-          FROM t JOIN l USING (doc_id)
-        )
-        SELECT source,
-               count(*)::BIGINT AS n_docs,
-               sum(nt)::BIGINT AS total_tokens,
-               round(sum(q4) / (count(*) * 10000.0), 6) AS mean_quality,
-               round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS en_share,
-               round((count(*) - count(DISTINCT fp)) / count(*)::DOUBLE, 6) AS dup_rate
-        FROM m GROUP BY source
-    """,
+    # one aggregate row per funnel stage over the shared per-doc
+    # signal CTE; percentiles via quantile_disc (== percentile_approx
+    # at this n, pinned since r13b), distincts exact
+    "profile_funnel": _SQL_PROFILE_FUNNEL,
     # banded simhash pairs: bands = max_hamming+1 (exact by pigeonhole),
     # verified with popcount(xor)
     "simhash_pairs": f"""

@@ -96,7 +96,7 @@ HEADLINE = [
     "chunk_manifest",
     "cluster_balanced_sample",
     "text_stats",
-    "corpus_report",
+    "profile_funnel",
     "doc_signals",
     "winnow_fingerprints",
     "bpe_apply_docs",

@@ -36,7 +36,18 @@ def _signals(
 _PCTS = [0.5, 0.9, 0.99]
 
 
-def _agg_exprs() -> list:
+def _agg_exprs(exact_distinct: bool = False) -> list:
+    # HLL (approx_count_distinct) is the production default: no dedup
+    # shuffle, ~2% relative error -- the right trade for a 100 TB
+    # report.  exact_distinct=True swaps in count_distinct (one extra
+    # distinct-aggregate expand of the 32-byte fingerprints) for
+    # oracle-checkable runs and for the retired corpus_report's exact
+    # dup-rate semantics (R16 fold ledger).
+    nd = (
+        F.count_distinct(F.col("__fp"))
+        if exact_distinct
+        else F.approx_count_distinct("__fp")
+    )
     return [
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__toks").alias("total_tokens"),
@@ -47,14 +58,12 @@ def _agg_exprs() -> list:
         F.expr(f"percentile_approx(__toks, array({', '.join(map(str, _PCTS))}))").alias(
             "token_percentiles"
         ),
-        F.approx_count_distinct("__fp").alias("approx_distinct_docs"),
+        nd.alias("approx_distinct_docs"),
         # HLL can over-estimate distincts on near-duplicate-free data;
         # clamp so the reported rate never goes (confusingly) negative
         F.greatest(
             F.lit(0.0),
-            F.round(
-                1.0 - F.approx_count_distinct("__fp") / F.count(F.lit(1)), 4
-            ),
+            F.round(1.0 - nd / F.count(F.lit(1)), 4),
         ).alias("approx_dup_rate"),
         F.count(F.when(F.col("__toks") == 0, 1)).alias("n_empty_docs"),
     ]
@@ -65,11 +74,13 @@ def corpus_profile(
     text_col: str = "text",
     id_col: str = "doc_id",
     by: str | None = None,
+    exact_distinct: bool = False,
 ) -> DataFrame:
     """Corpus summary: one row (or one row per ``by`` group) of
     document/token/char counts, token-length percentiles
     (p50/p90/p99), HLL-estimated distinct-content count and duplicate
-    rate, and the empty-doc count.
+    rate, and the empty-doc count.  ``exact_distinct=True`` swaps the
+    HLL for an exact count_distinct (see ``_agg_exprs``).
 
     ``by=None`` returns the 1-row global profile; ``by='source'`` (or
     any column) returns the per-group breakdown, sorted by group.  The
@@ -80,8 +91,8 @@ def corpus_profile(
     """
     sig = _signals(df, text_col, id_col, [by] if by else [])
     if by is None:
-        return sig.agg(*_agg_exprs())
-    return sig.groupBy(by).agg(*_agg_exprs()).orderBy(by)
+        return sig.agg(*_agg_exprs(exact_distinct))
+    return sig.groupBy(by).agg(*_agg_exprs(exact_distinct)).orderBy(by)
 
 
 def _profile_epoch(
@@ -138,6 +149,7 @@ def profile_funnel(
     stages: dict[str, DataFrame],
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact_distinct: bool = False,
 ) -> DataFrame:
     """Profile a curation funnel: ``{stage_name: df}`` -> one profile
     row per stage (insertion order preserved via an explicit stage
@@ -149,7 +161,9 @@ def profile_funnel(
     """
     out = None
     for i, (name, df) in enumerate(stages.items()):
-        row = corpus_profile(df, text_col, id_col).select(
+        row = corpus_profile(
+            df, text_col, id_col, exact_distinct=exact_distinct
+        ).select(
             F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"), F.col("*")
         )
         out = row if out is None else out.unionByName(row)

@@ -207,6 +207,24 @@ R15B_FOLDED = {
 }
 
 
+# r16 registry fold (VERDICT r15 asks #2 + #4 + #6's budget) -- three
+# retired slots pay for the three r16 registrations; each retired
+# query's semantics stay checked through its absorber:
+#   corpus_report   -> profile_funnel (the per-stage corpus_profile
+#                      re-derives the report's volume arithmetic and
+#                      its EXACT countDistinct-fingerprint dup rate,
+#                      exact_distinct=True, over funnel stages instead
+#                      of sources) + doc_signals (identical
+#                      language_id()/quality_score() bodies, value-
+#                      checked per doc -- the R13 lang_id_pred/
+#                      quality_scores precedent) + corpus_diff_status
+#                      (the same md5 whitespace-normalized content
+#                      fingerprint, emitted raw and hash-pinned)
+R16_FOLDED = {
+    "corpus_report",
+}
+
+
 def test_driver_window_covers_r16_rotation():
     """The external driver verifies only the FIRST 50 entries of
     queries() in declaration order.  r16 (VERDICT r15 ask #1): the
@@ -222,9 +240,9 @@ def test_driver_window_covers_r16_rotation():
     names = list(entrymod.queries())
     window = names[:50]
     assert len(names) == 94, len(names)
-    assert not (R13_FOLDED | R14_FOLDED | R15_FOLDED | R15B_FOLDED) & set(
-        names
-    ), "folded query still registered"
+    assert not (
+        R13_FOLDED | R14_FOLDED | R15_FOLDED | R15B_FOLDED | R16_FOLDED
+    ) & set(names), "folded query still registered"
     r14_green_rotating = {
         "events_json_extract", "cube_order_stats",
         "running_customer_revenue", "set_ops_customers",
@@ -245,7 +263,12 @@ def test_driver_window_covers_r16_rotation():
         "importance_resample_docs", "incremental_minhash_gate",
         "top_terms_rrf", "pack_bins_report",
     }
-    want = PARITY_PINNED | r14_green_rotating
+    new_r16 = {
+        # r16 registrations, each paid by an R16_FOLDED retirement so
+        # the 44 r14-green slots keep zero slack around them
+        "profile_funnel",
+    }
+    want = PARITY_PINNED | (r14_green_rotating - R16_FOLDED) | new_r16
     missing = want - set(window)
     assert not missing, f"evicted from the driver's 50-query window: {missing}"
     assert len(window) == 50

@@ -48,6 +48,22 @@ def test_dup_rate_sees_planted_duplicates(spark):
     assert got.approx_dup_rate == pytest.approx(0.49, abs=0.05)
 
 
+def test_exact_distinct_mode_is_exact(spark):
+    """exact_distinct=True must swap the HLL for count_distinct: on 100
+    docs with 51 distinct contents the dup rate is EXACTLY 0.49 (the
+    retired corpus_report's countDistinct semantics, R16 fold) -- and
+    the mode threads through profile_funnel."""
+    rows = [(i, "identical text body") for i in range(50)] + [
+        (100 + i, f"unique body number {i}") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = corpus_profile(df, exact_distinct=True).collect()[0]
+    assert got.approx_distinct_docs == 51
+    assert got.approx_dup_rate == 0.49
+    frows = profile_funnel({"all": df}, exact_distinct=True).collect()
+    assert frows[0].approx_distinct_docs == 51
+
+
 def test_by_group_breakdown(spark, docs):
     rows = corpus_profile(docs, by="source").collect()
     assert sum(r.n_docs for r in rows) == docs.count()
