@@ -116,6 +116,10 @@ from data_stream_flink_user_address_spark.functions.profile import (
     profile_funnel,
     top_terms,
 )
+from data_stream_flink_user_address_spark.functions.unigram_lm import (
+    unigram_lm_encode,
+    unigram_lm_train,
+)
 from data_stream_flink_user_address_spark.functions.web import (
     domain_of,
     filter_blocked_domains,
@@ -163,7 +167,6 @@ from data_stream_flink_user_address_spark.functions.text import (
     stupid_backoff_scores,
     token_count,
     tokens,
-    unigram_logprob_scores,
     bpe_apply,
     bpe_train_and_encode,
     extract_main_content,
@@ -1324,11 +1327,42 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(_docs(spark, sf_dir))
 
 
-def _q_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM quality scores over the documents corpus (see
-    functions/text.py:unigram_logprob_scores for the broadcast-model
-    scale shape)."""
-    return unigram_logprob_scores(_docs(spark, sf_dir))
+def _q_unigram_lm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM subword tokenizer, train + encode composite
+    (functions/unigram_lm.py: the SentencePiece-family sibling of
+    bpe_train/bpe_apply, Kudo 2018).  Trains the piece table on the
+    documents corpus -- substring seeding, hard-EM Viterbi iterations,
+    count pruning -- then Viterbi-encodes every document under it:
+    ``(doc_id, n_words, n_pieces, encoded)``.
+
+    The pinned config makes the adaptive train loop STRUCTURALLY
+    bounded so the oracle can replay it exactly (the SPFHP/BPE idiom):
+    n_em_iters=1 and prune_frac=1.0 mean the loop is seed -> EM ->
+    [at most ONE prune to budget -> EM] -> final EM, and the oracle
+    computes BOTH branches, picking by the same n_multi > budget gate
+    the engine evaluates; logprob_round=6 makes every piece log-prob a
+    shared round-6 double (round_half_away == DuckDB round), so both
+    sides' Viterbi DPs sum IDENTICAL doubles and the engine's 1e-12
+    tie-epsilon resolves identically (round-6 score gaps are either
+    float-noise ties or >= ~1e-6).  vocab_size=32 is below this
+    corpus's multi-candidate count, so the driver row exercises the
+    prune branch; both branches are fuzzed SQL-vs-replica in
+    tests/test_unigram_lm_oracle.py.  Tie-breaks (fewer pieces, then
+    lexicographic) replay via list_sort over (np, pc)-led structs.
+
+    Scale shape (unchanged by the pinned config): the corpus is
+    scanned once into the distinct-word vocabulary; every EM pass is
+    an Arrow-batched pandas Viterbi over that compact frame; encode
+    joins the size-gated word-segmentation frame onto posexploded
+    tokens and reassembles with one doc-keyed shuffle -- document text
+    never rides an exchange.
+    """
+    d = _docs(spark, sf_dir)
+    pieces = unigram_lm_train(
+        d, vocab_size=32, max_piece_len=3, seed_size_mult=2,
+        n_em_iters=1, prune_frac=1.0, logprob_round=6,
+    )
+    return unigram_lm_encode(d, pieces, max_piece_len=3)
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2871,7 +2905,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": _q_multimodal_meta,
     "pii_redact": _q_pii_redact,
     "repetition_stats": _q_repetition_stats,
-    "unigram_quality": _q_unigram_quality,
+    # r16 registration (paid by R16_FOLDED: unigram_quality)
+    "unigram_lm_tokens": _q_unigram_lm_tokens,
     "q12_late_shipments": _q_q12_late_shipments,
     "session_window_stats": _q_session_window_stats,
     "asof_purchase_view": _q_asof_purchase_view,
@@ -3407,6 +3442,200 @@ SELECT bin_id, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS bin_tokens,
        max(trunc::INT)::INT AS any_truncated
 FROM assigned GROUP BY bin_id
 """
+
+
+_ULM_VOCAB_SIZE = 32
+_ULM_MAX_PIECE_LEN = 3
+_ULM_SEED_SIZE = 2 * _ULM_VOCAB_SIZE  # seed_size_mult=2
+_ULM_ROUND = 6
+_ULM_UNK_OFFSET = -10.0  # unigram_lm.UNK_LOGPROB_OFFSET
+
+
+def _sql_ulm_viterbi(tag: str, pt: str) -> str:
+    """Per-word Viterbi segmentation under piece table ``pt(piece,
+    lp)`` as a list-state recursive CTE (the SPFHP oracle's recursion
+    idiom): ``bests`` is a 1-indexed list over prefix lengths
+    0..len(word) of struct(np, pc, s, seg) -- field order IS the
+    engine's tie-break order (fewer pieces, then lexicographically
+    smaller last piece), so ``list_sort(...)[1]`` over the candidates
+    within the 1e-12 epsilon of the max score picks exactly
+    unigram_lm.viterbi_segment's winner (with round-6 piece log-probs
+    both sides sum identical doubles, so score gaps are either
+    float-noise ties far below the epsilon or >= ~1e-6 above it).
+    Emits ``seg_{tag}(word, cnt, seg, np)``.  MATERIALIZED keeps each
+    stage evaluated once (the chain is referenced by later stages)."""
+    L = _ULM_MAX_PIECE_LEN
+    piece = "substr(v.word, o.st, v.j + 2 - o.st)"
+    cands = (
+        "list_transform(e.opts, o -> struct_pack("
+        "np := v.bests[o.st].np + 1, "
+        f"pc := {piece}, "
+        "s := v.bests[o.st].s + o.lp, "
+        f"seg := CASE WHEN v.bests[o.st].seg = '' THEN {piece} "
+        f"ELSE v.bests[o.st].seg || ' ' || {piece} END))"
+    )
+    best = (
+        f"list_sort(list_filter({cands}, x -> x.s >= "
+        f"list_max(list_transform({cands}, y -> y.s)) - 1e-12))[1]"
+    )
+    return f""",
+  unk_{tag} AS MATERIALIZED (
+    SELECT min(lp) + ({_ULM_UNK_OFFSET}) AS u FROM {pt}),
+  wp_{tag} AS MATERIALIZED (
+    SELECT w.word, s.i AS st, s.i + s.l - 1 AS en,
+           CASE WHEN s.l = 1
+                THEN coalesce(p.lp, (SELECT u FROM unk_{tag}))
+                ELSE p.lp END AS lp
+    FROM wv w,
+         LATERAL (
+           SELECT i, l, substr(w.word, i, l) AS pc
+           FROM unnest(range(1, length(w.word) + 1)) AS t1(i),
+                unnest(range(1, {L} + 1)) AS t2(l)
+           WHERE i + l - 1 <= length(w.word)
+         ) s
+         LEFT JOIN {pt} p ON p.piece = s.pc
+    WHERE s.l = 1 OR p.piece IS NOT NULL
+  ),
+  ends_{tag} AS MATERIALIZED (
+    SELECT word, en, list(struct_pack(st := st, lp := lp)) AS opts
+    FROM wp_{tag} GROUP BY word, en
+  ),
+  v_{tag} AS (
+    SELECT word, cnt, 0 AS j,
+           [struct_pack(np := 0, pc := '', s := 0.0::DOUBLE, seg := '')]
+             AS bests
+    FROM wv
+    UNION ALL
+    SELECT v.word, v.cnt, v.j + 1,
+           list_append(v.bests, {best})
+    FROM v_{tag} v JOIN ends_{tag} e ON e.word = v.word AND e.en = v.j + 1
+    WHERE v.j < length(v.word)
+  ),
+  seg_{tag} AS MATERIALIZED (
+    SELECT word, cnt,
+           bests[length(word) + 1].seg AS seg,
+           bests[length(word) + 1].np AS np
+    FROM v_{tag} WHERE j = length(word)
+  )"""
+
+
+def _sql_ulm_em(tag: str, pt_in: str, pt_out: str) -> str:
+    """One hard-EM step: Viterbi under ``pt_in`` -> piece counts ->
+    round-6 log-probs -> single-char coverage floor (min - 1.0) ->
+    ``pt_out(piece, lp)`` -- unigram_lm_train.em_step verbatim."""
+    return _sql_ulm_viterbi(tag, pt_in) + f""",
+  cnt_{tag} AS MATERIALIZED (
+    SELECT piece, sum(cnt)::BIGINT AS n
+    FROM (SELECT unnest(string_split(seg, ' ')) AS piece, cnt
+          FROM seg_{tag})
+    GROUP BY piece
+  ),
+  new_{tag} AS MATERIALIZED (
+    SELECT piece,
+           round(ln(n::DOUBLE / (SELECT sum(n) FROM cnt_{tag})),
+                 {_ULM_ROUND}) AS lp
+    FROM cnt_{tag}
+  ),
+  {pt_out} AS MATERIALIZED (
+    SELECT piece, lp FROM new_{tag}
+    UNION ALL
+    SELECT p.piece, (SELECT min(lp) FROM new_{tag}) - 1.0 AS lp
+    FROM {pt_in} p
+    WHERE length(p.piece) = 1
+      AND p.piece NOT IN (SELECT piece FROM new_{tag})
+  )"""
+
+
+def _sql_unigram_lm() -> str:
+    """Oracle for the unigram-LM train+encode composite: replays the
+    ENTIRE pinned-config pipeline of _q_unigram_lm_tokens in DuckDB --
+    word vocabulary, substring seeding with the (count desc, piece
+    asc) top-K cut, EM step 1, the n_multi > budget prune gate with
+    the rank-based drop, BOTH continuation branches (prune -> EM ->
+    final EM, and the no-prune final EM), branch-selected by the same
+    gate the engine evaluates, then the per-word Viterbi encode joined
+    back onto position-exploded document tokens.  Fuzzed SQL-vs-replica
+    over random corpora (both branches) in
+    tests/test_unigram_lm_oracle.py."""
+    L = _ULM_MAX_PIECE_LEN
+    return f"""
+WITH RECURSIVE
+  wv AS MATERIALIZED (
+    SELECT word, count(*)::BIGINT AS cnt
+    FROM (
+      SELECT unnest(
+        CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS word
+      FROM documents)
+    GROUP BY word
+  ),
+  subs AS MATERIALIZED (
+    SELECT s.pc AS piece, sum(w.cnt)::BIGINT AS c
+    FROM wv w,
+         LATERAL (
+           SELECT substr(w.word, i, l) AS pc
+           FROM unnest(range(1, length(w.word) + 1)) AS t1(i),
+                unnest(range(1, {L} + 1)) AS t2(l)
+           WHERE i + l - 1 <= length(w.word)
+         ) s
+    GROUP BY s.pc
+  ),
+  seed AS MATERIALIZED (
+    SELECT piece, c FROM subs WHERE length(piece) = 1
+    UNION ALL
+    SELECT piece, c FROM (
+      SELECT piece, c FROM subs WHERE length(piece) >= 2
+      ORDER BY c DESC, piece ASC LIMIT {_ULM_SEED_SIZE})
+  ),
+  p0 AS MATERIALIZED (
+    SELECT piece,
+           round(ln(c::DOUBLE / (SELECT sum(c) FROM seed)),
+                 {_ULM_ROUND}) AS lp
+    FROM seed
+  ){_sql_ulm_em("e1", "p0", "p1")},
+  gate AS MATERIALIZED (
+    SELECT count(*) FILTER (WHERE length(piece) > 1) AS n_multi,
+           greatest({_ULM_VOCAB_SIZE}
+                    - count(*) FILTER (WHERE length(piece) = 1),
+                    0) AS budget
+    FROM p1
+  ),
+  p1p AS MATERIALIZED (
+    SELECT piece, lp FROM p1 WHERE length(piece) = 1
+    UNION ALL
+    SELECT piece, lp FROM (
+      SELECT piece, lp,
+             row_number() OVER (ORDER BY lp ASC, piece ASC) AS rk
+      FROM p1 WHERE length(piece) > 1)
+    WHERE rk > (SELECT n_multi - budget FROM gate)
+  ){_sql_ulm_em("e2", "p1p", "p2")}{_sql_ulm_em("e3", "p2", "p3")}\
+{_sql_ulm_em("e2b", "p1", "p2b")},
+  pf AS MATERIALIZED (
+    SELECT piece, lp FROM p3
+    WHERE (SELECT n_multi > budget FROM gate)
+    UNION ALL
+    SELECT piece, lp FROM p2b
+    WHERE NOT (SELECT n_multi > budget FROM gate)
+  ){_sql_ulm_viterbi("enc", "pf")},
+  dtoks AS (
+    SELECT doc_id, i AS pos, tk[i] AS word
+    FROM (SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\\s+')
+                 END AS tk
+          FROM documents) d,
+         unnest(range(1, len(tk) + 1)) AS t(i)
+  )
+SELECT d.doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(s.np)::BIGINT AS n_pieces,
+       string_agg(s.seg, ' ' ORDER BY d.pos) AS encoded
+FROM dtoks d JOIN seg_enc s ON d.word = s.word
+GROUP BY d.doc_id
+"""
+
+
+_SQL_UNIGRAM_LM = _sql_unigram_lm()
 
 
 def _sql_profile_funnel() -> str:
@@ -4016,22 +4245,10 @@ ORACLE_SQL: dict[str, str] = {
         FROM unioned
     """,
     # ---------------- LLM-pipeline extensions ----------------
-    # unigram LM scoring: top-V model by (count desc, token asc), OOV
-    # scores at p = 0.5/total
-    "unigram_quality": f"""
-        WITH toks AS (
-          SELECT doc_id, unnest({_sql_tokens()}) AS tok FROM documents
-        ),
-        freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
-        total AS (SELECT sum(cnt)::DOUBLE AS tot FROM freq),
-        top AS (SELECT tok, cnt FROM freq
-                ORDER BY cnt DESC, tok ASC LIMIT 65536)
-        SELECT doc_id, count(*) AS n_tokens,
-               round(avg(-log2(coalesce(t.cnt::DOUBLE, 0.5) / tot)), 6)
-                 AS logprob_score
-        FROM toks LEFT JOIN top t USING (tok) CROSS JOIN total
-        GROUP BY doc_id
-    """,
+    # full train+encode replay: seed -> EM -> guarded prune -> EM ->
+    # EM branches computed with the engine's own gate; per-word Viterbi
+    # as a list-state recursive CTE (see _sql_unigram_lm)
+    "unigram_lm_tokens": _SQL_UNIGRAM_LM,
     # Gopher word-level rules; flags evaluate on raw ratios (identical
     # integer-division doubles), rounded copies are display-only
     "gopher_quality": f"""

@@ -91,7 +91,7 @@ HEADLINE = [
     "window_function_showcase",
     "grouping_sets_revenue",
     "scd2_customer_segments",
-    "unigram_quality",
+    "unigram_lm_tokens",
     "gopher_quality",
     "chunk_manifest",
     "cluster_balanced_sample",

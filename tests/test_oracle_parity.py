@@ -220,8 +220,19 @@ R15B_FOLDED = {
 #                      quality_scores precedent) + corpus_diff_status
 #                      (the same md5 whitespace-normalized content
 #                      fingerprint, emitted raw and hash-pinned)
+#   unigram_quality -> lm_ppl_buckets (the stupid-backoff model's
+#                      unigram tier IS the same corpus-unigram
+#                      log2-arithmetic with the same 0.5/T OOV floor,
+#                      fully SQL-replicated per token; at any vocab
+#                      within the top-V cut the two scores share every
+#                      term) + nb_quality_scores (smoothed hashed
+#                      unigram-count features); bigram_quality's r15
+#                      absorption chain re-homes onto those same two
+#                      absorbers; the top-V/broadcast plan contract
+#                      targets unigram_logprob_scores directly in
+#                      test_plan_shapes
 R16_FOLDED = {
-    "corpus_report",
+    "corpus_report", "unigram_quality",
 }
 
 
@@ -266,7 +277,7 @@ def test_driver_window_covers_r16_rotation():
     new_r16 = {
         # r16 registrations, each paid by an R16_FOLDED retirement so
         # the 44 r14-green slots keep zero slack around them
-        "profile_funnel",
+        "profile_funnel", "unigram_lm_tokens",
     }
     want = PARITY_PINNED | (r14_green_rotating - R16_FOLDED) | new_r16
     missing = want - set(window)

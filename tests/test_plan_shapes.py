@@ -293,10 +293,17 @@ def test_unigram_quality_topv_is_partial_and_text_stays_local(spark):
     # the vocabulary cut must plan as TakeOrderedAndProject (partial
     # per-partition top-V + driver merge), the model side must
     # broadcast, and neither text nor token strings may cross a hash
-    # exchange (the doc-keyed merge carries numeric partials only)
+    # exchange (the doc-keyed merge carries numeric partials only).
+    # Targets the function directly since the unigram_quality slot
+    # folded into unigram_lm_tokens (R16_FOLDED) -- the established
+    # retired-slot plan-contract pattern.
     import re
 
-    plan = _plan(spark, "unigram_quality")
+    from data_stream_flink_user_address_spark.functions.text import (
+        unigram_logprob_scores,
+    )
+
+    plan = _explain(unigram_logprob_scores(entrymod._docs(spark, SF)))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
