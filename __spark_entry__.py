@@ -130,6 +130,7 @@ from data_stream_flink_user_address_spark.functions.web import (
 from data_stream_flink_user_address_spark.functions.packing import (
     chunk_manifest,
     histogram_pack,
+    pack_bins_exact,
     sequence_pack_offsets,
 )
 from data_stream_flink_user_address_spark.functions.curation import (
@@ -162,7 +163,6 @@ from data_stream_flink_user_address_spark.functions.text import (
     bpe_token_count,
     doc_fingerprint,
     language_id,
-    punct_count,
     quality_score,
     stupid_backoff_scores,
     token_count,
@@ -1365,14 +1365,6 @@ def _q_unigram_lm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_encode(d, pieces, max_piece_len=3)
 
 
-def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        token_count("text").alias("n_tokens"),
-        punct_count("text").alias("n_punct"),
-        doc_fingerprint("text").alias("fingerprint"),
-    )
 
 
 def _q_profile_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2529,6 +2521,61 @@ def _q_pack_bins_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_bins_exact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact bin materialization contract (functions/packing.py:
+    pack_bins_exact, VERDICT r15 ask #6): pack the documents corpus
+    under the same single-bucket SPFHP assignment as pack_bins_report
+    (seq_len=128 sits above this corpus's longest document, so the
+    no-truncation precondition holds -- the materializer RAISES
+    otherwise), then verify THE contract inside the hash-checked row:
+    for every member, ``substring(packed_text, char_base + 1,
+    length(text)) == text`` -- the property a downstream trainer's
+    span re-basing depends on.  Output one row per bin: ``(bin_id,
+    n_docs, n_tokens, packed_chars, packed_md5, all_roundtrip)`` --
+    packed_md5 pins the exact packed bytes, all_roundtrip the offset
+    arithmetic.  The oracle shares the SPFHP assignment CTE chain with
+    pack_bins_report and re-derives bins with an id-ordered
+    string_agg, char bases with a running-sum window, and the same
+    bool_and roundtrip check.
+
+    r16 registry fold: the slot retires ``text_stats`` -- its
+    token_count column is doc_signals' n_ws_tokens (identical body),
+    its punct_count body rides inside doc_signals' quality term, and
+    its md5 content fingerprint is corpus_diff_status's old_fp/new_fp
+    (emitted raw and hash-pinned).
+
+    Scale shape: pack_bins_exact's one id-keyed equi-join + one
+    bin-keyed shuffle carrying each text once; the roundtrip check
+    joins the exploded (id, char_base) pairs back to the slim
+    (id, text) projection and aggregates per bin."""
+    d = _docs(spark, sf_dir)
+    assigned, _stats = histogram_pack(
+        d, seq_len=128, bucket_size=1_000_000_000
+    )
+    packed = pack_bins_exact(d, assigned)
+    member = packed.select(
+        "bin_id",
+        "n_docs",
+        "n_tokens",
+        F.length("packed_text").cast("bigint").alias("packed_chars"),
+        F.md5("packed_text").alias("packed_md5"),
+        "packed_text",
+        F.explode("char_bases").alias("cb"),
+    ).join(
+        d.select(F.col("doc_id").alias("__id"), "text"),
+        F.col("cb.id") == F.col("__id"),
+    )
+    ok = (
+        F.col("packed_text").substr(
+            F.col("cb.char_base").cast("int") + 1, F.length("text")
+        )
+        == F.col("text")
+    )
+    return member.groupBy(
+        "bin_id", "n_docs", "n_tokens", "packed_chars", "packed_md5"
+    ).agg(F.bool_and(ok).alias("all_roundtrip"))
+
+
 def _q_corpus_diff_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-crawl snapshot diff (functions/profile.py:corpus_diff):
     derived old/new snapshots of documents -- every 10th doc absent
@@ -2891,7 +2938,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf_trained": _q_similarity_ivf_trained,
     "semantic_dedup": _q_semantic_dedup,
     "bm25_search": _q_bm25_search,
-    "text_stats": _q_text_stats,
+    # r16 registration (paid by R16_FOLDED: text_stats)
+    "pack_bins_exact_roundtrip": _q_pack_bins_exact_roundtrip,
     # r16 registration (paid by R16_FOLDED: corpus_report)
     "profile_funnel": _q_profile_funnel,
     "winnow_fingerprints": _q_winnow_fingerprints,
@@ -3251,7 +3299,10 @@ def _sql_pagerank_ctes(iters: int) -> str:
 
 
 
-_SQL_SPFHP_PACK = r"""
+# the full SPFHP solve as a reusable CTE chain (ends with the
+# per-doc `assigned(doc_id, n, trunc, bin_id)` relation) -- shared
+# by the pack_bins_report frame and the pack_bins_exact roundtrip
+_SQL_SPFHP_CTES = r"""
 WITH RECURSIVE
 lens AS (
   SELECT doc_id,
@@ -3438,9 +3489,48 @@ assigned AS (
   FROM ranked JOIN segs2 USING (n)
   WHERE r >= rank_start AND r < rank_start + n_per * m
 )
+"""
+
+_SQL_SPFHP_PACK = _SQL_SPFHP_CTES + r"""
 SELECT bin_id, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS bin_tokens,
        max(trunc::INT)::INT AS any_truncated
 FROM assigned GROUP BY bin_id
+"""
+
+# byte-exact materializer roundtrip over the same assignment: bins via
+# id-ordered no-separator string_agg, char bases via a running-sum
+# window, contract check via bool_and(substr == member)
+_SQL_PACK_EXACT = _SQL_SPFHP_CTES + r"""
+, dj AS (
+  SELECT a.bin_id, a.doc_id, d.text, a.n AS n_tokens
+  FROM assigned a JOIN documents d USING (doc_id)
+),
+bins AS (
+  SELECT bin_id, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS n_tokens,
+         string_agg(text, '' ORDER BY doc_id) AS packed_text
+  FROM dj GROUP BY bin_id
+),
+bases AS (
+  SELECT bin_id, doc_id, text,
+         coalesce(sum(length(text)) OVER (
+           PARTITION BY bin_id ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS char_base
+  FROM dj
+),
+chk AS (
+  SELECT b.bin_id,
+         bool_and(substr(s.packed_text, (b.char_base + 1)::INT,
+                         length(b.text)) = b.text) AS all_roundtrip
+  FROM bases b JOIN bins s USING (bin_id)
+  GROUP BY b.bin_id
+)
+SELECT s.bin_id, s.n_docs, s.n_tokens,
+       length(s.packed_text)::BIGINT AS packed_chars,
+       md5(s.packed_text) AS packed_md5,
+       c.all_roundtrip
+FROM bins s JOIN chk c USING (bin_id)
 """
 
 
@@ -4344,13 +4434,10 @@ ORACLE_SQL: dict[str, str] = {
         FROM x
         WHERE least(e_off, (ch + 1) * 512) - greatest(s_off, ch * 512) > 0
     """,
-    "text_stats": f"""
-        SELECT doc_id,
-               len({_sql_tokens()})::BIGINT AS n_tokens,
-               (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS n_punct,
-               md5({_sql_norm()}) AS fingerprint
-        FROM documents
-    """,
+    # byte-exact bin materializer contract: shares the SPFHP assignment
+    # CTE chain with pack_bins_report, then re-derives packed bins and
+    # verifies every member's substring roundtrip in SQL
+    "pack_bins_exact_roundtrip": _SQL_PACK_EXACT,
     # r13 fold: one oracle for the doc_signals query -- identical
     # expression bodies to the retired lang_id_pred / quality_scores /
     # bpe_token_counts oracles, joined on doc_id.

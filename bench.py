@@ -95,7 +95,7 @@ HEADLINE = [
     "gopher_quality",
     "chunk_manifest",
     "cluster_balanced_sample",
-    "text_stats",
+    "pack_bins_exact_roundtrip",
     "profile_funnel",
     "doc_signals",
     "winnow_fingerprints",

@@ -231,8 +231,14 @@ R15B_FOLDED = {
 #                      absorbers; the top-V/broadcast plan contract
 #                      targets unigram_logprob_scores directly in
 #                      test_plan_shapes
+#   text_stats      -> doc_signals (token_count IS its n_ws_tokens
+#                      column, identical body; punct_count's body rides
+#                      inside the oracle-checked quality punct term) +
+#                      corpus_diff_status (the same md5
+#                      whitespace-normalized content fingerprint,
+#                      emitted raw as old_fp/new_fp and hash-pinned)
 R16_FOLDED = {
-    "corpus_report", "unigram_quality",
+    "corpus_report", "unigram_quality", "text_stats",
 }
 
 
@@ -278,6 +284,7 @@ def test_driver_window_covers_r16_rotation():
         # r16 registrations, each paid by an R16_FOLDED retirement so
         # the 44 r14-green slots keep zero slack around them
         "profile_funnel", "unigram_lm_tokens",
+        "pack_bins_exact_roundtrip",
     }
     want = PARITY_PINNED | (r14_green_rotating - R16_FOLDED) | new_r16
     missing = want - set(window)
