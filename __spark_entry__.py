@@ -67,6 +67,7 @@ from data_stream_flink_user_address_spark.functions.similarity import (
 )
 from data_stream_flink_user_address_spark.functions.chat import (
     conversation_turns,
+    pack_conversations_with_spans,
     parse_conversations,
 )
 from data_stream_flink_user_address_spark.functions.embedding import (
@@ -2856,6 +2857,91 @@ def _q_sft_turn_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_turns(parse_conversations(convs))
 
 
+def _q_sft_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SFT trainer's final deliverable end to end (functions/
+    chat.py:pack_conversations_with_spans): the same deterministic
+    wire-round-tripped conversations as ``sft_turn_spans``, rendered to
+    training strings, SPFHP-packed BYTE-EXACTLY into seq_len=192 bins
+    (above this corpus's longest rendered conversation -- byte-exact
+    packing cannot clip), and every turn's loss-mask span RE-BASED into
+    its bin's packed string.  One row per turn: ``(bin_id, conv_id,
+    turn_idx, role, loss_mask, n_chars, abs_start, abs_end, span_ok)``
+    where span_ok checks THE invariant in-row:
+    ``substring(packed_text, abs_start + 1, n_chars) == content``.
+
+    Registered below the driver window (registry grows 94 -> 95 under
+    the VERDICT r15 ruling: growth to <= 98 allowed with a full oracle
+    and the rotation documented -- see
+    tests/test_oracle_parity.py::test_driver_window_covers_r16_rotation);
+    first driver row lands in r17.  The oracle replays the turn
+    derivation (the sft_turn_spans CTEs), re-renders each conversation
+    with an ordered string_agg under the module's fixed header/SEP
+    convention, re-runs the ENTIRE SPFHP solve over the rendered
+    lengths (_sql_spfhp_ctes at seq_len=192), and re-bases spans with
+    the same running-sum window as the pack_bins_exact oracle.
+
+    Scale shape: rendering and span arithmetic row-local; packing one
+    id-keyed join + ONE bin-keyed shuffle of each rendered string; the
+    re-basing join ships slim (bin_id, id, char_base) triples; the
+    span_ok verification joins packed strings back per bin (driver-
+    checkable spelling -- a production trainer consumes the two frames
+    directly and never re-joins content)."""
+    d = _docs(spark, sf_dir)
+    toks = tokens("text")
+    u1 = F.concat_ws(" ", F.slice(toks, F.lit(1), F.lit(8)))
+    a1 = F.concat_ws(
+        " ",
+        F.slice(toks, F.lit(9), F.greatest(F.size(toks) - F.lit(8), F.lit(0))),
+    )
+    a2 = F.concat_ws(" ", F.slice(toks, F.lit(1), F.lit(4)))
+
+    def _turn(role: str, content) -> Column:
+        return F.struct(F.lit(role).alias("role"), content.alias("content"))
+
+    base = F.array(
+        _turn("system", F.lit("Be concise.")),
+        _turn("user", u1),
+        _turn("assistant", a1),
+    )
+    extra = F.array(_turn("user", F.lit("And then?")), _turn("assistant", a2))
+    convs = d.select(
+        F.col("doc_id").alias("conv_id"),
+        F.to_json(
+            F.when(F.col("doc_id") % 3 == 0, F.concat(base, extra)).otherwise(
+                base
+            )
+        ).alias("conversation"),
+    )
+    parsed = parse_conversations(convs)
+    bins, spans = pack_conversations_with_spans(
+        parsed, seq_len=192, bucket_size=1_000_000_000
+    )
+    content = conversation_turns(parsed).select(
+        "conv_id", "turn_idx", "content"
+    )
+    return (
+        spans.join(bins.select("bin_id", "packed_text"), "bin_id")
+        .join(content, ["conv_id", "turn_idx"])
+        .select(
+            "bin_id",
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            "role",
+            "loss_mask",
+            "n_chars",
+            F.col("abs_start").cast("bigint").alias("abs_start"),
+            F.col("abs_end").cast("bigint").alias("abs_end"),
+            (
+                F.col("packed_text").substr(
+                    F.col("abs_start").cast("int") + 1,
+                    F.col("n_chars").cast("int"),
+                )
+                == F.col("content")
+            ).alias("span_ok"),
+        )
+    )
+
+
 def _q_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-corpus moments (functions/embedding.py:
     embedding_moments -- the one-pass mean/covariance scan that feeds
@@ -3016,6 +3102,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sft_turn_spans": _q_sft_turn_spans,
     "embedding_moments": _q_embedding_moments,
     "lm_ppl_buckets": _q_lm_ppl_buckets,
+    # r16b registration BELOW the window (registry 94 -> 95 under the
+    # VERDICT r15 <= 98 growth ruling; full oracle; first driver row
+    # lands in r17 -- rotation documented in
+    # test_driver_window_covers_r16_rotation)
+    "sft_pack_spans": _q_sft_pack_spans,
 }
 
 
@@ -3302,13 +3393,12 @@ def _sql_pagerank_ctes(iters: int) -> str:
 # the full SPFHP solve as a reusable CTE chain (ends with the
 # per-doc `assigned(doc_id, n, trunc, bin_id)` relation) -- shared
 # by the pack_bins_report frame and the pack_bins_exact roundtrip
-_SQL_SPFHP_CTES = r"""
-WITH RECURSIVE
+_SQL_SPFHP_TEMPLATE = r"""
 lens AS (
   SELECT doc_id,
-         least(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END), 128)::BIGINT AS n,
-         len(CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END) > 128 AS trunc
-  FROM documents
+         least(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END), __SEQ__)::BIGINT AS n,
+         len(CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END) > __SEQ__ AS trunc
+  FROM __SRC__
   WHERE len(CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END) > 0
 ),
 hist AS (SELECT n::INT AS n, count(*)::BIGINT AS c FROM lens GROUP BY n),
@@ -3360,9 +3450,9 @@ greedy AS (
         FROM (
           SELECT step, rem, open, cur_l, cur_c,
                  list_sort(list_transform(
-                   list_filter(open, x -> 128 - x.tot >= cur_l),
+                   list_filter(open, x -> __SEQ__ - x.tot >= cur_l),
                    x -> struct_pack(
-                          key := lpad((128 - x.tot)::VARCHAR, 3, '0')
+                          key := lpad((__SEQ__ - x.tot)::VARCHAR, 3, '0')
                                  || '|' || x.pat,
                           pat := x.pat, tot := x.tot, cnt := x.cnt)))[1:1]
                    AS best
@@ -3424,14 +3514,14 @@ merged AS (
                    acting[1].pat AS acting_pat, acting[1].tot AS acting_tot,
                    acting[1].cnt AS acting_cnt,
                    list_filter(sortd, q ->
-                     q.tot <= 128 - acting[1].tot
+                     q.tot <= __SEQ__ - acting[1].tot
                      AND (q.pat != acting[1].pat OR acting[1].cnt >= 2))
                      AS valid
             FROM (
               SELECT step, pats, sortd,
                      list_filter(sortd, p ->
                        len(list_filter(sortd, q ->
-                         q.tot <= 128 - p.tot
+                         q.tot <= __SEQ__ - p.tot
                          AND (q.pat != p.pat OR p.cnt >= 2))) > 0)[1:1]
                        AS acting
               FROM (
@@ -3490,6 +3580,26 @@ assigned AS (
   WHERE r >= rank_start AND r < rank_start + n_per * m
 )
 """
+
+
+def _sql_spfhp_ctes(
+    src: str = "documents", seq_len: int = 128, header: bool = True
+) -> str:
+    """The SPFHP solve as a reusable CTE chain over any
+    ``(doc_id, text)`` relation ``src``: length histogram, greedy over
+    list-state in a recursive CTE, bin-merge post-pass, rank-arithmetic
+    assignment -- ends with ``assigned(doc_id, n, trunc, bin_id)``.
+    ``header=False`` omits the WITH RECURSIVE opener so the chain can
+    follow caller CTEs (prefix it with a comma).  lpad(3) bin keys cap
+    seq_len below 1000."""
+    assert seq_len < 1000, "SPFHP oracle's fixed-width keys cap seq_len"
+    chain = _SQL_SPFHP_TEMPLATE.replace("__SEQ__", str(seq_len)).replace(
+        "__SRC__", src
+    )
+    return ("\nWITH RECURSIVE" + chain) if header else chain
+
+
+_SQL_SPFHP_CTES = _sql_spfhp_ctes()
 
 _SQL_SPFHP_PACK = _SQL_SPFHP_CTES + r"""
 SELECT bin_id, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS bin_tokens,
@@ -3726,6 +3836,91 @@ GROUP BY d.doc_id
 
 
 _SQL_UNIGRAM_LM = _sql_unigram_lm()
+
+
+def _sql_sft_pack_spans() -> str:
+    """Oracle for the packed-SFT-spans deliverable: the sft_turn_spans
+    turn/offset CTEs (renamed tlens/toffs -- the SPFHP chain owns
+    `lens`), each conversation re-rendered with an ordered string_agg
+    under the fixed '<|role|>content\\n' convention, the FULL SPFHP
+    solve re-run over the rendered strings (seq_len=192, single-bucket
+    regime), bins re-derived with an id-ordered no-separator
+    string_agg, char bases with a running-sum window, and every span
+    re-based and substring-verified."""
+    spfhp = _sql_spfhp_ctes(src="rendered_docs", seq_len=192, header=False)
+    return f"""
+WITH RECURSIVE
+cbase AS (
+  SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         array_to_string(toks[1:8], ' ') AS u1,
+         array_to_string(toks[9:], ' ') AS a1,
+         array_to_string(toks[1:4], ' ') AS a2
+  FROM cbase
+),
+turns AS (
+  SELECT doc_id, 0 AS turn_idx, 'system' AS role,
+         'Be concise.' AS content FROM parts
+  UNION ALL SELECT doc_id, 1, 'user', u1 FROM parts
+  UNION ALL SELECT doc_id, 2, 'assistant', a1 FROM parts
+  UNION ALL SELECT doc_id, 3, 'user', 'And then?' FROM parts
+            WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id, 4, 'assistant', a2 FROM parts
+            WHERE doc_id % 3 = 0
+),
+tlens AS (
+  SELECT *, (length(role) + 4)::BIGINT AS hlen,
+         length(content)::BIGINT AS clen
+  FROM turns
+),
+toffs AS (
+  SELECT *, COALESCE(SUM(hlen + clen + 1) OVER (
+             PARTITION BY doc_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0)::BIGINT AS cum
+  FROM tlens
+),
+rendered_docs AS (
+  SELECT doc_id,
+         string_agg('<|' || role || '|>' || content || chr(10),
+                    '' ORDER BY turn_idx) AS text
+  FROM turns GROUP BY doc_id
+),{spfhp},
+dj AS (
+  SELECT a.bin_id, a.doc_id, r.text
+  FROM assigned a JOIN rendered_docs r USING (doc_id)
+),
+bins AS (
+  SELECT bin_id, string_agg(text, '' ORDER BY doc_id) AS packed_text
+  FROM dj GROUP BY bin_id
+),
+bases AS (
+  SELECT bin_id, doc_id,
+         coalesce(sum(length(text)) OVER (
+           PARTITION BY bin_id ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS char_base
+  FROM dj
+)
+SELECT b.bin_id,
+       o.doc_id::BIGINT AS conv_id,
+       o.turn_idx::INT AS turn_idx,
+       o.role,
+       (o.role = 'assistant') AS loss_mask,
+       o.clen AS n_chars,
+       (b.char_base + o.cum + o.hlen)::BIGINT AS abs_start,
+       (b.char_base + o.cum + o.hlen + o.clen)::BIGINT AS abs_end,
+       substr(s.packed_text, (b.char_base + o.cum + o.hlen + 1)::INT,
+              o.clen::INT) = o.content AS span_ok
+FROM toffs o
+JOIN bases b ON o.doc_id = b.doc_id
+JOIN bins s ON b.bin_id = s.bin_id
+"""
+
+
+_SQL_SFT_PACK_SPANS = _sql_sft_pack_spans()
 
 
 def _sql_profile_funnel() -> str:
@@ -5777,6 +5972,9 @@ ORACLE_SQL: dict[str, str] = {
     # the full SPFHP solve + merge + assignment, replayed in DuckDB
     # (two recursive CTEs over list-state; see _q_pack_bins_report)
     "pack_bins_report": _SQL_SPFHP_PACK,
+    # r16b: turn spans re-based into byte-exact SPFHP-packed rendered
+    # conversations, substring-verified per row
+    "sft_pack_spans": _SQL_SFT_PACK_SPANS,
     # tf top-50 and df top-50, reciprocal-rank fused to the top-30
     "top_terms_rrf": """
         WITH tok AS (

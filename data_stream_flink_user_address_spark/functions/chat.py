@@ -298,3 +298,68 @@ def streaming_sft_gate(
         .foreachBatch(fb)
         .start()
     )
+
+
+def pack_conversations_with_spans(
+    df: DataFrame,
+    seq_len: int,
+    turns_col: str = "turns",
+    id_col: str = "conv_id",
+    bucket_size: int = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """The SFT trainer's final deliverable: render each conversation,
+    SPFHP-pack the rendered strings byte-exactly into ``seq_len`` bins
+    (:func:`~.packing.histogram_pack` + :func:`~.packing.pack_bins_exact`
+    -- whole conversations only, no cross-conversation attention
+    contamination, no re-tokenization), and RE-BASE every turn's
+    loss-mask character span into its bin's packed string.
+
+    Returns ``(bins, spans)``:
+
+    - ``bins``: one row per bin -- ``(bin_id, n_docs, n_tokens,
+      packed_text, char_bases)`` (pack_bins_exact's frame);
+    - ``spans``: one row per turn -- ``(bin_id, id, turn_idx, role,
+      loss_mask, n_chars, abs_start, abs_end)`` with
+      ``[abs_start, abs_end)`` the 0-based span of the turn's content
+      inside ``packed_text`` (property: ``substring(packed_text,
+      abs_start + 1, n_chars)`` recovers the content -- the invariant
+      the registered ``sft_pack_spans`` query hash-checks per row).
+
+    ``seq_len`` must exceed every rendered conversation's token count:
+    byte-exact packing cannot clip (pack_bins_exact raises otherwise)
+    -- pre-filter or split oversized conversations upstream.
+
+    Scale shape: rendering and span arithmetic are row-local array
+    expressions; packing adds one id-keyed equi-join plus ONE bin-keyed
+    shuffle carrying each rendered string exactly once; the re-basing
+    join moves only the slim (bin_id, id, char_base) triples onto the
+    turn rows (one id-keyed hash join -- conversation content itself is
+    already in the turn rows, packed strings stay in ``bins``).
+    """
+    from .packing import histogram_pack, pack_bins_exact
+
+    rendered = render_conversation(df, turns_col, id_col)
+    assigned, _stats = histogram_pack(
+        rendered, text_col="text", id_col=id_col, seq_len=seq_len,
+        bucket_size=bucket_size,
+    )
+    bins = pack_bins_exact(rendered, assigned, text_col="text", id_col=id_col)
+    turns = conversation_turns(df, turns_col, id_col)
+    bases = bins.select(
+        "bin_id", F.explode("char_bases").alias("__cb")
+    ).select(
+        "bin_id",
+        F.col("__cb.id").alias(id_col),
+        F.col("__cb.char_base").alias("__base"),
+    )
+    spans = turns.join(bases, id_col).select(
+        "bin_id",
+        F.col(id_col),
+        "turn_idx",
+        "role",
+        "loss_mask",
+        "n_chars",
+        (F.col("__base") + F.col("char_start")).alias("abs_start"),
+        (F.col("__base") + F.col("char_end")).alias("abs_end"),
+    )
+    return bins, spans

@@ -342,3 +342,75 @@ def test_streaming_sft_gate_rejects_flat_layout(spark, tmp_path):
     stream = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="flat-append"):
         streaming_sft_gate(stream, out, str(tmp_path / "ck"))
+
+
+def test_pack_conversations_with_spans_roundtrip(spark):
+    """The trainer deliverable (r16b): every turn's re-based span must
+    slice its EXACT content back out of the bin's packed string --
+    including multi-conversation bins, unicode content, and the
+    two-pair conversation shape."""
+    from data_stream_flink_user_address_spark.functions.chat import (
+        pack_conversations_with_spans,
+        parse_conversations,
+    )
+
+    convs = [
+        (1, json.dumps([
+            {"role": "system", "content": "Be concise."},
+            {"role": "user", "content": "héllo  there"},
+            {"role": "assistant", "content": "hi\nback"},
+        ])),
+        (2, json.dumps([
+            {"role": "user", "content": "a b c"},
+            {"role": "assistant", "content": "d"},
+            {"role": "user", "content": "e?"},
+            {"role": "assistant", "content": "f g"},
+        ])),
+        (3, json.dumps([
+            {"role": "user", "content": "x"},
+            {"role": "assistant", "content": "y"},
+        ])),
+    ]
+    df = spark.createDataFrame(convs, "conv_id long, conversation string")
+    parsed = parse_conversations(df)
+    bins, spans = pack_conversations_with_spans(parsed, seq_len=64)
+    packed = {r.bin_id: r.packed_text for r in bins.collect()}
+    got = spans.collect()
+    # every turn of every conversation appears exactly once
+    assert sorted((r.conv_id, r.turn_idx) for r in got) == [
+        (1, 0), (1, 1), (1, 2),
+        (2, 0), (2, 1), (2, 2), (2, 3),
+        (3, 0), (3, 1),
+    ]
+    turns = {
+        (cid, i): t["content"]
+        for cid, payload in convs
+        for i, t in enumerate(json.loads(payload))
+    }
+    for r in got:
+        assert packed[r.bin_id][r.abs_start:r.abs_end] == turns[
+            (r.conv_id, r.turn_idx)
+        ]
+        assert r.loss_mask == (r.role == "assistant")
+
+
+def test_pack_conversations_with_spans_rejects_oversize(spark):
+    """Byte-exact packing cannot clip: a conversation rendering past
+    seq_len tokens must raise (pack_bins_exact's truncation guard),
+    not silently corrupt spans."""
+    import pytest
+    from data_stream_flink_user_address_spark.functions.chat import (
+        pack_conversations_with_spans,
+        parse_conversations,
+    )
+
+    big = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, json.dumps([
+            {"role": "user", "content": big},
+            {"role": "assistant", "content": big},
+        ]))],
+        "conv_id long, conversation string",
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        pack_conversations_with_spans(parse_conversations(df), seq_len=16)

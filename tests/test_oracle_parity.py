@@ -256,7 +256,7 @@ def test_driver_window_covers_r16_rotation():
     slots."""
     names = list(entrymod.queries())
     window = names[:50]
-    assert len(names) == 94, len(names)
+    assert len(names) == 95, len(names)
     assert not (
         R13_FOLDED | R14_FOLDED | R15_FOLDED | R15B_FOLDED | R16_FOLDED
     ) & set(names), "folded query still registered"
@@ -316,9 +316,15 @@ def test_driver_window_covers_r16_rotation():
         "corpus_diff_status", "curriculum_assignment",
         "sft_turn_spans", "embedding_moments", "lm_ppl_buckets",
     }
+    # r16b growth (94 -> 95, VERDICT r15's <= 98 ruling): sft_pack_spans
+    # registered BELOW the window with a full oracle.  Documented
+    # rotation: its first driver row lands in r17 (window = 6 pinned +
+    # the 45 below-window queries minus one -- r17 SHOULD fold one more
+    # near-redundant slot to restore the exact 2 x 44 two-round cycle;
+    # until then one rotating query waits an extra round per cycle).
     below = set(names[50:])
-    assert below == r15_green_rotating
-    assert len(below) == 44, len(below)
+    assert below == r15_green_rotating | {"sft_pack_spans"}
+    assert len(below) == 45, len(below)
     # every registered query carries a DuckDB oracle (no no_oracle
     # holes since r15)
     assert set(entrymod.oracle_sql()) == set(names)

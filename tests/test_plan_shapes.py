@@ -816,3 +816,43 @@ def test_unigram_lm_encode_size_gates_the_word_broadcast(spark):
     # explicit override skips the count-based gate entirely
     enc_forced = unigram_lm_encode(docs, pieces, broadcast_words=False)
     assert "BroadcastExchange" not in _explain(enc_forced)
+
+
+def test_profile_funnel_stages_aggregate_without_text_in_exchange(spark):
+    """The registered funnel profiles four stages, each as one narrow
+    projection into a 1-row aggregate: document text must never appear
+    in any Exchange input (the corpus_profile scale claim -- at most
+    id, group, 3 numeric, 1 fingerprint columns ride the aggregate),
+    and nothing degenerates to a cartesian."""
+    import re
+
+    plan = _plan(spark, "profile_funnel")
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"\(\d+\) Exchange\n(.*?)\n\n", plan, re.S):
+        block = m.group(1)
+        if "hashpartitioning" not in block and "SinglePartition" not in block:
+            # the only other exchanges are _docs' deliberate
+            # single-split RoundRobin respread of the tiny test table
+            continue
+        inputs = [l for l in block.splitlines() if l.startswith("Input")]
+        assert inputs and "text#" not in inputs[0], inputs
+
+
+def test_pack_bins_exact_roundtrip_text_moves_once_per_side(spark):
+    """The materializer contract query: each text rides the id-keyed
+    assignment join and ONE bin-keyed shuffle into bin assembly, plus
+    the roundtrip check's slim (id, text) re-join -- no cartesian, no
+    nested-loop fallback anywhere."""
+    plan = _plan(spark, "pack_bins_exact_roundtrip")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sft_pack_spans_no_cartesian_and_spans_precompute(spark):
+    """The packed-spans deliverable: conversations render and span
+    row-locally, packing adds the id-keyed join + one bin-keyed
+    shuffle, re-basing ships slim triples -- nothing may degenerate to
+    a cartesian or nested-loop join."""
+    plan = _plan(spark, "sft_pack_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
