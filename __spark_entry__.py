@@ -2913,7 +2913,7 @@ def _q_sft_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conversation"),
     )
     parsed = parse_conversations(convs)
-    bins, spans = pack_conversations_with_spans(
+    bins, spans, _stats = pack_conversations_with_spans(
         parsed, seq_len=192, bucket_size=1_000_000_000
     )
     content = conversation_turns(parsed).select(

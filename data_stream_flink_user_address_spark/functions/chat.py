@@ -306,7 +306,7 @@ def pack_conversations_with_spans(
     turns_col: str = "turns",
     id_col: str = "conv_id",
     bucket_size: int = 100_000,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, dict]:
     """The SFT trainer's final deliverable: render each conversation,
     SPFHP-pack the rendered strings byte-exactly into ``seq_len`` bins
     (:func:`~.packing.histogram_pack` + :func:`~.packing.pack_bins_exact`
@@ -314,7 +314,7 @@ def pack_conversations_with_spans(
     contamination, no re-tokenization), and RE-BASE every turn's
     loss-mask character span into its bin's packed string.
 
-    Returns ``(bins, spans)``:
+    Returns ``(bins, spans, stats)``:
 
     - ``bins``: one row per bin -- ``(bin_id, n_docs, n_tokens,
       packed_text, char_bases)`` (pack_bins_exact's frame);
@@ -323,7 +323,9 @@ def pack_conversations_with_spans(
       ``[abs_start, abs_end)`` the 0-based span of the turn's content
       inside ``packed_text`` (property: ``substring(packed_text,
       abs_start + 1, n_chars)`` recovers the content -- the invariant
-      the registered ``sft_pack_spans`` query hash-checks per row).
+      the registered ``sft_pack_spans`` query hash-checks per row);
+    - ``stats``: :func:`~.packing.histogram_pack`'s solver report
+      (n_docs, n_bins, padding_frac, n_truncated, ...).
 
     ``seq_len`` must exceed every rendered conversation's token count:
     byte-exact packing cannot clip (pack_bins_exact raises otherwise)
@@ -339,7 +341,7 @@ def pack_conversations_with_spans(
     from .packing import histogram_pack, pack_bins_exact
 
     rendered = render_conversation(df, turns_col, id_col)
-    assigned, _stats = histogram_pack(
+    assigned, stats = histogram_pack(
         rendered, text_col="text", id_col=id_col, seq_len=seq_len,
         bucket_size=bucket_size,
     )
@@ -362,4 +364,4 @@ def pack_conversations_with_spans(
         (F.col("__base") + F.col("char_start")).alias("abs_start"),
         (F.col("__base") + F.col("char_end")).alias("abs_end"),
     )
-    return bins, spans
+    return bins, spans, stats

@@ -16,7 +16,7 @@ conversations:
    be circular, so the reference is the raw document corpus) and the
    worst per-source perplexity quartile is dropped -- the CCNet
    filter applied at the SUPERVISION-mass level;
-5. render_conversation + histogram_pack: whole-CONVERSATION bins (a
+5. pack_conversations_with_spans: whole-CONVERSATION bins (a
    bin never splits a chat, so packed-attention never crosses a
    conversation boundary mid-sample) with each conversation's mask
    spans re-based to its offset inside the packed bin.
@@ -33,13 +33,10 @@ from pyspark.sql import functions as F
 
 from data_stream_flink_user_address_spark.functions.chat import (
     conversation_turns,
+    pack_conversations_with_spans,
     parse_conversations,
     render_conversation,
     validate_conversations,
-)
-from data_stream_flink_user_address_spark.functions.packing import (
-    histogram_pack,
-    pack_bins_exact,
 )
 from data_stream_flink_user_address_spark.functions.sampling import (
     quality_bucket_cuts,
@@ -155,11 +152,16 @@ def main() -> None:
     )
     kept = kept.join(survivors, "conv_id")
 
-    # 5. whole-conversation packing: render, pack on token counts, then
-    # re-base every conversation's mask spans to its slot in the bin
-    rendered = render_conversation(kept)
-    assign, stats = histogram_pack(
-        rendered, text_col="text", id_col="conv_id", seq_len=SEQ_LEN
+    # 5. whole-conversation packing: the first-class deliverable
+    # (functions/chat.py:pack_conversations_with_spans) -- render,
+    # byte-exact SPFHP bins (pack_bins_text is NOT usable here: its
+    # whitespace-normalizing token clip would destroy the rendering
+    # the spans are addressed against; every rendered conversation
+    # self-terminates with SEP, so conversations stay
+    # newline-delimited), every loss-mask span re-based into its bin's
+    # packed string
+    bins, all_spans, stats = pack_conversations_with_spans(
+        kept, seq_len=SEQ_LEN
     )
     print(
         f"packing: {stats['n_docs']} chats -> {stats['n_bins']} bins of "
@@ -167,32 +169,18 @@ def main() -> None:
         f"truncated={stats['n_truncated']}"
     )
 
-    # bin materialization: pack_bins_exact concatenates the EXACT
-    # rendered strings in conv_id order (every rendered conversation
-    # self-terminates with SEP, so conversations stay newline-delimited)
-    # and returns each member's char_base -- pack_bins_text is NOT
-    # usable here (its whitespace-normalizing token clip would destroy
-    # the rendering the spans are addressed against); pack_bins_exact
-    # raises on any truncated member for the same reason.
-    bins = pack_bins_exact(rendered, assign, id_col="conv_id")
-    slots = bins.select(
-        "bin_id", F.explode("char_bases").alias("__m")
-    ).select(
-        "bin_id",
-        F.col("__m.id").alias("conv_id"),
-        F.col("__m.char_base").alias("bin_char_base"),
-    )
     packed_spans = (
-        conversation_turns(kept)
-        .filter("loss_mask")
-        .join(slots, "conv_id")
+        all_spans.filter("loss_mask")
+        .join(
+            conversation_turns(kept).select(
+                "conv_id", "turn_idx", "content"
+            ),
+            ["conv_id", "turn_idx"],
+        )
         .select(
-            "bin_id",
-            "conv_id",
-            "turn_idx",
-            "content",
-            (F.col("char_start") + F.col("bin_char_base")).alias("bin_start"),
-            (F.col("char_end") + F.col("bin_char_base")).alias("bin_end"),
+            "bin_id", "conv_id", "turn_idx", "content",
+            F.col("abs_start").alias("bin_start"),
+            F.col("abs_end").alias("bin_end"),
         )
     )
     checked = (

@@ -373,7 +373,8 @@ def test_pack_conversations_with_spans_roundtrip(spark):
     ]
     df = spark.createDataFrame(convs, "conv_id long, conversation string")
     parsed = parse_conversations(df)
-    bins, spans = pack_conversations_with_spans(parsed, seq_len=64)
+    bins, spans, stats = pack_conversations_with_spans(parsed, seq_len=64)
+    assert stats["n_truncated"] == 0 and stats["n_docs"] == 3
     packed = {r.bin_id: r.packed_text for r in bins.collect()}
     got = spans.collect()
     # every turn of every conversation appears exactly once
