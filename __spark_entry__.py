@@ -1624,20 +1624,6 @@ def _bpe_artifacts(spark: SparkSession, sf_dir: str):
     return spark.read.parquet(rules_p), spark.read.parquet(vocab_p)
 
 
-def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative BPE tokenizer training (functions/text.py: bpe_train),
-    8 merge rounds: the corpus is scanned ONCE into a (word, count)
-    vocabulary, each round aggregates adjacent symbol pairs over that
-    compact frame (map-side combined), collects the 1-row argmax
-    (count desc, pair asc -- content-deterministic), and folds the
-    merge leftmost-first non-overlapping.  The DuckDB oracle replays
-    all 8 rounds via chained CTEs with an identical list_reduce.
-    r13: the learned rule table is a PERSISTED artifact
-    (_bpe_artifacts) shared with bpe_encode -- trained once per
-    (corpus, config), read back thereafter."""
-    return _bpe_artifacts(spark, sf_dir)[0]
-
-
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     sigs = minhash_signatures_text(d, n=5, num_hashes=_MINHASH_K)
@@ -3061,7 +3047,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_fingerprint_pairs": _q_audio_fingerprint_pairs,
     "boilerplate_line_dedup": _q_boilerplate_line_dedup,
     "per_source_cap": _q_per_source_cap,
-    "bpe_train": _q_bpe_train,
     "incremental_dedup": _q_incremental_dedup,
     "doc_signals": _q_doc_signals,
     "paragraph_dedup": _q_paragraph_dedup,
@@ -3171,15 +3156,6 @@ w{r} AS (
   FROM w{r - 1} CROSS JOIN b{r} b
 )""")
     return "\n".join(parts)
-
-
-def _sql_bpe_train(n_merges: int) -> str:
-    selects = " UNION ALL ".join(
-        f'SELECT CAST({r} AS BIGINT) AS merge_rank, l AS "left", r2 AS "right",'
-        f" l || r2 AS merged, c AS pair_count FROM b{r}"
-        for r in range(1, n_merges + 1)
-    )
-    return _sql_bpe_cte(n_merges) + "\n" + selects
 
 
 def _sql_shingles(n: int = 5, src: str = "documents") -> str:
@@ -5556,7 +5532,6 @@ ORACLE_SQL: dict[str, str] = {
     # iterative BPE training: 8 chained merge rounds, each a pair-count
     # aggregate + (count desc, pair asc) argmax + list_reduce fold
     # identical to the engine's leftmost-first non-overlapping merge.
-    "bpe_train": _sql_bpe_train(8),
     # train-and-apply: same 8-round CTE chain, final select = the
     # re-segmented vocabulary instead of the rule table.
     # incremental dedup: odd-id batch vs even-id seeded store -- first

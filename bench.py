@@ -124,7 +124,6 @@ HEADLINE = [
     "audio_fingerprint_pairs",
     "boilerplate_line_dedup",
     "per_source_cap",
-    "bpe_train",
     "incremental_dedup",
 ]
 

@@ -237,8 +237,21 @@ R15B_FOLDED = {
 #                      corpus_diff_status (the same md5
 #                      whitespace-normalized content fingerprint,
 #                      emitted raw as old_fp/new_fp and hash-pinned)
+#   bpe_train       -> bpe_apply_docs (STRICT superset oracle: its CTE
+#                      chain replays ALL 8 merge rounds -- the entire
+#                      training -- before encoding every document under
+#                      the learned vocabulary, and the engine query
+#                      reads the same persisted _bpe_artifacts table
+#                      the trainer writes; the train loop stays unit-,
+#                      property- (tests/test_functions) and ladder-
+#                      tested, BPE_SCALE.json); this below-window
+#                      retirement restores the exact 2 x 44 two-round
+#                      cycle after sft_pack_spans' r16b growth, so no
+#                      rotating query waits an extra round.
+#                      r15b's bpe_encode chain re-homes onto
+#                      bpe_apply_docs alone.
 R16_FOLDED = {
-    "corpus_report", "unigram_quality", "text_stats",
+    "corpus_report", "unigram_quality", "text_stats", "bpe_train",
 }
 
 
@@ -256,7 +269,7 @@ def test_driver_window_covers_r16_rotation():
     slots."""
     names = list(entrymod.queries())
     window = names[:50]
-    assert len(names) == 95, len(names)
+    assert len(names) == 94, len(names)
     assert not (
         R13_FOLDED | R14_FOLDED | R15_FOLDED | R15B_FOLDED | R16_FOLDED
     ) & set(names), "folded query still registered"
@@ -296,7 +309,7 @@ def test_driver_window_covers_r16_rotation():
     r15_green_rotating = {
         "token_budget_mixture", "image_phash_pairs",
         "audio_fingerprint_pairs", "boilerplate_line_dedup",
-        "per_source_cap", "bpe_train",
+        "per_source_cap",
         "incremental_dedup", "doc_signals",
         "paragraph_dedup", "curation_pipeline", "embedding_quantize",
         "q1_pricing_summary", "q2_min_cost_supplier",
@@ -316,15 +329,15 @@ def test_driver_window_covers_r16_rotation():
         "corpus_diff_status", "curriculum_assignment",
         "sft_turn_spans", "embedding_moments", "lm_ppl_buckets",
     }
-    # r16b growth (94 -> 95, VERDICT r15's <= 98 ruling): sft_pack_spans
-    # registered BELOW the window with a full oracle.  Documented
-    # rotation: its first driver row lands in r17 (window = 6 pinned +
-    # the 45 below-window queries minus one -- r17 SHOULD fold one more
-    # near-redundant slot to restore the exact 2 x 44 two-round cycle;
-    # until then one rotating query waits an extra round per cycle).
+    # r16b: sft_pack_spans registered BELOW the window with a full
+    # oracle (first driver row lands in r17), and the growth it caused
+    # is paid back IN THE SAME ROUND by the below-window bpe_train
+    # retirement (R16_FOLDED), so the registry holds at 94 and the
+    # exact 2 x 44 two-round cycle stands -- r17's window = 6 pinned +
+    # exactly these 44.
     below = set(names[50:])
     assert below == r15_green_rotating | {"sft_pack_spans"}
-    assert len(below) == 45, len(below)
+    assert len(below) == 44, len(below)
     # every registered query carries a DuckDB oracle (no no_oracle
     # holes since r15)
     assert set(entrymod.oracle_sql()) == set(names)
