@@ -17,11 +17,13 @@ Relational breadth (standard OLAP surface on the same engine):
   interval/asof/session temporal joins, SCD2, events JSON extraction
 
 LLM-data-pipeline extensions (examples; see QUERIES for the registry):
-  text_stats, dedup_exact, fuzzy_dedup_keep, ngram_jaccard_pairs,
+  doc_signals, dedup_exact, fuzzy_dedup_keep, ngram_jaccard_pairs,
   substring_dup_spans, embedding_near_dup_lsh, similarity_topk,
   similarity_ivf_trained, multimodal_meta, nb_quality_scores,
   incremental_minhash_gate, pack_bins_report, crawl_frontier_gate,
-  domain_pagerank_ranks, corpus_diff_status, curriculum_assignment
+  domain_pagerank_ranks, corpus_diff_status, curriculum_assignment,
+  profile_funnel, unigram_lm_tokens, pack_bins_exact_roundtrip,
+  sft_pack_spans
 
 Column-name discipline: every computed column is aliased identically in
 the Spark code and the oracle SQL.  Doubles are rounded in BOTH engines;
@@ -118,6 +120,7 @@ from data_stream_flink_user_address_spark.functions.profile import (
     top_terms,
 )
 from data_stream_flink_user_address_spark.functions.unigram_lm import (
+    UNK_LOGPROB_OFFSET as _ulm_unk_offset,
     unigram_lm_encode,
     unigram_lm_train,
 )
@@ -1360,10 +1363,15 @@ def _q_unigram_lm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs(spark, sf_dir)
     pieces = unigram_lm_train(
-        d, vocab_size=32, max_piece_len=3, seed_size_mult=2,
-        n_em_iters=1, prune_frac=1.0, logprob_round=6,
+        d,
+        vocab_size=_ULM_VOCAB_SIZE,
+        max_piece_len=_ULM_MAX_PIECE_LEN,
+        seed_size_mult=_ULM_SEED_MULT,
+        n_em_iters=1,
+        prune_frac=1.0,
+        logprob_round=_ULM_ROUND,
     )
-    return unigram_lm_encode(d, pieces, max_piece_len=3)
+    return unigram_lm_encode(d, pieces, max_piece_len=_ULM_MAX_PIECE_LEN)
 
 
 
@@ -2539,28 +2547,47 @@ def _q_pack_bins_exact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _stats = histogram_pack(
         d, seq_len=128, bucket_size=1_000_000_000
     )
-    packed = pack_bins_exact(d, assigned)
+    # lazy checkpoint: the header columns and the exploded char_bases
+    # both read the bin-assembly aggregate -- materialize it once
+    packed = pack_bins_exact(d, assigned).localCheckpoint(eager=False)
+    # the roundtrip verification joins only SLIM (bin_id, id,
+    # char_base) triples to (id, text), regroups members per bin, and
+    # ships each packed string ONCE per bin into a forall over the
+    # member array (an earlier spelling replicated packed_text onto
+    # every member row through the id-keyed exchange)
     member = packed.select(
+        "bin_id", F.explode("char_bases").alias("cb")
+    ).join(
+        d.select(F.col("doc_id").alias("__id"), "text"),
+        F.col("cb.id") == F.col("__id"),
+    )
+    per_bin = member.groupBy("bin_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("cb.char_base").alias("base"),
+                    F.col("text").alias("t"),
+                )
+            )
+        ).alias("__ms")
+    )
+    ok = F.forall(
+        F.col("__ms"),
+        lambda m: F.col("packed_text").substr(
+            m["base"].cast("int") + 1, F.length(m["t"])
+        )
+        == m["t"],
+    )
+    check = per_bin.join(
+        packed.select("bin_id", "packed_text"), "bin_id"
+    ).select("bin_id", ok.alias("all_roundtrip"))
+    return packed.select(
         "bin_id",
         "n_docs",
         "n_tokens",
         F.length("packed_text").cast("bigint").alias("packed_chars"),
         F.md5("packed_text").alias("packed_md5"),
-        "packed_text",
-        F.explode("char_bases").alias("cb"),
-    ).join(
-        d.select(F.col("doc_id").alias("__id"), "text"),
-        F.col("cb.id") == F.col("__id"),
-    )
-    ok = (
-        F.col("packed_text").substr(
-            F.col("cb.char_base").cast("int") + 1, F.length("text")
-        )
-        == F.col("text")
-    )
-    return member.groupBy(
-        "bin_id", "n_docs", "n_tokens", "packed_chars", "packed_md5"
-    ).agg(F.bool_and(ok).alias("all_roundtrip"))
+    ).join(check, "bin_id")
 
 
 def _q_corpus_diff_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3620,11 +3647,15 @@ FROM bins s JOIN chk c USING (bin_id)
 """
 
 
+# the registered unigram_lm_tokens pinned config -- the SINGLE source
+# of truth shared by _q_unigram_lm_tokens (engine) and _sql_unigram_lm
+# (oracle); tests/test_unigram_lm_oracle.py's replica reads these too
 _ULM_VOCAB_SIZE = 32
 _ULM_MAX_PIECE_LEN = 3
-_ULM_SEED_SIZE = 2 * _ULM_VOCAB_SIZE  # seed_size_mult=2
+_ULM_SEED_MULT = 2
+_ULM_SEED_SIZE = _ULM_SEED_MULT * _ULM_VOCAB_SIZE
 _ULM_ROUND = 6
-_ULM_UNK_OFFSET = -10.0  # unigram_lm.UNK_LOGPROB_OFFSET
+_ULM_UNK_OFFSET = _ulm_unk_offset
 
 
 def _sql_ulm_viterbi(tag: str, pt: str) -> str:

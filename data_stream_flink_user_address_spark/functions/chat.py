@@ -341,11 +341,36 @@ def pack_conversations_with_spans(
     from .packing import histogram_pack, pack_bins_exact
 
     rendered = render_conversation(df, turns_col, id_col)
+    # a NULL turn array (parse failure) renders NULL and would be
+    # silently EXCLUDED by histogram_pack before pack_bins_exact's
+    # NULL-member guard could fire -- the conversation would vanish
+    # from bins/spans with no error.  Fail loudly in-plan instead
+    # (zero extra action: the guard fires during the histogram scan);
+    # gate on parse_ok upstream to admit only parsed conversations.
+    rendered = rendered.withColumn(
+        "text",
+        F.when(F.col("text").isNotNull(), F.col("text")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "pack_conversations_with_spans: NULL turns "
+                    "(parse failure) cannot be packed -- filter on "
+                    "parse_ok before packing"
+                )
+            )
+        ),
+    )
     assigned, stats = histogram_pack(
         rendered, text_col="text", id_col=id_col, seq_len=seq_len,
         bucket_size=bucket_size,
     )
-    bins = pack_bins_exact(rendered, assigned, text_col="text", id_col=id_col)
+    # lazy local checkpoint: spans' lineage reads bins' char_bases and
+    # every realistic consumer (the registered query, a trainer writing
+    # both frames) materializes bins AND spans -- without the
+    # checkpoint the bin-assembly aggregation (collect_list/sort_array
+    # + O(m^2) char_bases) would execute twice
+    bins = pack_bins_exact(
+        rendered, assigned, text_col="text", id_col=id_col
+    ).localCheckpoint(eager=False)
     turns = conversation_turns(df, turns_col, id_col)
     bases = bins.select(
         "bin_id", F.explode("char_bases").alias("__cb")

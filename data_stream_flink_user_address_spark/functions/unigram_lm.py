@@ -311,7 +311,8 @@ def unigram_lm_encode(
     (typos, URLs, numbers) runs to 1e8-1e9 rows and an unconditional
     broadcast OOMs every executor.  So the join is SIZE-GATED, the
     ``leakage_free_split`` idiom: ``broadcast_words=None`` (default)
-    counts the distinct words (a column-pruned scan) and broadcasts
+    counts the distinct words (one distinct-aggregate pass, local-
+    checkpointed so the segmentation pass reuses it) and broadcasts
     only under ``broadcast_max_rows``; above it the join falls back to
     a plain hash join on ``word`` carrying slim (word, seg) rows --
     AQE may still pick a runtime broadcast if the frame turns out

@@ -415,3 +415,30 @@ def test_pack_conversations_with_spans_rejects_oversize(spark):
     )
     with pytest.raises(ValueError, match="truncated"):
         pack_conversations_with_spans(parse_conversations(df), seq_len=16)
+
+
+def test_pack_conversations_with_spans_rejects_null_turns(spark):
+    """A parse-failed conversation (NULL turns) renders NULL and would
+    be silently EXCLUDED by the packer's histogram -- vanished from
+    bins and spans with no error (code-review r16).  The in-plan guard
+    must fail loudly and point at the parse_ok gate."""
+    import pytest
+    from data_stream_flink_user_address_spark.functions.chat import (
+        pack_conversations_with_spans,
+        parse_conversations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, json.dumps([
+                {"role": "user", "content": "a"},
+                {"role": "assistant", "content": "b"},
+            ])),
+            (2, "{truncated upload"),
+        ],
+        "conv_id long, conversation string",
+    )
+    # the guard fires during the pack call itself: histogram_pack's
+    # internal actions scan the guarded rendered frame
+    with pytest.raises(Exception, match="parse_ok"):
+        pack_conversations_with_spans(parse_conversations(df), seq_len=16)
