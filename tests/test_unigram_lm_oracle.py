@@ -161,6 +161,26 @@ def test_sql_oracle_fuzz_random_corpora():
     assert saw_prune, "fuzz never exercised the prune branch"
 
 
+def test_sql_oracle_fuzz_unicode_alphabet():
+    """Mixed unicode/punctuation alphabet: substr/length/list ordering
+    must agree across Python (code points) and DuckDB for non-ASCII
+    pieces too -- the regime real web text puts the tokenizer in."""
+    rng = random.Random(11)
+    alphabet = "ab\u00e9\u00fc\u4e2d.?'"
+    for _ in range(3):
+        rows = []
+        for i in range(rng.randint(2, 15)):
+            words = [
+                "".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 7))
+                )
+                for _ in range(rng.randint(1, 8))
+            ]
+            rows.append((i, " ".join(words)))
+        _sql_vs_replica(rows)
+
+
 def test_sql_oracle_no_prune_branch():
     """Tiny corpora (few multi-char candidates) take the NO-prune
     branch: the oracle's gate must select the p2b continuation."""
