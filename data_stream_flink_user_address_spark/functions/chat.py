@@ -390,3 +390,82 @@ def pack_conversations_with_spans(
         (F.col("__base") + F.col("char_end")).alias("abs_end"),
     )
     return bins, spans, stats
+
+
+def _sft_pack_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    bins_path: str,
+    spans_path: str,
+    seq_len: int,
+    json_col: str,
+    id_col: str,
+    bucket_size: int,
+) -> None:
+    """One epoch of :func:`streaming_sft_pack` -- module-level so the
+    replay-idempotency contract (same epoch twice == once) is directly
+    unit-testable without a running stream."""
+    parsed = parse_conversations(batch_df, json_col, id_col)
+    valid = parsed.filter(_structural_flags(F.col("turns"))[-1])
+    bins, spans, _stats = pack_conversations_with_spans(
+        valid, seq_len=seq_len, id_col=id_col, bucket_size=bucket_size
+    )
+    for frame, path in ((bins, bins_path), (spans, spans_path)):
+        (
+            frame.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("__epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+
+
+def streaming_sft_pack(
+    stream: DataFrame,
+    bins_path: str,
+    spans_path: str,
+    checkpoint_dir: str,
+    seq_len: int,
+    json_col: str = "conversation",
+    id_col: str = "conv_id",
+    bucket_size: int = 100_000,
+):
+    """The full SFT corpus build as ONE stream: every micro-batch of
+    JSON chats runs parse -> structural gate -> render -> byte-exact
+    SPFHP packing -> loss-mask span re-basing
+    (:func:`pack_conversations_with_spans`), and BOTH trainer
+    deliverables land under ``__epoch=<id>`` partitions -- packed bins
+    at ``bins_path``, re-based spans at ``spans_path``.  A bin is
+    addressed ``(__epoch, bin_id)``: packing is per-epoch (the SPFHP
+    solve sees one micro-batch's histogram), which is the correct
+    streaming trade -- bins never span a checkpoint boundary, so a
+    replayed epoch rewrites exactly its own partitions in both
+    directories and the corpus stays consistent under at-least-once
+    delivery (the gate family's idempotency contract).  Chain a dedup
+    gate upstream for validity-then-novelty admission before packing
+    (the ``streaming_sft_gate`` composition).
+
+    Per batch the plan is the batch operator's: row-local render/span
+    arithmetic, one id-keyed join, one bin-keyed shuffle of each
+    rendered string, slim re-basing triples.  The structural gate
+    filters parse failures BEFORE packing (a NULL turn array would
+    otherwise raise the packer's in-plan guard).  Returns the started
+    ``StreamingQuery``.
+    """
+    from .dedup import _require_epoch_layout
+
+    _require_epoch_layout(bins_path)
+    _require_epoch_layout(spans_path)
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        _sft_pack_epoch(
+            batch_df, int(epoch_id), bins_path, spans_path, seq_len,
+            json_col, id_col, bucket_size,
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fb)
+        .start()
+    )

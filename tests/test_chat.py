@@ -442,3 +442,123 @@ def test_pack_conversations_with_spans_rejects_null_turns(spark):
     # internal actions scan the guarded rendered frame
     with pytest.raises(Exception, match="parse_ok"):
         pack_conversations_with_spans(parse_conversations(df), seq_len=16)
+
+
+def test_streaming_sft_pack_epochs_replay_and_span_integrity(spark, tmp_path):
+    """The full SFT build as one stream (r16b): per-epoch byte-exact
+    packing with both deliverables under __epoch partitions.  Pins (a)
+    bins are addressed (__epoch, bin_id) and every admitted
+    conversation lands exactly once, (b) every re-based span slices its
+    content back out of its epoch's bin, (c) a manually replayed epoch
+    (at-least-once delivery) rewrites exactly its own partitions in
+    BOTH directories."""
+    from data_stream_flink_user_address_spark.functions.chat import (
+        _sft_pack_epoch,
+        streaming_sft_pack,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    bins_path = str(tmp_path / "bins")
+    spans_path = str(tmp_path / "spans")
+
+    def _write_convs(d, fname, rows):
+        with open(os.path.join(d, fname), "w") as f:
+            for conv_id, payload in rows:
+                f.write(
+                    json.dumps(
+                        {"conv_id": conv_id, "conversation": payload}
+                    ) + "\n"
+                )
+
+    def conv(seed, malformed=False):
+        if malformed:
+            return "{nope"
+        c = " ".join(f"w{(seed * 7 + j) % 50}" for j in range(5))
+        return json.dumps([
+            {"role": "user", "content": c},
+            {"role": "assistant", "content": c.upper()},
+        ])
+
+    batch0 = [(i, conv(i)) for i in range(6)] + [(6, conv(6, True))]
+    batch1 = [(10 + i, conv(100 + i)) for i in range(4)]
+    _write_convs(src, "e0.json", batch0)
+    _write_convs(src, "e1.json", batch1)
+
+    q = streaming_sft_pack(
+        spark.readStream.schema("conv_id long, conversation string")
+        .option("maxFilesPerTrigger", "1")
+        .json(src),
+        bins_path, spans_path, str(tmp_path / "ck"), seq_len=32,
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    bins = spark.read.parquet(bins_path)
+    spans = spark.read.parquet(spans_path)
+    # (a) the malformed conversation is gated out; the rest land once
+    assert sorted(
+        r.conv_id for r in spans.select("conv_id").distinct().collect()
+    ) == [0, 1, 2, 3, 4, 5, 10, 11, 12, 13]
+    assert spans.count() == 10 * 2  # two turns each
+    # epochs partition both deliverables
+    assert (
+        bins.select("__epoch").distinct().count()
+        == spans.select("__epoch").distinct().count()
+        == 2
+    )
+    # (b) span integrity within each epoch's bins
+    packed = {
+        (r["__epoch"], r.bin_id): r.packed_text for r in bins.collect()
+    }
+    contents = {}
+    for cid, payload in batch0 + batch1:
+        try:
+            for i, t in enumerate(json.loads(payload)):
+                contents[(cid, i)] = t["content"]
+        except ValueError:
+            pass
+    for r in spans.collect():
+        text = packed[(r["__epoch"], r.bin_id)]
+        assert text[r.abs_start:r.abs_end] == contents[(r.conv_id, r.turn_idx)]
+
+    # (c) manual at-least-once replay of epoch 1 changes nothing
+    before_bins = sorted(
+        (r["__epoch"], r.bin_id, r.packed_text) for r in bins.collect()
+    )
+    before_spans = sorted(
+        (r["__epoch"], r.conv_id, r.turn_idx, r.abs_start)
+        for r in spans.collect()
+    )
+    # file -> epoch order is not guaranteed: replay whichever batch
+    # actually landed in the last epoch
+    last_epoch = max(int(r["__epoch"])
+                     for r in bins.select("__epoch").distinct().collect())
+    epoch_convs = {
+        r.conv_id
+        for r in spans.filter(F.col("__epoch") == last_epoch)
+        .select("conv_id").distinct().collect()
+    }
+    all_rows = {cid: payload for cid, payload in batch0 + batch1}
+    replay_rows = [
+        (cid, all_rows[cid]) for cid in sorted(epoch_convs)
+    ]
+    # the gated malformed conversation belongs to batch0's epoch
+    if 6 in all_rows and 0 in epoch_convs:
+        replay_rows.append((6, all_rows[6]))
+    replay = spark.createDataFrame(
+        replay_rows, "conv_id long, conversation string"
+    )
+    _sft_pack_epoch(
+        replay, last_epoch, bins_path, spans_path, 32,
+        "conversation", "conv_id", 100_000,
+    )
+    assert sorted(
+        (r["__epoch"], r.bin_id, r.packed_text)
+        for r in spark.read.parquet(bins_path).collect()
+    ) == before_bins
+    assert sorted(
+        (r["__epoch"], r.conv_id, r.turn_idx, r.abs_start)
+        for r in spark.read.parquet(spans_path).collect()
+    ) == before_spans
