@@ -342,23 +342,20 @@ def pack_conversations_with_spans(
 
     rendered = render_conversation(df, turns_col, id_col)
     # a NULL turn array (parse failure) renders NULL and would be
-    # silently EXCLUDED by histogram_pack before pack_bins_exact's
-    # NULL-member guard could fire -- the conversation would vanish
-    # from bins/spans with no error.  Fail loudly in-plan instead
-    # (zero extra action: the guard fires during the histogram scan);
-    # gate on parse_ok upstream to admit only parsed conversations.
-    rendered = rendered.withColumn(
-        "text",
-        F.when(F.col("text").isNotNull(), F.col("text")).otherwise(
-            F.raise_error(
-                F.lit(
-                    "pack_conversations_with_spans: NULL turns "
-                    "(parse failure) cannot be packed -- filter on "
-                    "parse_ok before packing"
-                )
-            )
-        ),
-    )
+    # silently EXCLUDED by histogram_pack -- the conversation would
+    # vanish from bins/spans with no error.  Fail loudly with one
+    # explicit validation action on the slim rendered frame (the
+    # pack_bins_exact guard pattern).  NOT an in-plan raise_error:
+    # Catalyst pushes histogram_pack's length filter below upstream
+    # joins, so an expression-embedded raise fires on rows an upstream
+    # valid-id join would have dropped (found by the SFT prep demo).
+    n_null = rendered.filter(F.col("text").isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"pack_conversations_with_spans: {n_null} conversation(s) "
+            "with NULL turns (parse failure) cannot be packed -- "
+            "filter on parse_ok before packing"
+        )
     assigned, stats = histogram_pack(
         rendered, text_col="text", id_col=id_col, seq_len=seq_len,
         bucket_size=bucket_size,

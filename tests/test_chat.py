@@ -420,8 +420,8 @@ def test_pack_conversations_with_spans_rejects_oversize(spark):
 def test_pack_conversations_with_spans_rejects_null_turns(spark):
     """A parse-failed conversation (NULL turns) renders NULL and would
     be silently EXCLUDED by the packer's histogram -- vanished from
-    bins and spans with no error (code-review r16).  The in-plan guard
-    must fail loudly and point at the parse_ok gate."""
+    bins and spans with no error (code-review r16).  The validation
+    action must fail loudly and point at the parse_ok gate."""
     import pytest
     from data_stream_flink_user_address_spark.functions.chat import (
         pack_conversations_with_spans,
@@ -438,10 +438,40 @@ def test_pack_conversations_with_spans_rejects_null_turns(spark):
         ],
         "conv_id long, conversation string",
     )
-    # the guard fires during the pack call itself: histogram_pack's
-    # internal actions scan the guarded rendered frame
-    with pytest.raises(Exception, match="parse_ok"):
+    with pytest.raises(ValueError, match="parse_ok"):
         pack_conversations_with_spans(parse_conversations(df), seq_len=16)
+
+
+def test_pack_conversations_guard_survives_filter_pushdown(spark):
+    """The NULL-turns guard must NOT fire when invalid conversations
+    were already removed by an upstream JOIN (the run_sft_prep shape):
+    Catalyst pushes the packer's length filter below such joins, so an
+    expression-embedded raise would evaluate on the pre-join rows --
+    the regression that forced the guard to be a validation action."""
+    from data_stream_flink_user_address_spark.functions.chat import (
+        pack_conversations_with_spans,
+        parse_conversations,
+        validate_conversations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, json.dumps([
+                {"role": "user", "content": "a b"},
+                {"role": "assistant", "content": "c d"},
+            ])),
+            (2, "{truncated"),
+        ],
+        "conv_id long, conversation string",
+    )
+    parsed = parse_conversations(df)
+    kept = parsed.join(
+        validate_conversations(parsed).filter("valid").select("conv_id"),
+        "conv_id",
+    )
+    bins, spans, stats = pack_conversations_with_spans(kept, seq_len=16)
+    assert stats["n_docs"] == 1
+    assert [r.conv_id for r in spans.select("conv_id").distinct().collect()] == [1]
 
 
 def test_streaming_sft_pack_epochs_replay_and_span_integrity(spark, tmp_path):
