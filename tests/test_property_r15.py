@@ -76,6 +76,42 @@ def test_span_laws_on_generated_conversations(spark, convs):
         assert len(text) == rendered[cid]["n_chars"]
 
 
+@settings(**_SETTINGS)
+@given(convs=_CONVS)
+def test_pack_spans_roundtrip_on_generated_conversations(spark, convs):
+    """The packed-spans laws (r16b) on arbitrary generated
+    conversations -- unicode, empty and whitespace-only contents, any
+    role sequence: (1) every re-based span slices its EXACT content
+    back out of its bin's packed string, (2) every turn of every
+    conversation appears exactly once, (3) loss_mask marks exactly the
+    assistant turns."""
+    from data_stream_flink_user_address_spark.functions.chat import (
+        pack_conversations_with_spans,
+    )
+
+    rows = [
+        (cid, json.dumps([{"role": r, "content": c} for r, c in turns]))
+        for cid, turns in enumerate(convs)
+    ]
+    parsed = parse_conversations(
+        spark.createDataFrame(rows, "conv_id bigint, conversation string")
+    )
+    bins, spans, stats = pack_conversations_with_spans(parsed, seq_len=256)
+    assert stats["n_truncated"] == 0
+    packed = {r["bin_id"]: r["packed_text"] for r in bins.collect()}
+    got = spans.collect()
+    assert sorted((r["conv_id"], r["turn_idx"]) for r in got) == sorted(
+        (cid, i) for cid, turns in enumerate(convs)
+        for i in range(len(turns))
+    )
+    for r in got:
+        cid, i = r["conv_id"], r["turn_idx"]
+        role, content = convs[cid][i]
+        assert packed[r["bin_id"]][r["abs_start"]:r["abs_end"]] == content
+        assert r["loss_mask"] == (role == "assistant")
+        assert r["n_chars"] == len(content)
+
+
 _WORDS = st.lists(
     st.sampled_from(["a", "b", "c", "dd", "q"]), min_size=1, max_size=8
 )
