@@ -792,6 +792,69 @@ def substring_dup_spans(
 # ---------------------------------------------------------------------------
 
 
+
+def remove_dup_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The removal half of the suffix-array-surrogate dedup (Lee et
+    al. 2022 cut their flagged substrings OUT of the corpus; this
+    consumes :func:`substring_dup_spans`' output and does the cut):
+    every token inside any of a document's ``[span_start, span_end]``
+    ranges (1-based inclusive, the producer's convention) is dropped,
+    survivors re-join with single spaces.  Output ``(id, text,
+    n_tokens_removed)`` -- documents with no spans pass through with
+    ``n_tokens_removed = 0`` (LEFT join: a cleaner must never lose
+    rows), and a fully-flagged document keeps its row with empty text
+    (the caller decides whether empty survivors live or die -- that is
+    a curation policy, not a dedup mechanic).
+
+    Whitespace is normalized by the cut (tokens re-join with single
+    spaces) -- the same normalization the span producer tokenized
+    under, so positions agree.  The producer emits MERGED maximal
+    spans, so per-document ranges are disjoint and
+    ``n_tokens_removed == sum(span_tokens)``.
+
+    Scale shape: spans collapse to one slim (start, end) array per doc
+    (doc-keyed agg of int pairs -- the only shuffle, and it carries no
+    text), ONE id-keyed join onto the corpus, and the cut itself is
+    row-local array arithmetic: ``filter`` with a positional lambda
+    against an ``exists`` over the span array, all inside codegen.
+    At 100 TB the flagged-doc side is a small fraction of the corpus,
+    so AQE broadcasts the span arrays and the corpus never moves.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("bigint").alias("s"),
+                F.col("span_end").cast("bigint").alias("e"),
+            )
+        ).alias("__spans")
+    )
+    joined = df.join(sp, id_col, "left")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(toks)
+    ranges = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            ranges, lambda r: (i + 1 >= r["s"]) & (i + 1 <= r["e"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias(text_col),
+        (F.size(toks) - F.size(kept)).cast("bigint").alias(
+            "n_tokens_removed"
+        ),
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """Per-doc SimHash over whitespace tokens (md5-derived bit hashes).
 

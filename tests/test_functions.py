@@ -479,6 +479,48 @@ def test_substring_dup_spans_marks_and_merges(spark):
     assert rows == {1: (1, 10, 10), 2: (3, 12, 10), 4: (1, 16, 16)}
 
 
+def test_remove_dup_spans_cuts_flagged_tokens(spark):
+    """The removal half of the Lee-et-al pipeline: flagged token ranges
+    are cut, survivors re-join with single spaces, unflagged documents
+    pass through unchanged, a fully-flagged document keeps an
+    empty-text row, and n_tokens_removed == sum(span_tokens) (the
+    producer's spans are merged/disjoint)."""
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        remove_dup_spans,
+        substring_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x x a b c d e f g h i j y"),
+            (4, "p q r s t u v w p q r s t u v w"),
+            (3, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = substring_dup_spans(docs, k=8)
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in remove_dup_spans(docs, spans).collect()
+    }
+    assert got == {
+        1: ("", 10),                 # fully flagged: row kept, text empty
+        2: ("x x y", 10),            # middle cut, edges survive
+        4: ("", 16),                 # doubled sequence fully flagged
+        3: ("one two three four five six seven eight nine", 0),
+    }
+    # removed counts equal the producer's span_tokens accounting
+    span_sums = {
+        r["doc_id"]: r["s"]
+        for r in spans.groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("s"))
+        .collect()
+    }
+    for did, (_t, n) in got.items():
+        assert n == span_sums.get(did, 0)
+
+
 def test_substring_dup_spans_within_doc_gap_splits(spark):
     """Two repeated regions separated by more than k unique tokens stay
     two spans."""
