@@ -798,6 +798,8 @@ def remove_dup_spans(
     spans: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_spans: bool | None = None,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """The removal half of the suffix-array-surrogate dedup (Lee et
     al. 2022 cut their flagged substrings OUT of the corpus; this
@@ -818,12 +820,19 @@ def remove_dup_spans(
     ``n_tokens_removed == sum(span_tokens)``.
 
     Scale shape: spans collapse to one slim (start, end) array per doc
-    (doc-keyed agg of int pairs -- the only shuffle, and it carries no
-    text), ONE id-keyed join onto the corpus, and the cut itself is
-    row-local array arithmetic: ``filter`` with a positional lambda
-    against an ``exists`` over the span array, all inside codegen.
-    At 100 TB the flagged-doc side is a small fraction of the corpus,
-    so AQE broadcasts the span arrays and the corpus never moves.
+    (doc-keyed agg of int pairs -- the only mandatory shuffle, and it
+    carries no text), ONE id-keyed join onto the corpus, and the cut
+    itself is row-local array arithmetic: ``filter`` with a positional
+    lambda against an ``exists`` over the span array, all inside
+    codegen.  The join side is SIZE-GATED (the leakage_free_split
+    idiom): when the flagged-doc set fits under ``broadcast_max_rows``
+    -- the usual 100 TB regime, where repeats are a small corpus
+    fraction -- the span arrays BROADCAST and the corpus never moves;
+    above it the join falls back to a plain id-keyed hash join (a
+    heavily-duplicated corpus genuinely must move once to be cut).
+    ``broadcast_spans=None`` (default) counts the flagged docs to
+    decide; pass ``True``/``False`` to skip the count and force a
+    side.
     """
     sp = spans.groupBy(id_col).agg(
         F.collect_list(
@@ -833,6 +842,10 @@ def remove_dup_spans(
             )
         ).alias("__spans")
     )
+    if broadcast_spans is None:
+        broadcast_spans = sp.count() <= broadcast_max_rows
+    if broadcast_spans:
+        sp = F.broadcast(sp)
     joined = df.join(sp, id_col, "left")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(toks)

@@ -856,3 +856,31 @@ def test_sft_pack_spans_no_cartesian_and_spans_precompute(spark):
     plan = _plan(spark, "sft_pack_spans")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_remove_dup_spans_size_gates_the_span_broadcast(spark):
+    """remove_dup_spans must not shuffle the corpus when the flagged
+    set is small (spans BROADCAST, the usual regime) and must not force
+    a giant flagged set through a broadcast (plain id-keyed hash join
+    fallback) -- the leakage_free_split gate idiom."""
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        remove_dup_spans,
+        substring_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j unique" + str(i)) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    spans = substring_dup_spans(docs, k=8)
+
+    small = remove_dup_spans(docs, spans, broadcast_max_rows=10**6)
+    assert "BroadcastExchange" in _explain(small)
+
+    big = remove_dup_spans(docs, spans, broadcast_max_rows=0)
+    plan = _explain(big)
+    assert "BroadcastExchange" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+    forced = remove_dup_spans(docs, spans, broadcast_spans=False)
+    assert "BroadcastExchange" not in _explain(forced)
