@@ -807,17 +807,25 @@ def remove_dup_spans(
     every token inside any of a document's ``[span_start, span_end]``
     ranges (1-based inclusive, the producer's convention) is dropped,
     survivors re-join with single spaces.  Output ``(id, text,
-    n_tokens_removed)`` -- documents with no spans pass through with
-    ``n_tokens_removed = 0`` (LEFT join: a cleaner must never lose
-    rows), and a fully-flagged document keeps its row with empty text
-    (the caller decides whether empty survivors live or die -- that is
-    a curation policy, not a dedup mechanic).
+    n_tokens_removed)`` -- documents with no spans pass through
+    BYTE-UNCHANGED with ``n_tokens_removed = 0`` (LEFT join: a cleaner
+    must never lose rows, and it must not rewrite rows it didn't cut
+    -- newlines/tabs/whitespace runs in unflagged text survive intact
+    for downstream line-structure consumers like ``paragraph_dedup``
+    and ``boilerplate_line_dedup``; ADVICE r16).  NULL text likewise
+    short-circuits to NULL with 0 removed (NULL and empty stay
+    distinguishable, the corpus_diff convention).  A fully-flagged
+    document keeps its row with empty text (the caller decides whether
+    empty survivors live or die -- that is a curation policy, not a
+    dedup mechanic).
 
-    Whitespace is normalized by the cut (tokens re-join with single
-    spaces) -- the same normalization the span producer tokenized
-    under, so positions agree.  The producer emits MERGED maximal
-    spans, so per-document ranges are disjoint and
-    ``n_tokens_removed == sum(span_tokens)``.
+    Documents that ARE cut have their whitespace normalized (survivor
+    tokens re-join with single spaces) -- the same normalization the
+    span producer tokenized under, so positions agree; preserving the
+    original inter-token whitespace around a token-indexed cut would
+    require character spans the producer doesn't emit.  The producer
+    emits MERGED maximal spans, so per-document ranges are disjoint
+    and ``n_tokens_removed == sum(span_tokens)``.
 
     Scale shape: spans collapse to one slim (start, end) array per doc
     (doc-keyed agg of int pairs -- the only mandatory shuffle, and it
@@ -831,9 +839,14 @@ def remove_dup_spans(
     above it the join falls back to a plain id-keyed hash join (a
     heavily-duplicated corpus genuinely must move once to be cut).
     ``broadcast_spans=None`` (default) counts the flagged docs to
-    decide; pass ``True``/``False`` to skip the count and force a
-    side.
+    decide (:func:`~.gating.size_gated_broadcast` -- the span frame is
+    lazily localCheckpoint-ed so the gate count and the join share one
+    materialization of the grouped arrays instead of re-running the
+    producer-side aggregation); pass ``True``/``False`` to skip the
+    count and force a side.
     """
+    from .gating import size_gated_broadcast
+
     sp = spans.groupBy(id_col).agg(
         F.collect_list(
             F.struct(
@@ -842,10 +855,7 @@ def remove_dup_spans(
             )
         ).alias("__spans")
     )
-    if broadcast_spans is None:
-        broadcast_spans = sp.count() <= broadcast_max_rows
-    if broadcast_spans:
-        sp = F.broadcast(sp)
+    sp, _ = size_gated_broadcast(sp, broadcast_spans, broadcast_max_rows)
     joined = df.join(sp, id_col, "left")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(toks)
@@ -859,12 +869,16 @@ def remove_dup_spans(
             ranges, lambda r: (i + 1 >= r["s"]) & (i + 1 <= r["e"])
         ),
     )
+    untouched = F.col(text_col).isNull() | (F.size(ranges) == 0)
     return joined.select(
         F.col(id_col),
-        F.concat_ws(" ", kept).alias(text_col),
-        (F.size(toks) - F.size(kept)).cast("bigint").alias(
-            "n_tokens_removed"
-        ),
+        F.when(untouched, F.col(text_col))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias(text_col),
+        F.when(untouched, F.lit(0))
+        .otherwise(F.size(toks) - F.size(kept))
+        .cast("bigint")
+        .alias("n_tokens_removed"),
     )
 
 
@@ -1900,7 +1914,8 @@ def cross_corpus_decontaminate(
     bands: int = 4,
     rows_per_band: int = 4,
     min_agreement: float | None = None,
-    broadcast_eval: bool = True,
+    broadcast_eval: bool | None = True,
+    broadcast_max_rows: int = 2_000_000,
     materialize_pairs: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Doc-level benchmark decontamination: drop every training doc that
@@ -1930,7 +1945,11 @@ def cross_corpus_decontaminate(
     equi-join on ``band_key`` carrying only the slim (id, band_key)
     projections of both sides -- the corpus text still never moves, and
     AQE may still pick a broadcast at runtime if the eval bands turn
-    out small.  Eval docs
+    out small.  ``broadcast_eval=None`` SIZE-GATES instead
+    (:func:`~.gating.size_gated_broadcast`): one column-pruned count of
+    the eval keys decides, broadcasting only under
+    ``broadcast_max_rows`` -- the ``leakage_free_split`` regime, where
+    the "eval" side is a percentage holdout of unknown size.  Eval docs
     shorter than ``n`` chars produce no shingles and cannot contaminate;
     train docs shorter than ``n`` always pass through.
 
@@ -1954,8 +1973,15 @@ def cross_corpus_decontaminate(
     if keep_sig:
         t_bands = t_bands.withColumnRenamed("signature", "__t_sig")
         e_bands = e_bands.withColumnRenamed("signature", "__e_sig")
-    if broadcast_eval:
-        e_bands = F.broadcast(e_bands)
+    from .gating import size_gated_broadcast
+
+    # gate on the pruned eval-key count (the band frame multiplies rows
+    # by a constant `bands`, and counting it would run the signature
+    # projection just to decide)
+    e_bands, _ = size_gated_broadcast(
+        e_bands, broadcast_eval, broadcast_max_rows,
+        gate_df=eval_df.select(id_col),
+    )
 
     cand = t_bands.join(e_bands, on="band_key")
     if keep_sig:

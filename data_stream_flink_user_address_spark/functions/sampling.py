@@ -557,7 +557,10 @@ def leakage_free_split(
     i.e. tiny), a split's held-out side is a FRACTION of the corpus --
     a 1% holdout of a 100 TB corpus is ~4e8 docs, far past any
     broadcast threshold.  ``broadcast_eval=None`` (default) counts the
-    held-out keys (a column-pruned scan) and broadcasts only when they
+    held-out keys (a column-pruned scan -- the shared
+    :func:`~.gating.size_gated_broadcast` gate, applied inside
+    :func:`~.dedup.cross_corpus_decontaminate` where the band frame
+    lives) and broadcasts only when they
     fit under ``broadcast_max_rows``; above it the guard's candidate
     join falls back to a shuffle equi-join on ``band_key``, which is
     cheap because the band rows are slim (key, band_key) projections --
@@ -577,13 +580,6 @@ def leakage_free_split(
     held = assigned.filter(F.col(out_col) != train_label).select(
         key_col, text_col
     )
-    if broadcast_eval is None:
-        held_rows = (
-            assigned.filter(F.col(out_col) != train_label)
-            .select(key_col)
-            .count()
-        )
-        broadcast_eval = held_rows <= broadcast_max_rows
     clean_train, leaks = cross_corpus_decontaminate(
         train,
         held,
@@ -591,6 +587,7 @@ def leakage_free_split(
         id_col=key_col,
         min_agreement=min_agreement,
         broadcast_eval=broadcast_eval,
+        broadcast_max_rows=broadcast_max_rows,
         **minhash_kwargs,
     )
     out = clean_train.unionByName(

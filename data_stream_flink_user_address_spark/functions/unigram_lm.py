@@ -310,7 +310,8 @@ def unigram_lm_encode(
     bounded vocabulary): on 100 TB of web text the distinct-word set
     (typos, URLs, numbers) runs to 1e8-1e9 rows and an unconditional
     broadcast OOMs every executor.  So the join is SIZE-GATED, the
-    ``leakage_free_split`` idiom: ``broadcast_words=None`` (default)
+    :func:`~.gating.size_gated_broadcast` idiom:
+    ``broadcast_words=None`` (default)
     counts the distinct words (one distinct-aggregate pass, local-
     checkpointed so the segmentation pass reuses it) and broadcasts
     only under ``broadcast_max_rows``; above it the join falls back to
@@ -338,16 +339,25 @@ def unigram_lm_encode(
                 {"word": pdf["word"], "seg": segs, "np": nps}
             )
 
+    from .gating import size_gated_broadcast
+
     distinct_words = df.select(
         F.explode(tokens(text_col)).alias("word")
     ).distinct()
     if broadcast_words is None:
-        broadcast_words = distinct_words.count() <= broadcast_max_rows
+        # the gate must count the INPUT frame, not the mapInPandas
+        # output (counting that would run the Viterbi pass just to
+        # decide); localCheckpoint it so the deciding count and the
+        # segmentation pass share one materialization of the
+        # explode+distinct instead of scanning the corpus twice
+        distinct_words = distinct_words.localCheckpoint(eager=False)
     word_segs = distinct_words.mapInPandas(
         encode_words, "word string, seg string, np long"
     )
-    if broadcast_words:
-        word_segs = F.broadcast(word_segs)
+    word_segs, _ = size_gated_broadcast(
+        word_segs, broadcast_words, broadcast_max_rows,
+        gate_df=distinct_words,
+    )
     toks = df.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word")
     )

@@ -482,9 +482,11 @@ def test_substring_dup_spans_marks_and_merges(spark):
 def test_remove_dup_spans_cuts_flagged_tokens(spark):
     """The removal half of the Lee-et-al pipeline: flagged token ranges
     are cut, survivors re-join with single spaces, unflagged documents
-    pass through unchanged, a fully-flagged document keeps an
-    empty-text row, and n_tokens_removed == sum(span_tokens) (the
-    producer's spans are merged/disjoint)."""
+    pass through BYTE-UNCHANGED (newlines/tabs/whitespace runs intact
+    -- ADVICE r16: a cleaner must not rewrite rows it didn't cut),
+    NULL text short-circuits to NULL with 0 removed, a fully-flagged
+    document keeps an empty-text row, and n_tokens_removed ==
+    sum(span_tokens) (the producer's spans are merged/disjoint)."""
     from data_stream_flink_user_address_spark.functions.dedup import (
         remove_dup_spans,
         substring_dup_spans,
@@ -496,6 +498,12 @@ def test_remove_dup_spans_cuts_flagged_tokens(spark):
             (2, "x x a b c d e f g h i j y"),
             (4, "p q r s t u v w p q r s t u v w"),
             (3, "one two three four five six seven eight nine"),
+            # unflagged with structure: must survive byte-identical
+            (5, "first line\nsecond\tline\n\n  indented   run"),
+            # flagged with irregular whitespace: cut output normalizes
+            # (positions were computed under \s+ tokenization)
+            (6, "u6  v6\na b c d e f g h i j\tw6"),
+            (7, None),
         ],
         "doc_id long, text string",
     )
@@ -509,6 +517,9 @@ def test_remove_dup_spans_cuts_flagged_tokens(spark):
         2: ("x x y", 10),            # middle cut, edges survive
         4: ("", 16),                 # doubled sequence fully flagged
         3: ("one two three four five six seven eight nine", 0),
+        5: ("first line\nsecond\tline\n\n  indented   run", 0),
+        6: ("u6 v6 w6", 10),
+        7: (None, 0),
     }
     # removed counts equal the producer's span_tokens accounting
     span_sums = {
