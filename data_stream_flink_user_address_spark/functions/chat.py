@@ -306,6 +306,7 @@ def pack_conversations_with_spans(
     turns_col: str = "turns",
     id_col: str = "conv_id",
     bucket_size: int = 100_000,
+    assume_valid_turns: bool = False,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """The SFT trainer's final deliverable: render each conversation,
     SPFHP-pack the rendered strings byte-exactly into ``seq_len`` bins
@@ -336,26 +337,45 @@ def pack_conversations_with_spans(
     shuffle carrying each rendered string exactly once; the re-basing
     join moves only the slim (bin_id, id, char_base) triples onto the
     turn rows (one id-keyed hash join -- conversation content itself is
-    already in the turn rows, packed strings stay in ``bins``).
+    already in the turn rows, packed strings stay in ``bins``).  The
+    rendered frame is lazily localCheckpoint-ed so the guard action,
+    the histogram collect, and the byte-exact assembly share one
+    render pass.  ``assume_valid_turns=True`` skips the NULL-turns
+    guard action -- only for callers whose upstream gate already
+    removed parse failures.
     """
     from .packing import histogram_pack, pack_bins_exact
 
-    rendered = render_conversation(df, turns_col, id_col)
-    # a NULL turn array (parse failure) renders NULL and would be
-    # silently EXCLUDED by histogram_pack -- the conversation would
-    # vanish from bins/spans with no error.  Fail loudly with one
-    # explicit validation action on the slim rendered frame (the
-    # pack_bins_exact guard pattern).  NOT an in-plan raise_error:
-    # Catalyst pushes histogram_pack's length filter below upstream
-    # joins, so an expression-embedded raise fires on rows an upstream
-    # valid-id join would have dropped (found by the SFT prep demo).
-    n_null = rendered.filter(F.col("text").isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"pack_conversations_with_spans: {n_null} conversation(s) "
-            "with NULL turns (parse failure) cannot be packed -- "
-            "filter on parse_ok before packing"
-        )
+    # lazy local checkpoint on the rendered frame: THREE driver actions
+    # read it before the outputs run (the NULL guard below,
+    # histogram_pack's histogram collect, pack_bins_exact's validation
+    # agg), and multi-reference lineage recomputes -- without the
+    # checkpoint each call re-parses and re-renders the source ~3x
+    # (ADVICE r16).  The checkpoint stores the rendered strings once on
+    # the executors (MEMORY_AND_DISK, spills past memory -- the same
+    # footprint one shuffle of the corpus would leave)
+    rendered = render_conversation(df, turns_col, id_col).localCheckpoint(
+        eager=False
+    )
+    if not assume_valid_turns:
+        # a NULL turn array (parse failure) renders NULL and would be
+        # silently EXCLUDED by histogram_pack -- the conversation would
+        # vanish from bins/spans with no error.  Fail loudly with one
+        # explicit validation action on the slim rendered frame (the
+        # pack_bins_exact guard pattern).  NOT an in-plan raise_error:
+        # Catalyst pushes histogram_pack's length filter below upstream
+        # joins, so an expression-embedded raise fires on rows an
+        # upstream valid-id join would have dropped (found by the SFT
+        # prep demo).  ``assume_valid_turns=True`` skips the action --
+        # for callers whose upstream gate already removed parse
+        # failures (the streaming epoch's structural gate).
+        n_null = rendered.filter(F.col("text").isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"pack_conversations_with_spans: {n_null} conversation(s) "
+                "with NULL turns (parse failure) cannot be packed -- "
+                "filter on parse_ok before packing"
+            )
     assigned, stats = histogram_pack(
         rendered, text_col="text", id_col=id_col, seq_len=seq_len,
         bucket_size=bucket_size,
@@ -404,8 +424,12 @@ def _sft_pack_epoch(
     unit-testable without a running stream."""
     parsed = parse_conversations(batch_df, json_col, id_col)
     valid = parsed.filter(_structural_flags(F.col("turns"))[-1])
+    # the structural gate above already removed parse failures, so the
+    # packer's per-batch NULL-count action is redundant work every
+    # micro-batch (ADVICE r16)
     bins, spans, _stats = pack_conversations_with_spans(
-        valid, seq_len=seq_len, id_col=id_col, bucket_size=bucket_size
+        valid, seq_len=seq_len, id_col=id_col, bucket_size=bucket_size,
+        assume_valid_turns=True,
     )
     for frame, path in ((bins, bins_path), (spans, spans_path)):
         (
