@@ -23,7 +23,7 @@ LLM-data-pipeline extensions (examples; see QUERIES for the registry):
   incremental_minhash_gate, pack_bins_report, crawl_frontier_gate,
   domain_pagerank_ranks, corpus_diff_status, curriculum_assignment,
   profile_funnel, unigram_lm_tokens, pack_bins_exact_roundtrip,
-  sft_pack_spans
+  sft_pack_spans, substring_dedup_cut
 
 Column-name discipline: every computed column is aliased identically in
 the Spark code and the oracle SQL.  Doubles are rounded in BOTH engines;
@@ -50,6 +50,7 @@ from data_stream_flink_user_address_spark.functions.dedup import (
     simhash,
     simhash_near_dup_pairs,
     substring_dup_spans,
+    remove_dup_spans,
     embedding_near_dup_pairs,
     paragraph_dedup,
     boilerplate_line_dedup,
@@ -1741,6 +1742,28 @@ def _q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_spans(_docs(spark, sf_dir), k=8)
 
 
+def _q_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Lee-et-al 2022 substring dedup, mark AND cut
+    (functions/dedup.py: substring_dup_spans -> remove_dup_spans): the
+    marked maximal duplicate spans feed the removal half, every token
+    inside a span is dropped, survivors re-join with single spaces,
+    and documents with no spans pass through byte-unchanged (NULL text
+    stays NULL).  One row per document -- ``(doc_id, text,
+    n_tokens_removed)`` with the CUT TEXT itself hash-checked, so both
+    halves of the pipeline verify through one driver row (the spans
+    determine exactly which tokens vanish; a wrong mark or a wrong cut
+    changes the output string).  Registered r17 (VERDICT r16 ask #2),
+    paid by folding sft_turn_spans into sft_pack_spans (R17_FOLDED).
+
+    The oracle replays the span producer's gram CTEs (the registered
+    substring_dup_spans oracle) but cuts directly from the union of
+    duplicated-gram covers -- equivalent to cutting merged spans,
+    since merging preserves the covered-position set."""
+    docs = _docs(spark, sf_dir)
+    spans = substring_dup_spans(docs, k=8)
+    return remove_dup_spans(docs, spans)
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
@@ -2861,52 +2884,6 @@ def _q_main_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_sft_turn_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Instruction/SFT conversation prep end to end
-    (functions/chat.py: parse_conversations + conversation_turns):
-    every document becomes a deterministic JSON chat (system turn,
-    user = the doc's first 8 tokens, assistant = the rest; docs with
-    doc_id % 3 == 0 get a second user/assistant pair), serialized with
-    to_json and re-parsed with from_json -- the REAL wire round-trip --
-    then flattened to one row per turn with loss-mask character spans
-    into the rendered training string.  ZERO exchanges: the spans are
-    intra-row array arithmetic computed before the explode (plan-pinned
-    in tests/test_plan_shapes.py), because a conversation arrives whole
-    in one row -- the explode+window spelling would shuffle every
-    turn's content for nothing.  The oracle re-derives the turn
-    contents from the same token slices and replays the offset
-    arithmetic with a window over the closed-form turn rows."""
-    d = _docs(spark, sf_dir)
-    toks = tokens("text")
-    u1 = F.concat_ws(" ", F.slice(toks, F.lit(1), F.lit(8)))
-    a1 = F.concat_ws(
-        " ",
-        F.slice(toks, F.lit(9), F.greatest(F.size(toks) - F.lit(8), F.lit(0))),
-    )
-    a2 = F.concat_ws(" ", F.slice(toks, F.lit(1), F.lit(4)))
-
-    def _turn(role: str, content) -> Column:
-        return F.struct(
-            F.lit(role).alias("role"), content.alias("content")
-        )
-
-    base = F.array(
-        _turn("system", F.lit("Be concise.")),
-        _turn("user", u1),
-        _turn("assistant", a1),
-    )
-    extra = F.array(_turn("user", F.lit("And then?")), _turn("assistant", a2))
-    convs = d.select(
-        F.col("doc_id").alias("conv_id"),
-        F.to_json(
-            F.when(F.col("doc_id") % 3 == 0, F.concat(base, extra)).otherwise(
-                base
-            )
-        ).alias("conversation"),
-    )
-    return conversation_turns(parse_conversations(convs))
-
-
 def _q_sft_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SFT trainer's final deliverable end to end (functions/
     chat.py:pack_conversations_with_spans): the same deterministic
@@ -2919,12 +2896,15 @@ def _q_sft_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     where span_ok checks THE invariant in-row:
     ``substring(packed_text, abs_start + 1, n_chars) == content``.
 
-    Registered below the driver window (registry grows 94 -> 95 under
-    the VERDICT r15 ruling: growth to <= 98 allowed with a full oracle
-    and the rotation documented -- see
-    tests/test_oracle_parity.py::test_driver_window_covers_r16_rotation);
-    first driver row lands in r17.  The oracle replays the turn
-    derivation (the sft_turn_spans CTEs), re-renders each conversation
+    Registered r16b below the driver window, rotated IN-window for r17
+    (tests/test_oracle_parity.py::test_driver_window_covers_r17_rotation)
+    where its first driver row lands.  r17 also folds sft_turn_spans
+    into this query (R17_FOLDED): the re-based spans are char_base +
+    the SAME per-turn offset arithmetic, and span_ok re-verifies every
+    content span against the packed string in-row, so the retired
+    query's turn/offset contract stays hash-checked here.  The oracle
+    replays the turn
+    derivation (the retired sft_turn_spans CTEs), re-renders each conversation
     with an ordered string_agg under the module's fixed header/SEP
     convention, re-runs the ENTIRE SPFHP solve over the rendered
     lengths (_sql_spfhp_ctes at seq_len=192), and re-bases spans with
@@ -3035,17 +3015,18 @@ def _q_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver check window (first 50, verified in declaration order).
-    # r16 rotation (VERDICT r15 ask #1): the exact TWO-round
+    # r17 rotation (VERDICT r16 ask #1): the exact TWO-round
     # full-coverage cycle -- 6 pinned parity + 2 x 44 rotating slots --
-    # brings the 44 queries green in r14's own window back in-window,
-    # landing pack_bins_report's FIRST driver row (the only registered
-    # query never hash-verified; its oracle shipped in r15 below the
-    # window), so r15 union r16 covers all 94.  Three r16 folds
-    # (tests/test_oracle_parity.py::R16_FOLDED: corpus_report,
-    # unigram_quality, text_stats) pay for the three r16 registrations
-    # (profile_funnel, unigram_lm_tokens, pack_bins_exact_roundtrip),
-    # holding the registry at 94.  Below the window: the 44 queries
-    # green in r15's own window -- exactly r17's rotating slots.
+    # swings the 44 queries that sat below r16's window back in-window,
+    # landing sft_pack_spans' FIRST driver row (registered r16b below
+    # the window with a full oracle), so r16 union r17 covers all 94.
+    # One r17 fold (tests/test_oracle_parity.py::R17_FOLDED:
+    # sft_turn_spans, absorbed by sft_pack_spans whose re-based spans
+    # hash-check the same turn/offset arithmetic) pays for the one r17
+    # registration (substring_dedup_cut, the mark+cut composite --
+    # VERDICT r16 ask #2), holding the registry at 94.  Below the
+    # window: the 44 queries green in r16's own window -- exactly
+    # r18's rotating slots.
     # reference parity (6, always in-window)
     "user_address_counts": _q_user_address_counts,
     "count_by_state": _q_count_by_state,
@@ -3053,59 +3034,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_count_by_type": _q_windowed_count_by_type,
     "stateful_join_trace": _q_stateful_join_trace,
     "windowed_trace_inflation": _q_windowed_trace_inflation,
-    # the 44 r14-green rotating queries -- r16's window (VERDICT r15
-    # ask #1: ZERO slack, so pack_bins_report's first driver row lands
-    # and r15 union r16 = 94/94)
-    "events_json_extract": _q_events_json_extract,
-    "cube_order_stats": _q_cube_order_stats,
-    "running_customer_revenue": _q_running_customer_revenue,
-    "set_ops_customers": _q_set_ops_customers,
-    "orders_above_customer_avg": _q_orders_above_customer_avg,
-    "scalar_function_showcase": _q_scalar_function_showcase,
-    "grouping_sets_revenue": _q_grouping_sets_revenue,
-    "scd2_customer_segments": _q_scd2_customer_segments,
-    "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
-    "multimodal_pixel_roundtrip": _q_multimodal_pixel_roundtrip,
-    "audio_features_real": _q_audio_features_real,
-    "gopher_quality": _q_gopher_quality,
-    "chunk_manifest": _q_chunk_manifest,
-    "cluster_balanced_sample": _q_cluster_balanced_sample,
-    "substring_dup_spans": _q_substring_dup_spans,
-    "similarity_ivf_trained": _q_similarity_ivf_trained,
-    "semantic_dedup": _q_semantic_dedup,
-    "bm25_search": _q_bm25_search,
-    # r16 registration (paid by R16_FOLDED: text_stats)
-    "pack_bins_exact_roundtrip": _q_pack_bins_exact_roundtrip,
-    # r16 registration (paid by R16_FOLDED: corpus_report)
-    "profile_funnel": _q_profile_funnel,
-    "winnow_fingerprints": _q_winnow_fingerprints,
-    "bpe_apply_docs": _q_bpe_apply_docs,
-    "dedup_exact": _q_dedup_exact,
-    "fuzzy_dedup_keep": _q_fuzzy_dedup_keep,
-    "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-    "simhash_pairs": _q_simhash_pairs,
-    "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-    "similarity_topk": _q_similarity_topk,
-    "multimodal_meta": _q_multimodal_meta,
-    "pii_redact": _q_pii_redact,
-    "repetition_stats": _q_repetition_stats,
-    # r16 registration (paid by R16_FOLDED: unigram_quality)
-    "unigram_lm_tokens": _q_unigram_lm_tokens,
-    "q12_late_shipments": _q_q12_late_shipments,
-    "session_window_stats": _q_session_window_stats,
-    "asof_purchase_view": _q_asof_purchase_view,
-    "web_ingest_pipeline": _q_web_ingest_pipeline,
-    "nb_quality_scores": _q_nb_quality_scores,
-    "decontaminate_pairs": _q_decontaminate_pairs,
-    "leakage_split": _q_leakage_split,
-    "upsample_epoch_shuffle": _q_upsample_epoch_shuffle,
-    "importance_resample_docs": _q_importance_resample_docs,
-    "incremental_minhash_gate": _q_incremental_minhash_gate,
-    "top_terms_rrf": _q_top_terms_rrf,
-    "pack_bins_report": _q_pack_bins_report,
-    # --- below the 50-row window: the 44 queries green in r15's own
-    # window (CORRECTNESS_r15.json) -- exactly r17's rotating slots ---
-    # the 36 r13-green rotating queries (below r14's window) kept by the fold
+    # the 42 r15-green rotating queries (43 minus the R17_FOLDED
+    # sft_turn_spans) -- r17's window
     "token_budget_mixture": _q_token_budget_mixture,
     "image_phash_pairs": _q_image_phash_pairs,
     "audio_fingerprint_pairs": _q_audio_fingerprint_pairs,
@@ -3140,22 +3070,65 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_view_purchase": _q_interval_view_purchase,
     "pivot_priority_status": _q_pivot_priority_status,
     "window_function_showcase": _q_window_function_showcase,
-    # the 6 crawl-graph composites (VERDICT r14 ask #2 -- first rows)
     "crawl_frontier_gate": _q_crawl_frontier_gate,
     "main_content_extract": _q_main_content_extract,
     "domain_pagerank_ranks": _q_domain_pagerank_ranks,
     "connected_components_labels": _q_connected_components_labels,
     "corpus_diff_status": _q_corpus_diff_status,
     "curriculum_assignment": _q_curriculum_assignment,
-    # the 3 r15b registrations (first rows; paid by R15B_FOLDED)
-    "sft_turn_spans": _q_sft_turn_spans,
     "embedding_moments": _q_embedding_moments,
     "lm_ppl_buckets": _q_lm_ppl_buckets,
-    # r16b registration BELOW the window (registry 94 -> 95 under the
-    # VERDICT r15 <= 98 growth ruling; full oracle; first driver row
-    # lands in r17 -- rotation documented in
-    # test_driver_window_covers_r16_rotation)
+    # r16b registration, first driver row lands HERE (VERDICT r16
+    # ask #1: do not evict)
     "sft_pack_spans": _q_sft_pack_spans,
+    # r17 registration (paid by R17_FOLDED: sft_turn_spans)
+    "substring_dedup_cut": _q_substring_dedup_cut,
+    # --- below the 50-row window: the 44 queries green in r16's own
+    # window (CORRECTNESS_r16.json) -- exactly r18's rotating slots ---
+    "events_json_extract": _q_events_json_extract,
+    "cube_order_stats": _q_cube_order_stats,
+    "running_customer_revenue": _q_running_customer_revenue,
+    "set_ops_customers": _q_set_ops_customers,
+    "orders_above_customer_avg": _q_orders_above_customer_avg,
+    "scalar_function_showcase": _q_scalar_function_showcase,
+    "grouping_sets_revenue": _q_grouping_sets_revenue,
+    "scd2_customer_segments": _q_scd2_customer_segments,
+    "similarity_ivfpq_topk": _q_similarity_ivfpq_topk,
+    "multimodal_pixel_roundtrip": _q_multimodal_pixel_roundtrip,
+    "audio_features_real": _q_audio_features_real,
+    "gopher_quality": _q_gopher_quality,
+    "chunk_manifest": _q_chunk_manifest,
+    "cluster_balanced_sample": _q_cluster_balanced_sample,
+    "substring_dup_spans": _q_substring_dup_spans,
+    "similarity_ivf_trained": _q_similarity_ivf_trained,
+    "semantic_dedup": _q_semantic_dedup,
+    "bm25_search": _q_bm25_search,
+    "pack_bins_exact_roundtrip": _q_pack_bins_exact_roundtrip,
+    "profile_funnel": _q_profile_funnel,
+    "winnow_fingerprints": _q_winnow_fingerprints,
+    "bpe_apply_docs": _q_bpe_apply_docs,
+    "dedup_exact": _q_dedup_exact,
+    "fuzzy_dedup_keep": _q_fuzzy_dedup_keep,
+    "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+    "simhash_pairs": _q_simhash_pairs,
+    "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+    "similarity_topk": _q_similarity_topk,
+    "multimodal_meta": _q_multimodal_meta,
+    "pii_redact": _q_pii_redact,
+    "repetition_stats": _q_repetition_stats,
+    "unigram_lm_tokens": _q_unigram_lm_tokens,
+    "q12_late_shipments": _q_q12_late_shipments,
+    "session_window_stats": _q_session_window_stats,
+    "asof_purchase_view": _q_asof_purchase_view,
+    "web_ingest_pipeline": _q_web_ingest_pipeline,
+    "nb_quality_scores": _q_nb_quality_scores,
+    "decontaminate_pairs": _q_decontaminate_pairs,
+    "leakage_split": _q_leakage_split,
+    "upsample_epoch_shuffle": _q_upsample_epoch_shuffle,
+    "importance_resample_docs": _q_importance_resample_docs,
+    "incremental_minhash_gate": _q_incremental_minhash_gate,
+    "top_terms_rrf": _q_top_terms_rrf,
+    "pack_bins_report": _q_pack_bins_report,
 }
 
 
@@ -4878,6 +4851,46 @@ ORACLE_SQL: dict[str, str] = {
                (max(pos) + 7 - min(pos) + 1)::INT AS span_tokens
         FROM isl GROUP BY doc_id, island
     """,
+    # mark+cut composite: same gram CTEs as substring_dup_spans, then
+    # the cut from the UNION of duplicated-gram covers (== cutting the
+    # merged spans, since merging preserves the covered-position set);
+    # docs with nothing to cut keep their original text byte-unchanged
+    # (NULL stays NULL), matching remove_dup_spans' pass-through
+    "substring_dedup_cut": """
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        grams AS (
+          SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS gram
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7))) AS g(i)
+        ),
+        dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        dpos AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        rem AS (
+          SELECT DISTINCT doc_id, pos + o AS rpos
+          FROM dpos, LATERAL (SELECT unnest(generate_series(0, 7))) AS c(o)
+        ),
+        tok_rows AS (
+          SELECT doc_id, i AS pos, t[i] AS tok
+          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)))) AS g(i)
+        ),
+        cut AS (
+          SELECT tr.doc_id,
+                 coalesce(
+                   string_agg(tr.tok, ' ' ORDER BY tr.pos)
+                     FILTER (WHERE r.rpos IS NULL), '') AS cut_text,
+                 count(*) FILTER (WHERE r.rpos IS NOT NULL) AS n_removed
+          FROM tok_rows tr
+          LEFT JOIN rem r ON r.doc_id = tr.doc_id AND r.rpos = tr.pos
+          GROUP BY tr.doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN coalesce(c.n_removed, 0) = 0 THEN d.text
+                    ELSE c.cut_text END AS text,
+               coalesce(c.n_removed, 0)::BIGINT AS n_tokens_removed
+        FROM documents d LEFT JOIN cut c USING (doc_id)
+    """,
     # same 8-table hyperplane bucketing as the Spark path (plane sets
     # seeded 42..49 baked into both plans); a pair qualifies if it
     # collides in ANY table -- the oracle checks the approximate
@@ -6051,50 +6064,6 @@ ORACLE_SQL: dict[str, str] = {
             FROM f
         )
         SELECT term, rrf_score, rank FROM rr WHERE rank <= 30
-    """,
-    # closed-form turn derivation from the same token slices, offsets
-    # replayed with a window over the explicit turn rows (the engine
-    # computes them intra-row before exploding -- same arithmetic)
-    "sft_turn_spans": f"""
-        WITH base AS (
-            SELECT doc_id, {_sql_tokens()} AS toks FROM documents
-        ),
-        parts AS (
-            SELECT doc_id,
-                   array_to_string(toks[1:8], ' ') AS u1,
-                   array_to_string(toks[9:], ' ') AS a1,
-                   array_to_string(toks[1:4], ' ') AS a2
-            FROM base
-        ),
-        turns AS (
-            SELECT doc_id, 0 AS turn_idx, 'system' AS role,
-                   'Be concise.' AS content FROM parts
-            UNION ALL SELECT doc_id, 1, 'user', u1 FROM parts
-            UNION ALL SELECT doc_id, 2, 'assistant', a1 FROM parts
-            UNION ALL SELECT doc_id, 3, 'user', 'And then?' FROM parts
-                      WHERE doc_id % 3 = 0
-            UNION ALL SELECT doc_id, 4, 'assistant', a2 FROM parts
-                      WHERE doc_id % 3 = 0
-        ),
-        lens AS (
-            SELECT *, (length(role) + 4)::BIGINT AS hlen,
-                   length(content)::BIGINT AS clen
-            FROM turns
-        ),
-        offs AS (
-            SELECT *, COALESCE(SUM(hlen + clen + 1) OVER (
-                       PARTITION BY doc_id ORDER BY turn_idx
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                     ), 0)::BIGINT AS cum
-            FROM lens
-        )
-        SELECT doc_id::BIGINT AS conv_id, turn_idx::INT AS turn_idx,
-               role, content, clen AS n_chars,
-               (cum + hlen)::BIGINT AS char_start,
-               (cum + hlen + clen)::BIGINT AS char_end,
-               (role = 'assistant') AS loss_mask,
-               len({_sql_tokens("content")})::BIGINT AS n_tokens
-        FROM offs
     """,
     # per-dimension unnest WITH ordinality, identical sum-of-products
     # moment arithmetic (population variance = E[v^2] - E[v]^2)

@@ -255,57 +255,47 @@ R16_FOLDED = {
 }
 
 
-def test_driver_window_covers_r16_rotation():
-    """The external driver verifies only the FIRST 50 entries of
-    queries() in declaration order.  r16 (VERDICT r15 ask #1): the
-    exact TWO-round cycle -- 6 pinned parity + 2 x 44 rotating slots --
-    swings the 44 queries green in r14's own window back in-window
-    with ZERO slack, so pack_bins_report (the only registered query
-    the driver has never hash-verified; oracle shipped r15 below the
-    window) lands its first driver row and r15 union r16 = 94/94.
+# r17 fold (pays for the substring_dedup_cut registration):
+#   sft_turn_spans -> sft_pack_spans (STRICT absorption: the packed-
+#                      spans deliverable derives the SAME deterministic
+#                      wire-round-tripped conversations, replays the
+#                      identical per-turn offset arithmetic -- abs_start
+#                      = char_base + char_start -- and hash-checks every
+#                      span via the in-row span_ok substring test
+#                      against the packed string, so the retired
+#                      query's turn_idx/role/loss_mask/n_chars/offset
+#                      contract survives in a stronger composite; the
+#                      flatten's zero-exchange plan stays pinned in
+#                      tests/test_plan_shapes.py over the engine
+#                      functions directly).
+R17_FOLDED = {
+    "sft_turn_spans",
+}
 
-    Below the window: exactly the 44 queries green in r15's own window
-    (CORRECTNESS_r15.json minus the 6 pinned) -- r17's rotating
+
+def test_driver_window_covers_r17_rotation():
+    """The external driver verifies only the FIRST 50 entries of
+    queries() in declaration order.  r17 (VERDICT r16 ask #1): the
+    exact TWO-round cycle -- 6 pinned parity + 2 x 44 rotating slots --
+    swings the 44 queries that sat below r16's window back in-window
+    with ZERO slack, so sft_pack_spans (registered r16b below the
+    window with a full oracle; the only registered query the driver
+    has never hash-verified) lands its first driver row and r16 union
+    r17 = 94/94.  The one r17 registration (substring_dedup_cut, the
+    mark+cut substring-dedup composite) is paid by the R17_FOLDED
+    sft_turn_spans retirement, per the VERDICT r16 rule that nothing
+    may evict sft_pack_spans.
+
+    Below the window: exactly the 44 queries green in r16's own window
+    (CORRECTNESS_r16.json minus the 6 pinned) -- r18's rotating
     slots."""
     names = list(entrymod.queries())
     window = names[:50]
     assert len(names) == 94, len(names)
     assert not (
         R13_FOLDED | R14_FOLDED | R15_FOLDED | R15B_FOLDED | R16_FOLDED
+        | R17_FOLDED
     ) & set(names), "folded query still registered"
-    r14_green_rotating = {
-        "events_json_extract", "cube_order_stats",
-        "running_customer_revenue", "set_ops_customers",
-        "orders_above_customer_avg", "scalar_function_showcase",
-        "grouping_sets_revenue", "scd2_customer_segments",
-        "similarity_ivfpq_topk", "multimodal_pixel_roundtrip",
-        "audio_features_real", "gopher_quality", "chunk_manifest",
-        "cluster_balanced_sample", "substring_dup_spans",
-        "similarity_ivf_trained", "semantic_dedup", "bm25_search",
-        "text_stats", "corpus_report", "winnow_fingerprints",
-        "bpe_apply_docs", "dedup_exact", "fuzzy_dedup_keep",
-        "ngram_jaccard_pairs", "simhash_pairs", "embedding_near_dup_lsh",
-        "similarity_topk", "multimodal_meta", "pii_redact",
-        "repetition_stats", "unigram_quality", "q12_late_shipments",
-        "session_window_stats", "asof_purchase_view",
-        "web_ingest_pipeline", "nb_quality_scores", "decontaminate_pairs",
-        "leakage_split", "upsample_epoch_shuffle",
-        "importance_resample_docs", "incremental_minhash_gate",
-        "top_terms_rrf", "pack_bins_report",
-    }
-    new_r16 = {
-        # r16 registrations, each paid by an R16_FOLDED retirement so
-        # the 44 r14-green slots keep zero slack around them
-        "profile_funnel", "unigram_lm_tokens",
-        "pack_bins_exact_roundtrip",
-    }
-    want = PARITY_PINNED | (r14_green_rotating - R16_FOLDED) | new_r16
-    missing = want - set(window)
-    assert not missing, f"evicted from the driver's 50-query window: {missing}"
-    assert len(window) == 50
-    assert set(window) == want
-    assert "pack_bins_report" in window, "the never-verified query must land"
-    # below the window: exactly the 44 r15-green rotating queries
     r15_green_rotating = {
         "token_budget_mixture", "image_phash_pairs",
         "audio_fingerprint_pairs", "boilerplate_line_dedup",
@@ -329,14 +319,43 @@ def test_driver_window_covers_r16_rotation():
         "corpus_diff_status", "curriculum_assignment",
         "sft_turn_spans", "embedding_moments", "lm_ppl_buckets",
     }
-    # r16b: sft_pack_spans registered BELOW the window with a full
-    # oracle (first driver row lands in r17), and the growth it caused
-    # is paid back IN THE SAME ROUND by the below-window bpe_train
-    # retirement (R16_FOLDED), so the registry holds at 94 and the
-    # exact 2 x 44 two-round cycle stands -- r17's window = 6 pinned +
-    # exactly these 44.
+    want = (
+        PARITY_PINNED
+        | (r15_green_rotating - R17_FOLDED)
+        | {"sft_pack_spans", "substring_dedup_cut"}
+    )
+    missing = want - set(window)
+    assert not missing, f"evicted from the driver's 50-query window: {missing}"
+    assert len(window) == 50
+    assert set(window) == want
+    assert "sft_pack_spans" in window, "the never-verified query must land"
+    # below the window: exactly the 44 queries green in r16's own
+    # window (the r14-green rotating slots minus R16_FOLDED, plus the
+    # three r16 registrations)
+    r16_green_rotating = {
+        "events_json_extract", "cube_order_stats",
+        "running_customer_revenue", "set_ops_customers",
+        "orders_above_customer_avg", "scalar_function_showcase",
+        "grouping_sets_revenue", "scd2_customer_segments",
+        "similarity_ivfpq_topk", "multimodal_pixel_roundtrip",
+        "audio_features_real", "gopher_quality", "chunk_manifest",
+        "cluster_balanced_sample", "substring_dup_spans",
+        "similarity_ivf_trained", "semantic_dedup", "bm25_search",
+        "winnow_fingerprints",
+        "bpe_apply_docs", "dedup_exact", "fuzzy_dedup_keep",
+        "ngram_jaccard_pairs", "simhash_pairs", "embedding_near_dup_lsh",
+        "similarity_topk", "multimodal_meta", "pii_redact",
+        "repetition_stats", "q12_late_shipments",
+        "session_window_stats", "asof_purchase_view",
+        "web_ingest_pipeline", "nb_quality_scores", "decontaminate_pairs",
+        "leakage_split", "upsample_epoch_shuffle",
+        "importance_resample_docs", "incremental_minhash_gate",
+        "top_terms_rrf", "pack_bins_report",
+        "profile_funnel", "unigram_lm_tokens",
+        "pack_bins_exact_roundtrip",
+    }
     below = set(names[50:])
-    assert below == r15_green_rotating | {"sft_pack_spans"}
+    assert below == r16_green_rotating
     assert len(below) == 44, len(below)
     # every registered query carries a DuckDB oracle (no no_oracle
     # holes since r15)

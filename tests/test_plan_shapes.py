@@ -732,10 +732,24 @@ def test_sft_turn_spans_is_zero_exchange_and_udf_free(spark):
     with no hash or range exchange, no window, no join, and no Python
     UDF (from_json/to_json/transform/aggregate are all JVM
     expressions).  The explode+window spelling this replaces would
-    hash-shuffle every turn's content once.  (The single RoundRobin
-    respread is _docs' small-single-file spread, off at real scale --
-    the curation plan test's convention.)"""
-    plan = _plan(spark, "sft_turn_spans")
+    hash-shuffle every turn's content once.  (The registered
+    sft_turn_spans query folded into sft_pack_spans in r17 --
+    R17_FOLDED -- so this pins the engine functions directly over the
+    same wire-round-tripped shape.)"""
+    from pyspark.sql import functions as F
+
+    from data_stream_flink_user_address_spark.functions.chat import (
+        conversation_turns,
+        parse_conversations,
+    )
+
+    convs = spark.createDataFrame(
+        [(i, '[{"role": "user", "content": "hi"}, '
+             '{"role": "assistant", "content": "hello there"}]')
+         for i in range(8)],
+        ["conv_id", "conversation"],
+    ).select("conv_id", F.col("conversation"))
+    plan = _explain(conversation_turns(parse_conversations(convs)))
     assert "hashpartitioning" not in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "Window" not in plan
