@@ -50,7 +50,7 @@ from data_stream_flink_user_address_spark.functions.dedup import (
     simhash,
     simhash_near_dup_pairs,
     substring_dup_spans,
-    remove_dup_spans,
+    substring_dedup,
     embedding_near_dup_pairs,
     paragraph_dedup,
     boilerplate_line_dedup,
@@ -1759,9 +1759,7 @@ def _q_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring_dup_spans oracle) but cuts directly from the union of
     duplicated-gram covers -- equivalent to cutting merged spans,
     since merging preserves the covered-position set."""
-    docs = _docs(spark, sf_dir)
-    spans = substring_dup_spans(docs, k=8)
-    return remove_dup_spans(docs, spans)
+    return substring_dedup(_docs(spark, sf_dir), k=8)
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

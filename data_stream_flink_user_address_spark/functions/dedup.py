@@ -793,6 +793,43 @@ def substring_dup_spans(
 
 
 
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_occurrences: int = 2,
+    broadcast_spans: bool | None = None,
+    broadcast_max_rows: int = 2_000_000,
+) -> DataFrame:
+    """The full Lee et al. 2022 substring dedup in one call: mark
+    maximal globally-repeated ``k``-token ranges
+    (:func:`substring_dup_spans`) and cut them out of the corpus
+    (:func:`remove_dup_spans`).  Output ``(id, text,
+    n_tokens_removed)``, one row per input row -- unflagged documents
+    pass through byte-unchanged, NULL text stays NULL, a fully-flagged
+    document keeps an empty-text row.  This is the frame the
+    registered ``substring_dedup_cut`` driver query hash-checks, and
+    the composite the mark+cut scale ladder measures
+    (``SUBSTRING_DEDUP_SCALE.json``, ``python
+    bench_substring_dedup_scale.py``).
+
+    Knobs pass through: ``k`` is the minimum span worth removing (the
+    paper uses ~50 tokens; smaller k marks more aggressively),
+    ``min_occurrences`` the global repeat threshold, and the span-side
+    join is size-gated per :func:`remove_dup_spans`.
+    """
+    spans = substring_dup_spans(
+        df, text_col=text_col, id_col=id_col, k=k,
+        min_occurrences=min_occurrences,
+    )
+    return remove_dup_spans(
+        df, spans, text_col=text_col, id_col=id_col,
+        broadcast_spans=broadcast_spans,
+        broadcast_max_rows=broadcast_max_rows,
+    )
+
+
 def remove_dup_spans(
     df: DataFrame,
     spans: DataFrame,
