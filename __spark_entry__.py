@@ -4824,7 +4824,9 @@ ORACLE_SQL: dict[str, str] = {
     # partitions absent a hash collision
     "substring_dup_spans": """
         WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS t
           FROM documents WHERE length(trim(text)) > 0
         ),
         grams AS (
@@ -4856,7 +4858,9 @@ ORACLE_SQL: dict[str, str] = {
     # (NULL stays NULL), matching remove_dup_spans' pass-through
     "substring_dedup_cut": """
         WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS t
           FROM documents WHERE length(trim(text)) > 0
         ),
         grams AS (

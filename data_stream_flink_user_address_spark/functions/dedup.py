@@ -714,6 +714,22 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _ws_tokens(text_col: str) -> Column:
+    """True whitespace tokenization for the substring-dedup family:
+    split on ``\\s+`` and DROP empty tokens.  The repo-common
+    ``split(trim(text), '\\s+')`` spelling leaves phantom empty tokens
+    when text starts/ends with non-space whitespace (Spark's and
+    DuckDB's ``trim`` strip only 0x20, so a trailing newline -- most
+    real documents -- minted a trailing '' token that inflated
+    positions and put a trailing space in cut output; caught by
+    tests/test_property_r17.py).  Both registered oracles mirror with
+    ``list_filter(regexp_split_to_array(...), x -> x <> '')``.  NULL
+    text stays NULL (filter over a NULL array)."""
+    return F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
+
+
 def substring_dup_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -754,7 +770,7 @@ def substring_dup_spans(
     """
     d = df.select(
         F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+        _ws_tokens(text_col).alias("__t"),
     ).filter(F.size("__t") >= k)
     gram_hashes = F.transform(
         F.sequence(F.lit(1), F.size("__t") - (k - 1)),
@@ -894,8 +910,7 @@ def remove_dup_spans(
     )
     sp, _ = size_gated_broadcast(sp, broadcast_spans, broadcast_max_rows)
     joined = df.join(sp, id_col, "left")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(toks)
+    toks = _ws_tokens(text_col)
     ranges = F.coalesce(
         F.col("__spans"),
         F.array().cast("array<struct<s:bigint,e:bigint>>"),
