@@ -3140,9 +3140,11 @@ def _sql_norm(col: str = "text") -> str:
 
 
 def _sql_tokens(col: str = "text") -> str:
+    # tokens()' oracle twin (the two flip together): empty tokens
+    # dropped so edge whitespace can't mint phantom positions (r17)
     return (
-        f"CASE WHEN trim({col}) = '' THEN []::VARCHAR[] "
-        f"ELSE regexp_split_to_array(trim({col}), '\\s+') END"
+        f"list_filter(regexp_split_to_array({col}, '\\s+'), "
+        f"x -> x <> '')"
     )
 
 
@@ -3407,10 +3409,10 @@ def _sql_pagerank_ctes(iters: int) -> str:
 _SQL_SPFHP_TEMPLATE = r"""
 lens AS (
   SELECT doc_id,
-         least(len(CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END), __SEQ__)::BIGINT AS n,
-         len(CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END) > __SEQ__ AS trunc
+         least(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), __SEQ__)::BIGINT AS n,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) > __SEQ__ AS trunc
   FROM __SRC__
-  WHERE len(CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END) > 0
+  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) > 0
 ),
 hist AS (SELECT n::INT AS n, count(*)::BIGINT AS c FROM lens GROUP BY n),
 hlist AS (
@@ -3779,8 +3781,8 @@ WITH RECURSIVE
     SELECT word, count(*)::BIGINT AS cnt
     FROM (
       SELECT unnest(
-        CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS word
+        list_filter(regexp_split_to_array(text, '\\s+'),
+                    x -> x <> '')) AS word
       FROM documents)
     GROUP BY word
   ),
@@ -3835,9 +3837,8 @@ WITH RECURSIVE
   dtoks AS (
     SELECT doc_id, i AS pos, tk[i] AS word
     FROM (SELECT doc_id,
-                 CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                      ELSE regexp_split_to_array(trim(text), '\\s+')
-                 END AS tk
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS tk
           FROM documents) d,
          unnest(range(1, len(tk) + 1)) AS t(i)
   )
@@ -5117,7 +5118,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_search": """
         WITH d AS (
           SELECT doc_id,
-                 regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
           FROM documents
         ),
         dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
@@ -5179,7 +5180,7 @@ ORACLE_SQL: dict[str, str] = {
     # verified with popcount(xor)
     "simhash_pairs": f"""
         WITH toks AS (
-          SELECT doc_id, unnest(string_split({_sql_norm()}, ' ')) AS tok FROM documents
+          SELECT doc_id, unnest({_sql_tokens()}) AS tok FROM documents
         ),
         h AS (SELECT doc_id, {_sql_md5_long("tok")} AS h FROM toks),
         perbit AS (
@@ -6037,7 +6038,7 @@ ORACLE_SQL: dict[str, str] = {
     "top_terms_rrf": """
         WITH tok AS (
             SELECT doc_id,
-                   lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS term
+                   lower(unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS term
             FROM documents WHERE trim(text) <> ''
         ),
         tf AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term),

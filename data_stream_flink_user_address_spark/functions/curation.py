@@ -71,10 +71,9 @@ def pii_redact(
 
 
 def _toks(text_col: str) -> Column:
-    trimmed = F.trim(F.col(text_col))
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    # the tokens() spelling: empty tokens dropped so edge whitespace
+    # can't mint phantom positions (r17)
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
 
 
 def word_ngrams(toks: Column, n: int) -> Column:

@@ -715,19 +715,18 @@ def ngram_jaccard_pairs(
 
 
 def _ws_tokens(text_col: str) -> Column:
-    """True whitespace tokenization for the substring-dedup family:
-    split on ``\\s+`` and DROP empty tokens.  The repo-common
-    ``split(trim(text), '\\s+')`` spelling leaves phantom empty tokens
-    when text starts/ends with non-space whitespace (Spark's and
-    DuckDB's ``trim`` strip only 0x20, so a trailing newline -- most
-    real documents -- minted a trailing '' token that inflated
+    """True whitespace tokenization (the module-local alias of
+    :func:`~.text.tokens`): split on ``\\s+`` and DROP empty tokens.
+    The old ``split(trim(text), '\\s+')`` spelling left phantom empty
+    tokens when text starts/ends with non-space whitespace (Spark's
+    and DuckDB's ``trim`` strip only 0x20, so a trailing newline --
+    most real documents -- minted a trailing '' token that inflated
     positions and put a trailing space in cut output; caught by
-    tests/test_property_r17.py).  Both registered oracles mirror with
-    ``list_filter(regexp_split_to_array(...), x -> x <> '')``.  NULL
-    text stays NULL (filter over a NULL array)."""
-    return F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
-    )
+    tests/test_property_r17.py, then fixed repo-wide in ``tokens()`` /
+    ``_sql_tokens()``).  NULL text stays NULL."""
+    from .text import tokens
+
+    return tokens(text_col)
 
 
 def substring_dup_spans(
@@ -947,7 +946,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     (hamming-adjacent docs collide on at least one band with high
     probability).
     """
-    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    toks = _ws_tokens(text_col)
     d = df.select(F.col(id_col), toks.alias("__toks"))
     harr = F.transform(F.col("__toks"), lambda t: _md5_long(t))
     d = d.select(id_col, harr.alias("__h"), F.size("__toks").alias("__n"))

@@ -615,7 +615,7 @@ def pack_bins_text(
         F.struct(
             F.col(id_col).alias("id"),
             F.concat_ws(
-                sep, F.slice(F.split(F.trim(F.col(text_col)), r"\s+"), 1, F.col("n_tokens").cast("int"))
+                sep, F.slice(tokens(text_col), 1, F.col("n_tokens").cast("int"))
             ).alias("t"),
         ).alias("__member"),
     )

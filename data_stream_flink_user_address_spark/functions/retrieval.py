@@ -49,7 +49,9 @@ def bm25_topk(
     flipping sign.
     """
     terms = [t.lower() for t in query_terms]
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     d = docs.select(
         F.col(id_col).alias("doc_id"), toks.alias("__toks")
     ).withColumn("dl", F.size("__toks"))

@@ -29,12 +29,17 @@ _QUALITY_PUNCT = ".,!?;:"
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization; empty/blank text -> empty array."""
+    """Whitespace tokenization; empty/blank text -> empty array, NULL
+    stays NULL.  Empty tokens are DROPPED after the split: the old
+    ``split(trim(text), '\\s+')`` spelling left a phantom '' token when
+    text starts/ends with non-space whitespace, because Spark's (and
+    DuckDB's) ``trim`` strips only 0x20 -- so every newline-terminated
+    document (most real documents) counted one token too many (r17;
+    caught by the substring-dedup property fuzz).  The oracle twin is
+    ``_sql_tokens()`` in ``__spark_entry__.py`` -- the two flip
+    together."""
     c = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(c)
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
 
 
 def token_count(text: Column | str) -> Column:

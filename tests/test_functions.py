@@ -1389,3 +1389,46 @@ class TestExtractMainContent:
         assert got[2].text is None and got[2].n_kept_chars is None
         assert got[2].kept_frac is None
         assert got[3].text == "" and got[3].kept_frac == 0.0
+
+
+def test_tokens_drop_phantom_empty_tokens(spark):
+    """The r17 tokenization contract: trim() strips only 0x20 in Spark
+    and DuckDB, so the old split(trim(text)) spelling minted phantom ''
+    tokens on text that starts/ends with \\n or \\t -- every
+    newline-terminated real document counted one token too many.
+    tokens() and its oracle twin _sql_tokens() now drop empty tokens;
+    this pins both sides on the nasty inputs."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from data_stream_flink_user_address_spark.functions.text import (
+        token_count,
+        tokens,
+    )
+
+    cases = [" a b\n", "\n", "", "x\ty ", "one", None, " \t \n "]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r["i"]: (r["toks"], r["n"])
+        for r in df.select(
+            "i", tokens("t").alias("toks"), token_count("t").alias("n")
+        ).collect()
+    }
+    want_tokens = {
+        0: ["a", "b"], 1: [], 2: [], 3: ["x", "y"], 4: ["one"],
+        5: None, 6: [],
+    }
+    for i, t in enumerate(cases):
+        wt = want_tokens[i]
+        assert got[i][0] == wt, (t, got[i])
+        assert got[i][1] == (len(wt) if wt is not None else None)
+    # the DuckDB twin agrees token-for-token
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        (dt,) = con.execute(
+            f"SELECT {entrymod._sql_tokens('t')} FROM (SELECT ? AS t)",
+            [t],
+        ).fetchone()
+        assert dt == want_tokens[i], (t, dt)

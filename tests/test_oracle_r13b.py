@@ -53,7 +53,7 @@ def test_top_terms_oracle(spark, docs, con):
     sql = """
         SELECT term, count(*)::BIGINT AS n
         FROM (
-            SELECT lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS term
+            SELECT lower(unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS term
             FROM documents
             WHERE trim(text) <> ''
         )
@@ -110,7 +110,7 @@ def test_nb_scores_oracle(spark, con):
         WITH raw(doc_id, text, label) AS (VALUES {vals}),
         arrs AS (
             SELECT doc_id, label,
-                   regexp_split_to_array(trim(text), '\\s+') AS a
+                   list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS a
             FROM raw
         ),
         toks AS (

@@ -22,10 +22,10 @@ def test_global_profile_exact_fields(spark, docs):
     want = duckdb.sql(
         f"""
         SELECT count(*) AS n,
-               sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS toks,
+               sum(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS toks,
                sum(len(text)) AS chars,
-               min(len(regexp_split_to_array(trim(text), '\\s+'))) AS mn,
-               max(len(regexp_split_to_array(trim(text), '\\s+'))) AS mx
+               min(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS mn,
+               max(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS mx
         FROM read_parquet('{SF}/documents.parquet')
         WHERE TRUE
         """
