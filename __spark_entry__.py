@@ -3136,7 +3136,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 def _sql_norm(col: str = "text") -> str:
-    return f"regexp_replace(trim({col}), '\\s+', ' ', 'g')"
+    # norm_ws()'s oracle twin (the two flip together): collapse runs AND
+    # strip all edge whitespace -- the old regexp_replace(trim(...))
+    # kept a trailing space on \n-terminated text (r17).  DuckDB's
+    # array_to_string([]) is NULL, hence the explicit blank guard.
+    return (
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE coalesce("
+        f"array_to_string(list_filter(regexp_split_to_array({col}, "
+        f"'\\s+'), x -> x <> ''), ' '), '') END"
+    )
 
 
 def _sql_tokens(col: str = "text") -> str:
@@ -5878,13 +5886,11 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_diff_status": r"""
         WITH olds AS (
             SELECT doc_id,
-                   md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS old_fp
+                   md5(CASE WHEN text IS NULL THEN NULL ELSE coalesce(array_to_string(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''), ' '), '') END) AS old_fp
             FROM documents WHERE doc_id % 10 <> 0
         ), news AS (
             SELECT doc_id,
-                   md5(regexp_replace(trim(
-                       CASE WHEN doc_id % 10 = 2 THEN text || ' edited'
-                            ELSE text END), '\s+', ' ', 'g')) AS new_fp
+                   md5(CASE WHEN (CASE WHEN doc_id % 10 = 2 THEN text || ' edited' ELSE text END) IS NULL THEN NULL ELSE coalesce(array_to_string(list_filter(regexp_split_to_array((CASE WHEN doc_id % 10 = 2 THEN text || ' edited' ELSE text END), '\s+'), x -> x <> ''), ' '), '') END) AS new_fp
             FROM documents WHERE doc_id % 10 <> 1
         )
         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
@@ -5993,7 +5999,7 @@ ORACLE_SQL: dict[str, str] = {
                    ' and more chrome</div>' ||
                    '<footer>(c) 2026 example site</footer></body></html>'
                      AS page,
-                   regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
+                   CASE WHEN text IS NULL THEN NULL ELSE coalesce(array_to_string(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''), ' '), '') END AS norm
             FROM documents
         ),
         pre AS (

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .text import norm_ws
+
 
 def _md5_long(col: Column) -> Column:
     """First 15 hex chars of md5 -> non-negative bigint (60 bits).
@@ -46,7 +48,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     (the alternative, dropDuplicates on the full text, shuffles the text
     bytes themselves -- hashing first moves 32 bytes per row instead).
     """
-    fp = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    fp = F.md5(norm_ws(text_col))
     return (
         df.withColumn("fingerprint", fp)
         .groupBy("fingerprint")
@@ -95,7 +97,7 @@ def shingles(
     gives identical results on the multiset and skipping the distinct
     saves a full shuffle of the shingle rows.
     """
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    norm = norm_ws(text_col)
     d = df.select(F.col(id_col), norm.alias("__norm"))
     idx = F.sequence(F.lit(1), F.greatest(F.length("__norm") - (n - 1), F.lit(1)))
     out = (
@@ -167,7 +169,7 @@ def minhash_signatures_text(
     100 TB this is the difference between a map-only stage and a
     corpus-wide shuffle.
     """
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    norm = norm_ws(text_col)
     d = df.select(F.col(id_col), norm.alias("__norm")).filter(
         F.length("__norm") >= n
     )
@@ -1441,7 +1443,7 @@ def paragraph_dedup(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), quoted_sep)).alias("pos", "para"),
     ).withColumn(
-        "__norm", F.regexp_replace(F.trim(F.col("para")), r"\s+", " ")
+        "__norm", norm_ws(F.col("para"))
     )
     nonempty = paras.filter(F.col("__norm") != "").withColumn(
         "__fp", F.md5(F.col("__norm"))
@@ -1524,7 +1526,7 @@ def boilerplate_line_dedup(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), quoted_sep)).alias("pos", "line"),
     ).withColumn(
-        "__norm", F.regexp_replace(F.trim(F.col("line")), r"\s+", " ")
+        "__norm", norm_ws(F.col("line"))
     )
     content = lines.filter(F.col("__norm") != "").withColumn(
         "__fp", F.md5(F.col("__norm"))
@@ -1574,7 +1576,7 @@ def build_fingerprint_store(
     replaying a batch replaces exactly its own partition -- the same
     replay-idempotency contract as the streaming near-dup sink above.
     """
-    fp = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    fp = F.md5(norm_ws(text_col))
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -1633,7 +1635,7 @@ def build_bucketed_fingerprint_store(
     """
     from ..sources.layout import write_bucketed
 
-    fp = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    fp = F.md5(norm_ws(text_col))
     fps = df.select(fp.alias("fingerprint")).distinct()
     if epoch is not None:
         fps = fps.withColumn("__epoch", F.lit(int(epoch)))
@@ -1675,7 +1677,7 @@ def incremental_exact_dedup_bucketed(
     store = spark.table(store_table)
     if exclude_epoch is not None:
         store = store.filter(F.col("__epoch") != int(exclude_epoch))
-    fp = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    fp = F.md5(norm_ws(text_col))
     batch = (
         new_docs.select(F.col(id_col), fp.alias("fingerprint"))
         .groupBy("fingerprint")
@@ -1718,7 +1720,7 @@ def incremental_exact_dedup(
     duplicate fingerprints ACROSS batch partitions are harmless to the
     anti-join (membership, not counts).
     """
-    fp = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    fp = F.md5(norm_ws(text_col))
     batch = (
         new_docs.select(F.col(id_col), fp.alias("fingerprint"))
         .groupBy("fingerprint")
@@ -2168,7 +2170,7 @@ def incremental_minhash_dedup(
     """
     norm_len = F.length(
         F.coalesce(
-            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "),
+            norm_ws(text_col),
             F.lit(""),
         )
     )

@@ -17,13 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import token_count
+from .text import norm_ws, token_count
 
 
 def _signals(
     df: DataFrame, text_col: str, id_col: str, keep: list[str]
 ) -> DataFrame:
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    norm = norm_ws(text_col)
     return df.select(
         F.col(id_col),
         *[F.col(c) for c in keep],
@@ -204,7 +204,7 @@ def corpus_diff(
     def fp() -> F.Column:
         if fingerprint_col is not None:
             return F.col(fingerprint_col)
-        return F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+        return F.md5(norm_ws(text_col))
 
     # explicit presence flags: a present row with NULL text has a NULL
     # fingerprint and must not read as absent from its snapshot

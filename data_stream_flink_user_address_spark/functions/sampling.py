@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _md5_long
+from .text import tokens
 
 _RESOLUTION = 1_000_000
 
@@ -182,10 +183,7 @@ def _dsir_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, bucket) rows: whitespace tokens + adjacent bigrams of the
     whitespace-normalized text, md5-hashed into the caller's bucket
     space (the column is the raw 60-bit hash; callers mod it)."""
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(
-        F.split(norm, " ")
-    )
+    toks = tokens(text_col)
     d = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
     n1 = d.select("__id", F.explode("__toks").alias("__feat"))
     bi = F.expr(
@@ -308,10 +306,7 @@ def token_budget_mixture(
     fraction is one double multiply+divide, compared as an integer
     threshold at 1e-6 resolution.
     """
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    ntok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
-        F.size(F.split(norm, " "))
-    ).cast("bigint")
+    ntok = F.size(tokens(text_col)).cast("bigint")
     d = docs.select(
         F.col(id_col), F.col(source_col), ntok.alias("n_tokens")
     )

@@ -42,6 +42,19 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda t: t != "")
 
 
+def norm_ws(text: Column | str) -> Column:
+    """Whitespace normalization for fingerprint/shingle inputs:
+    collapse runs to single spaces and strip ALL edge whitespace
+    (``array_join`` over :func:`tokens`); NULL -> NULL, blank -> ''.
+    The old ``regexp_replace(trim(x), '\\s+', ' ')`` spelling kept a
+    trailing space when text ends in non-space whitespace, so ``'doc'``
+    and ``'doc\\n'`` minted DIFFERENT exact-dedup fingerprints and
+    shingle sets -- a newline-variant duplicate survived every dedup
+    pass (r17, the tokens() fix's sibling).  Oracle twin:
+    ``_sql_norm()`` in ``__spark_entry__.py``."""
+    return F.array_join(tokens(text), " ")
+
+
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
@@ -153,7 +166,7 @@ def winnow_fingerprint(
     computation that never needed cross-row data).  md5-derived hashes
     keep it DuckDB-reproducible.
     """
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    norm = norm_ws(text_col)
     d = df.select(F.col(id_col), norm.alias("__norm"))
     # need at least one full window of w consecutive k-grams
     d = d.filter(F.length("__norm") >= k + w - 1)
@@ -184,7 +197,7 @@ def doc_fingerprint(text: Column | str) -> Column:
     function exists in DuckDB so the oracle matches byte-for-byte.
     """
     c = F.col(text) if isinstance(text, str) else text
-    return F.md5(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.md5(norm_ws(c))
 
 
 def unigram_logprob_scores(

@@ -1432,3 +1432,28 @@ def test_tokens_drop_phantom_empty_tokens(spark):
             [t],
         ).fetchone()
         assert dt == want_tokens[i], (t, dt)
+
+
+def test_norm_ws_strips_edge_whitespace(spark):
+    """norm_ws (r17, the tokens() fix's sibling): 'doc' and 'doc\\n'
+    must normalize -- and therefore exact-dedup fingerprint -- the
+    SAME; NULL stays NULL, blank -> ''. Pinned against the DuckDB twin
+    _sql_norm() value-for-value."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from data_stream_flink_user_address_spark.functions.text import norm_ws
+
+    cases = ["doc", "doc\n", " a  b\tc ", "", "\n", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i long, t string"
+    )
+    got = {r["i"]: r["n"] for r in df.select("i", norm_ws("t").alias("n")).collect()}
+    want = {0: "doc", 1: "doc", 2: "a b c", 3: "", 4: "", 5: None}
+    assert got == want
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        (dn,) = con.execute(
+            f"SELECT {entrymod._sql_norm('t')} FROM (SELECT ? AS t)", [t]
+        ).fetchone()
+        assert dn == want[i], (t, dn)

@@ -270,13 +270,11 @@ def test_corpus_diff_oracle(spark, docs, con):
     sql = r"""
         WITH olds AS (
             SELECT doc_id,
-                   md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS old_fp
+                   md5(CASE WHEN text IS NULL THEN NULL ELSE coalesce(array_to_string(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''), ' '), '') END) AS old_fp
             FROM documents WHERE doc_id % 10 <> 0
         ), news AS (
             SELECT doc_id,
-                   md5(regexp_replace(trim(
-                       CASE WHEN doc_id % 10 = 2 THEN text || ' edited'
-                            ELSE text END), '\s+', ' ', 'g')) AS new_fp
+                   md5(CASE WHEN (CASE WHEN doc_id % 10 = 2 THEN text || ' edited' ELSE text END) IS NULL THEN NULL ELSE coalesce(array_to_string(list_filter(regexp_split_to_array((CASE WHEN doc_id % 10 = 2 THEN text || ' edited' ELSE text END), '\s+'), x -> x <> ''), ' '), '') END) AS new_fp
             FROM documents WHERE doc_id % 10 <> 1
         )
         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
