@@ -3136,15 +3136,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 def _sql_norm(col: str = "text") -> str:
-    # norm_ws()'s oracle twin (the two flip together): collapse runs AND
-    # strip all edge whitespace -- the old regexp_replace(trim(...))
-    # kept a trailing space on \n-terminated text (r17).  DuckDB's
-    # array_to_string([]) is NULL, hence the explicit blank guard.
-    return (
-        f"CASE WHEN {col} IS NULL THEN NULL ELSE coalesce("
-        f"array_to_string(list_filter(regexp_split_to_array({col}, "
-        f"'\\s+'), x -> x <> ''), ' '), '') END"
-    )
+    # norm_ws()'s oracle twin (the two flip together): collapse runs
+    # FIRST (every edge char becomes a plain space), then trim -- so all
+    # edge whitespace strips.  The old regexp_replace(trim(...)) order
+    # kept a trailing space on \n-terminated text (r17).
+    return f"trim(regexp_replace({col}, '\\s+', ' ', 'g'))"
 
 
 def _sql_tokens(col: str = "text") -> str:
@@ -5310,8 +5306,8 @@ ORACLE_SQL: dict[str, str] = {
     "repetition_stats": r"""
         WITH t AS (
           SELECT doc_id,
-                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                      ELSE string_split_regex(trim(text), '\s+') END AS toks
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '') AS toks
           FROM documents
         ),
         bc AS (
@@ -5431,8 +5427,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_budget_mixture": f"""
         WITH d AS (
           SELECT doc_id, source,
-                 (CASE WHEN trim(text) = '' THEN 0
-                       ELSE len(string_split({_sql_norm()}, ' ')) END)::BIGINT AS n_tokens
+                 len({_sql_tokens()})::BIGINT AS n_tokens
           FROM documents
         ),
         tot AS (SELECT source, sum(n_tokens) AS tot FROM d GROUP BY source),

@@ -130,7 +130,7 @@ def main() -> None:
         "dup_every": DUP_EVERY,
         "boiler_len": BOILER_LEN,
         "k": K,
-        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
         "sizes": [],
     }
     for n in SIZES:

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .text import tokens
+
 # PII patterns, applied in dict order.  Deliberately conservative shapes
 # (dash-separated phones, dotted quads) so no pattern can match inside
 # another's redacted span and Java-regex / RE2 agree on every match:
@@ -71,9 +73,7 @@ def pii_redact(
 
 
 def _toks(text_col: str) -> Column:
-    # the tokens() spelling: empty tokens dropped so edge whitespace
-    # can't mint phantom positions (r17)
-    return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    return tokens(text_col)
 
 
 def word_ngrams(toks: Column, n: int) -> Column:

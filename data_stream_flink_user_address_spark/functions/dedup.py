@@ -949,7 +949,14 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     probability).
     """
     toks = _ws_tokens(text_col)
-    d = df.select(F.col(id_col), toks.alias("__toks"))
+    # zero-token docs (blank/whitespace-only) carry no signal and get
+    # NO signature row -- a signature of nothing is meaningless, and
+    # every blank doc would otherwise pair with every other at hamming
+    # 0 (exact dedup is the right tool for identical blanks); mirrors
+    # the oracle, whose per-token rows vanish for such docs (r17)
+    d = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
     harr = F.transform(F.col("__toks"), lambda t: _md5_long(t))
     d = d.select(id_col, harr.alias("__h"), F.size("__toks").alias("__n"))
 
@@ -1575,6 +1582,14 @@ def build_fingerprint_store(
     ``__batch=<id>`` partition with dynamic partition overwrite, so
     replaying a batch replaces exactly its own partition -- the same
     replay-idempotency contract as the streaming near-dup sink above.
+    
+
+    .. note:: r17 changed fingerprint normalization (edge whitespace
+       now strips -- ``norm_ws``), so stores built before r17 hold
+       incompatible fingerprints for any text that started/ended
+       with non-space whitespace: REBUILD persisted stores after
+       upgrading, or previously-seen newline-variant rows will
+       re-admit and replayed batches will not rewrite identically.
     """
     fp = F.md5(norm_ws(text_col))
     spark = df.sparkSession
@@ -1632,6 +1647,14 @@ def build_bucketed_fingerprint_store(
     planner disables the bucketed scan ("Bucketed: false (disabled by
     query planner)") and re-shuffles the whole store per batch --
     exactly the cost this layout exists to avoid.
+    
+
+    .. note:: r17 changed fingerprint normalization (edge whitespace
+       now strips -- ``norm_ws``), so stores built before r17 hold
+       incompatible fingerprints for any text that started/ended
+       with non-space whitespace: REBUILD persisted stores after
+       upgrading, or previously-seen newline-variant rows will
+       re-admit and replayed batches will not rewrite identically.
     """
     from ..sources.layout import write_bucketed
 
@@ -2080,6 +2103,14 @@ def build_minhash_band_store(
     micro-batch.  ``epoch`` tags rows for the streaming wrapper's
     replay contract (seed with ``epoch=-1``), exactly as in the exact
     store.
+    
+
+    .. note:: r17 changed fingerprint normalization (edge whitespace
+       now strips -- ``norm_ws``), so stores built before r17 hold
+       incompatible fingerprints for any text that started/ended
+       with non-space whitespace: REBUILD persisted stores after
+       upgrading, or previously-seen newline-variant rows will
+       re-admit and replayed batches will not rewrite identically.
     """
     from ..sources.layout import write_bucketed
 
@@ -2476,7 +2507,15 @@ def build_simhash_band_store(
     second join.  Pigeonhole makes the gate EXACT within
     ``max_hamming`` (unlike MinHash's probabilistic bands): any doc
     within that distance of a stored one shares at least one
-    bit-identical band.  ``epoch`` as in the exact/MinHash stores."""
+    bit-identical band.  ``epoch`` as in the exact/MinHash stores.
+
+    .. note:: r17 changed fingerprint normalization (edge whitespace
+       now strips -- ``norm_ws``), so stores built before r17 hold
+       incompatible fingerprints for any text that started/ended
+       with non-space whitespace: REBUILD persisted stores after
+       upgrading, or previously-seen newline-variant rows will
+       re-admit and replayed batches will not rewrite identically.
+    """
     from ..sources.layout import write_bucketed
 
     sigs = simhash(df, text_col, id_col, bits)

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .text import tokens
+
 _FP = 1_000_000_000  # fixed-point scale for per-term contributions
 
 
@@ -49,9 +51,7 @@ def bm25_topk(
     flipping sign.
     """
     terms = [t.lower() for t in query_terms]
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
+    toks = tokens(F.lower(F.col(text_col)))
     d = docs.select(
         F.col(id_col).alias("doc_id"), toks.alias("__toks")
     ).withColumn("dl", F.size("__toks"))

@@ -44,15 +44,19 @@ def tokens(text: Column | str) -> Column:
 
 def norm_ws(text: Column | str) -> Column:
     """Whitespace normalization for fingerprint/shingle inputs:
-    collapse runs to single spaces and strip ALL edge whitespace
-    (``array_join`` over :func:`tokens`); NULL -> NULL, blank -> ''.
+    collapse runs to single spaces and strip ALL edge whitespace;
+    NULL -> NULL, blank -> ''.
     The old ``regexp_replace(trim(x), '\\s+', ' ')`` spelling kept a
     trailing space when text ends in non-space whitespace, so ``'doc'``
     and ``'doc\\n'`` minted DIFFERENT exact-dedup fingerprints and
     shingle sets -- a newline-variant duplicate survived every dedup
-    pass (r17, the tokens() fix's sibling).  Oracle twin:
-    ``_sql_norm()`` in ``__spark_entry__.py``."""
-    return F.array_join(tokens(text), " ")
+    pass (r17, the tokens() fix's sibling).  Collapsing FIRST turns
+    every edge character into a plain space, which trim then strips --
+    one regexp + trim, no per-row token array (the ``_collapse_ws``
+    spelling, reused).  Oracle twin: ``_sql_norm()`` in
+    ``__spark_entry__.py``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
 def token_count(text: Column | str) -> Column:
@@ -464,7 +468,7 @@ def _tags_to_spaces(col: Column) -> Column:
 
 
 def _collapse_ws(col: Column) -> Column:
-    return F.trim(F.regexp_replace(col, r"\s+", " "))
+    return norm_ws(col)
 
 
 def strip_markup(
