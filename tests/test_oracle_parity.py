@@ -273,22 +273,22 @@ R17_FOLDED = {
 }
 
 
-def test_driver_window_covers_r17_rotation():
+def test_driver_window_covers_r18_rotation():
     """The external driver verifies only the FIRST 50 entries of
-    queries() in declaration order.  r17 (VERDICT r16 ask #1): the
-    exact TWO-round cycle -- 6 pinned parity + 2 x 44 rotating slots --
-    swings the 44 queries that sat below r16's window back in-window
-    with ZERO slack, so sft_pack_spans (registered r16b below the
-    window with a full oracle; the only registered query the driver
-    has never hash-verified) lands its first driver row and r16 union
-    r17 = 94/94.  The one r17 registration (substring_dedup_cut, the
-    mark+cut substring-dedup composite) is paid by the R17_FOLDED
-    sft_turn_spans retirement, per the VERDICT r16 rule that nothing
-    may evict sft_pack_spans.
+    queries() in declaration order.  r18 (VERDICT r17 ask #1, executed
+    untouched): the exact TWO-round cycle -- 6 pinned parity + 2 x 44
+    rotating slots -- swings the 44 queries green in r16's own window
+    back in-window with ZERO slack, so r17 union r18 = 94/94.  No r18
+    registration and no fold (VERDICT r17: candidates are spent; do
+    not force one).
 
-    Below the window: exactly the 44 queries green in r16's own window
-    (CORRECTNESS_r16.json minus the 6 pinned) -- r18's rotating
-    slots."""
+    Below the window: exactly the 44 queries green in r17's own window
+    (CORRECTNESS_r17.json minus the 6 pinned: the 42 surviving
+    r15-green rotating slots + sft_pack_spans + substring_dedup_cut)
+    -- r19's rotating slots.  curation_pipeline (updated this round
+    with the mark+cut substring stage, VERDICT r17 ask #4) sits in
+    that half; its driver row for the new frame lands in r19, and the
+    full 94-pair local parity sweep covers it meanwhile."""
     names = list(entrymod.queries())
     window = names[:50]
     assert len(names) == 94, len(names)
@@ -319,19 +319,9 @@ def test_driver_window_covers_r17_rotation():
         "corpus_diff_status", "curriculum_assignment",
         "sft_turn_spans", "embedding_moments", "lm_ppl_buckets",
     }
-    want = (
-        PARITY_PINNED
-        | (r15_green_rotating - R17_FOLDED)
-        | {"sft_pack_spans", "substring_dedup_cut"}
-    )
-    missing = want - set(window)
-    assert not missing, f"evicted from the driver's 50-query window: {missing}"
-    assert len(window) == 50
-    assert set(window) == want
-    assert "sft_pack_spans" in window, "the never-verified query must land"
-    # below the window: exactly the 44 queries green in r16's own
-    # window (the r14-green rotating slots minus R16_FOLDED, plus the
-    # three r16 registrations)
+    # in-window: exactly the 44 queries green in r16's own window (the
+    # r14-green rotating slots minus R16_FOLDED, plus the three r16
+    # registrations)
     r16_green_rotating = {
         "events_json_extract", "cube_order_stats",
         "running_customer_revenue", "set_ops_customers",
@@ -354,8 +344,19 @@ def test_driver_window_covers_r17_rotation():
         "profile_funnel", "unigram_lm_tokens",
         "pack_bins_exact_roundtrip",
     }
+    want = PARITY_PINNED | r16_green_rotating
+    missing = want - set(window)
+    assert not missing, f"evicted from the driver's 50-query window: {missing}"
+    assert len(window) == 50
+    assert set(window) == want
+    # below the window: exactly the 44 queries green in r17's own
+    # window (the r15-green rotating slots minus R17_FOLDED, plus
+    # sft_pack_spans and the r17 registration substring_dedup_cut)
     below = set(names[50:])
-    assert below == r16_green_rotating
+    want_below = (r15_green_rotating - R17_FOLDED) | {
+        "sft_pack_spans", "substring_dedup_cut",
+    }
+    assert below == want_below
     assert len(below) == 44, len(below)
     # every registered query carries a DuckDB oracle (no no_oracle
     # holes since r15)
