@@ -42,12 +42,18 @@ def size_gated_broadcast(
     downstream join share one materialization instead of recomputing
     the frame's lineage twice (ADVICE r16: both ``unigram_lm_encode``
     and ``remove_dup_spans`` were paying a second full upstream pass
-    for the count).  ``gate_df`` substitutes a slimmer same-cardinality
-    proxy to count instead -- use it when ``df``'s own lineage is
-    expensive per row (e.g. a ``mapInPandas`` stage whose input frame
-    is the honest row count); the caller then owns any reuse of
-    ``gate_df``'s materialization, and ``df`` is NOT checkpointed here
-    (its single downstream consumer needs no sharing).
+    for the count).  ``gate_df`` substitutes a slimmer frame whose
+    count the CALLER deems an acceptable gate -- use it when ``df``'s
+    own lineage is expensive per row (e.g. a ``mapInPandas`` stage
+    whose input frame is the honest row count).  ``gate_df`` need NOT
+    be same-cardinality: when ``df`` is a constant-factor expansion of
+    it (e.g. a band table with ``bands`` rows per gated key), the
+    caller must shrink ``max_rows`` by that factor so the budget
+    bounds the rows actually broadcast (ADVICE r17: the decontaminate
+    gate admitted ``bands``x its stated budget).  The caller then owns
+    any reuse of ``gate_df``'s materialization, and ``df`` is NOT
+    checkpointed here (its single downstream consumer needs no
+    sharing).
     """
     if force is None:
         if gate_df is None:

@@ -555,8 +555,8 @@ def leakage_free_split(
     held-out keys (a column-pruned scan -- the shared
     :func:`~.gating.size_gated_broadcast` gate, applied inside
     :func:`~.dedup.cross_corpus_decontaminate` where the band frame
-    lives) and broadcasts only when they
-    fit under ``broadcast_max_rows``; above it the guard's candidate
+    lives) and broadcasts only while the resulting band rows fit under
+    ``broadcast_max_rows``; above it the guard's candidate
     join falls back to a shuffle equi-join on ``band_key``, which is
     cheap because the band rows are slim (key, band_key) projections --
     the corpus text still never moves.  Pass ``True``/``False`` to

@@ -735,7 +735,14 @@ def test_sft_turn_spans_is_zero_exchange_and_udf_free(spark):
     hash-shuffle every turn's content once.  (The registered
     sft_turn_spans query folded into sft_pack_spans in r17 --
     R17_FOLDED -- so this pins the engine functions directly over the
-    same wire-round-tripped shape.)"""
+    same wire-round-tripped shape.)
+
+    ADVICE r17: the frame is PARQUET-BACKED (the sf0.001 documents
+    fixture, the same source the folded sft_pack_spans path reads at
+    scale), not a LocalTableScan -- a tiny local relation is too easy
+    a plan for Catalyst and could hide exchanges a file-sourced scan
+    would introduce.  The only exchange allowed is _docs' deliberate
+    round-robin respread (not a hash or range partitioning)."""
     from pyspark.sql import functions as F
 
     from data_stream_flink_user_address_spark.functions.chat import (
@@ -743,13 +750,23 @@ def test_sft_turn_spans_is_zero_exchange_and_udf_free(spark):
         parse_conversations,
     )
 
-    convs = spark.createDataFrame(
-        [(i, '[{"role": "user", "content": "hi"}, '
-             '{"role": "assistant", "content": "hello there"}]')
-         for i in range(8)],
-        ["conv_id", "conversation"],
-    ).select("conv_id", F.col("conversation"))
+    convs = entrymod._docs(spark, SF).select(
+        F.col("doc_id").alias("conv_id"),
+        F.to_json(
+            F.array(
+                F.struct(
+                    F.lit("user").alias("role"),
+                    F.substring("text", 1, 40).alias("content"),
+                ),
+                F.struct(
+                    F.lit("assistant").alias("role"),
+                    F.coalesce(F.col("text"), F.lit("")).alias("content"),
+                ),
+            )
+        ).alias("conversation"),
+    )
     plan = _explain(conversation_turns(parse_conversations(convs)))
+    assert "Scan parquet" in plan, plan
     assert "hashpartitioning" not in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "Window" not in plan
