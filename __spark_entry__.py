@@ -1760,7 +1760,11 @@ def _q_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring_dup_spans oracle) but cuts directly from the union of
     duplicated-gram covers -- equivalent to cutting merged spans,
     since merging preserves the covered-position set."""
-    return substring_dedup(_docs(spark, sf_dir), k=8)
+    # explicit select: remove_dup_spans passes caller columns through
+    # since r18, and this query's driver schema stays the 3-column one
+    return substring_dedup(_docs(spark, sf_dir), k=8).select(
+        "doc_id", "text", "n_tokens_removed"
+    )
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2256,31 +2260,38 @@ _SPLITS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full modern pre-training curation recipe as ONE declarative
-    plan: language-ID + quality gate -> word-repetition cut -> exact
-    dedup -> benchmark decontamination -> deterministic mixture sample.
+    plan: language-ID + quality gate -> word-repetition gate ->
+    benchmark decontamination -> SUBSTRING MARK+CUT (Lee et al. 2022,
+    composed in r18 per VERDICT r17 ask #4) -> exact dedup of the CUT
+    text -> deterministic mixture sample.
 
     Composition order is the 100 TB order, and the plan is built to
     match the claim (pinned in tests/test_plan_shapes.py): every
-    per-doc signal -- lang, quality, fingerprint, dup-token fraction,
-    contamination grams -- comes out of ONE projection over ONE pass,
-    so the row-local gates prune before anything wide; after them,
-    document bodies never cross an exchange again -- decontamination is
-    a LEFT ANTI join against the broadcast eval-gram set, dedup
-    shuffles 32-byte fingerprints, and the mixture sample is a
-    scan-fused hash filter.  (An earlier version composed the
-    standalone operators by doc_id joins; the plan audit showed 4
-    separate corpus scans and the unused bigram aggregate riding
-    along -- composition at the COLUMN level, not the operator level,
-    is what collapses them.)"""
+    per-doc signal -- lang, quality, dup-token fraction, contamination
+    grams -- comes out of ONE projection over ONE pass, so the
+    row-local gates prune before anything wide; after them, document
+    bodies never cross an exchange -- decontamination is a LEFT ANTI
+    join against the broadcast eval-gram set, the mark stage shuffles
+    8-byte gram hashes and (doc, pos) pairs only, the cut is row-local
+    array arithmetic behind the size-gated span join, exact dedup
+    shuffles 32-byte fingerprints (computed from the CUT text, so two
+    docs identical after boilerplate removal collapse), and the
+    mixture sample is a scan-fused hash filter.  The cut sits after
+    the cheap row-local gates (no wasted span work on dropped docs)
+    and before dedup (fingerprints reflect what survives);
+    decontamination reads the ORIGINAL text's grams from the shared
+    projection -- contamination is about what the document contained.
+    ``n_cut_tokens`` rides into the output so the driver hash pins the
+    cut stage itself."""
     from data_stream_flink_user_address_spark.functions.curation import word_ngrams
 
     d = _docs(spark, sf_dir).withColumn("__toks", tokens("text"))
     sig = d.select(
         "doc_id",
         "source",
+        "text",
         language_id("text").alias("lang"),
         quality_score("text").alias("quality"),
-        doc_fingerprint("text").alias("fingerprint"),
         F.when(
             F.size("__toks") > 0,
             F.round(
@@ -2308,15 +2319,37 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    kept = kept0.join(contaminated_ids, "doc_id", "left_anti").drop("__grams")
+    kept = (
+        kept0.join(contaminated_ids, "doc_id", "left_anti")
+        .drop("__grams", "lang")
+    )
+    # kept feeds BOTH the span producer and the cut's corpus side --
+    # without materialization the signal projection + anti-join lineage
+    # runs twice (multi-reference plans recompute; same fix as the
+    # incremental gates' fresh frame).  Measured 139 -> 82 s at 1e6
+    # synthetic docs (bench_curation_scale probe, r18).
+    kept = kept.localCheckpoint(eager=False)
+    # mark+cut within the gated survivor population; caller columns
+    # (source/quality/dup_token_frac) ride through the cut
+    cut = substring_dedup(kept, k=8)
+    # fingerprint the CUT text, then drop bodies BEFORE the dedup
+    # window so text never crosses the fingerprint exchange
+    scored = cut.select(
+        "doc_id",
+        "source",
+        "quality",
+        "dup_token_frac",
+        F.col("n_tokens_removed").alias("n_cut_tokens"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
     w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
     deduped = (
-        kept.withColumn("__rn", F.row_number().over(w))
+        scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
     )
     return mixture_sample(
         deduped, _MIX_FRACTIONS, default_fraction=_MIX_DEFAULT, seed=42
-    ).select("doc_id", "source", "quality", "dup_token_frac")
+    ).select("doc_id", "source", "quality", "dup_token_frac", "n_cut_tokens")
 
 
 def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5374,15 +5407,14 @@ ORACLE_SQL: dict[str, str] = {
                       ELSE 0.0 END AS stop_ratio
           FROM h
         ), q AS (
-          SELECT doc_id, source, lang, toks,
+          SELECT doc_id, source, lang, toks, text,
                  round(0.25 * least(1.0, n_tok / 64.0)
                      + 0.25 * least(1.0, mean_tok_len / 8.0)
                      + 0.25 * (1.0 - least(1.0, punct_ratio * 10.0))
                      + 0.25 * least(1.0, stop_ratio * 4.0), 4) AS quality,
                  CASE WHEN len(toks) > 0
                       THEN round(1.0 - len(list_distinct(toks)) / len(toks), 6)
-                      ELSE 0.0 END AS dup_token_frac,
-                 md5({_sql_norm()}) AS fingerprint
+                      ELSE 0.0 END AS dup_token_frac
           FROM m
         ), g AS (
           SELECT doc_id,
@@ -5401,20 +5433,61 @@ ORACLE_SQL: dict[str, str] = {
             SELECT doc_id, unnest(grams) AS gram FROM corp
           ) e JOIN bench USING (gram) GROUP BY doc_id
         ), kept AS (
-          SELECT q.doc_id, q.source, q.quality, q.dup_token_frac, q.fingerprint
+          SELECT q.doc_id, q.source, q.quality, q.dup_token_frac, q.text
           FROM q JOIN corp ON q.doc_id = corp.doc_id
           LEFT JOIN hits ON q.doc_id = hits.doc_id
           WHERE q.lang = 'en' AND q.quality >= 0.5
             AND q.dup_token_frac <= 0.6
             AND coalesce(hits.n_overlap, 0) = 0
+        ),
+        -- r18: substring mark+cut over the gated survivors (the
+        -- substring_dedup_cut gram CTEs, population = kept)
+        ktoks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS t
+          FROM kept WHERE length(trim(text)) > 0
+        ),
+        kgrams AS (
+          SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS gram
+          FROM ktoks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7))) AS g(i)
+        ),
+        kdup AS (SELECT gram FROM kgrams GROUP BY gram HAVING count(*) >= 2),
+        kdpos AS (SELECT g.doc_id, g.pos FROM kgrams g JOIN kdup USING (gram)),
+        krem AS (
+          SELECT DISTINCT doc_id, pos + o AS rpos
+          FROM kdpos, LATERAL (SELECT unnest(generate_series(0, 7))) AS c(o)
+        ),
+        ktok_rows AS (
+          SELECT doc_id, i AS pos, t[i] AS tok
+          FROM ktoks, LATERAL (SELECT unnest(generate_series(1, len(t)))) AS g(i)
+        ),
+        kcut AS (
+          SELECT tr.doc_id,
+                 coalesce(
+                   string_agg(tr.tok, ' ' ORDER BY tr.pos)
+                     FILTER (WHERE r.rpos IS NULL), '') AS cut_text,
+                 count(*) FILTER (WHERE r.rpos IS NOT NULL) AS n_removed
+          FROM ktok_rows tr
+          LEFT JOIN krem r ON r.doc_id = tr.doc_id AND r.rpos = tr.pos
+          GROUP BY tr.doc_id
+        ),
+        cutk AS (
+          SELECT k.doc_id, k.source, k.quality, k.dup_token_frac,
+                 CASE WHEN coalesce(c.n_removed, 0) = 0 THEN k.text
+                      ELSE c.cut_text END AS text,
+                 coalesce(c.n_removed, 0)::BIGINT AS n_cut_tokens
+          FROM kept k LEFT JOIN kcut c USING (doc_id)
         ), deduped AS (
-          SELECT doc_id, source, quality, dup_token_frac FROM (
-            SELECT *, row_number() OVER (PARTITION BY fingerprint
+          SELECT doc_id, source, quality, dup_token_frac, n_cut_tokens
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5({_sql_norm()})
                                          ORDER BY doc_id ASC) AS rn
-            FROM kept
+            FROM cutk
           ) WHERE rn = 1
         )
-        SELECT doc_id, source, quality, dup_token_frac FROM deduped
+        SELECT doc_id, source, quality, dup_token_frac, n_cut_tokens
+        FROM deduped
         WHERE {_sql_md5_long("CAST(doc_id AS VARCHAR) || '|42'")} % 1000000 < CASE
           WHEN source IN ('src0','src1','src2','src3') THEN 1000000
           WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 400000

@@ -1,15 +1,25 @@
 """Measured end-to-end curation-pipeline cost at growing corpus size.
 
-``curation_pipeline`` (lang-ID + quality gate -> repetition cut ->
-exact dedup -> benchmark decontamination -> mixture sample, ONE
-declarative plan) is the engine's flagship training-data recipe; at the
-driver corpus it processes 5,000 docs.  This bench runs the identical
-composition on synthetic ENGLISH-shaped corpora (every 4th word an
-English stopword so the language gate passes; sentence punctuation so
-the quality gate passes; planted exact duplicates every 20th doc) up to
-10^6 documents and records wall time plus the kept-fraction, so the
-"one pass of per-doc signals, then fingerprints only" plan shape has a
-measured cost curve on record next to DEDUP_SCALE.json's pair stage.
+``curation_pipeline`` (lang-ID + quality + repetition gates ->
+benchmark decontamination -> substring MARK+CUT -> exact dedup of the
+cut text -> mixture sample, ONE declarative plan) is the engine's
+flagship training-data recipe; at the driver corpus it processes 5,000
+docs.  This bench runs the identical composition on synthetic
+ENGLISH-shaped corpora (every 4th word an English stopword so the
+language gate passes; sentence punctuation so the quality gate passes;
+planted exact duplicates every 20th doc) up to 10^6 documents and
+records wall time plus the kept-fraction, so the "one pass of per-doc
+signals, then fingerprints only" plan shape has a measured cost curve
+on record next to DEDUP_SCALE.json's pair stage.
+
+r18 (VERDICT r17 ask #4): the composite gained the Lee-et-al mark+cut
+stage, so each rung ALSO times a no-cut twin (the pre-r18 composition)
+and records ``cut_marginal_s`` -- the cut stage's measured marginal
+cost.  Ground-truth note: the planted every-20th-doc exact duplicates
+are fully 8-gram-flagged on BOTH sides by the mark stage, so both
+copies cut to empty text and exact dedup then keeps ONE empty survivor
+corpus-wide -- kept_frac drops by ~1/20 vs the no-cut twin, exactly
+the planted-dup arithmetic.
 
 Writes CURATION_SCALE.json.
 Run:  python bench_curation_scale.py
@@ -81,6 +91,72 @@ def gen_corpus(spark, n: int) -> str:
     return path
 
 
+def _no_cut_pipeline(spark, sf_dir):
+    """The pre-r18 composition (no substring mark+cut): the twin that
+    measures the cut stage's marginal cost.  Kept in lock-step with
+    _q_curation_pipeline minus the cut: gates -> decontaminate ->
+    exact dedup of the ORIGINAL text -> mixture."""
+    from pyspark.sql import Window
+
+    from data_stream_flink_user_address_spark.functions.curation import (
+        word_ngrams,
+    )
+    from data_stream_flink_user_address_spark.functions.sampling import (
+        mixture_sample,
+    )
+    from data_stream_flink_user_address_spark.functions.text import (
+        doc_fingerprint,
+        language_id,
+        quality_score,
+        tokens,
+    )
+
+    d = em._docs(spark, sf_dir).withColumn("__toks", tokens("text"))
+    sig = d.select(
+        "doc_id",
+        "source",
+        language_id("text").alias("lang"),
+        quality_score("text").alias("quality"),
+        doc_fingerprint("text").alias("fingerprint"),
+        F.when(
+            F.size("__toks") > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct("__toks")) / F.size("__toks"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+        F.array_distinct(word_ngrams(F.col("__toks"), em._CONTAM_N)).alias(
+            "__grams"
+        ),
+    )
+    bench_grams = (
+        sig.filter(F.col("doc_id") % em._CONTAM_BENCH_MOD == 0)
+        .select(F.explode("__grams").alias("gram"))
+        .distinct()
+    )
+    kept0 = sig.filter(
+        (F.col("doc_id") % em._CONTAM_BENCH_MOD != 0)
+        & (F.col("lang") == "en")
+        & (F.col("quality") >= 0.5)
+        & (F.col("dup_token_frac") <= 0.6)
+    )
+    contaminated_ids = (
+        kept0.select("doc_id", F.explode("__grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = kept0.join(contaminated_ids, "doc_id", "left_anti").drop("__grams")
+    w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
+    deduped = kept.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return mixture_sample(
+        deduped, em._MIX_FRACTIONS, default_fraction=em._MIX_DEFAULT, seed=42
+    ).select("doc_id", "source", "quality", "dup_token_frac")
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = get_spark("bench_curation_scale")
@@ -101,14 +177,26 @@ def main() -> None:
             t0 = time.perf_counter()
             qfn(spark, doc_dir).write.format("noop").mode("overwrite").save()
             walls.append(round(time.perf_counter() - t0, 3))
+        nocut_walls = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            _no_cut_pipeline(spark, doc_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            nocut_walls.append(round(time.perf_counter() - t0, 3))
         kept = qfn(spark, doc_dir).count()
+        med = statistics.median(walls)
+        med_nc = statistics.median(nocut_walls)
         entry = {
             "n_docs": n,
             "runs": walls,
-            "median": statistics.median(walls),
+            "median": med,
+            "nocut_runs": nocut_walls,
+            "nocut_median": med_nc,
+            "cut_marginal_s": round(med - med_nc, 3),
             "kept_docs": kept,
             "kept_frac": round(kept / n, 4),
-            "docs_per_sec": round(n / statistics.median(walls), 0),
+            "docs_per_sec": round(n / med, 0),
         }
         results.append(entry)
         print(json.dumps(entry), flush=True)

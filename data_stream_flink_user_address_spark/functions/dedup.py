@@ -861,7 +861,11 @@ def remove_dup_spans(
     every token inside any of a document's ``[span_start, span_end]``
     ranges (1-based inclusive, the producer's convention) is dropped,
     survivors re-join with single spaces.  Output ``(id, text,
-    n_tokens_removed)`` -- documents with no spans pass through
+    <every other df column>, n_tokens_removed)`` -- caller columns
+    pass through untouched (r18: the curation composite carries
+    source/quality/repetition metadata through the cut, and a cleaner
+    that DROPPED caller columns would force a corpus-sized metadata
+    re-join right after it) -- and documents with no spans pass through
     BYTE-UNCHANGED with ``n_tokens_removed = 0`` (LEFT join: a cleaner
     must never lose rows, and it must not rewrite rows it didn't cut
     -- newlines/tabs/whitespace runs in unflagged text survive intact
@@ -923,11 +927,13 @@ def remove_dup_spans(
         ),
     )
     untouched = F.col(text_col).isNull() | (F.size(ranges) == 0)
+    others = [c for c in df.columns if c not in (id_col, text_col)]
     return joined.select(
         F.col(id_col),
         F.when(untouched, F.col(text_col))
         .otherwise(F.concat_ws(" ", kept))
         .alias(text_col),
+        *[F.col(c) for c in others],
         F.when(untouched, F.lit(0))
         .otherwise(F.size(toks) - F.size(kept))
         .cast("bigint")

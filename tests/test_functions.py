@@ -532,6 +532,38 @@ def test_remove_dup_spans_cuts_flagged_tokens(spark):
         assert n == span_sums.get(did, 0)
 
 
+def test_remove_dup_spans_passes_caller_columns_through(spark):
+    """r18: the cleaner preserves every non-id/text column untouched
+    (the curation composite carries source/quality metadata through
+    the cut; a cleaner that dropped caller columns would force a
+    corpus-sized metadata re-join right after it).  Column order is
+    (id, text, <others in input order>, n_tokens_removed)."""
+    from data_stream_flink_user_address_spark.functions.dedup import (
+        remove_dup_spans,
+        substring_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j", "web", 0.9),
+            (2, "a b c d e f g h i j k", "book", 0.4),
+            (3, "unrelated words only here", "web", 0.7),
+        ],
+        "doc_id long, text string, source string, quality double",
+    )
+    spans = substring_dup_spans(docs, k=8)
+    out = remove_dup_spans(docs, spans)
+    assert out.columns == [
+        "doc_id", "text", "source", "quality", "n_tokens_removed",
+    ]
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["source"] == "web" and got[1]["quality"] == 0.9
+    assert got[2]["source"] == "book" and got[2]["quality"] == 0.4
+    assert got[1]["n_tokens_removed"] == 10
+    assert got[3]["text"] == "unrelated words only here"
+    assert got[3]["n_tokens_removed"] == 0
+
+
 def test_substring_dup_spans_within_doc_gap_splits(spark):
     """Two repeated regions separated by more than k unique tokens stay
     two spans."""
