@@ -200,13 +200,23 @@ def main() -> None:
         }
         results.append(entry)
         print(json.dumps(entry), flush=True)
-    out = {"words_per_doc": WORDS_PER_DOC, "dup_every": DUP_EVERY, "sizes": results}
-    with open(
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "CURATION_SCALE.json"
-        ),
-        "w",
-    ) as f:
+    # merge by n_docs so a partial run (e.g. a single added 1e7 rung via
+    # SPARK_GRAFT_CURATION_SIZES) extends the committed ladder instead
+    # of truncating it
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "CURATION_SCALE.json"
+    )
+    merged = {s["n_docs"]: s for s in results}
+    if os.path.exists(path):
+        with open(path) as f:
+            for s in json.load(f).get("sizes", []):
+                merged.setdefault(s["n_docs"], s)
+    out = {
+        "words_per_doc": WORDS_PER_DOC,
+        "dup_every": DUP_EVERY,
+        "sizes": [merged[n] for n in sorted(merged)],
+    }
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote CURATION_SCALE.json")
 
