@@ -170,6 +170,7 @@ from data_stream_flink_user_address_spark.functions.text import (
     language_id,
     lower_ascii,
     quality_score,
+    round_parity,
     stupid_backoff_scores,
     token_count,
     tokens,
@@ -2294,7 +2295,7 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("text").alias("quality"),
         F.when(
             F.size("__toks") > 0,
-            F.round(
+            round_parity(
                 1.0 - F.size(F.array_distinct("__toks")) / F.size("__toks"), 6
             ),
         )

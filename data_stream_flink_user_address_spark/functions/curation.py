@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .rounding import round_parity
+
 from .text import tokens
 
 # PII patterns, applied in dict order.  Deliberately conservative shapes
@@ -146,7 +148,7 @@ def repetition_stats(
     )
     dup_frac = F.when(
         F.col("n_tokens") > 0,
-        F.round(1.0 - F.col("n_unique_tokens") / F.col("n_tokens"), 6),
+        round_parity(1.0 - F.col("n_unique_tokens") / F.col("n_tokens"), 6),
     ).otherwise(F.lit(0.0))
     # bigrams built straight off the tokenized frame (NOT carried through
     # per_row: per_row feeds the final join too, and a shared child would
@@ -183,7 +185,7 @@ def repetition_stats(
             ),
             F.when(
                 F.col("__n_bigrams") > 0,
-                F.round(F.col("__top.cnt") / F.col("__n_bigrams"), 6),
+                round_parity(F.col("__top.cnt") / F.col("__n_bigrams"), 6),
             )
             .otherwise(F.lit(0.0))
             .alias("top_bigram_frac"),
@@ -242,7 +244,7 @@ def ngram_contamination(
             F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
             F.when(
                 F.col("n_ngrams") > 0,
-                F.round(
+                round_parity(
                     F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_ngrams"), 6
                 ),
             )
@@ -317,9 +319,9 @@ def gopher_quality_flags(
     return d.select(
         id_col,
         n.cast("bigint").alias("n_tokens"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(alpha_frac, 4).alias("alpha_frac"),
-        F.round(top_frac, 4).alias("top_token_frac"),
+        round_parity(mean_wl, 4).alias("mean_word_len"),
+        round_parity(alpha_frac, 4).alias("alpha_frac"),
+        round_parity(top_frac, 4).alias("top_token_frac"),
         ok_len.alias("ok_token_count"),
         ok_wl.alias("ok_word_len"),
         ok_alpha.alias("ok_alpha"),

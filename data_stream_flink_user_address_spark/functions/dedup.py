@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .rounding import round_parity
+
 from .text import norm_ws
 
 
@@ -701,7 +703,7 @@ def ngram_jaccard_pairs(
     return (
         inter.withColumn(
             "jaccard",
-            F.round(
+            round_parity(
                 F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
                 6,
             ),

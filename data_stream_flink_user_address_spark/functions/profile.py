@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .rounding import round_parity
+
 from .text import norm_ws, token_count
 
 
@@ -52,7 +54,7 @@ def _agg_exprs(exact_distinct: bool = False) -> list:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__toks").alias("total_tokens"),
         F.sum("__chars").alias("total_chars"),
-        F.round(F.avg("__toks"), 2).alias("avg_tokens"),
+        round_parity(F.avg("__toks"), 2).alias("avg_tokens"),
         F.min("__toks").alias("min_tokens"),
         F.max("__toks").alias("max_tokens"),
         F.expr(f"percentile_approx(__toks, array({', '.join(map(str, _PCTS))}))").alias(
@@ -63,7 +65,7 @@ def _agg_exprs(exact_distinct: bool = False) -> list:
         # clamp so the reported rate never goes (confusingly) negative
         F.greatest(
             F.lit(0.0),
-            F.round(1.0 - nd / F.count(F.lit(1)), 4),
+            round_parity(1.0 - nd / F.count(F.lit(1)), 4),
         ).alias("approx_dup_rate"),
         F.count(F.when(F.col("__toks") == 0, 1)).alias("n_empty_docs"),
     ]

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .rounding import round_parity
+
 from .text import _ASCII_LOWER, _ASCII_UPPER, lower_ascii, tokens
 
 _FP = 1_000_000_000  # fixed-point scale for per-term contributions
@@ -95,7 +97,7 @@ def bm25_topk(
         .agg(F.sum("__c").alias("__score_fp"))
         .select(
             "doc_id",
-            F.round(F.col("__score_fp") / _FP, round_digits).alias("score"),
+            round_parity(F.col("__score_fp") / _FP, round_digits).alias("score"),
         )
     )
     # TakeOrderedAndProject (per-partition partial top-k, merged on the
@@ -144,7 +146,7 @@ def rrf_fuse(
         u = u.unionByName(p)
     fused = (
         u.groupBy(id_col)
-        .agg(F.round(F.sum("__c"), 9).alias("rrf_score"))
+        .agg(round_parity(F.sum("__c"), 9).alias("rrf_score"))
     )
     w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
     out = fused.select(

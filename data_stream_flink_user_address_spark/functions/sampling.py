@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .rounding import round_parity
+
 from .dedup import _md5_long
 from .text import tokens
 
@@ -157,7 +159,7 @@ def cluster_stratified_sample(
         )
     thr = sizes.select(
         cluster_col,
-        F.round(
+        round_parity(
             F.least(F.lit(1.0), F.col("__target") / F.col("__csize"))
             * _RESOLUTION,
             0,
@@ -272,7 +274,7 @@ def dsir_importance(
         .join(weights, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
-            F.round(
+            round_parity(
                 F.coalesce(F.col("__w_fp"), F.lit(0)) / _DSIR_FP, round_digits
             ).alias("log_weight"),
         )
@@ -318,7 +320,7 @@ def token_budget_mixture(
         )
     thr = totals.select(
         source_col,
-        F.round(
+        round_parity(
             F.least(
                 F.lit(1.0),
                 share_expr * F.lit(float(budget_tokens)) / F.col("__tot"),

@@ -55,25 +55,11 @@ def lower_ascii(col: Column | str) -> Column:
     return F.translate(c, _ASCII_UPPER, _ASCII_LOWER)
 
 
-def round_parity(col: Column | str, scale: int) -> Column:
-    """Round half away from zero on the BINARY double value --
-    bit-compatible with DuckDB's ``round(x, d)`` for doubles
-    (``floor(|x| * 10^d + 0.5)`` on the magnitude).
-
-    Spark's ``F.round`` rounds the SHORTEST DECIMAL REPR of the double
-    instead (``BigDecimal.valueOf`` goes through ``Double.toString``):
-    for a score double of 0.72124999...947 (shortest repr '0.72125'),
-    Spark says 0.7213 while every binary-value rounder says 0.7212.
-    The two agree except within ~1 ulp of a decimal half boundary --
-    found by the r18 unicode parity sweep when a CJK mutation landed
-    doc 410's quality score exactly there.  Use this for any rounded
-    per-row double an oracle replays; keep plain ``F.round`` only
-    where the input is already a clean fixed-point value.
-    """
-    c = F.col(col) if isinstance(col, str) else col
-    p = F.lit(float(10**scale))
-    mag = F.floor(F.abs(c) * p + F.lit(0.5)) / p
-    return F.when(c < 0, -mag).otherwise(mag)
+# DuckDB-compatible per-row double rounding (binary value, not
+# shortest-decimal-repr) -- see functions/rounding.py for the full
+# divergence-class writeup; re-exported here because the r18 fix
+# landed on quality_score first and callers import it from text
+from .rounding import round_parity  # noqa: F401,E402
 
 
 def tokens(text: Column | str) -> Column:
