@@ -2400,7 +2400,8 @@ def _q_web_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the URL algebra in string SQL and pins NFKC by the planted
     char's known canonical form -- the corpus text is pure ASCII
     (verified), so the normalized text is exactly text || 'A' with
-    n_changed = 1 everywhere."""
+    n_changed = 1 everywhere (0 for NULL text, where concat propagates
+    the NULL and nothing is appended)."""
     d = _docs(spark, sf_dir)
     host = F.element_at(
         F.array(*[F.lit(h) for h in _WEB_HOSTS]),
@@ -2637,8 +2638,23 @@ def _q_pack_bins_exact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the exploded (id, char_base) pairs back to the slim
     (id, text) projection and aggregates per bin."""
     d = _docs(spark, sf_dir)
+    # the packable subset: byte-exact packing REFUSES to clip, so the
+    # registered query packs only docs that fit (the packer docstring's
+    # "pre-filter upstream" duty, in lock-step with the oracle's
+    # packable CTE).  On the committed corpus this drops nothing; on a
+    # degenerate corpus it keeps the query total instead of raising.
+    # NULL text drops too (NULL-propagating comparison in both engines).
+    # The count is computed ONCE on a slim (id, count) frame and handed
+    # to histogram_pack via n_tokens_col; only THAT frame is filtered --
+    # pack_bins_exact's id-join against the assignment drops unpackable
+    # docs for free, so the text-join path never tokenizes and the
+    # filter buys no second pass (isolated probe: a naive re-tokenizing
+    # filter on d cost 5.9 s vs the 3.3-4.7 s band).
+    nt = d.select("doc_id", F.size(tokens("text")).alias("__nt")).filter(
+        F.col("__nt") <= 128
+    )
     assigned, _stats = histogram_pack(
-        d, seq_len=128, bucket_size=1_000_000_000
+        nt, seq_len=128, bucket_size=1_000_000_000, n_tokens_col="__nt"
     )
     # lazy checkpoint: the header columns and the exploded char_bases
     # both read the bin-assembly aggregate -- materialize it once
@@ -2951,6 +2967,19 @@ def _q_sft_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly and never re-joins content)."""
     d = _docs(spark, sf_dir)
     toks = tokens("text")
+    # packable subset, same duty as pack_bins_exact_roundtrip: the
+    # byte-exact packer refuses to clip, so only conversations that fit
+    # seq_len=192 are built.  Filtering at the SOURCE on the doc token
+    # count is exact for THIS construction -- the render emits at most
+    # n + 8 whitespace tokens (base turns glue role headers onto the
+    # first content token: n + 2; the every-3rd-doc extra turns add 6)
+    # -- so n <= 150 guarantees rendered <= 158 < 192.  A rendered-
+    # length filter would re-render every conversation (isolated probe:
+    # 11.0 s vs the 3.5-4.5 s band); this one rides the tokens() the
+    # construction already computes.  NULL text drops (NULL size).
+    # Drops nothing on the committed corpus; the oracle applies the
+    # identical bound on its cbase CTE.
+    d = d.filter(F.size(toks) <= 150)
     u1 = F.concat_ws(" ", F.slice(toks, F.lit(1), F.lit(8)))
     a1 = F.concat_ws(
         " ",
@@ -3260,7 +3289,13 @@ def _sql_sqnorm(a: str) -> str:
 
 
 def _sql_cosine(a: str, b: str) -> str:
-    return f"({_sql_dot(a, b)} / (sqrt({_sql_sqnorm(a)}) * sqrt({_sql_sqnorm(b)})))"
+    # Zero-norm convention: cosine is 0.0, matching the engine's
+    # NORM_FLOOR guard (similarity.py) -- a bare division would return
+    # NULL in DuckDB (silent) and raise DIVIDE_BY_ZERO in Spark ANSI.
+    return (
+        f"(CASE WHEN {_sql_sqnorm(a)} = 0 OR {_sql_sqnorm(b)} = 0 THEN 0.0 "
+        f"ELSE {_sql_dot(a, b)} / (sqrt({_sql_sqnorm(a)}) * sqrt({_sql_sqnorm(b)})) END)"
+    )
 
 
 def _sql_plane_bucket(vec: str, planes: list[list[float]]) -> str:
@@ -3666,8 +3701,18 @@ FROM assigned GROUP BY bin_id
 
 # byte-exact materializer roundtrip over the same assignment: bins via
 # id-ordered no-separator string_agg, char bases via a running-sum
-# window, contract check via bool_and(substr == member)
-_SQL_PACK_EXACT = _SQL_SPFHP_CTES + r"""
+# window, contract check via bool_and(substr == member).  The packable
+# CTE mirrors the engine query's pre-filter (byte-exact packing refuses
+# to clip, so only docs that fit are packed; NULL text drops via the
+# NULL-propagating comparison) -- a no-op on the committed corpus.
+_SQL_PACK_EXACT = (
+    "\nWITH RECURSIVE packable AS (\n"
+    "  SELECT doc_id, text FROM documents\n"
+    r"  WHERE len(list_filter(regexp_split_to_array(text, '\s+'),"
+    " x -> x <> '')) <= 128\n"
+    "),"
+    + _sql_spfhp_ctes(src="packable", header=False)
+) + r"""
 , dj AS (
   SELECT a.bin_id, a.doc_id, d.text, a.n AS n_tokens
   FROM assigned a JOIN documents d USING (doc_id)
@@ -3911,13 +3956,24 @@ def _sql_sft_pack_spans() -> str:
     return f"""
 WITH RECURSIVE
 cbase AS (
+  -- the engine query's packable-subset bound, replayed at the source:
+  -- docs over 150 tokens cannot render within seq_len=192 and the
+  -- byte-exact packer refuses to clip (NULL text drops via the
+  -- NULL-propagating comparison, same as the engine's filter)
   SELECT doc_id, {_sql_tokens()} AS toks FROM documents
+  WHERE len({_sql_tokens()}) <= 150
 ),
 parts AS (
+  -- coalesce: DuckDB's array_to_string on an EMPTY list returns NULL
+  -- (probe-verified), where the engine's concat_ws renders '' -- a doc
+  -- with < 9 tokens would otherwise lose its whole assistant turn from
+  -- the oracle render (string_agg skips the NULL-content concat);
+  -- latent on the committed corpus (every doc has > 8 tokens), caught
+  -- by the degenerate-corpus sweep's blank/single-token classes
   SELECT doc_id,
-         array_to_string(toks[1:8], ' ') AS u1,
-         array_to_string(toks[9:], ' ') AS a1,
-         array_to_string(toks[1:4], ' ') AS a2
+         coalesce(array_to_string(toks[1:8], ' '), '') AS u1,
+         coalesce(array_to_string(toks[9:], ' '), '') AS a1,
+         coalesce(array_to_string(toks[1:4], ' '), '') AS a2
   FROM cbase
 ),
 turns AS (
@@ -5712,9 +5768,15 @@ ORACLE_SQL: dict[str, str] = {
           SELECT fingerprint, min(doc_id) AS doc_id FROM f
           WHERE doc_id % 2 = 1 GROUP BY fingerprint
         )
+        -- anti-join semantics, not NOT IN: one NULL fingerprint (NULL
+        -- text) in the store would NULL-poison NOT IN and reject every
+        -- batch row, where the engine's left_anti join never matches a
+        -- NULL key (degenerate-corpus sweep); NULL-fingerprint batch
+        -- docs likewise always admit
         SELECT doc_id, fingerprint FROM batch
-        WHERE fingerprint NOT IN (
-          SELECT fingerprint FROM f WHERE doc_id % 2 = 0
+        WHERE fingerprint IS NULL OR fingerprint NOT IN (
+          SELECT fingerprint FROM f
+          WHERE doc_id % 2 = 0 AND fingerprint IS NOT NULL
         )
     """,
     # ---------------- r14: the r13b operator family ----------------
@@ -5739,7 +5801,9 @@ ORACLE_SQL: dict[str, str] = {
                    chr(120107), 'n'),
                    chr(120102), 'i'),
                    'e' || chr(769), chr(233)) AS text_norm,
-               1::INT AS n_changed
+               -- NULL text: concat propagates NULL in both engines, so
+               -- the planted char never lands and nothing changed
+               (CASE WHEN text IS NULL THEN 0 ELSE 1 END)::INT AS n_changed
         FROM (
           SELECT doc_id, text,
                  CASE (doc_id % 4) WHEN 2 THEN 'good.org'

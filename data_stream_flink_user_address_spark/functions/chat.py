@@ -133,6 +133,23 @@ def conversation_turns(
     ).select(id_col, "__t.*")
 
 
+def rendered_expr(turns_col: str = "turns") -> Column:
+    """The module's render convention as a bare row-local Column --
+    exactly what :func:`render_conversation` emits.  Exposed so callers
+    can PRE-FILTER oversized conversations before
+    :func:`pack_conversations_with_spans` (whose byte-exact packer
+    refuses to clip) without a second render pass or a join: e.g.
+    ``parsed.filter(F.size(tokens(rendered_expr())) <= seq_len)``.
+    """
+    return F.aggregate(
+        F.col(turns_col),
+        F.lit(""),
+        lambda acc, t: F.concat(
+            acc, F.lit("<|"), t["role"], F.lit("|>"), t["content"], F.lit(SEP)
+        ),
+    )
+
+
 def render_conversation(
     df: DataFrame,
     turns_col: str = "turns",
@@ -144,13 +161,7 @@ def render_conversation(
     Row-local ``aggregate`` concat -- zero shuffles.  Output
     ``(conv_id, text, n_chars)``; NULL turn arrays render NULL.
     """
-    rendered = F.aggregate(
-        F.col(turns_col),
-        F.lit(""),
-        lambda acc, t: F.concat(
-            acc, F.lit("<|"), t["role"], F.lit("|>"), t["content"], F.lit(SEP)
-        ),
-    )
+    rendered = rendered_expr(turns_col)
     return df.select(
         F.col(id_col),
         rendered.alias(out_col),

@@ -290,11 +290,16 @@ def gopher_quality_flags(
     toks = _toks(text_col)
     d = df.select(F.col(id_col), toks.alias("__toks"))
     n = F.size("__toks")
+    # NULL-when-zero denominator: a zero-token doc's ratios are NULL in
+    # DuckDB (x/0 -> NULL) but a job-killing DIVIDE_BY_ZERO under Spark
+    # ANSI; dividing by NULL instead yields NULL in both engines while
+    # keeping the n > 0 arithmetic bit-identical (degenerate-corpus sweep)
+    nz = F.when(n != 0, n)
     mean_wl = F.aggregate(
         F.col("__toks"), F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
-    ) / n
+    ) / nz
     alpha_frac = (
-        F.size(F.filter(F.col("__toks"), lambda w: w.rlike(r"^[A-Za-z]+$"))) / n
+        F.size(F.filter(F.col("__toks"), lambda w: w.rlike(r"^[A-Za-z]+$"))) / nz
     )
     guard = 4 * max_tokens
     top_cnt = F.array_max(
@@ -303,7 +308,7 @@ def gopher_quality_flags(
             lambda t: F.size(F.filter(F.col("__toks"), lambda w: w == t)),
         )
     )
-    top_frac = F.when(n <= guard, top_cnt / n).otherwise(F.lit(None))
+    top_frac = F.when(n <= guard, top_cnt / nz).otherwise(F.lit(None))
     req = [F.lit(w) for w in required_words]
     has_required = F.size(
         F.filter(F.array(*req), lambda w: F.array_contains(F.col("__toks"), w))

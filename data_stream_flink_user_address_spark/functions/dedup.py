@@ -1102,7 +1102,7 @@ def embedding_near_dup_pairs(
     from ..shipping import ensure_package_on_workers
 
     ensure_package_on_workers(emb.sparkSession)
-    from .similarity import round_half_away
+    from .similarity import NORM_FLOOR, round_half_away
 
     if lsh_planes is not None:
         if dim is None:
@@ -1127,7 +1127,7 @@ def embedding_near_dup_pairs(
             m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             # zero-norm guard: a zero vector has cosine 0 to everything
             # (filtered by any positive threshold) instead of NaN
-            norms = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
+            norms = np.maximum(np.linalg.norm(m, axis=1), NORM_FLOOR)
             # in-place: peak memory is 2 b x b matrices (product + the
             # norm outer), not 4 -- matters when 32 workers each hold a
             # hot bucket's matrix at once.  Rounding is half-away-from-
@@ -1178,8 +1178,8 @@ def embedding_near_dup_pairs(
         lm = np.stack(l["v"].to_numpy()).astype(np.float64)
         rm = np.stack(r["v"].to_numpy()).astype(np.float64)
         # zero-norm guard (see per_bucket): cosine 0, not NaN
-        ln = np.maximum(np.linalg.norm(lm, axis=1), 1e-300)
-        rn = np.maximum(np.linalg.norm(rm, axis=1), 1e-300)
+        ln = np.maximum(np.linalg.norm(lm, axis=1), NORM_FLOOR)
+        rn = np.maximum(np.linalg.norm(rm, axis=1), NORM_FLOOR)
         # in-place (see per_bucket): 2 matrices peak instead of 4,
         # half-away-from-zero rounding shared with F.round / the oracle
         cos = lm @ rm.T

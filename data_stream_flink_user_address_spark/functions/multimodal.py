@@ -1580,16 +1580,28 @@ def extract_media_meta(media: DataFrame, use_real_decode: bool = False) -> DataF
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            # NULL payload -> NULL metadata row: an absent payload has
+            # no bytes to hash or decode, and `p or b""` would fabricate
+            # the empty-bytes sha/meta for it (an empty-but-present
+            # payload b"" still gets real empty-bytes metadata)
+            metas = [
+                None if p is None else decode(p, k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
-                    "sha256": [hashlib.sha256(p or b"").hexdigest() for p in pdf["payload"]],
-                    "width": [m["width"] for m in metas],
-                    "height": [m["height"] for m in metas],
-                    "duration_ms": [m["duration_ms"] for m in metas],
+                    "n_bytes": [
+                        None if p is None else len(p) for p in pdf["payload"]
+                    ],
+                    "sha256": [
+                        None if p is None else hashlib.sha256(p).hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                    "width": [m and m["width"] for m in metas],
+                    "height": [m and m["height"] for m in metas],
+                    "duration_ms": [m and m["duration_ms"] for m in metas],
                 }
             )
 

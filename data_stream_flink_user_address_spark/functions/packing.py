@@ -423,6 +423,7 @@ def histogram_pack(
     id_col: str = "doc_id",
     seq_len: int = 2048,
     bucket_size: int = 100_000,
+    n_tokens_col: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Whole-document bin packing: every doc lands in exactly one
     ``seq_len``-capacity bin, bins never split a document -- the
@@ -459,11 +460,25 @@ def histogram_pack(
     than leaving the 1e5 default; the window partitions grow to
     ``bucket_size / seq_len`` rows per (length, bucket) on average,
     which a task absorbs easily at any sane setting.
+
+    ``n_tokens_col``: name of a PRECOMPUTED whitespace-token-count
+    column to use instead of re-tokenizing ``text_col`` -- callers that
+    already tokenized (e.g. to pre-filter oversized docs for the
+    byte-exact materializer) pass it so the corpus is tokenized once,
+    not twice.  The caller owns the equivalence to
+    ``token_count(text_col)``.
     """
+    # cast to int: token_count is F.size (int), and the assignment
+    # frame's n_tokens dtype must not depend on which path produced it
+    raw = (
+        F.col(n_tokens_col).cast("int")
+        if n_tokens_col is not None
+        else token_count(text_col)
+    )
     d = (
         df.select(
             F.col(id_col),
-            token_count(text_col).alias("__raw_tokens"),
+            raw.alias("__raw_tokens"),
         )
         .filter(F.col("__raw_tokens") > 0)
         .select(

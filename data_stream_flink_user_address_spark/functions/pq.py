@@ -60,7 +60,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import _dot_unrolled, _norm
+from .similarity import NORM_FLOOR, _dot_unrolled, _norm
 
 _FP = 1_000_000  # fixed-point scale for distances / LUT partials
 
@@ -363,8 +363,8 @@ def pq_topk(
     paired = floats.join(F.broadcast(cand), "vec_id").join(
         F.broadcast(qf), "query_id"
     )
-    cn = F.greatest(_norm(F.col("vec")), F.lit(1e-300))
-    qn = F.greatest(_norm(F.col("q_vec")), F.lit(1e-300))
+    cn = F.greatest(_norm(F.col("vec")), F.lit(NORM_FLOOR))
+    qn = F.greatest(_norm(F.col("q_vec")), F.lit(NORM_FLOOR))
     exact = paired.withColumn(
         "cosine",
         F.round(
@@ -484,12 +484,12 @@ def ivfpq_topk(
     if centroids is not None:
         cent = centroids.select(
             "cid", F.col("centroid").alias("__kv")
-        ).withColumn("__kn", F.greatest(_norm(F.col("__kv")), F.lit(1e-300)))
+        ).withColumn("__kn", F.greatest(_norm(F.col("__kv")), F.lit(NORM_FLOOR)))
     else:
         cent = (
             c.filter(F.pmod(F.col("vec_id"), F.lit(centroid_stride)) == 0)
             .select(F.col("vec_id").alias("cid"), F.col("__cv").alias("__kv"))
-            .withColumn("__kn", F.greatest(_norm(F.col("__kv")), F.lit(1e-300)))
+            .withColumn("__kn", F.greatest(_norm(F.col("__kv")), F.lit(NORM_FLOOR)))
         )
     if corpus_index is None:
         assigned = assign_to_centroids(
@@ -506,7 +506,7 @@ def ivfpq_topk(
 
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
-    ).withColumn("__qn", F.greatest(_norm(F.col("__qv")), F.lit(1e-300)))
+    ).withColumn("__qn", F.greatest(_norm(F.col("__qv")), F.lit(NORM_FLOOR)))
     q_cos = F.round(
         _dot_unrolled(F.col("__qv"), F.col("__kv"), dim)
         / (F.col("__qn") * F.col("__kn")),
@@ -570,8 +570,8 @@ def ivfpq_topk(
     paired = floats.join(F.broadcast(cand), "vec_id").join(
         F.broadcast(q.select("query_id", F.col("__qv").alias("q_vec"))), "query_id"
     )
-    cn = F.greatest(_norm(F.col("vec")), F.lit(1e-300))
-    qn = F.greatest(_norm(F.col("q_vec")), F.lit(1e-300))
+    cn = F.greatest(_norm(F.col("vec")), F.lit(NORM_FLOOR))
+    qn = F.greatest(_norm(F.col("q_vec")), F.lit(NORM_FLOOR))
     exact = paired.withColumn(
         "cosine",
         F.round(

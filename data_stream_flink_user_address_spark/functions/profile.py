@@ -50,11 +50,19 @@ def _agg_exprs(exact_distinct: bool = False) -> list:
         if exact_distinct
         else F.approx_count_distinct("__fp")
     )
+    # count(*) with a NULL-when-zero guard: avg_tokens is defined as
+    # total_tokens / n_docs (so the published triple is internally
+    # consistent -- F.avg would skip NULL-token docs and report a mean
+    # over a DIFFERENT denominator than the n_docs beside it), and an
+    # empty stage must profile as NULL, not DIVIDE_BY_ZERO under ANSI
+    # (degenerate-corpus sweep)
+    cnt = F.count(F.lit(1))
+    cnt_nz = F.when(cnt != 0, cnt)
     return [
-        F.count(F.lit(1)).alias("n_docs"),
+        cnt.alias("n_docs"),
         F.sum("__toks").alias("total_tokens"),
         F.sum("__chars").alias("total_chars"),
-        round_parity(F.avg("__toks"), 2).alias("avg_tokens"),
+        round_parity(F.sum("__toks").cast("double") / cnt_nz, 2).alias("avg_tokens"),
         F.min("__toks").alias("min_tokens"),
         F.max("__toks").alias("max_tokens"),
         F.expr(f"percentile_approx(__toks, array({', '.join(map(str, _PCTS))}))").alias(
@@ -65,7 +73,7 @@ def _agg_exprs(exact_distinct: bool = False) -> list:
         # clamp so the reported rate never goes (confusingly) negative
         F.greatest(
             F.lit(0.0),
-            round_parity(1.0 - nd / F.count(F.lit(1)), 4),
+            round_parity(1.0 - nd / cnt_nz, 4),
         ).alias("approx_dup_rate"),
         F.count(F.when(F.col("__toks") == 0, 1)).alias("n_empty_docs"),
     ]

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import _dot_unrolled, _norm
+from .similarity import NORM_FLOOR, _dot_unrolled, _norm
 
 
 def quantize_codes(vec: Column, scale: Column) -> Column:
@@ -124,8 +124,8 @@ def quantized_topk(
             F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("vec")
         )
         cand = floats.join(F.broadcast(cand), "vec_id")
-    cn = F.greatest(_norm(F.col("vec")), F.lit(1e-300))
-    qn = F.greatest(_norm(F.col("q_vec")), F.lit(1e-300))
+    cn = F.greatest(_norm(F.col("vec")), F.lit(NORM_FLOOR))
+    qn = F.greatest(_norm(F.col("q_vec")), F.lit(NORM_FLOOR))
     exact = cand.withColumn(
         "cosine",
         F.round(_dot_unrolled(F.col("vec"), F.col("q_vec"), dim) / (cn * qn), round_digits),

@@ -318,12 +318,19 @@ def token_budget_mixture(
         share_expr = F.when(F.col(source_col) == src, F.lit(float(sh))).otherwise(
             share_expr
         )
+    # NULL-when-zero denominator: a source whose every doc is zero-token
+    # has __tot = 0 -- raw division is DIVIDE_BY_ZERO under Spark ANSI
+    # but NULL in the DuckDB oracle; dividing by NULL gives NULL in both,
+    # and least() SKIPS the NULL in both engines, so such a source keeps
+    # everything (share 1.0) identically on both sides
     thr = totals.select(
         source_col,
         round_parity(
             F.least(
                 F.lit(1.0),
-                share_expr * F.lit(float(budget_tokens)) / F.col("__tot"),
+                share_expr
+                * F.lit(float(budget_tokens))
+                / F.when(F.col("__tot") != 0, F.col("__tot")),
             )
             * _RESOLUTION,
             0,

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import assign_to_centroids  # noqa: F401  (re-export; kernel lives with its siblings)
-from .similarity import round_half_away
+from .similarity import NORM_FLOOR, round_half_away
 
 
 def semantic_dedup(
@@ -123,7 +123,7 @@ def semantic_dedup(
         m = np.stack(pdf["__cv"].to_numpy())[order].astype(np.float64)
         # zero-norm guard (see dedup.embedding_near_dup_pairs): cosine 0,
         # never NaN, so a zero vector is simply never a duplicate
-        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
+        norms = np.maximum(np.linalg.norm(m, axis=1), NORM_FLOOR)
         cosm = m @ m.T
         cosm /= np.outer(norms, norms)
         # half-away-from-zero, matching F.round / the DuckDB oracle

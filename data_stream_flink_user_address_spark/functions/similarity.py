@@ -74,9 +74,30 @@ def _norm(a: Column) -> Column:
     )
 
 
+#: Zero-norm guard for every cosine denominator in the repo (expression,
+#: numpy, and Pandas-UDF kernels alike).  Semantics: a zero-norm vector
+#: has cosine 0.0 against everything (dot is 0, denominator is floored),
+#: the same convention the DuckDB oracles spell with an explicit
+#: ``CASE WHEN sqnorm = 0 THEN 0.0``.  The floor must be 1e-150, NOT
+#: 1e-300: the denominator multiplies TWO floored norms, and 1e-300**2
+#: underflows to exact 0.0 -- which Spark 4's default ANSI mode turns
+#: into a job-killing DIVIDE_BY_ZERO the moment two zero vectors meet
+#: (found by the r18 degenerate-corpus sweep).  Embeddings are float32,
+#: so any nonzero vector has norm >= ~1e-45 >> the floor; only exact
+#: zero vectors are affected, and for those both engines emit 0.0.
+NORM_FLOOR = 1e-150
+
+
+def _norm_floored(a: Column) -> Column:
+    return F.greatest(_norm(a), F.lit(NORM_FLOOR))
+
+
 def cosine_sim_col(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<numeric> columns (double math)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two array<numeric> columns (double math).
+
+    Zero-norm inputs yield 0.0, not a division error -- see NORM_FLOOR.
+    """
+    return _dot(a, b) / (_norm_floored(a) * _norm_floored(b))
 
 
 def brute_force_topk(
@@ -100,9 +121,9 @@ def brute_force_topk(
     Deterministic: ties break on corpus id.
     """
     c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv"))
-    c = c.withColumn("__cn", _norm(F.col("__cv")))
+    c = c.withColumn("__cn", _norm_floored(F.col("__cv")))
     q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"))
-    q = q.withColumn("__qn", _norm(F.col("__qv")))
+    q = q.withColumn("__qn", _norm_floored(F.col("__qv")))
     dot = (
         _dot_unrolled(F.col("__cv"), F.col("__qv"), dim)
         if dim is not None
@@ -159,7 +180,7 @@ def assign_to_centroids(
     """Argmax-cosine centroid assignment: ``(vec_id, cluster_id[, __cv])``.
 
     THE deterministic-assignment kernel (6-digit cosine rounding, ties
-    to the smaller centroid id, 1e-300 zero-norm guard) shared by
+    to the smaller centroid id, NORM_FLOOR zero-norm guard) shared by
     ``train_ivf_centroids``' Lloyd rounds, ``semantic_dedup``, and
     cluster-stratified sampling -- and mirrored by the DuckDB oracle
     CTEs.  Broadcast join + map-side-combined ``max_by``: the corpus
@@ -189,9 +210,9 @@ def assign_to_centroids(
         return _assign_to_centroids_pandas(emb, centroids, id_col, vec_col, dim)
     c = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("__cn", F.greatest(_norm(F.col("__cv")), F.lit(1e-300)))
+    ).withColumn("__cn", F.greatest(_norm(F.col("__cv")), F.lit(NORM_FLOOR)))
     kf = centroids.select("cid", F.col("centroid").alias("__kv")).withColumn(
-        "__kn", F.greatest(_norm(F.col("__kv")), F.lit(1e-300))
+        "__kn", F.greatest(_norm(F.col("__kv")), F.lit(NORM_FLOOR))
     )
     cos = F.round(
         _dot_unrolled(F.col("__cv"), F.col("__kv"), dim)
@@ -225,7 +246,7 @@ def _assign_to_centroids_pandas(
     the codegen expression op-for-op in the same order:
 
     - norm: 0.0 then ``+= v_i * v_i`` for i ascending, sqrt at the end
-      (``_norm``'s aggregate fold), then ``max(norm, 1e-300)``;
+      (``_norm``'s aggregate fold), then ``max(norm, NORM_FLOOR)``;
     - dot: ``v_0*k_0`` then ``+= v_i*k_i`` for i ascending
       (``_dot_unrolled``'s left-to-right chain);
     - cosine: ``dot / (cn * kn)``, rounded with :func:`round_half_away`
@@ -246,7 +267,7 @@ def _assign_to_centroids_pandas(
     kn = np.zeros(len(rows), dtype=np.float64)
     for i in range(dim):
         kn += K[:, i] * K[:, i]
-    kn = np.maximum(np.sqrt(kn), 1e-300)
+    kn = np.maximum(np.sqrt(kn), NORM_FLOOR)
 
     def gen(batches):
         for pdf in batches:
@@ -256,7 +277,7 @@ def _assign_to_centroids_pandas(
             cn = np.zeros(len(pdf), dtype=np.float64)
             for i in range(dim):
                 cn += V[:, i] * V[:, i]
-            cn = np.maximum(np.sqrt(cn), 1e-300)
+            cn = np.maximum(np.sqrt(cn), NORM_FLOOR)
             acc = V[:, 0][:, None] * K[:, 0][None, :]
             for i in range(1, dim):
                 acc += V[:, i][:, None] * K[:, i][None, :]
@@ -347,7 +368,7 @@ def train_ivf_centroids(
     # ANSI DIVIDE_BY_ZERO mid-training
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv")
-    ).withColumn("__cn", F.greatest(_norm(F.col("__cv")), F.lit(1e-300)))
+    ).withColumn("__cn", F.greatest(_norm(F.col("__cv")), F.lit(NORM_FLOOR)))
     seeds = c.filter(F.pmod(F.col("vec_id"), F.lit(centroid_stride)) == 0)
     if k_cent is not None:
         # FIRST k_cent stride-matching ids, order-independently: an
@@ -473,15 +494,15 @@ def ivf_topk(
         # pre-trained (cid, centroid) frame, e.g. from train_ivf_centroids
         cent = centroids.select(
             F.col("cid"), F.col("centroid").alias("__kv")
-        ).withColumn("__kn", F.greatest(_norm(F.col("__kv")), F.lit(1e-300)))
+        ).withColumn("__kn", F.greatest(_norm(F.col("__kv")), F.lit(NORM_FLOOR)))
     else:
         cent = (
             c.filter(F.pmod(F.col("vec_id"), F.lit(centroid_stride)) == 0)
             .select(F.col("vec_id").alias("cid"), F.col("__cv").alias("__kv"))
-            .withColumn("__kn", F.greatest(_norm(F.col("__kv")), F.lit(1e-300)))
+            .withColumn("__kn", F.greatest(_norm(F.col("__kv")), F.lit(NORM_FLOOR)))
         )
     # zero-norm guard: same contract as assign_to_centroids
-    c = c.withColumn("__cn", F.greatest(_norm(F.col("__cv")), F.lit(1e-300)))
+    c = c.withColumn("__cn", F.greatest(_norm(F.col("__cv")), F.lit(NORM_FLOOR)))
     cent_cos = F.round(
         _dot_unrolled(F.col("__cv"), F.col("__kv"), dim) / (F.col("__cn") * F.col("__kn")),
         6,
@@ -498,7 +519,7 @@ def ivf_topk(
     )
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
-    ).withColumn("__qn", F.greatest(_norm(F.col("__qv")), F.lit(1e-300)))
+    ).withColumn("__qn", F.greatest(_norm(F.col("__qv")), F.lit(NORM_FLOOR)))
     q_cos = F.round(
         _dot_unrolled(F.col("__qv"), F.col("__kv"), dim) / (F.col("__qn") * F.col("__kn")),
         6,
