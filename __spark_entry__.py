@@ -539,8 +539,17 @@ def _q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unit_cost stays RAW: the division produces bit-identical
         # doubles in both engines, and rounding to 4 decimals put
         # boundary values (x.xxxx4999...) on different sides of the
-        # engines' decimal-rounding implementations at sf0.1
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        # engines' decimal-rounding implementations at sf0.1.
+        # NULL-when-zero quantity: a zero-quantity line has no unit
+        # cost -- NULL in DuckDB's division, a job-killing
+        # DIVIDE_BY_ZERO under Spark ANSI; min skips the NULL in both
+        # engines (relational degenerate sweep)
+        .agg(
+            F.min(
+                F.col("l_extendedprice")
+                / F.when(F.col("l_quantity") != 0, F.col("l_quantity"))
+            ).alias("unit_cost")
+        )
     )
     best = offers.groupBy(F.col("l_partkey").alias("bk")).agg(
         F.min("unit_cost").alias("best_cost")
