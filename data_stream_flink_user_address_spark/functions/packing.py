@@ -468,10 +468,11 @@ def histogram_pack(
     not twice.  The caller owns the equivalence to
     ``token_count(text_col)``.
     """
-    # cast to int: token_count is F.size (int), and the assignment
-    # frame's n_tokens dtype must not depend on which path produced it
+    # cast to bigint: token_count casts its F.size to bigint, and the
+    # assignment frame's n_tokens dtype must not depend on which path
+    # produced it (it feeds dtype-compared registered queries)
     raw = (
-        F.col(n_tokens_col).cast("int")
+        F.col(n_tokens_col).cast("bigint")
         if n_tokens_col is not None
         else token_count(text_col)
     )
