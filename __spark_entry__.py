@@ -67,6 +67,7 @@ from data_stream_flink_user_address_spark.functions.similarity import (
     make_planes,
     round_half_away,
     train_ivf_centroids,
+    vec_is_finite,
 )
 from data_stream_flink_user_address_spark.functions.chat import (
     conversation_turns,
@@ -229,7 +230,7 @@ _IVF_TRAIN_LIMIT = 100 * _IVF_KCENT
 # index-affecting SEMANTICS change (the config constants themselves are
 # folded into the cache key directly, so plain knob edits invalidate
 # without remembering to bump this)
-_ANN_INDEX_VERSION = "r12a"
+_ANN_INDEX_VERSION = "r18a"  # r18: IVF-PQ build trains over _embs_finite
 # Stop-shingle pruning for the declared ngram-Jaccard query: shingles in
 # more than this many docs are dropped from CANDIDATE GENERATION (the
 # per-shingle self-join is bounded at <= vocab * cap^2 rows -- the knob
@@ -259,6 +260,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings, spread across cores (same single-split rationale)."""
     return _t_load(spark, sf_dir, "embeddings", spread=True)
+
+
+def _embs_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-vector subset of embeddings -- for the queries whose
+    operators REQUIRE finite input (moments raise on NaN/Inf; the PQ
+    fixed-point encode would CAST_OVERFLOW under ANSI).  Lock-step with
+    the oracle-side ``embeddings_f`` CTE injected by
+    :func:`_require_finite_embeddings`.  A no-op on the committed
+    corpus (all vectors finite)."""
+    return _embs(spark, sf_dir).filter(vec_is_finite("embedding"))
 
 
 def _utc(spark: SparkSession) -> None:
@@ -1952,8 +1963,13 @@ def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id",
         "scale",
-        F.concat_ws(
-            ",", F.transform(F.col("qvec"), lambda x: x.cast("string"))
+        # the NULL guard matters: concat_ws renders a NULL array as ''
+        # where the oracle's CASE yields NULL (non-finite vectors)
+        F.when(
+            F.col("qvec").isNotNull(),
+            F.concat_ws(
+                ",", F.transform(F.col("qvec"), lambda x: x.cast("string"))
+            ),
         ).alias("qvec"),
         F.round(mse, 9).alias("mse"),
     )
@@ -2065,7 +2081,9 @@ def _ivfpq_artifacts(spark: SparkSession, sf_dir: str):
     done = os.path.join(root, "_IVFPQ_DONE")
     cent_p, cb_p, idx_p = (os.path.join(root, d) for d in ("centroids", "codebooks", "index"))
     if not os.path.exists(done):
-        e = _embs(spark, sf_dir)
+        # the IVF-PQ build trains/encodes over the finite subset only
+        # (fixed-point NaN encode is a job-killer; oracle: embeddings_f)
+        e = _embs_finite(spark, sf_dir)
         train_ivf_centroids(
             e, iters=_IVF_TRAIN_ITERS, centroid_stride=_IVF_STRIDE,
             dim=_EMB_DIM, k_cent=_IVF_KCENT, train_limit=_IVF_TRAIN_LIMIT,
@@ -2105,8 +2123,11 @@ def _q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/k_cent corpus-fraction win is the 10^6+ regime
     (ANN_SCALE.json's measured crossover shape)."""
     cent, cb, idx = _ivfpq_artifacts(spark, sf_dir)
+    # finite subsets on both sides: the PQ fixed-point encode would
+    # CAST_OVERFLOW on a NaN component under ANSI (oracle: embeddings_f)
     return ivfpq_topk(
-        _embs(spark, sf_dir), _queries_frame(spark, sf_dir),
+        _embs_finite(spark, sf_dir),
+        _queries_frame(spark, sf_dir).filter(vec_is_finite("query_vec")),
         k=10, expand=8, nprobe=_IVF_NPROBE,
         m=_PQ_M, dim=_EMB_DIM,
         corpus_index=idx, codebooks=cb, centroids=cent,
@@ -3059,7 +3080,9 @@ def _q_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum-of-products arithmetic."""
     import numpy as np
 
-    emb = _embs(spark, sf_dir)
+    # finite subset: moments raise on NaN/Inf vectors (they would
+    # poison every dimension); oracle mirrors via embeddings_f
+    emb = _embs_finite(spark, sf_dir)
     mean, cov, n = embedding_moments(emb)
     var = np.ascontiguousarray(np.diag(cov))
     mean_r = round_half_away(mean, 6)
@@ -3339,7 +3362,11 @@ def _sql_lsh_union_pairs(threshold: float) -> str:
                        {_sql_plane_bucket("embedding", planes)} AS bucket
                 FROM embeddings) b ON a.bucket = b.bucket
           WHERE a.vec_id < b.vec_id
-            AND round({_sql_cosine("a.embedding", "b.embedding")}, 6) >= {threshold}""")
+            AND round({_sql_cosine("a.embedding", "b.embedding")}, 6) >= {threshold}
+            -- NOT isnan: SQL orders NaN above +Inf, so a NaN cosine
+            -- would pass the threshold here; the engine's numpy
+            -- pairwise kernel follows IEEE (NaN pairs with nothing)
+            AND NOT isnan(round({_sql_cosine("a.embedding", "b.embedding")}, 6))""")
     union = "\n          UNION ALL\n".join(per_table)
     return f"SELECT DISTINCT vec_a, vec_b, cosine FROM (\n{union}\n        )"
 
@@ -5076,11 +5103,17 @@ ORACLE_SQL: dict[str, str] = {
           ) WHERE rn = 1
         ),
         dropped AS (
+          -- NOT isnan: SQL orders NaN above +Inf, so a NaN cosine
+          -- (non-finite vector) would satisfy >= threshold here while
+          -- the engine's numpy kernel follows IEEE (NaN >= t is False
+          -- -- a NaN vector is nobody's duplicate).  r18 non-finite
+          -- sweep; engine semantics win.
           SELECT DISTINCT b.vec_id
           FROM assign a JOIN assign b
             ON a.cid = b.cid AND a.vec_id < b.vec_id
           WHERE round({_sql_cosine("a.embedding", "b.embedding")}, 6)
                   >= {_SEMDEDUP_THRESHOLD}
+            AND NOT isnan(round({_sql_cosine("a.embedding", "b.embedding")}, 6))
         )
         SELECT a.vec_id, a.cid AS cluster_id, (d.vec_id IS NULL) AS keep
         FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
@@ -5089,17 +5122,26 @@ ORACLE_SQL: dict[str, str] = {
     # codes = round(x/scale) half-away-from-zero in both engines
     "embedding_quantize": f"""
         WITH s AS (
+          -- non-finite vectors have no int8 representation: scale NULL
+          -- (engine: quantize_int8_frame's forall-finite guard)
           SELECT vec_id, embedding,
-                 greatest(list_max(list_transform(embedding,
-                          x -> abs(x::DOUBLE))), 1e-30) / 127.0 AS scale
+                 CASE WHEN len(list_filter(embedding,
+                             x -> NOT isfinite(x))) = 0
+                      THEN greatest(list_max(list_transform(embedding,
+                             x -> abs(x::DOUBLE))), 1e-30) / 127.0
+                 END AS scale
           FROM embeddings
         )
         SELECT vec_id, scale,
-               array_to_string(list_transform(embedding,
-                              x -> round(x::DOUBLE / scale)::INT), ',') AS qvec,
-               round(list_sum(list_transform(embedding,
+               CASE WHEN scale IS NOT NULL THEN
+                 array_to_string(list_transform(embedding,
+                              x -> round(x::DOUBLE / scale)::INT), ',')
+               END AS qvec,
+               CASE WHEN scale IS NOT NULL THEN
+                 round(list_sum(list_transform(embedding,
                      x -> pow(x::DOUBLE - round(x::DOUBLE / scale) * scale, 2)))
-                     / {_EMB_DIM}.0, 9) AS mse
+                     / {_EMB_DIM}.0, 9)
+               END AS mse
         FROM s
     """,
     # two-stage SQ8 search: candidate rank by reconstructed int8 dot
@@ -6252,6 +6294,38 @@ ORACLE_SQL: dict[str, str] = {
         FROM ex GROUP BY dim
     """,
 }
+
+
+_FINITE_EMB_CTE = (
+    "embeddings_f AS (SELECT * FROM embeddings "
+    "WHERE len(list_filter(embedding, x -> NOT isfinite(x))) = 0)"
+)
+
+
+def _require_finite_embeddings(sql: str) -> str:
+    """Rewrite an oracle to read the finite-vector subset: every
+    ``FROM embeddings`` flips to a leading ``embeddings_f`` CTE --
+    the twin of the engine's ``_embs_finite`` filter.  Keeps the two
+    sides in lock-step without threading a src parameter through every
+    CTE generator."""
+    body = sql.replace("FROM embeddings", "FROM embeddings_f")
+    stripped = body.lstrip()
+    lead = body[: len(body) - len(stripped)]
+    if stripped.startswith("WITH RECURSIVE"):
+        rest = stripped[len("WITH RECURSIVE"):]
+        return f"{lead}WITH RECURSIVE {_FINITE_EMB_CTE},{rest}"
+    if stripped.startswith("WITH"):
+        rest = stripped[len("WITH"):]
+        return f"{lead}WITH {_FINITE_EMB_CTE},{rest}"
+    return f"{lead}WITH {_FINITE_EMB_CTE}\n{stripped}"
+
+
+# the queries whose operators REQUIRE finite vectors (moments raise,
+# the PQ fixed-point encode would CAST_OVERFLOW) pre-filter on the
+# engine side via _embs_finite; their oracles read the same subset
+for _n in ("similarity_ivfpq_topk", "embedding_moments"):
+    ORACLE_SQL[_n] = _require_finite_embeddings(ORACLE_SQL[_n])
+del _n
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -57,8 +57,12 @@ def embedding_moments(
     (divide by n, not n-1): the corpora this feeds are millions of
     vectors up, where the distinction is noise, and the population
     form keeps the whitening contract exact (projected covariance ==
-    identity) for the fuzz sizes the tests pin.  NULL and
-    wrong-length vectors raise -- a silent skip would bias the model.
+    identity) for the fuzz sizes the tests pin.  NULL, wrong-length,
+    and NON-FINITE vectors raise -- a silent skip would bias the model,
+    and a NaN/Inf component would otherwise poison every dimension's
+    moments (worse: the Arrow partial round-trip nulls NaN sums, so the
+    failure would surface as an unrelated TypeError on the driver).
+    Filter with ``similarity.vec_is_finite`` upstream.
 
     Returns numpy ``(mean[d], cov[d, d], n)``.
     """
@@ -81,6 +85,11 @@ def embedding_moments(
             if len(col) == 0:
                 continue
             x = _np.stack(col.to_numpy()).astype(_np.float64)
+            if not _np.isfinite(x).all():
+                raise ValueError(
+                    "embedding_moments: non-finite vector component -- "
+                    "filter with vec_is_finite upstream"
+                )
             if dim is None:
                 dim = x.shape[1]
                 s = _np.zeros(dim)

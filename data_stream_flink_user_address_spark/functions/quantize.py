@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import NORM_FLOOR, _dot_unrolled, _norm
+from .similarity import NORM_FLOOR, _dot_unrolled, _norm, vec_is_finite
 
 
 def quantize_codes(vec: Column, scale: Column) -> Column:
@@ -38,15 +38,29 @@ def quantize_int8_frame(
     codes are ``round(x / scale)`` in [-127, 127].  Reconstruction is
     ``code * scale``; per-element quantization error is at most
     scale/2.  ``keep_vec`` retains the float column (for rescoring).
+
+    A vector with any non-finite component has NO int8 representation
+    (``round(NaN)::int`` is a job-killing CAST_OVERFLOW under Spark
+    ANSI, and absmax = inf would zero every other code): such rows emit
+    ``scale = NULL, qvec = NULL`` -- the caller routes them to
+    quarantine, they are never silently clamped.  Matches the oracle's
+    ``isfinite`` CASE (r18 non-finite sweep).
     """
     absmax = F.array_max(
         F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
     )
+    finite = vec_is_finite(vec_col)
     d = emb.select(
         F.col(id_col).alias("vec_id"),
-        (F.greatest(absmax, F.lit(1e-30)) / 127.0).alias("scale"),
+        F.when(finite, F.greatest(absmax, F.lit(1e-30)) / 127.0).alias("scale"),
         F.col(vec_col).alias("vec"),
-    ).withColumn("qvec", quantize_codes(F.col("vec"), F.col("scale")))
+    ).withColumn(
+        "qvec",
+        F.when(
+            F.col("scale").isNotNull(),
+            quantize_codes(F.col("vec"), F.col("scale")),
+        ),
+    )
     return d if keep_vec else d.drop("vec")
 
 

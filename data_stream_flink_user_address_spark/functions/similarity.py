@@ -92,6 +92,25 @@ def _norm_floored(a: Column) -> Column:
     return F.greatest(_norm(a), F.lit(NORM_FLOOR))
 
 
+def vec_is_finite(a: Column | str) -> Column:
+    """True iff every component of an array<numeric> column is finite.
+
+    The repo-wide predicate for gating NaN/Inf vectors out of
+    similarity, quantization, and moment passes: SQL engines order NaN
+    ABOVE +Inf (so ``NaN >= threshold`` is TRUE in Spark SQL and DuckDB
+    alike -- a NaN vector would pair with everything), while the numpy
+    kernels follow IEEE (``NaN >= t`` is False) -- the only consistent
+    cross-engine semantics is to exclude non-finite vectors explicitly.
+    DuckDB twin: ``len(list_filter(v, x -> NOT isfinite(x))) = 0``.
+    """
+    c = F.col(a) if isinstance(a, str) else a
+    return F.forall(
+        c,
+        lambda x: ~F.isnan(x.cast("double"))
+        & (F.abs(x.cast("double")) < F.lit(float("inf"))),
+    )
+
+
 def cosine_sim_col(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns (double math).
 

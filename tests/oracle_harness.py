@@ -127,6 +127,8 @@ def _canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):  # int(v) would raise OverflowError below
+            return "inf" if v > 0 else "-inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
