@@ -226,11 +226,9 @@ _IVF_KCENT = 64
 # full-corpus assignment pass.  Mirrored literally in the oracle's
 # assignment CTE.
 _IVF_TRAIN_LIMIT = 100 * _IVF_KCENT
-# bump to invalidate the persisted ANN index cache when any
-# index-affecting SEMANTICS change (the config constants themselves are
-# folded into the cache key directly, so plain knob edits invalidate
-# without remembering to bump this)
-_ANN_INDEX_VERSION = "r18a"  # r18: IVF-PQ build trains over _embs_finite
+# r18: the cross-run ANN artifact cache (and its version key) is gone --
+# the optimization contract forbids persisted intermediates keyed on the
+# test data, so every invocation trains/builds what it consumes.
 # Stop-shingle pruning for the declared ngram-Jaccard query: shingles in
 # more than this many docs are dropped from CANDIDATE GENERATION (the
 # per-shingle self-join is bounded at <= vocab * cap^2 rows -- the knob
@@ -1354,44 +1352,24 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(_docs(spark, sf_dir))
 
 
-_ULM_CACHE_VERSION = 1
-
-
 def _ulm_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted trained unigram-LM piece table -- the _bpe_artifacts
-    train-once/apply-many layout: ONE hard-EM training run per
-    (corpus file stat, pinned config, version), written to parquet and
-    read back thereafter.  Production tokenizers are trained once and
-    shipped everywhere; a query that re-trains per invocation is the
-    wrong shape at any scale.  Strings and doubles round-trip parquet
-    bit-exactly (IEEE), so the persisted table is identical to the live
-    loop's output and oracle parity is unchanged."""
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = hashlib.md5(
-        f"ulm-{_ULM_CACHE_VERSION}|{_ULM_VOCAB_SIZE}|{_ULM_MAX_PIECE_LEN}|"
-        f"{_ULM_SEED_MULT}|{_ULM_ROUND}|{os.path.abspath(sf_dir)}|"
-        f"{st.st_size}|{st.st_mtime_ns}".encode()
-    ).hexdigest()[:16]
-    root = os.path.join(
-        tempfile.gettempdir(), "spark_graft_ann_cache", "ulm", key
+    """Trained unigram-LM piece table, trained IN the invocation that
+    consumes it.  Until r17 this was a cross-run parquet cache keyed on
+    the corpus file's stat; the r18 optimization contract forbids
+    persisted intermediates keyed on the test data, so the hard-EM run
+    now executes per call.  Values are unchanged (strings and doubles
+    round-tripped the old cache bit-exactly).  The trainer returns a
+    driver-local frame (the piece table is vocabulary-sized), so no
+    materialization is needed."""
+    return unigram_lm_train(
+        _docs(spark, sf_dir),
+        vocab_size=_ULM_VOCAB_SIZE,
+        max_piece_len=_ULM_MAX_PIECE_LEN,
+        seed_size_mult=_ULM_SEED_MULT,
+        n_em_iters=1,
+        prune_frac=1.0,
+        logprob_round=_ULM_ROUND,
     )
-    os.makedirs(root, exist_ok=True)
-    done = os.path.join(root, "_ULM_DONE")
-    pieces_p = os.path.join(root, "pieces")
-    if not os.path.exists(done):
-        pieces = unigram_lm_train(
-            _docs(spark, sf_dir),
-            vocab_size=_ULM_VOCAB_SIZE,
-            max_piece_len=_ULM_MAX_PIECE_LEN,
-            seed_size_mult=_ULM_SEED_MULT,
-            n_em_iters=1,
-            prune_frac=1.0,
-            logprob_round=_ULM_ROUND,
-        )
-        pieces.write.mode("overwrite").parquet(pieces_p)
-        with open(done, "w") as f:
-            f.write(key)
-    return spark.read.parquet(pieces_p)
 
 
 def _q_unigram_lm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1417,9 +1395,8 @@ def _q_unigram_lm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_unigram_lm_oracle.py.  Tie-breaks (fewer pieces, then
     lexicographic) replay via list_sort over (np, pc)-led structs.
 
-    The piece table is a PERSISTED artifact (_ulm_artifacts, the
-    _bpe_artifacts train-once/apply-many layout): trained once per
-    (corpus, pinned config, version) and read back thereafter.
+    The piece table trains IN this invocation (_ulm_artifacts; the
+    r18 optimization contract removed the cross-run cache).
 
     Scale shape (unchanged by the pinned config): the corpus is
     scanned once into the distinct-word vocabulary; every EM pass is
@@ -1520,7 +1497,7 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_bpe_apply_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document tokenizer APPLICATION (functions/text.py:bpe_apply):
     every document encoded under the corpus's own trained 8-merge
-    vocabulary, read from the persisted artifact (_bpe_artifacts).
+    vocabulary, trained in this invocation (_bpe_artifacts).
     The broadcast vocabulary joins onto posexploded tokens and ONE
     doc-keyed shuffle of (position, encoded-word) pairs reassembles --
     text never rides an exchange (plan-pinned).  The oracle replays
@@ -1604,17 +1581,19 @@ def _q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     R13_OPS_SCALE.json).  percentile_approx at accuracy >= stratum
     size IS the exact discrete quantile DuckDB's quantile_disc
     computes.  The oracle re-derives the whole model -- counts,
-    backoff CASE, n-weighted mean, cuts, ntile -- in SQL.  In-plan
-    note: the exact and approx binning paths each re-derive the score
-    frame (the oracle-checkable spelling, the nb_quality_scores
-    trade); the 100 TB pipeline persists stupid_backoff_scores ONCE
-    and bins the materialized frame."""
+    backoff CASE, n-weighted mean, cuts, ntile -- in SQL.  The score
+    frame is materialized ONCE (lazy localCheckpoint) and both binning
+    paths read it -- the 100 TB shape the docstring used to defer to
+    ("persist stupid_backoff_scores once"), now in the plan itself:
+    until r18 the exact and approx paths each re-derived the full
+    backoff scoring lineage (2x the model join work for identical
+    values)."""
     d = _docs(spark, sf_dir)
     ref = d.filter(F.col("doc_id") % 2 == 0)
     held = d.filter(F.col("doc_id") % 2 == 1)
     scored = stupid_backoff_scores(held, ref_df=ref).join(
         d.select("doc_id", "source"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     exact = quality_stratified_buckets(
         scored, score_col="lm_logprob", n_buckets=4, strata_col="source"
     ).withColumnRenamed("quality_bucket", "ppl_bucket")
@@ -1638,13 +1617,12 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own __batch partition so both the returned frame and the store
     are replay-stable."""
     docs = _docs(spark, sf_dir)
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = hashlib.md5(
-        f"incdedup-r12|{os.path.abspath(sf_dir)}|{st.st_size}|"
-        f"{st.st_mtime_ns}".encode()
-    ).hexdigest()[:16]
+    # scratch, not a cache: the store is REBUILT (dynamic-partition
+    # overwrite) by every invocation; the key only isolates concurrent
+    # sessions on different corpora
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
     store = os.path.join(
-        tempfile.gettempdir(), "spark_graft_ann_cache", "incdedup", key
+        tempfile.gettempdir(), "spark_graft_scratch", "incdedup", key
     )
     build_fingerprint_store(
         docs.filter(F.col("doc_id") % 2 == 0), store, batch_id=0
@@ -1655,41 +1633,20 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_N_MERGES = 8
-_BPE_CACHE_VERSION = "r13a"
 
 
 def _bpe_artifacts(spark: SparkSession, sf_dir: str):
-    """Persisted trained-tokenizer artifacts (the same train-once/
-    apply-many layout as _pq_artifacts, which r12 established for PQ
-    codebooks): ONE run of the merge-round loop
-    (functions/text.py:bpe_train_and_encode) produces both the learned
-    rule table and the encoded vocabulary, written to parquet keyed on
-    the corpus file's (path, size, mtime), the merge count, and a
-    version constant -- a testdata regeneration or config edit rebuilds
-    instead of serving stale merges.  Production tokenizers are trained
-    once and shipped everywhere; a query that re-trains per invocation
-    is the wrong shape at any scale.  Strings and longs round-trip
-    parquet exactly, so the persisted frames are bit-identical to the
-    live loop's output and oracle parity is unchanged."""
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = hashlib.md5(
-        f"bpe-{_BPE_CACHE_VERSION}|{_BPE_N_MERGES}|{os.path.abspath(sf_dir)}|"
-        f"{st.st_size}|{st.st_mtime_ns}".encode()
-    ).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_ann_cache", "bpe", key)
-    os.makedirs(root, exist_ok=True)
-    done = os.path.join(root, "_BPE_DONE")
-    rules_p = os.path.join(root, "rules")
-    vocab_p = os.path.join(root, "encoded_vocab")
-    if not os.path.exists(done):
-        rules, encoded = bpe_train_and_encode(
-            _docs(spark, sf_dir), n_merges=_BPE_N_MERGES
-        )
-        rules.write.mode("overwrite").parquet(rules_p)
-        encoded.write.mode("overwrite").parquet(vocab_p)
-        with open(done, "w") as f:
-            f.write(key)
-    return spark.read.parquet(rules_p), spark.read.parquet(vocab_p)
+    """Trained-tokenizer artifacts (rule table + encoded vocabulary),
+    trained IN the invocation that consumes them.  Until r17 both were
+    a cross-run parquet cache keyed on the corpus file's stat; the r18
+    optimization contract forbids persisted intermediates keyed on the
+    test data, so the merge-round loop
+    (functions/text.py:bpe_train_and_encode) now runs per call.
+    Values are unchanged (strings and longs round-tripped the old
+    cache exactly).  The rule table is driver-local; the encoded vocab
+    is a compact distinct-word frame consumed once by the broadcast
+    apply join, so neither needs materialization."""
+    return bpe_train_and_encode(_docs(spark, sf_dir), n_merges=_BPE_N_MERGES)
 
 
 def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1886,26 +1843,22 @@ def _q_similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd-trained centroid frame as a PERSISTED artifact (the same
-    train-once/search-many cache _pq_artifacts and _ivfpq_artifacts
-    use): trained through the bit-exact Arrow kernel once per (corpus,
-    config), read back from parquet by every consumer (trained IVF
-    search, semantic dedup) -- doubles round-trip parquet exactly, so
-    the persisted frame scores identically to the live plan and the
-    oracle's training replication is unchanged.  ``cache()`` on the
-    read keeps the kilobytes-sized frame hot within a session."""
-    root = _ann_cache_root(sf_dir)
-    done = os.path.join(root, "_CENT_DONE")
-    cent_p = os.path.join(root, "trained_centroids_uncapped")
-    if not os.path.exists(done):
-        train_ivf_centroids(
-            _embs(spark, sf_dir),
-            iters=_IVF_TRAIN_ITERS, centroid_stride=_IVF_STRIDE, dim=_EMB_DIM,
-            kernel="pandas",
-        ).write.mode("overwrite").parquet(cent_p)
-        with open(done, "w") as f:
-            f.write(os.path.basename(root))
-    return spark.read.parquet(cent_p).cache()
+    """Lloyd-trained centroid frame, trained IN the invocation that
+    consumes it.  Until r17 this was a cross-run parquet cache keyed on
+    the corpus file's stat; the r18 optimization contract forbids
+    persisted intermediates keyed on the test data (every bench/oracle
+    invocation must compute from the parquet inputs), so training now
+    runs per call.  Values are unchanged: doubles round-tripped the old
+    parquet cache bit-exactly, so the live frame scores identically and
+    the oracle's training replication still matches.  The kilobyte-sized
+    result is lazily localCheckpoint-ed so one invocation's multiple
+    consumers (probe side + ADC LUT / assignment + sampling) share one
+    training run -- within-call reuse, no cross-call persistence."""
+    return train_ivf_centroids(
+        _embs(spark, sf_dir),
+        iters=_IVF_TRAIN_ITERS, centroid_stride=_IVF_STRIDE, dim=_EMB_DIM,
+        kernel="pandas",
+    ).localCheckpoint(eager=False)
 
 
 _SEMDEDUP_THRESHOLD = 0.3
@@ -1995,11 +1948,10 @@ def _q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     float rescore.  Ships TRAINED codebooks (one Lloyd round over the
     stride seeds, functions/pq.py:train_pq_codebooks) -- measured
     recall@5 lift 0.70 -> 0.80-0.90 over the raw seeds
-    (TOPK_RECALL.json) -- as a PERSISTED artifact (_pq_artifacts):
-    training and corpus encoding run once per (corpus, config) and the
-    query reads codebooks + 8-byte code rows back from parquet, so the
-    ADC scan never touches the float corpus and no training stage sits
-    in the query path (the r11 perf weak).  Fixed-point BIGINT ranking
+    (TOPK_RECALL.json) -- built in this invocation (_pq_artifacts):
+    training and corpus encoding run once per call, each materialized
+    via lazy localCheckpoint, so the ADC scan still never touches the
+    float corpus.  Fixed-point BIGINT ranking
     makes the candidate set engine-independent; the oracle replicates
     the full pipeline (codebook seeding -> argmin encode -> per-cell
     mean retrain -> re-densify -> re-encode -> ADC -> rescore), so the
@@ -2012,96 +1964,70 @@ def _q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_cache_root(sf_dir: str) -> str:
-    """Cache root for persisted ANN artifacts, keyed on the corpus
-    file's (path, size, mtime), EVERY index-affecting config constant,
-    and _ANN_INDEX_VERSION.  Folding the knobs into the key directly
-    (r11 ADVICE) means editing _IVF_KCENT / _PQ_M / ... invalidates the
-    cache by construction; the version bump is belt-and-suspenders for
-    semantic changes the knobs don't capture."""
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    cfg = "|".join(
-        str(v)
-        for v in (
-            _IVF_KCENT, _IVF_TRAIN_LIMIT, _IVF_STRIDE, _IVF_TRAIN_ITERS,
-            _IVF_NPROBE, _PQ_M, _PQ_KSUB, _PQ_STRIDE, _EMB_DIM,
-        )
-    )
-    key = hashlib.md5(
-        f"{_ANN_INDEX_VERSION}|{cfg}|{os.path.abspath(sf_dir)}|"
-        f"{st.st_size}|{st.st_mtime_ns}".encode()
-    ).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_ann_cache", key)
+def _ann_scratch_root(sf_dir: str) -> str:
+    """Per-corpus SCRATCH directory for index layouts that must live on
+    disk to keep their production read shape (the cid-partitioned
+    IVF-PQ index).  NOT a cache: every invocation rebuilds and
+    overwrites what it reads -- the key only keeps concurrent sessions
+    on different corpora from clobbering each other's scratch."""
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_ann_scratch", key)
     os.makedirs(root, exist_ok=True)
     return root
 
 
 def _pq_artifacts(spark: SparkSession, sf_dir: str):
-    """Persisted TRAINED-PQ artifacts for similarity_pq_topk: the
-    Lloyd-trained codebooks (train_pq_codebooks, 1 round) and the
-    corpus encoded against them (pq_encode) -- train once per (corpus,
-    config), search many.  Reading both back from parquet removes the
-    two full-corpus training passes + re-encode from the query path
-    (the r11 perf weak: 4.09 -> 7.64 s in-query) and lets the ADC stage
-    scan ONLY the 8-byte code rows, never the float corpus.  Doubles
-    round-trip parquet exactly, so the persisted codebooks score
-    identically to the live frame and oracle parity is unchanged."""
-    root = _ann_cache_root(sf_dir)
-    done = os.path.join(root, "_PQ_DONE")
-    tcb_p = os.path.join(root, "trained_codebooks")
-    tcodes_p = os.path.join(root, "pq_codes")
-    if not os.path.exists(done):
-        e = _embs(spark, sf_dir)
-        train_pq_codebooks(
-            e, iters=1, m=_PQ_M, k_sub=_PQ_KSUB, stride=_PQ_STRIDE, dim=_EMB_DIM
-        ).write.mode("overwrite").parquet(tcb_p)
-        # encode from the PERSISTED codebooks so codes provably match
-        # what the ADC LUT reads at query time; pandas kernel = the
-        # bit-exact vectorized build path (functions/pq.py)
-        pq_encode(
-            e, spark.read.parquet(tcb_p), m=_PQ_M, dim=_EMB_DIM, kernel="pandas"
-        ).write.mode("overwrite").parquet(tcodes_p)
-        with open(done, "w") as f:
-            f.write(os.path.basename(root))
-    return spark.read.parquet(tcb_p), spark.read.parquet(tcodes_p)
+    """TRAINED-PQ artifacts for similarity_pq_topk: the Lloyd-trained
+    codebooks (train_pq_codebooks, 1 round) and the corpus encoded
+    against them (pq_encode), built IN the invocation that consumes
+    them.  Until r17 both were a cross-run parquet cache keyed on the
+    corpus file's stat; the r18 optimization contract forbids persisted
+    intermediates keyed on the test data, so both build per call.
+    Values are unchanged (doubles round-tripped the old cache
+    bit-exactly).  Both frames are lazily localCheckpoint-ed: the
+    codebooks feed the encode AND the ADC LUT, the code rows feed the
+    ADC scan -- one training run per invocation, and the ADC stage
+    still scans only the compact code rows, never the float corpus."""
+    e = _embs(spark, sf_dir)
+    tcb = train_pq_codebooks(
+        e, iters=1, m=_PQ_M, k_sub=_PQ_KSUB, stride=_PQ_STRIDE, dim=_EMB_DIM
+    ).localCheckpoint(eager=False)
+    tcodes = pq_encode(
+        e, tcb, m=_PQ_M, dim=_EMB_DIM, kernel="pandas"
+    ).localCheckpoint(eager=False)
+    return tcb, tcodes
 
 
 def _ivfpq_artifacts(spark: SparkSession, sf_dir: str):
-    """The persisted IVF-PQ index (functions/pq.py:build_ivfpq_index) +
-    the centroid/codebook frames it was built with -- built once per
-    (corpus, config) and read back from parquet, the production 'train
-    once, search many' layout.  Centroids are Lloyd-trained over a
-    CAPPED seed set (k_cent=_IVF_KCENT), which is what makes the build
-    linear: O(n * k_cent) assignment instead of the uncapped stride
-    sample's O(n^2/31).  The cache key folds in the corpus file's
-    (size, mtime), every index-affecting config constant, and
-    _ANN_INDEX_VERSION so a testdata regeneration, knob edit, or
-    semantic change rebuilds instead of serving a stale index."""
-    root = _ann_cache_root(sf_dir)
-    done = os.path.join(root, "_IVFPQ_DONE")
-    cent_p, cb_p, idx_p = (os.path.join(root, d) for d in ("centroids", "codebooks", "index"))
-    if not os.path.exists(done):
-        # the IVF-PQ build trains/encodes over the finite subset only
-        # (fixed-point NaN encode is a job-killer; oracle: embeddings_f)
-        e = _embs_finite(spark, sf_dir)
-        train_ivf_centroids(
-            e, iters=_IVF_TRAIN_ITERS, centroid_stride=_IVF_STRIDE,
-            dim=_EMB_DIM, k_cent=_IVF_KCENT, train_limit=_IVF_TRAIN_LIMIT,
-            kernel="pandas",
-        ).write.mode("overwrite").parquet(cent_p)
-        pq_codebooks(
-            e, m=_PQ_M, k_sub=_PQ_KSUB, stride=_PQ_STRIDE, dim=_EMB_DIM
-        ).write.mode("overwrite").parquet(cb_p)
-        # build from the PERSISTED frames so the index provably matches
-        # what probe-time reads (doubles round-trip parquet exactly)
-        build_ivfpq_index(
-            e, spark.read.parquet(cent_p), spark.read.parquet(cb_p),
-            m=_PQ_M, dim=_EMB_DIM,
-        ).write.mode("overwrite").partitionBy("cid").parquet(idx_p)
-        with open(done, "w") as f:
-            f.write(os.path.basename(root))
-    cent = spark.read.parquet(cent_p)
-    cb = spark.read.parquet(cb_p)
+    """The IVF-PQ index (functions/pq.py:build_ivfpq_index) + the
+    centroid/codebook frames it was built with.  Centroids are
+    Lloyd-trained over a CAPPED seed set (k_cent=_IVF_KCENT), which is
+    what makes the build linear: O(n * k_cent) assignment instead of
+    the uncapped stride sample's O(n^2/31)."""
+    # r18: the cross-run (corpus-stat-keyed) cache gate is gone -- the
+    # optimization contract forbids persisted intermediates keyed on
+    # the test data, so the index builds IN every invocation that
+    # probes it.  Only the cid-partitioned index still touches disk
+    # (scratch, rebuilt+overwritten per call): the partitioned layout
+    # is what lets the probe scan ONLY the nprobe cells' code rows,
+    # the production read shape worth keeping.  Centroids/codebooks
+    # stay live lazily-localCheckpoint-ed frames (values identical --
+    # doubles round-tripped the old parquet cache bit-exactly).
+    idx_p = os.path.join(_ann_scratch_root(sf_dir), "ivfpq_index")
+    # the IVF-PQ build trains/encodes over the finite subset only
+    # (fixed-point NaN encode is a job-killer; oracle: embeddings_f)
+    e = _embs_finite(spark, sf_dir)
+    cent = train_ivf_centroids(
+        e, iters=_IVF_TRAIN_ITERS, centroid_stride=_IVF_STRIDE,
+        dim=_EMB_DIM, k_cent=_IVF_KCENT, train_limit=_IVF_TRAIN_LIMIT,
+        kernel="pandas",
+    ).localCheckpoint(eager=False)
+    cb = pq_codebooks(
+        e, m=_PQ_M, k_sub=_PQ_KSUB, stride=_PQ_STRIDE, dim=_EMB_DIM
+    ).localCheckpoint(eager=False)
+    build_ivfpq_index(
+        e, cent, cb, m=_PQ_M, dim=_EMB_DIM,
+    ).write.mode("overwrite").partitionBy("cid").parquet(idx_p)
     # cid comes back as a partition-directory column (int); restore the
     # vec_id-derived long so the probe join needs no runtime cast
     idx = spark.read.parquet(idx_p).withColumn("cid", F.col("cid").cast("long"))
@@ -2113,8 +2039,9 @@ def _q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricts the integer-ADC scan to ~nprobe/k_cent of the corpus,
     candidates rescore in exact float -- the FAISS IndexIVFPQ shape and
     the billion-vector configuration of this engine's ANN stack.  Ships
-    the production layout: a PERSISTED (vec_id, cid, codes) index
-    partitioned by cid, probed with the same Lloyd-trained capped-k
+    the production READ layout: a (vec_id, cid, codes) index
+    partitioned by cid -- rebuilt in this invocation (r18 honest
+    recompute) -- probed with the same Lloyd-trained capped-k
     centroids it was assigned with (_ivfpq_artifacts), so the ADC stage
     scans only 8-byte code rows and the build is linear in n.  The
     oracle replicates centroid training + assignment + probe + codebook
