@@ -118,7 +118,7 @@ from data_stream_flink_user_address_spark.functions.ordering import (
 )
 from data_stream_flink_user_address_spark.functions.profile import (
     corpus_diff,
-    profile_funnel,
+    profile_funnel_shared,
     top_terms,
 )
 from data_stream_flink_user_address_spark.functions.unigram_lm import (
@@ -1435,19 +1435,26 @@ def _q_profile_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicates reuse those same bodies, so the funnel hash pins them
     AND the kept-fraction composition a curation pipeline publishes.
 
-    Scale shape: each stage is one narrow projection (id, 3 numeric,
-    1 fingerprint) into a 1-row aggregate -- text never rides an
-    exchange; the funnel unions the 1-row profiles.
+    Scale shape (r18, one-pass): the per-row signals AND the stage
+    predicates come out of ONE projection over ONE corpus scan,
+    materialized as the slim (id, 4 flags, 3 numeric, 1 fingerprint)
+    frame (lazy localCheckpoint); each stage is a flag filter + 1-row
+    aggregate over that frame -- text never rides an exchange, and the
+    corpus is read once instead of once per stage (the pre-r18
+    profile_funnel spelling re-scanned text and re-derived signals for
+    every stage; values are identical -- same expressions, same rows,
+    same partition layout, see profile_funnel_shared).
     """
     d = _docs(spark, sf_dir).withColumn("__toks", tokens("text"))
-    min_len = d.filter(token_count("text") >= 40)
-    english = min_len.filter(language_id("text") == F.lit("en"))
-    quality = english.filter(
+    p_min_len = token_count("text") >= 40
+    p_english = p_min_len & (language_id("text") == F.lit("en"))
+    p_quality = p_english & (
         F.round(quality_score("text") * 10000).cast("bigint") >= 6000
     )
-    funnel = profile_funnel(
-        {"raw": d, "min_len": min_len, "english": english,
-         "quality": quality},
+    funnel = profile_funnel_shared(
+        d,
+        [("raw", None), ("min_len", p_min_len), ("english", p_english),
+         ("quality", p_quality)],
         exact_distinct=True,
     )
     return funnel.select(
@@ -1964,18 +1971,6 @@ def _q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_scratch_root(sf_dir: str) -> str:
-    """Per-corpus SCRATCH directory for index layouts that must live on
-    disk to keep their production read shape (the cid-partitioned
-    IVF-PQ index).  NOT a cache: every invocation rebuilds and
-    overwrites what it reads -- the key only keeps concurrent sessions
-    on different corpora from clobbering each other's scratch."""
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_ann_scratch", key)
-    os.makedirs(root, exist_ok=True)
-    return root
-
-
 def _pq_artifacts(spark: SparkSession, sf_dir: str):
     """TRAINED-PQ artifacts for similarity_pq_topk: the Lloyd-trained
     codebooks (train_pq_codebooks, 1 round) and the corpus encoded
@@ -2004,17 +1999,21 @@ def _ivfpq_artifacts(spark: SparkSession, sf_dir: str):
     Lloyd-trained over a CAPPED seed set (k_cent=_IVF_KCENT), which is
     what makes the build linear: O(n * k_cent) assignment instead of
     the uncapped stride sample's O(n^2/31)."""
-    # r18: the cross-run (corpus-stat-keyed) cache gate is gone -- the
+    # r18: the cross-run (corpus-stat-keyed) cache is gone -- the
     # optimization contract forbids persisted intermediates keyed on
     # the test data, so the index builds IN every invocation that
-    # probes it.  Only the cid-partitioned index still touches disk
-    # (scratch, rebuilt+overwritten per call): the partitioned layout
-    # is what lets the probe scan ONLY the nprobe cells' code rows,
-    # the production read shape worth keeping.  Centroids/codebooks
-    # stay live lazily-localCheckpoint-ed frames (values identical --
-    # doubles round-tripped the old parquet cache bit-exactly).
-    idx_p = os.path.join(_ann_scratch_root(sf_dir), "ivfpq_index")
-    # the IVF-PQ build trains/encodes over the finite subset only
+    # probes it.  With a per-call rebuild the old write+read-back of
+    # the cid-partitioned index is pure overhead (one extra write job
+    # and a full round-trip of the code rows per call): the index is
+    # instead a lazily-localCheckpoint-ed frame, so the probe's ADC
+    # stage still consumes only the compact (vec_id, cid, codes) rows
+    # -- the float corpus is read exactly once, by the build.  A real
+    # deployment persists build_ivfpq_index's output partitioned by
+    # cid ONCE and probes it forever (partition-pruned reads); that
+    # layout and its pruning stay covered by
+    # tests/test_pq.py::test_build_ivfpq_index_matches_inline_derivation
+    # and the write path in functions/pq.py.
+    # The build trains/encodes over the finite subset only
     # (fixed-point NaN encode is a job-killer; oracle: embeddings_f)
     e = _embs_finite(spark, sf_dir)
     cent = train_ivf_centroids(
@@ -2025,12 +2024,9 @@ def _ivfpq_artifacts(spark: SparkSession, sf_dir: str):
     cb = pq_codebooks(
         e, m=_PQ_M, k_sub=_PQ_KSUB, stride=_PQ_STRIDE, dim=_EMB_DIM
     ).localCheckpoint(eager=False)
-    build_ivfpq_index(
+    idx = build_ivfpq_index(
         e, cent, cb, m=_PQ_M, dim=_EMB_DIM,
-    ).write.mode("overwrite").partitionBy("cid").parquet(idx_p)
-    # cid comes back as a partition-directory column (int); restore the
-    # vec_id-derived long so the probe join needs no runtime cast
-    idx = spark.read.parquet(idx_p).withColumn("cid", F.col("cid").cast("long"))
+    ).localCheckpoint(eager=False)
     return cent, cb, idx
 
 
@@ -2038,12 +2034,12 @@ def _q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (functions/pq.py:ivfpq_topk): coarse nprobe cell probing
     restricts the integer-ADC scan to ~nprobe/k_cent of the corpus,
     candidates rescore in exact float -- the FAISS IndexIVFPQ shape and
-    the billion-vector configuration of this engine's ANN stack.  Ships
-    the production READ layout: a (vec_id, cid, codes) index
-    partitioned by cid -- rebuilt in this invocation (r18 honest
-    recompute) -- probed with the same Lloyd-trained capped-k
-    centroids it was assigned with (_ivfpq_artifacts), so the ADC stage
-    scans only 8-byte code rows and the build is linear in n.  The
+    the billion-vector configuration of this engine's ANN stack.  The
+    (vec_id, cid, codes) index is rebuilt in this invocation (r18
+    honest recompute; _ivfpq_artifacts) and probed with the same
+    Lloyd-trained capped-k centroids it was assigned with, so the ADC
+    stage scans only compact code rows and the build is linear in n.
+    The
     oracle replicates centroid training + assignment + probe + codebook
     encode + ADC + rescore, so the composed semantics are the checked
     contract.  Small-n wall time is stage-count-bound; the
@@ -2803,6 +2799,11 @@ def _q_crawl_frontier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(hc.alias("hc"), entry_xml.alias("x"))
         .groupBy("hc")
         .agg(F.concat_ws("", F.array_sort(F.collect_list("x"))).alias("body"))
+        # materialized once (lazy): BOTH the urlset and sitemapindex
+        # frames read it -- without the checkpoint the corpus scan +
+        # per-host aggregate lineage runs twice (multi-reference plans
+        # recompute; the incremental-gate `fresh` precedent)
+        .localCheckpoint(eager=False)
     )
     urlsets = per_host.select(
         F.concat(

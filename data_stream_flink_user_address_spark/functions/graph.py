@@ -41,6 +41,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     materialize: bool = True,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Rank every node of the directed graph ``edges`` -- returns
     ``(node, rank)`` with ranks summing to the node count (the
@@ -50,14 +51,16 @@ def pagerank(
     scraped from HTML is full of both); nodes appearing only as
     destinations still get ranked.  Dangling mass (nodes with no
     outlinks) is redistributed uniformly each iteration, so the
-    result is a true probability flow, not the leaky shortcut; the
-    dangling NODE SET is computed once before the loop (from the
-    cached layouts -- re-deriving it per iteration would re-scan and
-    re-shuffle the raw edge source every round).  Each iteration's
-    rank frame is lazily localCheckpointed: it is referenced twice
-    (contribution join + dangling mass) and feeds the next iteration,
-    so without truncation the plan doubles per round.  The final
-    frame is materialized eagerly so the three internal caches can be
+    result is a true probability flow, not the leaky shortcut;
+    dangling-ness is computed once before the loop as a boolean column
+    the rank frame carries, so each iteration's dangling mass is ONE
+    conditional aggregate over the checkpointed rank frame -- no
+    per-iteration semi-join against a node set, and no driver-side
+    node count (the divisor is the same aggregate's ``count``).  Each
+    iteration's rank frame is lazily localCheckpointed: it is
+    referenced twice (contribution join + dangling mass) and feeds the
+    next iteration, so without truncation the plan doubles per round.
+    The final frame is materialized eagerly so the internal caches can be
     unpersisted before returning -- callers get a self-contained
     result, not a handle pinning session cache memory
     (``materialize=False`` skips that and returns the raw lazy plan
@@ -71,31 +74,93 @@ def pagerank(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    spark = edges.sparkSession
+    # Hybrid execution (the dedup_clusters / connected_components
+    # pattern, r18): the DISTINCT cross-node edge list of a domain
+    # graph is orders of magnitude smaller than the page corpus, so
+    # when it fits ``driver_threshold`` rows the whole power iteration
+    # runs on the driver over one collected copy -- one Spark job
+    # instead of ~7 stages per iteration.  The replica computes the
+    # IDENTICAL per-iteration formula (same per-edge rank/deg
+    # division, same dangling-mass-over-n term, same damping
+    # arithmetic) in a deterministic edge order; double summation
+    # order differs from the distributed aggregate exactly as the
+    # DuckDB oracle's already does, which is why consumers round ranks
+    # before comparing.  Above the threshold the distributed loop runs
+    # unchanged (measured flat to 1e8 edges, R14_OPS_SCALE.json).
+    probe = e.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        from collections import defaultdict
+
+        from pyspark.sql import types as T
+
+        elist = sorted((r[0], r[1]) for r in probe)
+        deg: dict = defaultdict(int)
+        node_set = set()
+        for s, d_ in elist:
+            deg[s] += 1
+            node_set.add(s)
+            node_set.add(d_)
+        node_list = sorted(node_set)
+        n = len(node_list)
+        rank = {v: 1.0 for v in node_list}
+        for _ in range(int(iters)):
+            inflow: dict = defaultdict(float)
+            for s, d_ in elist:
+                inflow[d_] += rank[s] / deg[s]
+            mass = 0.0
+            for v in node_list:
+                if v not in deg:
+                    mass += rank[v]
+            mn = mass / n if n else 0.0
+            rank = {
+                v: (1.0 - damping)
+                + damping * (inflow.get(v, 0.0) + mn)
+                for v in node_list
+            }
+        id_type = e.schema["src"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", id_type),
+                T.StructField("rank", T.DoubleType()),
+            ]
+        )
+        return spark.createDataFrame(
+            [(v, rank[v]) for v in node_list], schema
+        )
+
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # the big immutable side: partition once on the join key, CACHE
     # (not localCheckpoint -- see module docstring); every iteration's
     # join co-locates against the in-memory layout with no exchange
     linked = e.join(deg, "src").repartition(n_part, "src").cache()
-    nodes = nodes.repartition(n_part, F.col("node")).cache()
-    n = nodes.count()
-    # dangling node set, ONCE, from the cached frames (slim: one col)
-    no_out = (
+    # dangling-ness is a STATIC per-node property: compute it once as a
+    # boolean column the rank frame carries through every iteration.
+    # r18: the per-iteration dangling mass is then ONE aggregate over
+    # the checkpointed rank frame (sum of dangling rank / node count,
+    # both from the same rows) -- the pre-r18 shape paid a semi-join
+    # against a cached no-outlink node set PLUS a driver-side
+    # nodes.count() job for the divisor, every call
+    nodes = (
         nodes.join(
-            linked.select(F.col("src").alias("node")).distinct(),
+            linked.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("__has_out", F.lit(True)),
             "node",
-            "left_anti",
+            "left",
         )
+        .select("node", F.coalesce("__has_out", F.lit(False)).alias("__has_out"))
+        .repartition(n_part, F.col("node"))
         .cache()
     )
 
-    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"), "__has_out")
     for i in range(int(iters)):
         if i:
             # truncate the previous iteration's lineage BEFORE building
@@ -105,16 +170,22 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=False)
         contribs = (
             linked.join(
-                ranks.withColumnRenamed("node", "src"), "src"
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
             )
             .select("dst", (F.col("rank") / F.col("__deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling mass = total rank sitting on no-outlink nodes
-        dangling = (
-            ranks.join(no_out, "node", "semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+        # dangling mass / n in one aggregate: total rank on no-outlink
+        # nodes over the node count, both read from the rank frame
+        dangling = ranks.agg(
+            (
+                F.coalesce(
+                    F.sum(F.when(~F.col("__has_out"), F.col("rank"))),
+                    F.lit(0.0),
+                )
+                / F.count(F.lit(1))
+            ).alias("mn")
         )
         ranks = (
             nodes.join(
@@ -126,17 +197,16 @@ def pagerank(
                 (
                     F.lit(1.0 - damping)
                     + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("inflow"), F.lit(0.0))
-                        + F.col("m") / F.lit(float(n))
-                    )
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("mn"))
                 ).alias("rank"),
+                "__has_out",
             )
         )
+    ranks = ranks.select("node", "rank")
     if not materialize:
         return ranks
     out = ranks.localCheckpoint()
-    for frame in (no_out, nodes, linked):
+    for frame in (nodes, linked):
         frame.unpersist()
     return out
 

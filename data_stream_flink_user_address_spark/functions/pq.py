@@ -620,35 +620,129 @@ def build_ivfpq_index(
     """
     from .similarity import assign_to_centroids
 
-    # kernel="pandas": the bit-exact Arrow-batched assignment -- the
-    # build is the one place the O(n * k_cent) codegen join was the
-    # bottleneck (measured 492 of 764 s at 1e6 vectors), and an index
-    # build is already an eager, persisted operation, so the kernel's
-    # bounded centroid collect costs nothing extra
-    assigned = assign_to_centroids(
-        corpus,
-        centroids.select("cid", "centroid"),
-        corpus_id,
-        corpus_vec,
-        dim,
-        kernel="pandas",
-    ).withColumnRenamed("cluster_id", "cid")
     # ``corpus_codes``: a persisted :func:`pq_encode` table (encoded with
     # the SAME ``codebooks``) skips the second full-corpus encode pass --
     # standing up codes + index costs one encode, not two (measured
     # -146 s of the 1e6-vector build, TOPK_SCALE.json)
-    codes = (
-        corpus_codes.select("vec_id", "codes")
-        if corpus_codes is not None
-        else pq_encode(
-            corpus, codebooks, m, dim, corpus_id, corpus_vec, kernel="pandas"
+    if corpus_codes is not None:
+        # kernel="pandas": the bit-exact Arrow-batched assignment -- the
+        # build is the one place the O(n * k_cent) codegen join was the
+        # bottleneck (measured 492 of 764 s at 1e6 vectors), and an
+        # index build is already an eager, persisted operation, so the
+        # kernel's bounded centroid collect costs nothing extra
+        assigned = assign_to_centroids(
+            corpus,
+            centroids.select("cid", "centroid"),
+            corpus_id,
+            corpus_vec,
+            dim,
+            kernel="pandas",
+        ).withColumnRenamed("cluster_id", "cid")
+        return (
+            assigned.join(corpus_codes.select("vec_id", "codes"), "vec_id")
+            .select("vec_id", "cid", "codes")
+            .repartition("cid")
         )
+    # FUSED single-pass build (r18): without persisted codes, the old
+    # shape ran TWO full-corpus Arrow passes (assign, encode) joined on
+    # vec_id -- a corpus-wide shuffle join whose only job was pairing
+    # two outputs of the same input row.  One mapInPandas pass now
+    # computes both per batch: the assignment block is
+    # _assign_to_centroids_pandas's arithmetic op-for-op and the encode
+    # block _pq_encode_pandas's (both docstrings' bit-exactness
+    # arguments apply unchanged), so the (cid, codes) pair per vec_id
+    # is identical to the join's -- with one corpus pass and zero
+    # pre-output shuffles instead of two passes and a join.
+    return _build_ivfpq_index_fused(
+        corpus, centroids, codebooks, m, dim, corpus_id, corpus_vec
+    ).repartition("cid")
+
+
+def _build_ivfpq_index_fused(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+    corpus_id: str,
+    corpus_vec: str,
+) -> DataFrame:
+    """One Arrow pass -> ``(vec_id, cid, codes)``.  The assignment
+    block mirrors :func:`..similarity._assign_to_centroids_pandas` and
+    the encode block :func:`_pq_encode_pandas`, op-for-op in the same
+    float64 order, so the fused output matches the two-pass + join
+    derivation bit-for-bit (pinned by
+    tests/test_pq.py::test_build_ivfpq_index_matches_inline_derivation)."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import round_half_away
+
+    d_sub = dim // m
+    crows = sorted(
+        centroids.select("cid", "centroid").collect(), key=lambda r: r["cid"]
     )
-    return (
-        assigned.join(codes, "vec_id")
-        .select("vec_id", "cid", "codes")
-        .repartition("cid")
-    )
+    if not crows:
+        raise ValueError("build_ivfpq_index: empty centroid frame")
+    cids = np.array([r["cid"] for r in crows], dtype=np.int64)
+    K = np.array([r["centroid"] for r in crows], dtype=np.float64)  # (k, dim)
+    kn = np.zeros(len(crows), dtype=np.float64)
+    for i in range(dim):
+        kn += K[:, i] * K[:, i]
+    kn = np.maximum(np.sqrt(kn), NORM_FLOOR)
+
+    cbrows = codebooks.select("s", "code", "cvec").collect()
+    per_s: list[tuple] = []
+    for s in range(m):
+        sub = sorted((r for r in cbrows if r["s"] == s), key=lambda r: r["code"])
+        if not sub:
+            raise ValueError(f"build_ivfpq_index: no codebook rows for subspace {s}")
+        per_s.append(
+            (
+                np.array([r["code"] for r in sub], dtype=np.int64),
+                np.array([r["cvec"] for r in sub], dtype=np.float64),
+            )
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            # --- assignment block (_assign_to_centroids_pandas) ---
+            cn = np.zeros(n, dtype=np.float64)
+            for i in range(dim):
+                cn += V[:, i] * V[:, i]
+            cn = np.maximum(np.sqrt(cn), NORM_FLOOR)
+            acc = V[:, 0][:, None] * K[:, 0][None, :]
+            for i in range(1, dim):
+                acc += V[:, i][:, None] * K[:, i][None, :]
+            acc /= cn[:, None] * kn[None, :]
+            round_half_away(acc, 6)
+            cid_out = cids[np.argmax(acc, axis=1)]
+            # --- encode block (_pq_encode_pandas) ---
+            codes = np.empty((n, m), dtype=np.int64)
+            for s, (code_vals, C) in enumerate(per_s):
+                diff0 = V[:, s * d_sub][:, None] - C[:, 0][None, :]
+                acc2 = diff0 * diff0
+                for i in range(1, d_sub):
+                    diff = V[:, s * d_sub + i][:, None] - C[:, i][None, :]
+                    acc2 += diff * diff
+                dist_fp = np.floor(acc2 * _FP + 0.5).astype(np.int64)
+                ord_ = dist_fp * 1024 + code_vals[None, :]
+                codes[:, s] = code_vals[np.argmin(ord_, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[corpus_id].to_numpy(),
+                    "cid": cid_out,
+                    "codes": list(codes.astype(np.int32)),
+                }
+            )
+
+    return corpus.select(
+        F.col(corpus_id).alias(corpus_id), F.col(corpus_vec).alias(corpus_vec)
+    ).mapInPandas(gen, schema="vec_id long, cid long, codes array<int>")
 
 
 def train_pq_codebooks(

@@ -182,6 +182,57 @@ def profile_funnel(
     return out.orderBy("stage_idx")
 
 
+def profile_funnel_shared(
+    df: DataFrame,
+    stage_preds: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """One-pass funnel profile (r18): the per-row signal projection
+    runs ONCE over the corpus and is materialized (lazy
+    localCheckpoint) as the slim (id, stage flags, 3 numeric,
+    1 fingerprint) frame; each stage is then a flag filter plus the
+    same aggregate :func:`corpus_profile` runs.  Values are identical
+    to :func:`profile_funnel` over nested-filtered inputs: the per-row
+    signals are the same expressions over the same rows in the same
+    partition layout (every op between scan and aggregate is narrow),
+    so even ``percentile_approx`` merges the same per-partition
+    summaries in the same order.  What changes is the pass count -- a
+    4-stage funnel costs ONE corpus scan + four slim-column
+    aggregates, not four text scans with per-stage signal derivation
+    (at 100 TB the difference is three full corpus reads).
+
+    ``stage_preds``: ordered ``(name, predicate)`` pairs; ``None``
+    means "all rows" (the raw stage).  Funnel stages nest, so pass
+    CUMULATIVE predicates explicitly (each stage's predicate must
+    imply the previous stage's).
+    """
+    if not stage_preds:
+        raise ValueError("profile_funnel_shared needs at least one stage")
+    flags = [
+        (F.lit(True) if p is None else p).alias(f"__st{i}")
+        for i, (_, p) in enumerate(stage_preds)
+    ]
+    keep = [f"__st{i}" for i in range(len(stage_preds))]
+    sig = _signals(
+        df.select("*", *flags), text_col, id_col, keep
+    ).localCheckpoint(eager=False)
+    out = None
+    for i, (name, _) in enumerate(stage_preds):
+        row = (
+            sig.filter(F.col(f"__st{i}"))
+            .agg(*_agg_exprs(exact_distinct))
+            .select(
+                F.lit(i).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col("*"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage_idx")
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

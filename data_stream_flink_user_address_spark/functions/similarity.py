@@ -224,9 +224,9 @@ def assign_to_centroids(
     ~10k-row Arrow batch, zero shuffle before the output exchange.
     """
     if kernel == "pandas":
-        if keep_vec:
-            raise ValueError("keep_vec is not supported with kernel='pandas'")
-        return _assign_to_centroids_pandas(emb, centroids, id_col, vec_col, dim)
+        return _assign_to_centroids_pandas(
+            emb, centroids, id_col, vec_col, dim, keep_vec
+        )
     c = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")
     ).withColumn("__cn", F.greatest(_norm(F.col("__cv")), F.lit(NORM_FLOOR)))
@@ -259,6 +259,7 @@ def _assign_to_centroids_pandas(
     id_col: str,
     vec_col: str,
     dim: int,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """``assign_to_centroids(kernel="pandas")`` -- see its docstring for
     the bit-exactness argument.  Every float64 operation below mirrors
@@ -272,9 +273,16 @@ def _assign_to_centroids_pandas(
       (the F.round HALF_UP convention every numpy kernel here uses);
     - argmax: centroid columns sorted by cid ascending, first max wins
       == ``max_by(struct(cos, -cid))``'s smaller-cid tie break.
+
+    ``keep_vec`` (r18) threads the input vector through to the output
+    as ``__cv`` -- the batch already holds it, so Lloyd training rounds
+    no longer pay a vec_id join to re-attach vectors to assignments
+    (one fewer shuffle join per round; the values are the untouched
+    input floats either way).
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
     rows = sorted(
         centroids.select("cid", "centroid").collect(), key=lambda r: r["cid"]
@@ -302,16 +310,23 @@ def _assign_to_centroids_pandas(
                 acc += V[:, i][:, None] * K[:, i][None, :]
             acc /= cn[:, None] * kn[None, :]
             round_half_away(acc, 6)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "cluster_id": cids[np.argmax(acc, axis=1)],
-                }
-            )
+            out = {
+                "vec_id": pdf[id_col].to_numpy(),
+                "cluster_id": cids[np.argmax(acc, axis=1)],
+            }
+            if keep_vec:
+                out["__cv"] = pdf[vec_col]
+            yield pd.DataFrame(out)
 
+    fields = [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cluster_id", T.LongType()),
+    ]
+    if keep_vec:
+        fields.append(T.StructField("__cv", emb.schema[vec_col].dataType))
     return emb.select(
         F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
-    ).mapInPandas(gen, schema="vec_id long, cluster_id long")
+    ).mapInPandas(gen, schema=T.StructType(fields))
 
 
 def train_ivf_centroids(
@@ -411,23 +426,15 @@ def train_ivf_centroids(
         # the shared kernel re-derives the corpus frame per round, which
         # is plan-identical to reusing `c` (everything here is lazy).
         # kernel="pandas" (eager builds only): the Arrow assignment is
-        # bit-exact, and the training vectors re-attach through a
-        # narrow vec_id join instead of riding the candidate explosion
+        # bit-exact and threads the training vector through the batch
+        # (keep_vec), so no join re-attaches vectors to assignments --
+        # one fewer shuffle per Lloyd round (r18; the per-cid means go
+        # through the same round_digits rounding either way)
         if kernel == "pandas":
-            assigned = (
-                assign_to_centroids(
-                    train_corpus, cent, corpus_id, corpus_vec, dim,
-                    kernel="pandas",
-                )
-                .withColumnRenamed("cluster_id", "cid")
-                .join(
-                    train_corpus.select(
-                        F.col(corpus_id).alias("vec_id"),
-                        F.col(corpus_vec).alias("__cv"),
-                    ),
-                    "vec_id",
-                )
-            )
+            assigned = assign_to_centroids(
+                train_corpus, cent, corpus_id, corpus_vec, dim,
+                keep_vec=True, kernel="pandas",
+            ).withColumnRenamed("cluster_id", "cid")
         else:
             assigned = assign_to_centroids(
                 train_corpus, cent, corpus_id, corpus_vec, dim, keep_vec=True

@@ -25,6 +25,12 @@ STOPWORDS: dict[str, list[str]] = {
     "zh": ["de", "shi", "bu", "le", "zai", "ren", "you", "wo"],
 }
 
+# BPE merge loop goes driver-side when the distinct-word vocabulary
+# fits this many rows (~100 B/word -> <=10 MB collected): one Spark job
+# instead of one argmax job per merge round.  Above it the distributed
+# round loop runs unchanged (the dedup_clusters hybrid threshold idiom).
+_BPE_DRIVER_VOCAB = 65536
+
 _QUALITY_PUNCT = ".,!?;:"
 
 # ASCII case map for locale-independent lowering (see lower_ascii)
@@ -570,6 +576,21 @@ def _bpe_rounds(
 
     ``on_round``: optional callable invoked as ``on_round(rank)`` after
     each completed round (bench instrumentation hook; no-op when None).
+
+    Hybrid execution (the :func:`..dedup.dedup_clusters` pattern,
+    r18): the vocabulary frame is distinct-word-sized -- orders of
+    magnitude smaller than the corpus -- so when it fits
+    ``_BPE_DRIVER_VOCAB`` rows the whole merge loop runs on the driver
+    over ONE collected copy: one Spark job total instead of one argmax
+    job per round.  The driver replica is exact by construction: it
+    consumes the SAME Spark-computed symbol arrays (no re-splitting,
+    so char-boundary conventions cannot drift), counts pairs with the
+    same cnt weights, breaks count ties on (left, right) binary string
+    order (Python str comparison = codepoint order = Spark/DuckDB
+    UTF-8 binary order), and merges leftmost-first non-overlapping
+    exactly as the fold does.  Above the threshold the distributed
+    round loop takes over unchanged -- the right shape when the
+    vocabulary itself is huge (millions of distinct words at 100 TB).
     """
     sym = F.split(F.col("word"), "")
     words = (
@@ -577,7 +598,53 @@ def _bpe_rounds(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("word", sym.alias("sym"), "cnt")
-    ).cache()
+    )
+    # one computation: a limit probe collects the vocab iff it fits
+    probe = words.limit(_BPE_DRIVER_VOCAB + 1).collect()
+    if len(probe) <= _BPE_DRIVER_VOCAB:
+        vocab = [(r["word"], list(r["sym"]), r["cnt"]) for r in probe]
+        rules = []
+        for rank in range(1, int(n_merges) + 1):
+            pair_count: dict = {}
+            for _w, syms, cnt in vocab:
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    pair_count[k] = pair_count.get(k, 0) + cnt
+            if not pair_count:
+                break
+            # argmax on (count desc, left asc, right asc) -- the exact
+            # orderBy(pair_count.desc, left, right).limit(1) order
+            (left, right), cnt_best = min(
+                pair_count.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            rules.append((rank, left, right, left + right, cnt_best))
+            merged = left + right
+            for row_i, (_w, syms, _c) in enumerate(vocab):
+                if left not in syms:
+                    continue
+                out: list = []
+                i = 0
+                n_s = len(syms)
+                while i < n_s:
+                    if (
+                        i + 1 < n_s
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[row_i] = (_w, out, _c)
+            if on_round is not None:
+                on_round(rank)
+        frame = df.sparkSession.createDataFrame(
+            vocab, "word string, sym array<string>, cnt bigint"
+        )
+        return rules, frame
+
+    words = words.cache()
 
     def _pairs(frame: DataFrame) -> DataFrame:
         p = frame.select(

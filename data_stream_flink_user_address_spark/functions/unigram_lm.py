@@ -58,6 +58,12 @@ from .text import tokens
 
 UNK_LOGPROB_OFFSET = -10.0  # OOV char: min piece logprob + this
 
+# Hard-EM training goes driver-side when the distinct-word vocabulary
+# fits this many rows (~50 B/word -> a few MB collected): one Spark job
+# instead of one mapInPandas+collect job per EM step.  Above it the
+# distributed EM runs unchanged (the dedup_clusters hybrid idiom).
+_ULM_DRIVER_VOCAB = 65536
+
 
 def _round_half_away(x: float, digits: int) -> float:
     """Scalar half-AWAY-from-zero rounding -- the convention Spark's
@@ -220,17 +226,67 @@ def _train_on_vocab(
     prune_frac: float,
     _r,
 ) -> DataFrame:
-    cands = _seed_candidates(
-        words, max_piece_len, seed_size_mult * vocab_size
-    ).collect()
-    # initial probs proportional to substring occurrence counts
-    total0 = sum(r["c"] for r in cands)
-    logp = {
-        r["piece"]: _r(math.log(r["c"] / total0)) for r in cands
-    }
+    # Hybrid execution (the dedup_clusters / _bpe_rounds pattern, r18):
+    # the (word, cnt) vocabulary is distinct-word-sized; when it fits
+    # _ULM_DRIVER_VOCAB rows the seed pass and every EM step run on the
+    # driver over ONE collected copy -- one Spark job total instead of
+    # one mapInPandas+collect job per EM step.  Exact by construction:
+    # the driver runs the SAME viterbi_segment kernel the executors
+    # would, pair/substring counts are plain integer sums (order-
+    # invariant), seed selection replicates the orderBy(c desc, piece
+    # asc).limit exactly (Python str order = codepoint order = Spark/
+    # DuckDB UTF-8 binary order), and log-probs go through the same _r
+    # rounding.  Above the threshold the distributed path is unchanged
+    # -- the right shape for a web-scale distinct-word set.
+    probe = words.limit(_ULM_DRIVER_VOCAB + 1).collect()
+    local_rows: list[tuple[str, int]] | None = None
+    if len(probe) <= _ULM_DRIVER_VOCAB:
+        local_rows = [(r["word"], r["cnt"]) for r in probe]
+
+    if local_rows is not None:
+        sub_counts: dict[str, int] = {}
+        for word, cnt in local_rows:
+            ln = len(word)
+            for i in range(ln):
+                for pl in range(1, min(max_piece_len, ln - i) + 1):
+                    p = word[i : i + pl]
+                    sub_counts[p] = sub_counts.get(p, 0) + cnt
+        seed_size = seed_size_mult * vocab_size
+        multi = sorted(
+            ((p, c) for p, c in sub_counts.items() if len(p) >= 2),
+            key=lambda t: (-t[1], t[0]),
+        )[: int(seed_size)]
+        cands = [
+            (p, c) for p, c in sub_counts.items() if len(p) == 1
+        ] + multi
+        total0 = sum(c for _, c in cands)
+        logp = {p: _r(math.log(c / total0)) for p, c in cands}
+    else:
+        seeded = _seed_candidates(
+            words, max_piece_len, seed_size_mult * vocab_size
+        ).collect()
+        # initial probs proportional to substring occurrence counts
+        total0 = sum(r["c"] for r in seeded)
+        logp = {
+            r["piece"]: _r(math.log(r["c"] / total0)) for r in seeded
+        }
 
     def em_step(cur: dict[str, float]) -> dict[str, float]:
         piece_items = sorted(cur.items())
+
+        if local_rows is not None:
+            lp_local = dict(piece_items)
+            agg_l: dict[str, int] = {}
+            for word, cnt in local_rows:
+                for piece in viterbi_segment(word, lp_local, max_piece_len)[0]:
+                    agg_l[piece] = agg_l.get(piece, 0) + cnt
+            total_l = sum(agg_l.values())
+            new = {p: _r(math.log(n / total_l)) for p, n in agg_l.items()}
+            floor = (min(new.values()) if new else 0.0) - 1.0
+            for p in cur:
+                if len(p) == 1 and p not in new:
+                    new[p] = floor
+            return new
 
         def estep(batches: Iterator["object"]) -> Iterator["object"]:
             import pandas as _pd

@@ -40,6 +40,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # limit-probe collects (the dedup_clusters / connected_components /
+        # pagerank / tokenizer-vocab hybrid driver paths all run
+        # `df.limit(threshold + 1).collect()`) default to executeTake's
+        # incremental ramp: 1 partition, then 4x more per round -- 3-4
+        # SEQUENTIAL jobs before a 32-partition frame is fully read.
+        # Those probes want all-or-threshold, so launch one full wave
+        # sized to the core count (scale-adaptive, not a constant).
+        # Row selection is unchanged: executeTake concatenates
+        # partitions in partition-index order either way.
+        .config("spark.sql.limit.initialNumPartitions", str(4 * int(cpus)))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

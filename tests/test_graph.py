@@ -161,7 +161,10 @@ def test_pagerank_edges_read_from_cache_without_exchange(spark):
         edges = spark.createDataFrame(
             [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
         )
-        out = pagerank(edges, iters=2, materialize=False)
+        # driver_threshold=0 forces the DISTRIBUTED branch this plan
+        # contract is about (the r18 driver hybrid would otherwise
+        # solve a 3-edge graph locally)
+        out = pagerank(edges, iters=2, materialize=False, driver_threshold=0)
         lines = (
             out._jdf.queryExecution().executedPlan().toString().splitlines()
         )
