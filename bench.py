@@ -140,6 +140,12 @@ HEADLINE = [q for q in HEADLINE if q in entrymod.queries()]
 def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
+    tracker = spark.sparkContext.statusTracker()
+
+    def last_job() -> int:
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
     # untimed warmup: JVM/codegen/parquet-footer caches via a pure-JVM
     # query, plus one pandas-operator query to absorb the one-time
     # Python-worker pool startup and package shipping
@@ -147,6 +153,13 @@ def main() -> None:
         qs[wq](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    # per-query Spark JOB COUNT (from the status tracker, last timed
+    # run): a structural metric that does not move with host load, so a
+    # plan-shape regression (extra shuffle stage, extra probe job) is
+    # separable from wall-clock noise -- VERDICT r18 ask #6, the
+    # scaling-legibility signal.  Lands in BENCH_QUERIES.json only; the
+    # stdout headline contract is unchanged.
+    job_counts: dict[str, int] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
@@ -168,13 +181,16 @@ def main() -> None:
             "cluster_balanced_sample", "ngram_jaccard_pairs"
         ) else 3
         for _ in range(n_runs):
+            j0 = last_job()
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            j1 = last_job()
         dt = round(statistics.median(runs), 3)
         timings[name] = dt
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        job_counts[name] = j1 - j0
         total += dt
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     here = os.path.dirname(os.path.abspath(__file__))
@@ -185,7 +201,10 @@ def main() -> None:
     # parsed:null because the one json line carried 70+ timings and got
     # truncated.  stdout carries ONLY the compact headline object.
     with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as fh:
-        json.dump({"sf": float(sf), "queries": timings}, fh, indent=1, sort_keys=True)
+        json.dump(
+            {"sf": float(sf), "queries": timings, "jobs": job_counts},
+            fh, indent=1, sort_keys=True,
+        )
     # the stdout line keeps a "queries" dict per the driver contract, but
     # only the 6 reference-parity entries (~250 bytes) so the line can
     # never be tail-truncated again.

@@ -98,6 +98,7 @@ def train_nb_quality(
     alpha: float = 1.0,
     hash_fn: str = "md5",
     min_df: int = 1,
+    features_col: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Train the NB quality model.  ``label_col`` is 0/1 (1 = keep).
 
@@ -120,26 +121,46 @@ def train_nb_quality(
     broadcast/densify collect without moving accuracy.  Smoothing
     denominators still count every occurrence; a pruned feature scores
     as unseen (``default_weight``) at apply time.
+
+    ``features_col`` names a precomputed :func:`hashed_ngram_features`
+    array column to consume instead of featurizing ``text_col`` here --
+    for pipelines that train AND apply on the same corpus, a
+    materialized feature frame means the md5 feature hashing runs once,
+    not once per consumer (the arrays are byte-identical, so counts and
+    weights are unchanged).  The caller owns hash-config consistency
+    (same ``n_features``/``use_bigrams``/``hash_fn`` as the ``info``
+    dict this returns).
     """
     lbl = F.col(label_col).cast("long")
-    feats = df.select(
-        lbl.alias("__y"),
-        F.explode(
-            hashed_ngram_features(text_col, n_features, use_bigrams, hash_fn)
-        ).alias("feature"),
+    feat_arr = (
+        F.col(features_col)
+        if features_col is not None
+        else hashed_ngram_features(text_col, n_features, use_bigrams, hash_fn)
     )
+    feats = df.select(lbl.alias("__y"), F.explode(feat_arr).alias("feature"))
     counts = feats.groupBy("feature").agg(
         F.sum("__y").alias("pos"),
         (F.count(F.lit(1)) - F.sum("__y")).alias("neg"),
     )
     counts = counts.localCheckpoint(eager=False)  # referenced by totals AND weights
 
-    tot = counts.agg(
-        F.sum("pos").alias("pos_tot"), F.sum("neg").alias("neg_tot")
-    ).collect()[0]
-    docs = df.agg(
-        F.sum(lbl).alias("n_pos"), (F.count(F.lit(1)) - F.sum(lbl)).alias("n_neg")
-    ).collect()[0]
+    # ONE collect for both bounded scalar frames (r19): the feature
+    # totals and the per-class doc counts are independent 1-row
+    # aggregates -- crossJoin them so a single job materializes the
+    # checkpointed counts AND returns all four scalars, instead of two
+    # sequential collect jobs
+    tot = docs = (
+        counts.agg(
+            F.sum("pos").alias("pos_tot"), F.sum("neg").alias("neg_tot")
+        )
+        .crossJoin(
+            df.agg(
+                F.sum(lbl).alias("n_pos"),
+                (F.count(F.lit(1)) - F.sum(lbl)).alias("n_neg"),
+            )
+        )
+        .collect()[0]
+    )
     if not docs.n_pos or not docs.n_neg:
         raise ValueError("train_nb_quality needs at least one doc of each class")
 
@@ -182,6 +203,7 @@ def apply_nb_quality(
     id_col: str = "doc_id",
     score_col: str = "nb_score",
     method: str = "join",
+    features_col: str | None = None,
 ) -> DataFrame:
     """Score every document: ``score = prior + sum_f w(f)`` over the
     document's feature multiset (unseen features contribute
@@ -210,17 +232,21 @@ def apply_nb_quality(
     """
     if method == "gather":
         return _apply_nb_gather(df, weights, info, text_col, score_col)
-    feats = df.select(
-        F.col(id_col),
-        F.explode_outer(
-            hashed_ngram_features(
-                text_col,
-                info["n_features"],
-                info["use_bigrams"],
-                info.get("hash_fn", "md5"),
-            )
-        ).alias("feature"),
+    # ``features_col``: consume a precomputed hashed_ngram_features
+    # array (same share-one-featurize contract as train_nb_quality's
+    # parameter -- the caller guarantees it was built with this
+    # ``info``'s hash config)
+    feat_arr = (
+        F.col(features_col)
+        if features_col is not None
+        else hashed_ngram_features(
+            text_col,
+            info["n_features"],
+            info["use_bigrams"],
+            info.get("hash_fn", "md5"),
+        )
     )
+    feats = df.select(F.col(id_col), F.explode_outer(feat_arr).alias("feature"))
     joined = feats.join(F.broadcast(weights), on="feature", how="left")
     contrib = F.when(F.col("feature").isNull(), F.lit(0.0)).otherwise(
         F.coalesce(F.col("weight"), F.lit(info["default_weight"]))

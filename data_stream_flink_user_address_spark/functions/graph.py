@@ -47,6 +47,14 @@ def pagerank(
     ``(node, rank)`` with ranks summing to the node count (the
     classic normalization: rank 1.0 = average importance).
 
+    Exactness note for callers: execution is HYBRID (driver replica
+    under ``driver_threshold`` distinct edges, distributed power
+    iteration above), and the two branches sum inflow doubles in
+    different orders, so UNROUNDED ranks can differ at ulp level
+    depending on graph size.  Consumers comparing ranks across runs,
+    engines, or sizes must round first (the registered query and the
+    DuckDB oracle both round to 6 digits).
+
     Self-loops are dropped and duplicate edges collapse (an edge list
     scraped from HTML is full of both); nodes appearing only as
     destinations still get ranked.  Dangling mass (nodes with no
@@ -85,11 +93,25 @@ def pagerank(
     # division, same dangling-mass-over-n term, same damping
     # arithmetic) in a deterministic edge order; double summation
     # order differs from the distributed aggregate exactly as the
-    # DuckDB oracle's already does, which is why consumers round ranks
-    # before comparing.  Above the threshold the distributed loop runs
-    # unchanged (measured flat to 1e8 edges, R14_OPS_SCALE.json).
-    probe = e.limit(driver_threshold + 1).collect()
-    if len(probe) <= driver_threshold:
+    # DuckDB oracle's already does, so CONSUMERS MUST ROUND ranks
+    # (6 digits is the registered convention) before comparing results
+    # across graph sizes -- unrounded doubles are size-dependent at ulp
+    # level.  Above the threshold the distributed loop runs unchanged
+    # (measured flat to 1e8 edges, R14_OPS_SCALE.json).
+    #
+    # The probe is GATED on a bounded count (r19): collecting
+    # driver_threshold+1 rows outright shipped up to 2M Py4J-pickled
+    # string rows to the driver on EVERY call -- hundreds of MB of
+    # discarded probe when the distributed branch was going to run
+    # anyway.  The count job returns one scalar; the edge frame is
+    # lazily localCheckpointed FIRST, so the count materializes the
+    # distinct edges and the follow-up (driver collect, or the
+    # distributed branch's deg/nodes/linked derivations) reads the
+    # blocks instead of re-running the corpus extract+distinct lineage.
+    e = e.localCheckpoint(eager=False)
+    n_edges = e.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        probe = e.collect()
         from collections import defaultdict
 
         from pyspark.sql import types as T

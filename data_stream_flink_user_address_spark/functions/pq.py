@@ -85,6 +85,47 @@ def _sub_dot_fp(vec: Column, cvec: Column, s: int, d_sub: int) -> Column:
 
 
 
+def _query_lut(q: DataFrame, codebooks: DataFrame, m: int, d_sub: int) -> DataFrame:
+    """Per-query ADC lookup table ``(query_id, lutarr)`` -- ``lutarr[s][code]``
+    = round(1e6 * <q[s*d:(s+1)*d], cvec(s, code)>) as BIGINT.
+
+    ONE ``groupBy(query_id)`` aggregation (r19): the previous spelling
+    aggregated twice -- ``groupBy(query_id, s)`` to pack each subspace,
+    then ``groupBy(query_id)`` to nest them -- paying two exchanges of
+    the (q x m x k_sub)-row LUT frame where one suffices.  Here the
+    flat (s, code, p) structs collect in one pass, ``sort_array`` puts
+    them in (s, code) order (s and code are unique per query row --
+    codebooks hold one row per (s, code) -- so the p tiebreaker never
+    fires), and a nested ``transform``/``filter`` slices out each
+    subspace's code-ordered partials: exactly the arrays the two-level
+    aggregation produced, from half the exchanges.
+    """
+    lj = q.join(F.broadcast(codebooks))
+    part_fp = None
+    for s in range(m):
+        p = _sub_dot_fp(F.col("__qv"), F.col("cvec"), s, d_sub)
+        part_fp = F.when(F.col("s") == s, p) if part_fp is None else part_fp.when(
+            F.col("s") == s, p
+        )
+    return (
+        lj.select("query_id", "s", "code", part_fp.alias("p"))
+        .groupBy("query_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "code", "p"))).alias("__flat")
+        )
+        .select(
+            "query_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.filter(F.col("__flat"), lambda x: x["s"] == s),
+                    lambda x: x["p"],
+                ),
+            ).alias("lutarr"),
+        )
+    )
+
+
 def _adc_sum(m: int) -> Column:
     """Unrolled ADC score: sum_s lutarr[s][codes[s]] as fixed BIGINT adds.
 
@@ -318,33 +359,10 @@ def pq_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     )
-    # LUT rows: (query_id, s, code, partial_fp)
-    lj = q.join(F.broadcast(codebooks))
-    part_fp = None
-    for s in range(m):
-        p = _sub_dot_fp(F.col("__qv"), F.col("cvec"), s, d_sub)
-        part_fp = F.when(F.col("s") == s, p) if part_fp is None else part_fp.when(
-            F.col("s") == s, p
-        )
-    lut_rows = lj.select("query_id", "s", "code", part_fp.alias("p"))
-    # collapse to one (m x k_sub) nested array per query; codes are
-    # dense 0..k'-1 per subspace by construction, so positional sort
-    # equals code order
-    lut = (
-        lut_rows.groupBy("query_id", "s")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("code", "p"))), lambda x: x["p"]
-            ).alias("lut_s")
-        )
-        .groupBy("query_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("s", "lut_s"))),
-                lambda x: x["lut_s"],
-            ).alias("lutarr")
-        )
-    )
+    # per-query (m x k_sub) nested LUT array -- ONE groupBy (r19); codes
+    # are dense 0..k'-1 per subspace by construction, so code-ordered
+    # sort equals positional order
+    lut = _query_lut(q, codebooks, m, d_sub)
 
     approx = codes.join(F.broadcast(lut)).withColumn("approx_fp", _adc_sum(m))
     w1 = Window.partitionBy("query_id").orderBy(
@@ -523,30 +541,8 @@ def ivfpq_topk(
         .select("query_id", "cid")
     )
 
-    # per-query LUT, identical construction to pq_topk
-    lj = q.join(F.broadcast(codebooks))
-    part_fp = None
-    for s in range(m):
-        p = _sub_dot_fp(F.col("__qv"), F.col("cvec"), s, d_sub)
-        part_fp = F.when(F.col("s") == s, p) if part_fp is None else part_fp.when(
-            F.col("s") == s, p
-        )
-    lut = (
-        lj.select("query_id", "s", "code", part_fp.alias("p"))
-        .groupBy("query_id", "s")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("code", "p"))), lambda x: x["p"]
-            ).alias("lut_s")
-        )
-        .groupBy("query_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("s", "lut_s"))),
-                lambda x: x["lut_s"],
-            ).alias("lutarr")
-        )
-    )
+    # per-query LUT, identical construction to pq_topk: ONE groupBy (r19)
+    lut = _query_lut(q.select("query_id", "__qv"), codebooks, m, d_sub)
 
     # ADC only inside probed cells: the (query_id, cid) probe pairs and
     # the LUTs broadcast; the index never shuffles
@@ -679,8 +675,31 @@ def _build_ivfpq_index_fused(
     from .similarity import round_half_away
 
     d_sub = dim // m
+    # ONE collect for both bounded artifact frames (r19): centroids and
+    # codebooks are independent kilobyte-sized frames that used to
+    # collect in two sequential driver jobs; a tagged union ships the
+    # same rows in one job (both lineages materialize together).  Tags
+    # split the rows back apart; per-frame values are untouched.
+    tagged = (
+        centroids.select(
+            F.lit(0).alias("__t"),
+            F.col("cid").alias("__a"),
+            F.lit(None).cast("long").alias("__b"),
+            F.col("centroid").alias("__v"),
+        )
+        .unionAll(
+            codebooks.select(
+                F.lit(1).alias("__t"),
+                F.col("s").cast("long").alias("__a"),
+                F.col("code").cast("long").alias("__b"),
+                F.col("cvec").alias("__v"),
+            )
+        )
+        .collect()
+    )
     crows = sorted(
-        centroids.select("cid", "centroid").collect(), key=lambda r: r["cid"]
+        ({"cid": r["__a"], "centroid": r["__v"]} for r in tagged if r["__t"] == 0),
+        key=lambda r: r["cid"],
     )
     if not crows:
         raise ValueError("build_ivfpq_index: empty centroid frame")
@@ -691,7 +710,11 @@ def _build_ivfpq_index_fused(
         kn += K[:, i] * K[:, i]
     kn = np.maximum(np.sqrt(kn), NORM_FLOOR)
 
-    cbrows = codebooks.select("s", "code", "cvec").collect()
+    cbrows = [
+        {"s": r["__a"], "code": r["__b"], "cvec": r["__v"]}
+        for r in tagged
+        if r["__t"] == 1
+    ]
     per_s: list[tuple] = []
     for s in range(m):
         sub = sorted((r for r in cbrows if r["s"] == s), key=lambda r: r["code"])

@@ -207,6 +207,14 @@ def profile_funnel_shared(
     means "all rows" (the raw stage).  Funnel stages nest, so pass
     CUMULATIVE predicates explicitly (each stage's predicate must
     imply the previous stage's).
+
+    Lifetime note (r19 ADVICE): the localCheckpoint blocks live in
+    MEMORY_AND_DISK for the SESSION's lifetime -- Spark exposes no
+    public unpersist on a checkpointed plan's blocks.  One call per
+    session (the bench/oracle invocation shape) never notices; a
+    long-lived service looping this function should recycle its
+    session (or accept one slim signal frame per call resident) --
+    the frame is id + flags + 3 numerics, not corpus text.
     """
     if not stage_preds:
         raise ValueError("profile_funnel_shared needs at least one stage")

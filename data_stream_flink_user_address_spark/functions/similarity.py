@@ -165,6 +165,18 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     ``planes`` are fixed (seeded) hyperplanes chosen by the caller --
     deterministic, so bucket assignment is reproducible and
     SQL-expressible.
+
+    MEASURED DEAD END (r19, VERDICT r18 ask #9): unrolling each plane
+    dot into literal multiply-add chains (the `_dot_unrolled` trick
+    that wins on 1-dot-per-row paths) regresses the 8-table near-dup
+    projection 6x (embedding_near_dup_lsh 5.1 s -> 31-35 s, same
+    session A/B): 48 planes x 64 dims = 3,072 expression nodes in ONE
+    Project blow past whole-stage codegen's method-size budget, so the
+    giant tree falls back to interpreted expression eval -- strictly
+    worse than 48 compact `aggregate(zip_with(...))` folds.  There is
+    also no cross-table duplication for CSE to claw back: every
+    (table, plane) literal array is distinct by construction (seeded
+    per table).  Keep the fold spelling.
     """
     bits = [
         F.when(_dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
@@ -315,7 +327,12 @@ def _assign_to_centroids_pandas(
                 "cluster_id": cids[np.argmax(acc, axis=1)],
             }
             if keep_vec:
-                out["__cv"] = pdf[vec_col]
+                # .to_numpy(), not the raw Series: pd.DataFrame aligns a
+                # Series by INDEX, which is only coincidentally positional
+                # because Arrow batches arrive with a fresh RangeIndex --
+                # the numpy array makes the row alignment positional and
+                # index-independent (r19 ADVICE)
+                out["__cv"] = pdf[vec_col].to_numpy()
             yield pd.DataFrame(out)
 
     fields = [

@@ -77,9 +77,18 @@ def tokens(text: Column | str) -> Column:
     document (most real documents) counted one token too many (r17;
     caught by the substring-dedup property fuzz).  The oracle twin is
     ``_sql_tokens()`` in ``__spark_entry__.py`` -- the two flip
-    together."""
+    together.
+
+    Spelled ``array_remove(split(...), '')`` rather than the
+    higher-order ``filter(split(...), t -> t != '')`` (r19, the
+    two-round-open VERDICT watch item): both drop exactly the ''
+    elements (split never yields NULL elements; verified 0 differing
+    rows over the sf0.1 corpus), but array_remove is a flat codegen
+    expression while the lambda filter evaluates interpreted per
+    element -- measured 1.4-1.6x on the isolated tokenize+explode pass
+    (same-session interleaved A/B, tokens() guide section 4)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    return F.array_remove(F.split(c, r"\s+"), "")
 
 
 def norm_ws(text: Column | str) -> Column:
@@ -599,9 +608,16 @@ def _bpe_rounds(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("word", sym.alias("sym"), "cnt")
     )
+    # cache BEFORE the probe (r19): the probe pays the full corpus scan
+    # + vocab aggregation either way, so let it double as the cache
+    # warmer -- previously the over-threshold fallback discarded the
+    # probe's work and the .cache() below recomputed the identical
+    # lineage, making huge-vocab corpora pay the vocabulary build twice
+    words = words.cache()
     # one computation: a limit probe collects the vocab iff it fits
     probe = words.limit(_BPE_DRIVER_VOCAB + 1).collect()
     if len(probe) <= _BPE_DRIVER_VOCAB:
+        words.unpersist(blocking=False)  # driver branch: cache not needed
         vocab = [(r["word"], list(r["sym"]), r["cnt"]) for r in probe]
         rules = []
         for rank in range(1, int(n_merges) + 1):
@@ -643,8 +659,6 @@ def _bpe_rounds(
             vocab, "word string, sym array<string>, cnt bigint"
         )
         return rules, frame
-
-    words = words.cache()
 
     def _pairs(frame: DataFrame) -> DataFrame:
         p = frame.select(

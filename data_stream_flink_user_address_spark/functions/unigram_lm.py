@@ -375,6 +375,19 @@ def unigram_lm_encode(
     AQE may still pick a runtime broadcast if the frame turns out
     small.  Pass ``True``/``False`` to skip the count and force a
     side.
+
+    Hybrid execution (r19, the ``_train_on_vocab`` pattern applied to
+    the encode side): under ``broadcast_words=None``, when the distinct
+    words fit ``_ULM_DRIVER_VOCAB`` rows the per-word Viterbi runs on
+    the driver over ONE collected copy -- the probe collect replaces
+    the gate-count job AND the mapInPandas segmentation job, and the
+    bounded (word, seg, np) result broadcasts to the token join.
+    Exact by construction: the driver runs the SAME
+    :func:`viterbi_segment` kernel over the SAME piece dict the
+    executors would (the pandas path's closure is ``dict(piece_rows)``
+    too), and a frame this size was below ``broadcast_max_rows``
+    anyway, so the join side is unchanged.  Above the threshold the
+    distributed path runs untouched -- the 1e8-distinct-word shape.
     """
     piece_rows = sorted(
         (r["piece"], r["logprob"]) for r in pieces.collect()
@@ -400,20 +413,34 @@ def unigram_lm_encode(
     distinct_words = df.select(
         F.explode(tokens(text_col)).alias("word")
     ).distinct()
+    word_segs = None
     if broadcast_words is None:
-        # the gate must count the INPUT frame, not the mapInPandas
-        # output (counting that would run the Viterbi pass just to
-        # decide); localCheckpoint it so the deciding count and the
-        # segmentation pass share one materialization of the
-        # explode+distinct instead of scanning the corpus twice
+        # checkpoint BEFORE the probe: the probe job materializes the
+        # explode+distinct blocks, so whichever branch runs next (the
+        # driver Viterbi, or the distributed gate count + segmentation
+        # pass) reads them instead of re-paying the corpus scan
         distinct_words = distinct_words.localCheckpoint(eager=False)
-    word_segs = distinct_words.mapInPandas(
-        encode_words, "word string, seg string, np long"
-    )
-    word_segs, _ = size_gated_broadcast(
-        word_segs, broadcast_words, broadcast_max_rows,
-        gate_df=distinct_words,
-    )
+        probe = distinct_words.limit(_ULM_DRIVER_VOCAB + 1).collect()
+        if len(probe) <= _ULM_DRIVER_VOCAB:
+            lp = dict(piece_rows)
+            seg_rows = []
+            for r in probe:
+                word = r["word"]
+                ps = viterbi_segment(word, lp, max_piece_len)[0]
+                seg_rows.append((word, " ".join(ps), len(ps)))
+            word_segs = F.broadcast(
+                df.sparkSession.createDataFrame(
+                    seg_rows, "word string, seg string, np long"
+                )
+            )
+    if word_segs is None:
+        word_segs = distinct_words.mapInPandas(
+            encode_words, "word string, seg string, np long"
+        )
+        word_segs, _ = size_gated_broadcast(
+            word_segs, broadcast_words, broadcast_max_rows,
+            gate_df=distinct_words,
+        )
     toks = df.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word")
     )

@@ -87,6 +87,8 @@ def write_bucketed(
     path: str,
     sort: bool = True,
     mode: str = "overwrite",
+    target_file_bytes: int = 256 << 20,
+    files_per_bucket: int | None = None,
 ) -> None:
     """Bucketed (+ optionally bucket-sorted) external table.
 
@@ -95,16 +97,43 @@ def write_bucketed(
     the write pays the shuffle once.  Requires ``saveAsTable`` (bucket
     metadata lives in the catalog); ``path`` keeps the data external.
 
-    The frame is hash-repartitioned on the bucket key to ``n_buckets``
-    tasks first: repartition and ``bucketBy`` share Spark's murmur3
-    ``HashPartitioning``, so with equal counts every task holds exactly
-    one bucket and writes exactly ONE file -- without it, every
+    The frame is hash-repartitioned on the bucket key to ``k *
+    n_buckets`` tasks first: repartition and ``bucketBy`` share Spark's
+    murmur3 ``HashPartitioning``, and any multiple of ``n_buckets``
+    refines it (``hash pmod n_buckets == (hash pmod k*n_buckets) pmod
+    n_buckets``), so every task STILL holds rows of exactly one bucket
+    and writes exactly one file -- without the repartition, every
     upstream task writes up to ``n_buckets`` files (32 tasks x 8
     buckets = 256 files at the r18 gate-store measurement), paying
     file-open overhead at write time and footer overhead on every
     later read.
+
+    ``k`` (files per bucket) guards the write's PARALLELISM (r19): a
+    bare ``repartition(n_buckets)`` funnels a 100 TB store build
+    through ``n_buckets`` writer tasks.  By default ``k`` derives from
+    the optimizer's size estimate -- ``ceil(estimated_bytes /
+    (n_buckets * target_file_bytes))``, clamped so total tasks never
+    exceed ``max(n_buckets, spark.sql.shuffle.partitions)`` (estimates
+    after joins/filters can be wildly high, and the cap keeps a bad
+    estimate from stranding thousands of tiny files).  Small frames --
+    every store this repo's gates build at bench scale -- keep ``k=1``:
+    one file per bucket, the r18 layout, unchanged.  Pass
+    ``files_per_bucket`` explicitly when the ingest knows better (e.g.
+    its own row/byte accounting at 100 TB).
     """
-    df = df.repartition(n_buckets, F.col(bucket_by))
+    if files_per_bucket is None:
+        # catalyst's size estimate: free (no job), pessimistic after
+        # wide transforms -- which only pushes k toward the cap
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        want = -(-est // (n_buckets * target_file_bytes))  # ceil
+        shuffle_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        k_cap = max(1, -(-max(n_buckets, shuffle_parts) // n_buckets))
+        k = max(1, min(want, k_cap))
+    else:
+        k = max(1, int(files_per_bucket))
+    df = df.repartition(k * n_buckets, F.col(bucket_by))
     writer = df.write.mode(mode).option("path", path).bucketBy(n_buckets, bucket_by)
     if sort:
         writer = writer.sortBy(bucket_by)

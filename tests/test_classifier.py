@@ -293,3 +293,30 @@ def test_min_df_prunes_weight_table_not_denominators(spark, model):
     }
     assert got == want
     assert got[1] > 0 > got[2]  # still separates classes after pruning
+
+
+def test_features_col_matches_inline_featurize(spark, model):
+    """r19 shared-featurize path: training/applying on a precomputed
+    hashed_ngram_features column must reproduce the inline path's
+    weights and scores exactly (same arrays -> same counts -> same
+    doubles)."""
+    train, weights, info = model
+    feats = train.select(
+        "doc_id", "label", hashed_ngram_features("text", 1 << 14).alias("__f")
+    )
+    w2, i2 = train_nb_quality(feats, n_features=1 << 14, features_col="__f")
+    assert i2 == info
+    base_w = {r["feature"]: r["weight"] for r in weights.collect()}
+    got_w = {r["feature"]: r["weight"] for r in w2.collect()}
+    assert got_w == base_w
+    base = {
+        r["doc_id"]: r["nb_score"]
+        for r in apply_nb_quality(train, weights, info).collect()
+    }
+    got = {
+        r["doc_id"]: r["nb_score"]
+        for r in apply_nb_quality(
+            feats, w2, i2, features_col="__f"
+        ).collect()
+    }
+    assert got == base

@@ -237,3 +237,24 @@ class TestConnectedComponents:
                 "z.com": "z.com",
             }, stats
         assert stats["mode"] == "distributed"
+
+
+def test_pagerank_driver_and_distributed_branches_agree(spark):
+    """r19 probe gate: branch selection now runs a bounded count before
+    any driver collect.  Both branches must agree after the consumers'
+    required 6-digit rounding (the hybrid's documented contract)."""
+    from data_stream_flink_user_address_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        ["src", "dst"],
+    )
+    drv = {
+        r.node: round(r.rank, 6)
+        for r in pagerank(edges, iters=8).collect()  # fits the default threshold
+    }
+    dist = {
+        r.node: round(r.rank, 6)
+        for r in pagerank(edges, iters=8, driver_threshold=0).collect()
+    }
+    assert drv == dist

@@ -207,3 +207,56 @@ def test_persisted_codes_quantized_search_scans_only_codes(spark, tmp_path):
     }
     got = {(r.query_id, r.rank): (r.vec_id, r.cosine) for r in topk.collect()}
     assert got == expect
+
+
+def test_write_bucketed_files_per_bucket_regimes(spark, tmp_path):
+    """r19 parallelism guard: the small-frame default keeps the r18
+    one-file-per-bucket layout, while an explicit ``files_per_bucket``
+    (the 100 TB ingest's escape hatch from the n_buckets writer-task
+    funnel) emits k files per bucket WITHOUT breaking the bucket
+    layout -- the shuffled join on the bucket key still plans with no
+    Exchange, because k*n_buckets hash partitions refine n_buckets
+    buckets (same murmur3 pmod family)."""
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # default (size-derived k): tiny frame -> exactly n_buckets files
+        write_bucketed(o, "t_orders_k1", "o_custkey", 4, str(tmp_path / "k1"))
+        k1_files = glob.glob(str(tmp_path / "k1" / "*.parquet"))
+        assert len(k1_files) == 4, sorted(k1_files)
+
+        # explicit k=3: 12 writer tasks, up to 3 files per bucket, and
+        # every row of a bucket still lands in that bucket's files
+        write_bucketed(
+            o, "t_orders_k3", "o_custkey", 4, str(tmp_path / "k3"),
+            files_per_bucket=3,
+        )
+        k3_files = glob.glob(str(tmp_path / "k3" / "*.parquet"))
+        assert 4 < len(k3_files) <= 12, sorted(k3_files)
+
+        write_bucketed(
+            c, "t_customer_k3", "c_custkey", 4, str(tmp_path / "ck3"),
+            files_per_bucket=3,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob = spark.table("t_orders_k3")
+        cb = spark.table("t_customer_k3")
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey)
+        plan = _plan_of(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == o.join(c, o.o_custkey == c.c_custkey).count()
+        # row content identical across regimes
+        assert (
+            spark.table("t_orders_k1").orderBy("o_orderkey").collect()
+            == ob.orderBy("o_orderkey").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        for t in ("t_orders_k1", "t_orders_k3", "t_customer_k3"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

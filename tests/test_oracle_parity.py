@@ -273,22 +273,20 @@ R17_FOLDED = {
 }
 
 
-def test_driver_window_covers_r18_rotation():
+def test_driver_window_covers_r19_rotation():
     """The external driver verifies only the FIRST 50 entries of
-    queries() in declaration order.  r18 (VERDICT r17 ask #1, executed
-    untouched): the exact TWO-round cycle -- 6 pinned parity + 2 x 44
-    rotating slots -- swings the 44 queries green in r16's own window
-    back in-window with ZERO slack, so r17 union r18 = 94/94.  No r18
-    registration and no fold (VERDICT r17: candidates are spent; do
-    not force one).
+    queries() in declaration order.  r19 (VERDICT r18 ask #3, executed
+    untouched): the other half of the exact TWO-round cycle -- 6
+    pinned parity + 2 x 44 rotating slots -- swings the 44 queries
+    green in r17's own window back in-window with ZERO slack, so r18
+    union r19 = 94/94, and the driver's correctness row lands on the
+    15 paths whose plans changed in r18 without a post-change driver
+    check (pagerank/crawl-gate/lm_ppl first -- all 15 sit in this
+    half).  No r19 registration and no fold.
 
-    Below the window: exactly the 44 queries green in r17's own window
-    (CORRECTNESS_r17.json minus the 6 pinned: the 42 surviving
-    r15-green rotating slots + sft_pack_spans + substring_dedup_cut)
-    -- r19's rotating slots.  curation_pipeline (updated this round
-    with the mark+cut substring stage, VERDICT r17 ask #4) sits in
-    that half; its driver row for the new frame lands in r19, and the
-    full 94-pair local parity sweep covers it meanwhile."""
+    Below the window: exactly the 44 queries green in r18's own window
+    (CORRECTNESS_r18.json minus the 6 pinned) -- r20's rotating
+    slots."""
     names = list(entrymod.queries())
     window = names[:50]
     assert len(names) == 94, len(names)
@@ -344,19 +342,31 @@ def test_driver_window_covers_r18_rotation():
         "profile_funnel", "unigram_lm_tokens",
         "pack_bins_exact_roundtrip",
     }
-    want = PARITY_PINNED | r16_green_rotating
+    # in-window (r19): the 44 queries green in r17's own window -- the
+    # r15-green rotating slots minus R17_FOLDED, plus sft_pack_spans
+    # and the r17 registration substring_dedup_cut
+    want = PARITY_PINNED | (r15_green_rotating - R17_FOLDED) | {
+        "sft_pack_spans", "substring_dedup_cut",
+    }
     missing = want - set(window)
     assert not missing, f"evicted from the driver's 50-query window: {missing}"
     assert len(window) == 50
     assert set(window) == want
-    # below the window: exactly the 44 queries green in r17's own
-    # window (the r15-green rotating slots minus R17_FOLDED, plus
-    # sft_pack_spans and the r17 registration substring_dedup_cut)
-    below = set(names[50:])
-    want_below = (r15_green_rotating - R17_FOLDED) | {
-        "sft_pack_spans", "substring_dedup_cut",
+    # the 15 r18-changed paths VERDICT r18 ask #3 names must all sit in
+    # the r19 window (their first post-change driver row)
+    r18_changed_unverified = {
+        "domain_pagerank_ranks", "crawl_frontier_gate", "lm_ppl_buckets",
+        "incremental_dedup", "curation_pipeline", "boilerplate_line_dedup",
+        "connected_components_labels", "sft_pack_spans",
+        "substring_dedup_cut", "token_budget_mixture", "doc_signals",
+        "paragraph_dedup", "curriculum_assignment", "embedding_moments",
+        "embedding_quantize",
     }
-    assert below == want_below
+    assert r18_changed_unverified <= set(window)
+    # below the window: exactly the 44 queries green in r18's own
+    # window (CORRECTNESS_r18.json minus the 6 pinned)
+    below = set(names[50:])
+    assert below == r16_green_rotating
     assert len(below) == 44, len(below)
     # every registered query carries a DuckDB oracle (no no_oracle
     # holes since r15)

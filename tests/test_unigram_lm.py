@@ -191,3 +191,24 @@ def test_train_deterministic_across_runs(spark):
     a = sorted(map(tuple, unigram_lm_train(df, vocab_size=8).collect()))
     b = sorted(map(tuple, unigram_lm_train(df, vocab_size=8).collect()))
     assert a == b
+
+
+def test_encode_driver_hybrid_matches_distributed(spark, monkeypatch):
+    """r19 encode hybrid: under _ULM_DRIVER_VOCAB distinct words the
+    per-word Viterbi runs on the driver (one probe collect, no
+    mapInPandas job); forcing the threshold to 0 pins the distributed
+    branch.  Both branches must emit identical rows -- same
+    viterbi_segment kernel, same piece dict."""
+    import data_stream_flink_user_address_spark.functions.unigram_lm as ulm
+
+    corpus = ["interesting interest rest resting", "rest in the interest"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus * 2)], "doc_id long, text string"
+    )
+    pieces = unigram_lm_train(df, vocab_size=24, max_piece_len=8)
+    drv = sorted(
+        tuple(r) for r in unigram_lm_encode(df, pieces).collect()
+    )  # default threshold: driver branch (vocab is tiny)
+    monkeypatch.setattr(ulm, "_ULM_DRIVER_VOCAB", 0)
+    dist = sorted(tuple(r) for r in unigram_lm_encode(df, pieces).collect())
+    assert drv == dist
