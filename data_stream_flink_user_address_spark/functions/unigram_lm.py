@@ -385,8 +385,12 @@ def unigram_lm_encode(
     Exact by construction: the driver runs the SAME
     :func:`viterbi_segment` kernel over the SAME piece dict the
     executors would (the pandas path's closure is ``dict(piece_rows)``
-    too), and a frame this size was below ``broadcast_max_rows``
-    anyway, so the join side is unchanged.  Above the threshold the
+    too).  The hybrid HONORS the broadcast gate: the driver branch
+    fires only when the distinct words also fit
+    ``broadcast_max_rows``, so a caller that forbade broadcasting
+    (small ``broadcast_max_rows``) still gets the distributed hash
+    join -- the branch threshold is
+    ``min(_ULM_DRIVER_VOCAB, broadcast_max_rows)``.  Above it the
     distributed path runs untouched -- the 1e8-distinct-word shape.
     """
     piece_rows = sorted(
@@ -420,8 +424,9 @@ def unigram_lm_encode(
         # driver Viterbi, or the distributed gate count + segmentation
         # pass) reads them instead of re-paying the corpus scan
         distinct_words = distinct_words.localCheckpoint(eager=False)
-        probe = distinct_words.limit(_ULM_DRIVER_VOCAB + 1).collect()
-        if len(probe) <= _ULM_DRIVER_VOCAB:
+        driver_cap = min(_ULM_DRIVER_VOCAB, broadcast_max_rows)
+        probe = distinct_words.limit(driver_cap + 1).collect()
+        if probe and len(probe) <= driver_cap:
             lp = dict(piece_rows)
             seg_rows = []
             for r in probe:
